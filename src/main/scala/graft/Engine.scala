@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine façade: session configuration + catalog over the testdata layout.
+  *
+  * Matches the reference's query-visible semantics (Spark 1.3 fork — see
+  * /root/reference/sql/catalyst/src/main/scala/org/apache/spark/sql/catalyst/expressions/Cast.scala:28
+  * null-on-bad-cast, arithmetic.scala:179 Divide null-on-zero) by pinning
+  * ANSI mode off; everything else rides modern Catalyst/Tungsten/AQE.
+  *
+  * Scale posture: all configuration here is cluster-safe — AQE handles
+  * skew/coalescing at 1000-executor scale; nothing assumes local mode.
+  */
+object Engine {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Runtime confs every query needs regardless of who built the session.
+    * Safe to call repeatedly (idempotent, runtime-settable confs only). */
+  def configure(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.ansi.enabled", "false") // 1.3 semantics: null, not error
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // nanos timestamps in events.parquet: read as LONG then convert
+    // explicitly where needed (legacy flag keeps the scan vectorized).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Standalone session for mains/tests. local[*] here; on a cluster the
+    * same builder settings apply unchanged. */
+  def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    master.foreach(b.master)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = b
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+
+  /** Read one testdata table. Plain parquet scan — Catalyst pushes filters
+    * and prunes columns into it; at 100 TB this is a partitioned columnar
+    * scan with row-group pruning, no code change needed. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` restored to a proper µs TimestampType column.
+    * The raw file stores timestamp[ns]; nanosAsLong gives LONG nanos which
+    * we floor-divide to µs — identical to what DuckDB reports. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+}

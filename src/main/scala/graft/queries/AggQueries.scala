@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.4 — hash aggregation + every aggregate expression in the
+  * reference (catalyst/expressions/aggregates.scala: Min:93 Max:124
+  * Count:155 CountDistinct:169 ApproxCountDistinct:275 Average:294 Sum:337
+  * SumDistinct:371 First:437 Last:451) plus grouping sets / cube / rollup
+  * (catalyst logical GroupingSets:212 Cube:231 Rollup:250 → Expand) and the
+  * beyond-reference statistical aggregates (stddev/var/corr/covar/
+  * percentile — RDD-side only in 1.3, DoubleRDDFunctions.scala:41-52).
+  *
+  * Scale posture: all aggregations are partial (map-side combine) before
+  * the single exchange on the grouping key — Catalyst does this split
+  * automatically (the reference needed PartialAggregation,
+  * catalyst/planning/patterns.scala:124). First/Last are restated as
+  * min_by/max_by with a unique ordering key for determinism.
+  */
+object AggQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // The BDB-1a analog flagship scan-agg (bench q1).
+    Q("q1_agg", bench = true,
+      fn = (s, d) => table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      oracle = Some(sql("""SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+                  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                  GROUP BY l_returnflag, l_linestatus"""))),
+
+    // Min / Max / global aggregate (no grouping → GlobalAggregates path).
+    Q("agg_min_max_global",
+      (s, d) => table(s, d, "lineitem").agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n")),
+      Some(sql("""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                   count(*) AS n FROM lineitem"""))),
+
+    // Exact COUNT(DISTINCT …) incl. multi-argument form
+    // (CountDistinct, aggregates.scala:169 — OpenHashSet-backed in 1.3;
+    // modern Spark plans it as two-phase hash agg, spill-safe).
+    Q("agg_count_distinct",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_part_supp"),
+          count(lit(1)).as("n")),
+      Some(sql("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+                   count(DISTINCT (l_partkey, l_suppkey)) AS nd_part_supp,
+                   count(*) AS n
+                  FROM lineitem GROUP BY l_returnflag"""))),
+
+    // SUM(DISTINCT) (aggregates.scala:371).
+    Q("agg_sum_distinct",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(sum_distinct(col("l_quantity")).as("sum_dist_qty")),
+      Some(sql("""SELECT l_linestatus, sum(DISTINCT l_quantity) AS sum_dist_qty
+                  FROM lineitem GROUP BY l_linestatus"""))),
+
+    // First/Last (aggregates.scala:437/:451) restated deterministically as
+    // min_by/max_by over the unique o_orderkey.
+    Q("agg_first_last",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key")),
+      Some(sql("""SELECT o_orderpriority,
+                   min_by(o_totalprice, o_orderkey) AS first_price,
+                   max_by(o_totalprice, o_orderkey) AS last_price,
+                   min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+                  FROM orders GROUP BY o_orderpriority"""))),
+
+    // ApproxCountDistinct (aggregates.scala:275, HLL) — different HLL
+    // lineages can't hash-match; declared rows-only (no oracle), with the
+    // exact count alongside for manual tolerance inspection.
+    Q("agg_approx_count_distinct",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd")),
+      None),
+
+    // Average widening + HAVING (UnresolvedHavingClauseAttributes path).
+    Q("agg_having",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"), count(lit(1)).as("n"))
+        .filter(col("n") >= 3),
+      Some(sql("""SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n
+                  FROM orders GROUP BY o_custkey HAVING count(*) >= 3"""))),
+
+    // ROLLUP (logical Rollup:250 → Expand) with grouping() flags.
+    Q("agg_rollup",
+      (s, d) => table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls")),
+      Some(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+                  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))),
+
+    // CUBE (logical Cube:231).
+    Q("agg_cube",
+      (s, d) => table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 4).as("total"), count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pr")),
+      Some(sql("""SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 4) AS total, count(*) AS n,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_pr
+                  FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))),
+
+    // GROUPING SETS (logical GroupingSets:212; HiveQl.scala:727 parse path).
+    Q("agg_grouping_sets",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+        s.sql(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                      count(*) AS n
+                     FROM graft_li_gs
+                     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                       (l_returnflag, l_linestatus))"""))
+      },
+      Some(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*) AS n
+                  FROM lineitem
+                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                    (l_returnflag, l_linestatus))"""))),
+
+    // Beyond-reference statistical aggregates (1.3 exposed these only on
+    // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
+    Q("agg_stats",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          avg(col("l_extendedprice")).as("mean_price"),
+          stddev_samp(col("l_extendedprice")).as("sd_price"),
+          var_samp(col("l_extendedprice")).as("var_price"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price")),
+      Some(sql("""SELECT l_returnflag,
+                   avg(l_extendedprice) AS mean_price,
+                   stddev_samp(l_extendedprice) AS sd_price,
+                   var_samp(l_extendedprice) AS var_price,
+                   corr(l_quantity, l_extendedprice) AS corr_qty_price,
+                   covar_samp(l_quantity, l_extendedprice) AS cov_qty_price
+                  FROM lineitem GROUP BY l_returnflag"""))),
+
+    // Exact percentile / median (beyond-reference; Hive-UDAF-only in 1.3).
+    Q("agg_percentile",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .select(col("o_orderstatus"), col("p50"), col("p90")),
+      Some(sql("""SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90
+                  FROM orders GROUP BY o_orderstatus"""))),
+
+    // collect_list/collect_set parity (Hive-bridge-only in 1.3) — sorted for
+    // determinism; arrays compare element-wise in the oracle.
+    Q("agg_collect",
+      (s, d) => table(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(col("s_name"))).as("names"),
+          sort_array(collect_set(col("s_suppkey"))).as("keys")),
+      Some(sql("""SELECT s_nationkey, list_sort(list(s_name)) AS names,
+                   list_sort(list(DISTINCT s_suppkey)) AS keys
+                  FROM supplier GROUP BY s_nationkey""")))
+  )
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.3 — every join shape in the reference
+  * (sql/core/.../execution/joins/: BroadcastHashJoin, ShuffledHashJoin,
+  * HashOuterJoin L/R/FULL, LeftSemiJoinHash, LeftSemiJoinBNL,
+  * BroadcastNestedLoopJoin, CartesianProduct) plus left_anti (superset).
+  *
+  * Scale posture: dimension sides (region/nation/part/supplier) are
+  * broadcast — zero shuffle of the fact table for those joins. Fact-fact
+  * joins (lineitem⋈orders) shuffle on the join key once and aggregate
+  * partially before the exchange. AQE converts to broadcast at runtime
+  * when a side turns out small.
+  */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Inner equi-join, fact ⋈ fact (ShuffledHashJoin.scala:33 analog):
+    // shuffles both sides on o_orderkey; partial aggregation first.
+    Q("join_inner",
+      (s, d) => table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+      Some(sql("""SELECT o_orderpriority, count(*) AS n,
+                   sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY o_orderpriority"""))),
+
+    // Broadcast inner join (BroadcastHashJoin.scala:39): small dim side
+    // explicitly broadcast — at 100 TB the part table fans out to every
+    // executor, lineitem never shuffles.
+    Q("join_broadcast",
+      (s, d) => table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part").filter(col("p_size") >= 30)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty")),
+      Some(sql("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS qty
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_size >= 30 GROUP BY p_brand"""))),
+
+    // LEFT OUTER (HashOuterJoin.scala:39): unmatched left rows null-extended.
+    Q("join_left_outer",
+      (s, d) => table(s, d, "customer")
+        .join(table(s, d, "orders").filter(col("o_totalprice") > 150000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders")),
+      Some(sql("""SELECT c_custkey, count(o_orderkey) AS n_big_orders
+                  FROM customer LEFT JOIN
+                    (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+                    ON c_custkey = o_custkey
+                  GROUP BY c_custkey"""))),
+
+    // RIGHT OUTER.
+    Q("join_right_outer",
+      (s, d) => table(s, d, "orders").filter(col("o_totalprice") > 150000.0)
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("o_orderkey")).as("n"), countDistinct(col("c_custkey")).as("n_cust")),
+      Some(sql("""SELECT c_nationkey, count(o_orderkey) AS n, count(DISTINCT c_custkey) AS n_cust
+                  FROM (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+                    RIGHT JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_nationkey"""))),
+
+    // FULL OUTER: disjoint-ish sides so both null-extensions appear.
+    Q("join_full_outer",
+      (s, d) => {
+        val c = table(s, d, "customer").filter(col("c_nationkey") < 15)
+          .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+        val su = table(s, d, "supplier").filter(col("s_nationkey") > 8)
+          .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+        // Seq-key full join already coalesces the key column.
+        c.join(su, Seq("nationkey"), "full")
+          .select(col("nationkey"), col("n_cust"), col("n_supp"))
+      },
+      Some(sql("""SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+                  FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer
+                        WHERE c_nationkey < 15 GROUP BY 1) c
+                  FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier
+                        WHERE s_nationkey > 8 GROUP BY 1) s
+                  USING (nationkey)"""))),
+
+    // LEFT SEMI (LeftSemiJoinHash.scala:32) = EXISTS.
+    Q("join_left_semi",
+      (s, d) => table(s, d, "customer")
+        .join(table(s, d, "orders").filter(col("o_totalprice") > 250000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      Some(sql("""SELECT c_custkey, c_name FROM customer
+                  WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)"""))),
+
+    // LEFT ANTI = NOT EXISTS (beyond-reference superset; 1.3 had no anti).
+    Q("join_left_anti",
+      (s, d) => table(s, d, "customer")
+        .join(table(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some(sql("""SELECT c_custkey, c_name FROM customer
+                  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"""))),
+
+    // NULL-safe equality join (<=>, predicates.scala:188 EqualNullSafe).
+    Q("join_null_safe",
+      (s, d) => {
+        val c = table(s, d, "customer")
+          .select(nullif(col("c_nationkey") % 5, lit(0)).as("ck"))
+        val su = table(s, d, "supplier")
+          .select(nullif(col("s_nationkey") % 5, lit(0)).as("sk"))
+        c.join(su, col("ck") <=> col("sk"), "inner")
+          .groupBy(col("ck")).agg(count(lit(1)).as("n"))
+      },
+      Some(sql("""SELECT ck, count(*) AS n
+                  FROM (SELECT nullif(c_nationkey % 5, 0) AS ck FROM customer) c
+                  JOIN (SELECT nullif(s_nationkey % 5, 0) AS sk FROM supplier) s
+                    ON ck IS NOT DISTINCT FROM sk
+                  GROUP BY ck"""))),
+
+    // Theta join (non-equi → BroadcastNestedLoopJoin.scala:32).
+    Q("join_theta",
+      (s, d) => {
+        val n1 = table(s, d, "nation").select(col("n_name").as("name1"), col("n_regionkey").as("rk1"))
+        val n2 = table(s, d, "nation").select(col("n_name").as("name2"), col("n_regionkey").as("rk2"))
+        n1.join(n2, col("rk1") < col("rk2"), "inner")
+          .groupBy(col("name1")).agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(sql("""SELECT n1.n_name AS name1, count(*) AS n_pairs
+                  FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+                  GROUP BY n1.n_name"""))),
+
+    // Cartesian product (CartesianProduct.scala:30).
+    Q("join_cross",
+      (s, d) => table(s, d, "region").crossJoin(table(s, d, "nation"))
+        .select(col("r_name"), col("n_name")),
+      Some(sql("SELECT r_name, n_name FROM region CROSS JOIN nation"))),
+
+    // 5-way star join — the flagship / bench q3 analog. Dims broadcast,
+    // single fact shuffle for the final aggregation.
+    Q("join_star", bench = true,
+      fn = (s, d) => table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")),
+      oracle = Some(sql("""SELECT r_name, n_name,
+                   sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  GROUP BY r_name, n_name""")))
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Engine.table
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.2 — projection / filter / sample / limit / sort / distinct /
+  * set operations (reference: sql/core/.../execution/basicOperators.scala).
+  *
+  * Scale posture: project+filter are pushed into the parquet scan
+  * (PushedFilters + pruned ReadSchema); top-k is TakeOrderedAndProject (no
+  * global sort); set ops shuffle once on their natural key.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Project (basicOperators.scala:33): computed columns, column pruning.
+    Q("project",
+      (s, d) => table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("taxed")),
+      Some(sql("""SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue,
+                   l_extendedprice * (1.0 + l_tax) AS taxed
+                  FROM lineitem"""))),
+
+    // Filter (basicOperators.scala:48): conjunctive predicates pushed to scan.
+    Q("filter",
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          && col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_shipdate")),
+      Some(sql("""SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem
+                  WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                    AND l_quantity > 45.0 AND l_returnflag = 'R'"""))),
+
+    // Sample (basicOperators.scala:62) — deterministic hash variant so the
+    // oracle can reproduce it (seeded bernoulli differs across engines).
+    Q("sample",
+      (s, d) => table(s, d, "orders")
+        .filter(Portable.deterministicSample(col("o_orderkey"), 10))
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some(sql(s"""SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE ${Portable.deterministicSampleSql("o_orderkey", 10)}"""))),
+
+    // Union, bag semantics (basicOperators.scala:77).
+    Q("union_all",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_totalprice"))
+          .unionAll(o.filter(col("o_totalprice") > 200000.0).select(col("o_orderkey"), col("o_totalprice")))
+      },
+      Some(sql("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+                  UNION ALL
+                  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0"""))),
+
+    // Union + Distinct (set union).
+    Q("union_distinct",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+          .union(o.filter(col("o_totalprice") > 200000.0).select(col("o_orderkey"))).distinct()
+      },
+      Some(sql("""SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+                  UNION
+                  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0"""))),
+
+    // Limit + TakeOrdered (basicOperators.scala:92,:121) — top-k plans as
+    // TakeOrderedAndProject: per-partition bounded heap, no global sort.
+    Q("topk", bench = true,
+      fn = (s, d) => table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      oracle = Some(sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                           ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))),
+
+    // Global Sort (basicOperators.scala:144): order materialized as a rank
+    // column so the (row-order-insensitive) oracle can still verify it.
+    Q("sort_global",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(s, d, "orders")
+          .filter(col("o_totalprice") > 250000.0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+      },
+      Some(sql("""SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+                  FROM orders WHERE o_totalprice > 250000.0"""))),
+
+    // Distinct (basicOperators.scala:170).
+    Q("distinct",
+      (s, d) => table(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some(sql("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))),
+
+    // Except (basicOperators.scala:200) — set semantics.
+    Q("except_set",
+      (s, d) => table(s, d, "customer").select(col("c_custkey"))
+        .except(table(s, d, "orders").filter(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey").as("c_custkey"))),
+      Some(sql("""SELECT c_custkey FROM customer
+                  EXCEPT SELECT o_custkey AS c_custkey FROM orders
+                  WHERE o_totalprice > 150000.0"""))),
+
+    // ExceptAll — bag semantics (1.3's Except used RDD.subtract on bags).
+    Q("except_all_bag",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        li.select(col("l_orderkey"), col("l_returnflag"))
+          .exceptAll(li.filter(col("l_quantity") > 25.0).select(col("l_orderkey"), col("l_returnflag")))
+      },
+      Some(sql("""SELECT l_orderkey, l_returnflag FROM lineitem
+                  EXCEPT ALL
+                  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 25.0"""))),
+
+    // Intersect (basicOperators.scala:214).
+    Q("intersect_set",
+      (s, d) => table(s, d, "orders").select(col("o_custkey"))
+        .intersect(table(s, d, "customer").filter(col("c_acctbal") > 0.0)
+          .select(col("c_custkey").as("o_custkey"))),
+      Some(sql("""SELECT o_custkey FROM orders
+                  INTERSECT
+                  SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0.0""")))
+  )
+}
