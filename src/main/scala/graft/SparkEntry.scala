@@ -15,7 +15,11 @@ object SparkEntry {
     RelationalQueries.all ++
       JoinQueries.all ++
       AggQueries.all ++
-      ExprQueries.all
+      ExprQueries.all ++
+      WindowQueries.all ++
+      TextQueries.all ++
+      DedupQueries.all ++
+      SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Engine.{events, table}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.5 — window functions. The reference has NONE (no OVER in
+  * either 1.3 parser; upstream gained them in 1.4), so these are declared
+  * beyond-reference extensions: ranking, analytic (lag/lead), frames, and
+  * distribution functions via Window.partitionBy().orderBy().
+  *
+  * Scale posture: every window is PARTITIONED (one shuffle on the
+  * partition key, then a per-partition sort) — no global single-partition
+  * window in any declared query. Orderings always end in a unique key so
+  * results are deterministic under ties.
+  */
+object WindowQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Ranking trio over a partitioned window.
+    Q("win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .filter(col("rn") <= 50)
+      },
+      Some(sql("""SELECT * FROM (
+                    SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      CAST(row_number() OVER w AS BIGINT) AS rn,
+                      CAST(rank() OVER w AS BIGINT) AS rnk,
+                      CAST(dense_rank() OVER w AS BIGINT) AS drnk
+                    FROM orders
+                    WINDOW w AS (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey))
+                  WHERE rn <= 50"""))),
+
+    // lag/lead over per-user event streams.
+    Q("win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      },
+      Some(sql("""SELECT user_id, event_id, value,
+                   lag(value, 1) OVER w AS prev_value,
+                   lead(value, 1) OVER w AS next_value,
+                   value - lag(value, 1) OVER w AS delta
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"""))),
+
+    // Running aggregate with an explicit ROWS frame.
+    Q("win_running_sum", bench = true,
+      fn = (s, d) => {
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+        // adding the summed column itself makes tied prefixes sum-stable.
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("l_extendedprice").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(sum(col("l_extendedprice")).over(w), 4).as("running_price"),
+            count(lit(1)).over(w).cast("long").as("running_n"))
+      },
+      oracle = Some(sql("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_extendedprice) OVER w, 4) AS running_price,
+                   CAST(count(*) OVER w AS BIGINT) AS running_n
+                  FROM lineitem
+                  WINDOW w AS (PARTITION BY l_suppkey
+                               ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))),
+
+    // Sliding ROWS frame (moving average of the 3 surrounding rows).
+    Q("win_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+          .rowsBetween(-1, 1)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            round(avg(col("value")).over(w), 6).as("mov_avg"),
+            min(col("value")).over(w).as("mov_min"),
+            max(col("value")).over(w).as("mov_max"))
+      },
+      Some(sql("""SELECT user_id, event_id,
+                   round(avg(value) OVER w, 6) AS mov_avg,
+                   min(value) OVER w AS mov_min,
+                   max(value) OVER w AS mov_max
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"""))),
+
+    // Distribution functions + ntile.
+    Q("win_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        table(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some(sql("""SELECT c_custkey, c_nationkey,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+                  FROM customer
+                  WINDOW w AS (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey)"""))),
+
+    // first/last value within a frame + nth-style top-per-group pattern.
+    Q("win_top_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"),
+            first_value(col("o_totalprice")).over(w).as("best_price"))
+          .filter(col("rn") <= 2)
+      },
+      Some(sql("""SELECT * FROM (
+                    SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(row_number() OVER w AS BIGINT) AS rn,
+                      first_value(o_totalprice) OVER w AS best_price
+                    FROM orders
+                    WINDOW w AS (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey))
+                  WHERE rn <= 2""")))
+  )
+}
