@@ -19,7 +19,10 @@ object SparkEntry {
       WindowQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++
-      SimilarityQueries.all
+      SimilarityQueries.all ++
+      SourceQueries.all ++
+      UdfQueries.all ++
+      RddQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.8 — the RDD dataflow layer that has no direct Dataset
+  * equivalent: zipWithIndex, treeAggregate, cogroup, histogram
+  * (DoubleRDDFunctions), and mapPartitions. Declared through `ds.rdd`
+  * exactly as the rebuild maps them; results are restated
+  * deterministically (global sort before zipWithIndex; aggregate outputs
+  * only) so the DuckDB oracle can verify them.
+  *
+  * Scale posture: these run as narrow RDD stages over the scan (no
+  * driver-side loops); treeAggregate is the multi-level combine pattern
+  * that keeps 1000-executor reductions off the driver.
+  */
+object RddQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // zipWithIndex after a global sort → index == dense global rank.
+    Q("rdd_zip_with_index",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "customer")
+          .orderBy(col("c_custkey").asc)
+          .select(col("c_custkey"))
+          .as(Encoders.scalaLong)
+          .rdd.zipWithIndex()
+          .toDF("c_custkey", "idx")
+      },
+      Some(sql("""SELECT c_custkey,
+                   CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS idx
+                  FROM customer"""))),
+
+    // treeAggregate: (n, sum, sumsq) of o_totalprice with a 2-level merge
+    // tree (RDD.scala:1225 analog).
+    Q("rdd_tree_aggregate",
+      (s, d) => {
+        import s.implicits._
+        val vals = table(s, d, "orders").select(col("o_totalprice"))
+          .as(Encoders.scalaDouble).rdd
+        val (n, sum0, sumSq) = vals.treeAggregate((0L, 0.0, 0.0))(
+          seqOp = { case ((c, su, sq), x) => (c + 1, su + x, sq + x * x) },
+          combOp = { case ((c1, s1, q1), (c2, s2, q2)) => (c1 + c2, s1 + s2, q1 + q2) },
+          depth = 2)
+        Seq((n, math.round(sum0), math.round(math.sqrt(sumSq / n - (sum0 / n) * (sum0 / n)))))
+          .toDF("n", "sum_price", "stddev_pop")
+      },
+      Some(sql("""SELECT count(*) AS n,
+                   CAST(round(sum(o_totalprice)) AS BIGINT) AS sum_price,
+                   CAST(round(stddev_pop(o_totalprice)) AS BIGINT) AS stddev_pop
+                  FROM orders"""))),
+
+    // cogroup (PairRDDFunctions.scala:715): per-key group sizes from two
+    // sides without joining row-by-row.
+    Q("rdd_cogroup",
+      (s, d) => {
+        import s.implicits._
+        val custByNation = table(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).rdd
+        val suppByNation = table(s, d, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).rdd
+        custByNation.cogroup(suppByNation)
+          .map { case (k, (cs, ss)) => (k, cs.size.toLong, ss.size.toLong) }
+          .toDF("nationkey", "n_cust", "n_supp")
+      },
+      Some(sql("""SELECT n_nationkey AS nationkey,
+                   (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+                   (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp
+                  FROM nation
+                  WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+                     OR EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)"""))),
+
+    // histogram (DoubleRDDFunctions.scala): fixed buckets over o_totalprice.
+    Q("rdd_histogram",
+      (s, d) => {
+        import s.implicits._
+        val vals = table(s, d, "orders").select(col("o_totalprice"))
+          .as(Encoders.scalaDouble).rdd
+        val buckets = Array(0.0, 100000.0, 200000.0, 300000.0, 400000.0, 600000.0)
+        val counts = vals.histogram(buckets)
+        s.sparkContext.parallelize(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+          .toDF("bucket", "n")
+      },
+      Some(sql("""SELECT b.bucket, coalesce(c.n, 0) AS n
+                  FROM (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS bucket) b
+                  LEFT JOIN (
+                    SELECT bucket, count(*) AS n FROM (
+                      SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                                  WHEN o_totalprice < 200000 THEN 1
+                                  WHEN o_totalprice < 300000 THEN 2
+                                  WHEN o_totalprice < 400000 THEN 3
+                                  ELSE 4 END AS bucket
+                      FROM orders WHERE o_totalprice >= 0 AND o_totalprice <= 600000)
+                    GROUP BY bucket) c USING (bucket)"""))),
+
+    // mapPartitions (RDD.scala:879): per-partition combine of token
+    // counts, merged by a final reduce — the hand-rolled partial-agg shape.
+    Q("rdd_mappartitions",
+      (s, d) => {
+        import s.implicits._
+        val toks = table(s, d, "documents")
+          .select(col("text")).as(Encoders.STRING).rdd
+        val total = toks.mapPartitions { it =>
+          var n = 0L
+          it.foreach(t => n += t.split(" ").length)
+          Iterator.single(n)
+        }.reduce(_ + _)
+        Seq(total).toDF("total_tokens")
+      },
+      Some(sql("""SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                  FROM documents""")))
+  )
+}
