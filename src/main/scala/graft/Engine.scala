@@ -65,7 +65,9 @@ object Engine {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integral `div`, NOT `/`: double division loses µs precision on
+        // ~1e18 nanosecond values (53-bit mantissa).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -22,7 +22,10 @@ object SparkEntry {
       SimilarityQueries.all ++
       SourceQueries.all ++
       UdfQueries.all ++
-      RddQueries.all
+      RddQueries.all ++
+      StreamingQueries.all ++
+      MultimodalQueries.all ++
+      MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Engine
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import Registry.sql
+
+/** SURVEY §2.9 — streaming operators, restated on event time (the
+  * DStream surface was processing-time-only; Structured Streaming's
+  * batch/stream unification lets the DuckDB oracle verify the same
+  * query semantics over the same input).
+  *
+  * `stream_tumbling` and `stream_user_totals` run a REAL streaming query
+  * (file-source readStream → watermark → stateful agg → memory sink);
+  * the others declare the batch-unified form of each §2.9 operator class
+  * (sliding window, session window = updateStateByKey's gap analog,
+  * mapGroupsWithState for arbitrary state).
+  */
+object StreamingQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // window()/reduceByKeyAndWindow analog: REAL stream, event-time
+    // tumbling 1h windows with watermark, complete mode → memory sink.
+    Q("stream_tumbling",
+      (s, d) => {
+        val agg = StreamRunner.eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        StreamRunner.runToTable(s, agg, s"tumbling_${math.abs(d.hashCode)}")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      },
+      Some(sql("""SELECT date_trunc('hour', ts) AS ws, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+                  FROM events GROUP BY 1, 2"""))),
+
+    // updateStateByKey-style running totals: REAL stream, per-key state.
+    Q("stream_user_totals",
+      (s, d) => {
+        val agg = StreamRunner.eventsStream(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        StreamRunner.runToTable(s, agg, s"utotals_${math.abs(d.hashCode)}")
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+                  FROM events GROUP BY user_id"""))),
+
+    // Sliding window (window/slide = 2h/1h): each event lands in 2 windows.
+    Q("stream_sliding",
+      (s, d) => Engine.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+      Some(sql("""SELECT ws, event_type, count(*) AS n FROM (
+                    SELECT unnest([date_trunc('hour', ts),
+                                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                           event_type
+                    FROM events)
+                  GROUP BY 1, 2"""))),
+
+    // Session windows (30-minute gap): the event-time restatement of
+    // session state; verified against a lag-gap cumulative-sum oracle.
+    Q("stream_session",
+      (s, d) => Engine.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"), col("user_id"), col("n")),
+      Some(sql("""SELECT min(ts) AS session_start, user_id, count(*) AS n
+                  FROM (SELECT user_id, ts,
+                          sum(CASE WHEN prev_ts IS NULL
+                                    OR ts - prev_ts >= INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                        FROM (SELECT user_id, event_id, ts,
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                              FROM events))
+                  GROUP BY session_id, user_id"""))),
+
+    // mapGroupsWithState (updateStateByKey's arbitrary-state superset):
+    // per-user event count + max inter-event gap, computed in the typed
+    // stateful API (runs identically in batch and streaming).
+    Q("stream_map_groups_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = Engine.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_s"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+        ev.groupByKey(_._1)
+          .mapGroupsWithState[(Long, Long), (Long, Long, Long)] {
+            (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[(Long, Long)]) =>
+              val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+              val gaps = sorted.sliding(2).collect { case Seq(a, b) => b._3 - a._3 }.toSeq
+              (user, sorted.size.toLong, if (gaps.isEmpty) 0L else gaps.max)
+          }
+          .toDF("user_id", "n_events", "max_gap_s")
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                   coalesce(max(gap), 0) AS max_gap_s
+                  FROM (SELECT user_id,
+                          ts_s - lag(ts_s)
+                              OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+                        FROM (SELECT user_id, event_id,
+                                CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events))
+                  GROUP BY user_id""")))
+  )
+}
