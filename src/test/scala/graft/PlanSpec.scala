@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture assertions on the PHYSICAL plans (the reference's
+  * PlannerSuite analog): pushdown reaches the parquet scan, small dims
+  * broadcast, top-k avoids a global sort, aggregation is partial before
+  * the exchange, windows are partitioned. These are the properties that
+  * decide whether a plan survives a 100 TB scale-up. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+
+  test("filter predicates are pushed into the parquet scan") {
+    val p = plan("filter")
+    // the plan string truncates the filter list; the leading entries prove
+    // the predicates reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("projection prunes the scanned schema to referenced columns") {
+    val p = plan("project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), "unreferenced column not pruned:\n" + p)
+  }
+
+  test("small dimension joins broadcast (no fact-table shuffle)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    val star = plan("join_star")
+    assert(star.contains("BroadcastHashJoin"), star)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("declared windows are partitioned (no single-partition window)") {
+    for (name <- Seq("win_rank", "win_running_sum", "win_lag_lead")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"), s"$name has a single-partition stage:\n$p")
+    }
+  }
+
+  test("whole-stage codegen covers the scan-side expression work") {
+    // "*(n)" prefixes mark whole-stage-codegen stages in plan strings
+    val p = plan("expr_arithmetic")
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("dedup LSH shuffles signatures, not documents (no cartesian)") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared capability runs end-to-end at sf0.001 and yields rows.
+  * (Value-level correctness is the driver's DuckDB oracle; this guards
+  * against regressions that break a query entirely.) */
+class RegistrySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size)
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Legitimately empty at sf0.001 (tiny data): the oracle still verifies
+  // value-level equality for these.
+  private val mayBeEmpty = Set("except_set", "dedup_cosine")
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      val df = q.fn(spark, TestSpark.Sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+}

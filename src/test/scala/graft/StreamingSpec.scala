@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/stream unification check (the §2.9 contract): the REAL
+  * Structured Streaming pipeline over the events file source produces
+  * exactly the batch result of the same plan. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("streaming tumbling-window counts equal the batch computation") {
+    val streamed = StreamRunner.runToTable(
+      spark,
+      StreamRunner.eventsStream(spark, TestSpark.Sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "spec_tumbling")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+
+    val batch = Engine.events(spark, TestSpark.Sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming per-key totals equal batch groupBy") {
+    val streamed = StreamRunner.runToTable(
+      spark,
+      StreamRunner.eventsStream(spark, TestSpark.Sf)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+      "spec_totals")
+      .collect().map(_.toString).toSet
+    val batch = Engine.events(spark, TestSpark.Sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    assert(streamed === batch)
+  }
+}
