@@ -48,29 +48,52 @@ object Portable {
     (a, b)
   }
 
-  /** One minhash value: min over `shingles` (array<string>) of h_i. */
-  def minhashValue(shingles: Column, i: Int): Column = {
+  /** Base hashes of each shingle, computed ONCE per document — the md5 is
+    * the expensive step, so the 16 minhash functions must share it
+    * (16× less hash work in the scan stage; the (a,b) affine transforms
+    * below are nearly free). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => stableHash64(s) % MinHashDomain)
+
+  def shingleHashesSql(shinglesExpr: String): String =
+    s"list_transform($shinglesExpr, s -> (${stableHash64Sql("s")} % $MinHashDomain))"
+
+  /** Minhash i from the shared base hashes (array<long>). */
+  def minhashFromHashes(hs: Column, i: Int): Column = {
     val (a, b) = MinHashParams(i)
-    array_min(transform(shingles, s =>
-      (lit(a) * (stableHash64(s) % MinHashDomain) + lit(b)) % MinHashP))
+    array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinHashP))
   }
+
+  def minhashFromHashesSql(hsExpr: String, i: Int): String = {
+    val (a, b) = MinHashParams(i)
+    s"list_min(list_transform($hsExpr, h -> ($a * h + $b) % $MinHashP))"
+  }
+
+  /** One minhash value: min over `shingles` (array<string>) of h_i.
+    * (Convenience composition; batch callers should hash once via
+    * shingleHashes + minhashFromHashes.) */
+  def minhashValue(shingles: Column, i: Int): Column =
+    minhashFromHashes(shingleHashes(shingles), i)
 
   /** DuckDB equivalent over a list-of-varchar SQL expression. */
-  def minhashValueSql(shinglesExpr: String, i: Int): String = {
-    val (a, b) = MinHashParams(i)
-    s"list_min(list_transform($shinglesExpr, s -> ($a * (${stableHash64Sql("s")} % $MinHashDomain) + $b) % $MinHashP))"
-  }
+  def minhashValueSql(shinglesExpr: String, i: Int): String =
+    minhashFromHashesSql(shingleHashesSql(shinglesExpr), i)
 
-  /** Word 3-shingles from a text column (whitespace tokenized). */
-  def shingles3(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Word 3-shingles from an ALREADY-MATERIALIZED tokens column.
+    * Callers must stage `split(text, " ")` as its own projection first:
+    * passing the split expression directly re-evaluates it inside every
+    * element_at (O(tokens²) per document). */
+  def shingles3FromTokens(toks: Column): Column =
     // positions 0 .. size-3 → tok[i] ' ' tok[i+1] ' ' tok[i+2]
     filter(
       transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))), i =>
         when(i <= size(toks) - 3,
           concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))),
       s => s.isNotNull)
-  }
+
+  /** Word 3-shingles from a text column (convenience for small inputs;
+    * batch pipelines should stage tokens + shingles3FromTokens). */
+  def shingles3(text: Column): Column = shingles3FromTokens(split(text, " "))
 
   /** DuckDB: same word 3-shingles (1-based list indexing). */
   def shingles3Sql(textExpr: String): String =

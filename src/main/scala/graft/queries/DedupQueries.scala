@@ -24,13 +24,18 @@ object DedupQueries {
   private val Bands = 4
   private val Rows = 4 // hashes per band
 
-  /** (doc_id, band, sig): one row per document per LSH band. */
+  /** (doc_id, band, sig): one row per document per LSH band. The md5
+    * shingle hashes are computed once (`hs`) and shared by all 16 minhash
+    * functions — at 100 TB the hashing dominates the scan stage, so this
+    * 16× reuse is the difference between CPU-bound and IO-bound. */
   private def bandTable(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents")
-      .filter(size(T.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), Portable.shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), Portable.shingles3FromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), Portable.shingleHashes(col("sh")).as("hs"))
     val withSigs = (0 until Hashes).foldLeft(docs) { (df, i) =>
-      df.withColumn(s"mh$i", Portable.minhashValue(col("sh"), i))
+      df.withColumn(s"mh$i", Portable.minhashFromHashes(col("hs"), i))
     }
     val bandSigs: Seq[Column] = (0 until Bands).map { b =>
       concat_ws("_", (0 until Rows).map(r => col(s"mh${b * Rows + r}")): _*)
@@ -38,14 +43,14 @@ object DedupQueries {
     withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
   }
 
-  /** DuckDB CTEs mirroring bandTable. */
+  /** DuckDB CTEs mirroring bandTable (same hash-once structure). */
   private def bandTableSql: String = {
-    val mhs = (0 until Hashes).map(i => s"${Portable.minhashValueSql("sh", i)} AS mh$i").mkString(", ")
+    val mhs = (0 until Hashes).map(i => s"${Portable.minhashFromHashesSql("hs", i)} AS mh$i").mkString(", ")
     val bandIdx = (0 until Bands).mkString("[", ", ", "]")
     val bandSigs = (0 until Bands).map { b =>
       (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)").mkString(" || '_' || ")
     }.mkString("[", ", ", "]")
-    s"""docs AS (SELECT doc_id, ${Portable.shingles3Sql("text")} AS sh
+    s"""docs AS (SELECT doc_id, ${Portable.shingleHashesSql(Portable.shingles3Sql("text"))} AS hs
                  FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
         sigs AS (SELECT doc_id, $mhs FROM docs),
         bands AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($bandSigs) AS sig FROM sigs)"""
@@ -94,7 +99,8 @@ object DedupQueries {
             .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
         }
         val sh = table(s, d, "documents")
-          .select(col("doc_id"), array_distinct(Portable.shingles3(col("text"))).as("shs"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), array_distinct(Portable.shingles3FromTokens(col("toks"))).as("shs"))
         cand
           .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sh_a"), Seq("doc_a"))
           .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sh_b"), Seq("doc_b"))
