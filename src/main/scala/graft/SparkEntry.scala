@@ -25,7 +25,8 @@ object SparkEntry {
       RddQueries.all ++
       StreamingQueries.all ++
       MultimodalQueries.all ++
-      MiscQueries.all
+      MiscQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

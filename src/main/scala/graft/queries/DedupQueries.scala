@@ -151,6 +151,41 @@ object DedupQueries {
                    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
                    WHERE ${T.jaccardSql("a.ng", "b.ng")} >= 0.5"""))),
 
+    // SimHash near-dup pairs by Hamming distance ≤ 2, using the NATIVE
+    // codegen'd Hamming64 Catalyst expression (graft.plans.Hamming64) and
+    // 3-band multi-index blocking: a pair within Hamming 2 of a 16-bit
+    // signature must agree exactly on one of 3 disjoint bit bands
+    // (pigeonhole), so candidates come from an equi-join, never all-pairs.
+    Q("dedup_simhash_hamming",
+      (s, d) => {
+        graft.plans.Hamming64.register(s)
+        val sigs = table(s, d, "documents")
+          .select(col("doc_id"), T.simhash(col("text")).as("sig"))
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(array(
+            col("sig").bitwiseAND(lit(63L)),
+            shiftright(col("sig"), 6).bitwiseAND(lit(31L)),
+            shiftright(col("sig"), 11).bitwiseAND(lit(31L))))
+            .as(Seq("band", "bsig")))
+        banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("graft_hamming64(a.sig, b.sig)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .distinct()
+      },
+      Some(sql(s"""WITH sigs AS (SELECT doc_id, ${T.simhashSql("text")} AS sig FROM documents),
+                   banded AS (SELECT doc_id, sig,
+                       unnest([0, 1, 2]) AS band,
+                       unnest([sig & 63, (sig >> 6) & 31, (sig >> 11) & 31]) AS bsig
+                     FROM sigs)
+                   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.sig, b.sig)) <= 2"""))),
+
     // Embedding-cosine near-dup within LSH buckets (random-hyperplane
     // signs): shuffle on bucket, pairwise strictly inside the bucket.
     Q("dedup_cosine",
