@@ -68,6 +68,55 @@ object MiscQueries {
           .toDF("o_custkey", "spend")
       },
       Some(sql("""SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
-                  FROM orders GROUP BY o_custkey""")))
+                  FROM orders GROUP BY o_custkey"""))),
+
+    // Columnar in-memory cache (§2.1/§4.3: InMemoryColumnarTableScan →
+    // df.cache): cached re-aggregation must equal the uncached oracle.
+    Q("cache_columnar",
+      (s, d) => {
+        val cached = table(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity")).cache()
+        cached.count() // materialize the columnar cache
+        cached.groupBy(col("l_returnflag"))
+          .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      },
+      Some(sql("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n FROM lineitem GROUP BY l_returnflag"""))),
+
+    // True seeded Bernoulli sample (basicOperators.scala:62 Sample):
+    // deterministic within Spark for a fixed seed, but not reproducible in
+    // another engine → rows-only (the hash variant `sample` is the
+    // oracle-checked twin).
+    Q("sample_seeded",
+      (s, d) => table(s, d, "orders").sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      None),
+
+    // randomSplit (RDD.scala:647): disjoint covering splits; emits split
+    // sizes (rows-only; sum-of-sizes invariant is asserted in tests).
+    Q("random_split",
+      (s, d) => {
+        import s.implicits._
+        val splits = table(s, d, "orders").randomSplit(Array(0.8, 0.2), seed = 42)
+        splits.zipWithIndex
+          .map { case (df, i) => (i.toLong, df.count()) }
+          .toSeq.toDF("split_id", "n")
+      },
+      None),
+
+    // describe() (DataFrame.scala:788): restated as typed aggregates so
+    // the oracle can verify the same statistics describe() reports.
+    Q("df_describe",
+      (s, d) => table(s, d, "orders").agg(
+        count(col("o_totalprice")).as("count_"),
+        round(avg(col("o_totalprice")), 4).as("mean_"),
+        round(stddev_samp(col("o_totalprice")), 4).as("stddev_"),
+        min(col("o_totalprice")).as("min_"),
+        max(col("o_totalprice")).as("max_")),
+      Some(sql("""SELECT count(o_totalprice) AS count_,
+                   round(avg(o_totalprice), 4) AS mean_,
+                   round(stddev_samp(o_totalprice), 4) AS stddev_,
+                   min(o_totalprice) AS min_, max(o_totalprice) AS max_
+                  FROM orders""")))
   )
 }
