@@ -117,6 +117,83 @@ object MiscQueries {
                    round(avg(o_totalprice), 4) AS mean_,
                    round(stddev_samp(o_totalprice), 4) AS stddev_,
                    min(o_totalprice) AS min_, max(o_totalprice) AS max_
-                  FROM orders""")))
+                  FROM orders"""))),
+
+    // Full spark.sql lifecycle (SURVEY §3.1) with scalar + IN + EXISTS
+    // subqueries (beyond-reference: the 1.3 parser had no subqueries).
+    Q("sql_subqueries",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_sq")
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_sq")
+        s.sql(sql("""SELECT c_custkey, c_acctbal FROM graft_cust_sq
+                     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_cust_sq)
+                       AND c_custkey IN (SELECT o_custkey FROM graft_ord_sq
+                                         WHERE o_totalprice > 200000.0)
+                       AND EXISTS (SELECT 1 FROM graft_ord_sq
+                                   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""))
+      },
+      Some(sql("""SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+                    AND c_custkey IN (SELECT o_custkey FROM orders
+                                      WHERE o_totalprice > 200000.0)
+                    AND EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""))),
+
+    // CTE pipeline through spark.sql.
+    Q("sql_cte",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_cte")
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_cte")
+        s.sql(sql("""WITH spend AS (SELECT o_custkey, sum(o_totalprice) AS s
+                                    FROM graft_ord_cte GROUP BY o_custkey)
+                     SELECT c_nationkey, count(*) AS n, round(sum(s), 4) AS total
+                     FROM spend JOIN graft_cust_cte ON o_custkey = c_custkey
+                     GROUP BY c_nationkey"""))
+      },
+      Some(sql("""WITH spend AS (SELECT o_custkey, sum(o_totalprice) AS s
+                                 FROM orders GROUP BY o_custkey)
+                  SELECT c_nationkey, count(*) AS n, round(sum(s), 4) AS total
+                  FROM spend JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_nationkey"""))),
+
+    // Pivot (RelationalGroupedDataset.pivot, beyond-reference).
+    Q("agg_pivot",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 4)),
+      Some(sql("""SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+                  FROM orders GROUP BY o_orderpriority"""))),
+
+    // Map type construction + access (MapType of §1's type system; the
+    // reference had GetItem on maps but no map constructor).
+    Q("expr_map",
+      (s, d) => {
+        val m = map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount"))
+        table(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(m, "qty").as("qty_val"),
+          element_at(m, "missing").as("missing_val"),
+          size(map_keys(m)).cast("long").as("n_keys"),
+          map_contains_key(m, "disc").as("has_disc"))
+      },
+      Some(sql("""SELECT l_orderkey, l_linenumber,
+                   l_quantity AS qty_val,
+                   CAST(NULL AS DOUBLE) AS missing_val,
+                   CAST(2 AS BIGINT) AS n_keys,
+                   true AS has_disc
+                  FROM lineitem"""))),
+
+    // dropDuplicates on a full projection ≡ DISTINCT (the deterministic
+    // restatement; keyed dropDuplicates keeps an arbitrary row).
+    Q("drop_duplicates",
+      (s, d) => table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        .dropDuplicates(),
+      Some(sql("""SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+                  FROM lineitem""")))
   )
 }

@@ -105,6 +105,61 @@ object StreamingQueries {
                               OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
                         FROM (SELECT user_id, event_id,
                                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events))
-                  GROUP BY user_id""")))
+                  GROUP BY user_id"""))),
+
+    // REAL stream-stream inner join (PairDStreamFunctions.join analog):
+    // purchases joined to the user's clicks in the preceding hour, both
+    // sides watermarked, append mode; aggregated after the sink for a
+    // compact deterministic result.
+    Q("stream_stream_join",
+      (s, d) => {
+        val purchases = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+            && col("c_ts") <= col("p_ts"))
+        StreamRunner.runToTable(s, joined, s"ssjoin_${math.abs(d.hashCode)}", "append")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"), round(sum(col("p_value")), 4).as("sum_value"))
+      },
+      Some(sql("""SELECT p.user_id, count(*) AS n_pairs,
+                   round(sum(p.value), 4) AS sum_value
+                  FROM events p JOIN events c
+                    ON p.user_id = c.user_id
+                   AND p.event_type = 'purchase' AND c.event_type = 'click'
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+                  GROUP BY p.user_id"""))),
+
+    // foreachBatch sink (foreachRDD analog): each micro-batch is appended
+    // to a parquet sink by custom driver-side code; verified by reading
+    // the sink back and aggregating.
+    Q("stream_foreach_batch",
+      (s, d) => {
+        // unique sink per run: append mode must start from empty
+        val out = s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/stream_fb_${System.nanoTime()}"
+        val q = StreamRunner.eventsStream(s, d)
+          .select(col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"/tmp/graft_ckpt/fb-${System.nanoTime()}")
+          .start()
+        q.awaitTermination(300000)
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      },
+      Some(sql("""SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+                  FROM events GROUP BY event_type""")))
   )
 }
