@@ -1,0 +1,24 @@
+package graft
+
+/** Dumps the formatted physical plan of every bench-flagged query (and
+  * any extra names passed as args) — the plan-review loop the build
+  * methodology requires: after correctness, iterate until the plan is the
+  * one you'd want at 100 TB. Output goes to stdout (redirect to a file). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = Engine.session("graft-explain", Some("local[4]"))
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.benchQueries.map(_.name) ++ Seq("join_inner", "dedup_simhash_hamming")
+    names.foreach { name =>
+      println(s"\n===== $name =====")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

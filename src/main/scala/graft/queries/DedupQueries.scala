@@ -41,6 +41,9 @@ object DedupQueries {
       concat_ws("_", (0 until Rows).map(r => col(s"mh${b * Rows + r}")): _*)
     }
     withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      // persisted: the self-join consumes this twice — without the cache
+      // every signature (md5 over all shingles) is computed twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB CTEs mirroring bandTable (same hash-once structure). */
@@ -138,6 +141,7 @@ object DedupQueries {
       (s, d) => {
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         g.as("a").join(g.as("b"),
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -167,6 +171,7 @@ object DedupQueries {
             shiftright(col("sig"), 6).bitwiseAND(lit(31L)),
             shiftright(col("sig"), 11).bitwiseAND(lit(31L))))
             .as(Seq("band", "bsig")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
@@ -192,6 +197,7 @@ object DedupQueries {
       (s, d) => {
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -31,8 +31,10 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("c_id").asc)
-        q.join(broadcast(e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))),
-          col("q_id") =!= col("c_id"))
+        // broadcast the SMALL query set and stream the full candidate
+        // table — the only orientation that survives a 100 TB scan side
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          .join(broadcast(q), col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
             round(T.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -81,6 +83,7 @@ object SimilarityQueries {
       (s, d) => {
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_vec"))
         val c = e.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"), col("embedding").as("c_vec"))
