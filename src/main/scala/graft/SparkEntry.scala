@@ -26,7 +26,8 @@ object SparkEntry {
       StreamingQueries.all ++
       MultimodalQueries.all ++
       MiscQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++
+      Expr2Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Extended scalar-function surface (beyond-reference §2.6 extensions:
+  * the 1.3 fork reached regexp/date/array functions only through the Hive
+  * UDF bridge — modern Spark has them native; declared and oracle-checked
+  * here so a reference user gets the full function library).
+  */
+object Expr2Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // regexp + padding + case/char surgery string functions.
+    Q("expr_strings2",
+      (s, d) => table(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("devoweled"),
+        lpad(col("p_brand"), 12, "#").as("lpad_"),
+        rpad(col("p_brand"), 12, "#").as("rpad_"),
+        translate(col("p_brand"), "Bran#", "bRAN_").as("translate_"),
+        initcap(lower(col("p_type"))).as("initcap_"),
+        reverse(col("p_name")).as("reverse_"),
+        repeat(col("p_brand"), 2).as("repeat_"),
+        element_at(split(col("p_type"), " "), 1).as("split_part_"),
+        left(col("p_name"), lit(6)).as("left_"),
+        right(col("p_name"), lit(6)).as("right_"),
+        (locate("STEEL", col("p_type")) > 0).as("locate_")),
+      Some(sql("""SELECT p_partkey,
+                   regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+                   regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+                   lpad(p_brand, 12, '#') AS lpad_,
+                   rpad(p_brand, 12, '#') AS rpad_,
+                   translate(p_brand, 'Bran#', 'bRAN_') AS translate_,
+                   list_aggr(list_transform(string_split(lower(p_type), ' '),
+                     w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS initcap_,
+                   reverse(p_name) AS reverse_,
+                   repeat(p_brand, 2) AS repeat_,
+                   string_split(p_type, ' ')[1] AS split_part_,
+                   p_name[:6] AS left_,
+                   p_name[-6:] AS right_,
+                   instr(p_type, 'STEEL') > 0 AS locate_
+                  FROM part"""))),
+
+    // Higher-order array functions (transform/filter/exists/forall/
+    // aggregate/slice/flatten/sort/sequence/zip_with).
+    Q("expr_arrays",
+      (s, d) => {
+        val arr = array(col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_extendedprice") / 1000.0)
+        table(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          transform(arr, x => round(x * 2.0, 6)).as("doubled"),
+          filter(arr, x => x > 1.0).as("big_vals"),
+          exists(arr, x => x > 40.0).as("any_big"),
+          forall(arr, x => x >= 0.0).as("all_nonneg"),
+          round(aggregate(arr, lit(0.0), (a, x) => a + x), 6).as("sum_"),
+          slice(sort_array(arr), 1, 2).as("two_smallest"),
+          round(element_at(sort_array(arr, asc = false), 1), 6).as("max_"),
+          flatten(array(arr, array(lit(0.0)))).as("flat"),
+          size(sequence(lit(1), col("l_linenumber"))).cast("long").as("seq_n"),
+          round(aggregate(zip_with(arr, arr, (x, y) => x * y), lit(0.0), (a, x) => a + x), 6)
+            .as("self_dot"))
+      },
+      Some(sql("""SELECT l_orderkey, l_linenumber,
+                   list_transform(arr, x -> round(x * 2.0, 6)) AS doubled,
+                   list_filter(arr, x -> x > 1.0) AS big_vals,
+                   len(list_filter(arr, x -> x > 40.0)) > 0 AS any_big,
+                   len(list_filter(arr, x -> NOT (x >= 0.0))) = 0 AS all_nonneg,
+                   round(list_sum(arr), 6) AS sum_,
+                   list_sort(arr)[1:2] AS two_smallest,
+                   round(list_sort(arr, 'DESC')[1], 6) AS max_,
+                   flatten([arr, [0.0]]) AS flat,
+                   CAST(l_linenumber AS BIGINT) AS seq_n,
+                   round(list_sum(list_transform(arr, x -> x * x)), 6) AS self_dot
+                  FROM (SELECT l_orderkey, l_linenumber,
+                          [l_quantity, l_discount, l_tax, l_extendedprice / 1000.0] AS arr
+                        FROM lineitem)"""))),
+
+    // Extended datetime surface. months_between is restated on month
+    // starts (both day 1 → exact integer months, the only form two
+    // engines agree on); dayofweek offsets DuckDB's 0-based Sunday.
+    Q("expr_datetime2",
+      (s, d) => table(s, d, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+        months_between(lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+          date_trunc("month", col("o_orderdate"))).cast("long").as("mo_to_2000"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("parsed_date")),
+      Some(sql("""SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+                   CAST(datediff('month', date_trunc('month', o_orderdate),
+                        TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS mo_to_2000,
+                   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                   CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+                   strftime(o_orderdate, '%Y-%m') AS ym,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed_date
+                  FROM orders""")))
+  )
+}

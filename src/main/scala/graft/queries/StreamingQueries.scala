@@ -137,6 +137,22 @@ object StreamingQueries {
                    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
                   GROUP BY p.user_id"""))),
 
+    // Streaming union + exactly-once dedup (DStream union + the
+    // dropDuplicates state operator): two copies of the stream unioned,
+    // deduped on event_id, so the sink holds each event exactly once.
+    Q("stream_union_dedup",
+      (s, d) => {
+        val a = StreamRunner.eventsStream(s, d).select(col("event_id"), col("event_type"), col("ts"))
+        val b = StreamRunner.eventsStream(s, d).select(col("event_id"), col("event_type"), col("ts"))
+        val deduped = a.union(b)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id")
+        StreamRunner.runToTable(s, deduped.select(col("event_id"), col("event_type")),
+          s"sdedup_${math.abs(d.hashCode)}", "append")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      },
+      Some(sql("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))),
+
     // foreachBatch sink (foreachRDD analog): each micro-batch is appended
     // to a parquet sink by custom driver-side code; verified by reading
     // the sink back and aggregating.
