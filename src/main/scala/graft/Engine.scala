@@ -30,6 +30,8 @@ object Engine {
     // nanos timestamps in events.parquet: read as LONG then convert
     // explicitly where needed (legacy flag keeps the scan vectorized).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.Hamming64.register(spark)
+    graft.plans.GraftRules.install(spark)
     spark
   }
 
