@@ -194,6 +194,18 @@ object MiscQueries {
         .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
         .dropDuplicates(),
       Some(sql("""SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
-                  FROM lineitem""")))
+                  FROM lineitem"""))),
+
+    // toJSON (DataFrame.scala:1222) round-trip: serialize rows to JSON
+    // strings, parse back with spark.read.json, verify values survive.
+    Q("json_to_from",
+      (s, d) => {
+        val jsonLines = table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .toJSON
+        s.read.json(jsonLines) // distributed parse of Dataset[String]
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some(sql("SELECT n_nationkey, n_name, n_regionkey FROM nation")))
   )
 }

@@ -25,6 +25,19 @@ object SourceQueries {
   private def tmp(d: String, name: String) =
     s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
+  /** Drop a managed table AND its warehouse location — the location can
+    * survive from a previous JVM whose in-memory catalog is gone, and
+    * CTAS refuses to reuse it. */
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
+
   val all: Seq[Q] = Seq(
 
     // JSON round-trip with inferred schema (JsonRDD.inferSchema analog).
@@ -96,6 +109,50 @@ object SourceQueries {
       },
       Some(sql("""SELECT 1 AS p, count(*) AS n, 0 AS n_named FROM region
                   UNION ALL
-                  SELECT 2 AS p, count(*) AS n, count(r_name) AS n_named FROM region""")))
+                  SELECT 2 AS p, count(*) AS n, count(r_name) AS n_named FROM region"""))),
+
+    // saveAsTable + insertInto (DataFrame.scala:1013/:1204): managed table
+    // in the session warehouse, overwritten then appended → exactly two
+    // copies every run (repetition-safe).
+    Q("src_save_as_table",
+      (s, d) => {
+        val src = table(s, d, "nation")
+        dropManaged(s, "graft_nation_tbl")
+        src.write.mode(SaveMode.Overwrite).saveAsTable("graft_nation_tbl")
+        src.write.insertInto("graft_nation_tbl")
+        s.table("graft_nation_tbl")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("n_nationkey")).as("n_distinct"))
+      },
+      Some(sql("""SELECT n_regionkey, count(*) * 2 AS n_rows,
+                   count(DISTINCT n_nationkey) AS n_distinct
+                  FROM nation GROUP BY n_regionkey"""))),
+
+    // Bucketed tables (the co-located-join scale technique): both sides
+    // bucketed+sorted on the join key → the sort-merge join needs NO
+    // exchange on either side (asserted in PlanSpec). At 100 TB this is
+    // the difference between re-shuffling the fact table per join and
+    // reading pre-clustered buckets.
+    Q("src_bucketed_join",
+      (s, d) => {
+        dropManaged(s, "graft_ord_bkt")
+        dropManaged(s, "graft_cust_bkt")
+        table(s, d, "orders")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_ord_bkt")
+        table(s, d, "customer")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_cust_bkt")
+        s.table("graft_ord_bkt")
+          .join(s.table("graft_cust_bkt"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT c_nationkey, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_nationkey""")))
   )
 }

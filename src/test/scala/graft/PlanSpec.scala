@@ -55,6 +55,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p)
   }
 
+  test("bucketed join needs no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("src_bucketed_join")(spark, TestSpark.Sf).count() // create tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the bucketed sort-merge path is exercised
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_ord_bkt")
+        .join(spark.table("graft_cust_bkt"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup LSH shuffles signatures, not documents (no cartesian)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
