@@ -31,6 +31,7 @@ object Engine {
     // explicitly where needed (legacy flag keeps the scan vectorized).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.Hamming64.register(spark)
+    graft.plans.CosineSim.register(spark)
     graft.plans.GraftRules.install(spark)
     spark
   }

@@ -99,6 +99,12 @@ object TextFunctions {
     dot / (na * nb)
   }
 
+  /** Native codegen'd cosine (graft.plans.CosineSim, registered by
+    * Engine.configure) — bit-identical to `cosine` but one primitive
+    * loop, no intermediate arrays. Preferred in scan-stage hot paths. */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   def cosineSql(a: String, b: String): String =
     s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
       s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +

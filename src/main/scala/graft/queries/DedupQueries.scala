@@ -201,7 +201,7 @@ object DedupQueries {
         e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(T.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+            round(T.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
           .filter(col("cos") >= 0.99)
       },
       Some(sql(s"""WITH e AS (SELECT vec_id, embedding,

@@ -36,7 +36,7 @@ object SimilarityQueries {
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
           .join(broadcast(q), col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
       },
@@ -62,7 +62,7 @@ object SimilarityQueries {
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
         q.join(c, col("q_cell") === col("c_cell") && col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
       },
@@ -90,7 +90,7 @@ object SimilarityQueries {
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
         q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= K)
       },
