@@ -206,6 +206,44 @@ object MiscQueries {
         s.read.json(jsonLines) // distributed parse of Dataset[String]
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       },
-      Some(sql("SELECT n_nationkey, n_name, n_regionkey FROM nation")))
+      Some(sql("SELECT n_nationkey, n_name, n_regionkey FROM nation"))),
+
+    // DataFrameStatFunctions.crosstab (ds.stat surface of §2.6/§2.4).
+    Q("stat_crosstab",
+      (s, d) => table(s, d, "orders").stat
+        .crosstab("o_orderstatus", "o_orderpriority"),
+      Some(sql("""SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+                  FROM orders GROUP BY o_orderstatus"""))),
+
+    // unionByName: schemas aligned by column NAME, not position.
+    Q("set_union_by_name",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val b = o.filter(col("o_totalprice") > 300000.0)
+          .select(col("o_totalprice"), col("o_orderkey")) // reversed order
+        a.unionByName(b)
+      },
+      Some(sql("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+                  UNION ALL
+                  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0"""))),
+
+    // intersectAll — bag intersect (multiplicity = min of the two sides).
+    Q("set_intersect_all",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        li.filter(col("l_quantity") > 20.0).select(col("l_orderkey"), col("l_returnflag"))
+          .intersectAll(li.filter(col("l_discount") > 0.02)
+            .select(col("l_orderkey"), col("l_returnflag")))
+      },
+      Some(sql("""SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 20.0
+                  INTERSECT ALL
+                  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.02""")))
   )
 }

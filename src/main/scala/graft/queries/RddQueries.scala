@@ -114,6 +114,33 @@ object RddQueries {
         Seq(total).toDF("total_tokens")
       },
       Some(sql("""SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-                  FROM documents""")))
+                  FROM documents"""))),
+
+    // Broadcast variable + accumulator (SparkContext.broadcast /
+    // longAccumulator — core §2.8 API): the RDD-level map-side join. The
+    // tiny nation dim ships to every task; the accumulator's row count is
+    // emitted as a verifiable column.
+    Q("rdd_broadcast_acc",
+      (s, d) => {
+        import s.implicits._
+        val nationToRegion: Map[Long, Long] = table(s, d, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          .collect().toMap // 25 rows — the canonical broadcast-variable size
+        val bc = s.sparkContext.broadcast(nationToRegion)
+        val acc = s.sparkContext.longAccumulator("graft_rows_seen")
+        val counts = table(s, d, "customer")
+          .select(col("c_nationkey").cast("long"))
+          .as(Encoders.scalaLong).rdd
+          .map { nk => acc.add(1); (bc.value(nk), 1L) }
+          .reduceByKey(_ + _)
+        val rows = counts.collect().toSeq // tiny: one row per region
+        rows.map { case (rk, n) => (rk, n, acc.value.longValue) }
+          .toDF("n_regionkey", "n_cust", "total_seen")
+      },
+      Some(sql("""SELECT n_regionkey, count(*) AS n_cust,
+                   (SELECT count(*) FROM customer) AS total_seen
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  GROUP BY n_regionkey""")))
   )
 }
