@@ -128,18 +128,23 @@ object RddQueries {
           .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
           .collect().toMap // 25 rows — the canonical broadcast-variable size
         val bc = s.sparkContext.broadcast(nationToRegion)
+        // accumulator: observability only — transformation-side updates
+        // are not exactly-once under retries, so it must never feed the
+        // verified output
         val acc = s.sparkContext.longAccumulator("graft_rows_seen")
         val counts = table(s, d, "customer")
           .select(col("c_nationkey").cast("long"))
           .as(Encoders.scalaLong).rdd
-          .map { nk => acc.add(1); (bc.value(nk), 1L) }
+          .flatMap { nk => acc.add(1); bc.value.get(nk).map(rk => (rk, 1L)) }
           .reduceByKey(_ + _)
         val rows = counts.collect().toSeq // tiny: one row per region
-        rows.map { case (rk, n) => (rk, n, acc.value.longValue) }
+        val totalSeen = rows.map(_._2).sum // exact, retry-safe
+        rows.map { case (rk, n) => (rk, n, totalSeen) }
           .toDF("n_regionkey", "n_cust", "total_seen")
       },
       Some(sql("""SELECT n_regionkey, count(*) AS n_cust,
-                   (SELECT count(*) FROM customer) AS total_seen
+                   (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey)
+                     AS total_seen
                   FROM customer JOIN nation ON c_nationkey = n_nationkey
                   GROUP BY n_regionkey""")))
   )
