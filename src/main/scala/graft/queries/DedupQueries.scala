@@ -135,24 +135,33 @@ object DedupQueries {
                     CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_size
                    FROM (SELECT doc_id, ${T.simhashSql("text")} AS simhash FROM documents)"""))),
 
-    // Character-4-gram Jaccard within `source` partitions (bounded pairwise
-    // — the IVF-style "only compare within a cell" shape).
+    // Character-4-gram Jaccard with standard blocking: candidates must
+    // share BOTH the source cell AND a 64-char length bucket (docs with
+    // Jaccard ≥ 0.5 have near-equal n-gram counts, so same-ish length is
+    // implied — the block prunes guaranteed-negative pairs). Keeps the
+    // per-cell pairwise work bounded as cells grow with the corpus.
     Q("dedup_ngram_jaccard",
       (s, d) => {
         val g = table(s, d, "documents")
-          .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
+          .select(col("doc_id"), col("source"),
+            (length(col("text")) / lit(64)).cast("long").as("len_bkt"),
+            T.charNgrams(col("text")).as("ng"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         g.as("a").join(g.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") && col("a.len_bkt") === col("b.len_bkt")
+            && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             round(T.jaccard(col("a.ng"), col("b.ng")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
       },
-      Some(sql(s"""WITH g AS (SELECT doc_id, source, ${T.charNgramsSql("text")} AS ng
+      Some(sql(s"""WITH g AS (SELECT doc_id, source,
+                                CAST(floor(length(text) / 64.0) AS BIGINT) AS len_bkt,
+                                ${T.charNgramsSql("text")} AS ng
                               FROM documents)
                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      round(${T.jaccardSql("a.ng", "b.ng")}, 6) AS jaccard
-                   FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                   FROM g a JOIN g b ON a.source = b.source
+                     AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
                    WHERE ${T.jaccardSql("a.ng", "b.ng")} >= 0.5"""))),
 
     // SimHash near-dup pairs by Hamming distance ≤ 2, using the NATIVE

@@ -146,6 +146,23 @@ object RddQueries {
                    (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey)
                      AS total_seen
                   FROM customer JOIN nation ON c_nationkey = n_nationkey
-                  GROUP BY n_regionkey""")))
+                  GROUP BY n_regionkey"""))),
+
+    // checkpoint (RDD.scala:1595 / Dataset.checkpoint): lineage truncated
+    // to a materialized cut, then the pipeline continues — identical
+    // results, shorter recovery chains for long 100 TB DAGs.
+    Q("rdd_checkpoint",
+      (s, d) => {
+        s.sparkContext.setCheckpointDir("/tmp/graft_ckpt_rdd")
+        val cut = table(s, d, "orders")
+          .filter(col("o_totalprice") > 100000.0)
+          .checkpoint() // eager: materializes and truncates lineage
+        cut.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+                  FROM orders WHERE o_totalprice > 100000.0
+                  GROUP BY o_orderstatus""")))
   )
 }

@@ -75,4 +75,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("repartition + sortWithinPartitions yields locally-sorted partitions") {
+    import org.apache.spark.sql.functions.col
+    val sortedFlags = SparkEntry.queries("project")(spark, TestSpark.Sf)
+      .repartition(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"))
+      .rdd.mapPartitions { it =>
+        val keys = it.map(_.getLong(0)).toSeq
+        Iterator.single(keys == keys.sorted)
+      }.collect()
+    assert(sortedFlags.forall(identity))
+    assert(sortedFlags.length === 8)
+  }
 }
