@@ -98,23 +98,30 @@ object WindowQueries {
                   WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"""))),
 
-    // Distribution functions + ntile.
+    // Distribution functions + ntile. percent_rank/cume_dist are scaled
+    // back to exact integers (rank-1 and rows-≤-current): round()ing the
+    // raw fractions hits decimal half-ties that Spark (half-up on the
+    // decimal repr) and DuckDB (binary) resolve differently.
     Q("win_distribution",
       (s, d) => {
         val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val wp = Window.partitionBy(col("c_nationkey"))
         table(s, d, "customer")
           .select(col("c_custkey"), col("c_nationkey"),
             ntile(4).over(w).cast("long").as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            round(percent_rank().over(w) * (count(lit(1)).over(wp) - 1))
+              .cast("long").as("pct_rank_num"),
+            round(cume_dist().over(w) * count(lit(1)).over(wp))
+              .cast("long").as("cume_num"))
       },
       Some(sql("""SELECT c_custkey, c_nationkey,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume
+                   CAST(round(percent_rank() OVER w * (count(*) OVER wp - 1)) AS BIGINT) AS pct_rank_num,
+                   CAST(round(cume_dist() OVER w * count(*) OVER wp) AS BIGINT) AS cume_num
                   FROM customer
                   WINDOW w AS (PARTITION BY c_nationkey
-                               ORDER BY c_acctbal, c_custkey)"""))),
+                               ORDER BY c_acctbal, c_custkey),
+                         wp AS (PARTITION BY c_nationkey)"""))),
 
     // first/last value within a frame + nth-style top-per-group pattern.
     Q("win_top_per_group",

@@ -17,24 +17,39 @@ object StreamRunner {
 
   /** Streaming Dataset over `$dir/events.parquet` (file source), with the
     * same nanos→micros ts normalization as Engine.events. */
+  /** Number of staged time-range files = number of micro-batches each
+    * streaming query processes (maxFilesPerTrigger=1). */
+  val Batches = 4
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.Engine.configure(spark)
     val path = s"$dir/events.parquet"
-    // The file source wants a directory: stage a symlink dir when the
-    // testdata table is a single parquet file.
-    val streamDir =
-      if (new java.io.File(path).isDirectory) path
-      else {
-        val d = java.nio.file.Paths.get(
-          s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    // Stage the events as `Batches` range-partitioned-by-ts files with
+    // ascending mtimes, so the file source (which orders by modification
+    // time) replays them as a REAL micro-batch sequence in event-time
+    // order — watermarks and state genuinely advance across batches
+    // instead of one batch swallowing everything.
+    val d = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
         java.nio.file.Files.createDirectories(d)
-        val link = d.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-        d.toString
+        spark.read.parquet(path)
+          .repartitionByRange(Batches, col("ts"))
+          .write.mode("overwrite").parquet(d.toString)
+        // part-file index = range-partition index = time order
+        val parts = new java.io.File(d.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1000000000000L + i * 60000L): Unit
+        }
+        java.nio.file.Files.createFile(d.resolve("_STAGED")): Unit
       }
+    }
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
     if (schema("ts").dataType == LongType)
       // integral `div`: double division loses µs precision on ns longs
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
