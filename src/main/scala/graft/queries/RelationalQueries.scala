@@ -118,6 +118,32 @@ object RelationalQueries {
                   EXCEPT ALL
                   SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 25.0"""))),
 
+    // Rand (Rand.scala — the reference's only nondeterministic expr).
+    // Seeded rand is engine-specific; the verifiable contract is the
+    // bounds: every sample lies in [0, 1).
+    Q("expr_rand",
+      (s, d) => table(s, d, "orders")
+        .select(rand(42).as("r"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("r") >= 0.0 && col("r") < 1.0, 1L).otherwise(0L)).as("n_in_bounds")),
+      Some(sql("SELECT count(*) AS n_total, count(*) AS n_in_bounds FROM orders"))),
+
+    // Sort with explicit null ordering (SortOrder.scala:32 — NULLS
+    // FIRST/LAST was NOT expressible in 1.3; beyond-ref extension).
+    Q("sort_nulls_last",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("status").asc_nulls_last, col("o_orderkey").asc)
+        table(s, d, "orders")
+          .filter(col("o_totalprice") > 350000.0)
+          .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("status"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+      },
+      Some(sql("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status,
+                   CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'P') ASC NULLS LAST,
+                        o_orderkey) AS BIGINT) AS rn
+                  FROM orders WHERE o_totalprice > 350000.0"""))),
+
     // Intersect (basicOperators.scala:214).
     Q("intersect_set",
       (s, d) => table(s, d, "orders").select(col("o_custkey"))
