@@ -80,6 +80,11 @@ object CosineSim {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
-      { exprs: Seq[Expression] => CosineSim(exprs(0), exprs(1)) },
+      { exprs: Seq[Expression] =>
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      },
       "built-in")
 }

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.IntegerType
 object SimplifySelfHamming extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Hamming64(l, r) if l.semanticEquals(r) && l.deterministic =>
+      // !nullable guard: Hamming64 is null-intolerant, so for a nullable
+      // input the expression must stay (NULL in → NULL out, not 0).
+      case Hamming64(l, r) if l.semanticEquals(r) && l.deterministic && !l.nullable =>
         Literal(0, IntegerType)
     }
 }

@@ -46,6 +46,11 @@ object Hamming64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming64",
-      { exprs: Seq[Expression] => Hamming64(exprs(0), exprs(1)) },
+      { exprs: Seq[Expression] =>
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_hamming64 requires exactly 2 arguments, got ${exprs.length}")
+        Hamming64(exprs(0), exprs(1))
+      },
       "built-in")
 }

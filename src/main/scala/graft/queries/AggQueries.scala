@@ -182,14 +182,22 @@ object AggQueries {
       (s, d) => table(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_approx"),
           expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"))
-        .select(col("o_orderstatus"), col("p50"), col("p90")),
+          expr("percentile(o_totalprice, 0.9)").as("p90")),
       Some(sql("""SELECT o_orderstatus,
                    quantile_cont(o_totalprice, 0.5) AS p50,
                    quantile_cont(o_totalprice, 0.9) AS p90
                   FROM orders GROUP BY o_orderstatus"""))),
+
+    // percentile_approx (t-digest sketch) — sketch implementations are
+    // engine-specific, so rows-only, with the exact percentile alongside
+    // for manual tolerance inspection (same pattern as approx distinct).
+    Q("agg_percentile_approx",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact")),
+      None),
 
     // collect_list/collect_set parity (Hive-bridge-only in 1.3) — sorted for
     // determinism; arrays compare element-wise in the oracle.

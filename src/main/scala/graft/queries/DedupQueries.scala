@@ -40,10 +40,10 @@ object DedupQueries {
     val bandSigs: Seq[Column] = (0 until Bands).map { b =>
       concat_ws("_", (0 until Rows).map(r => col(s"mh${b * Rows + r}")): _*)
     }
-    withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-      // persisted: the self-join consumes this twice — without the cache
-      // every signature (md5 over all shingles) is computed twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached (swap semantics): the self-join consumes this twice — without
+    // the cache every signature (md5 over all shingles) is computed twice
+    graft.functions.CacheOnce.swap("dedup_bands",
+      withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig"))))
   }
 
   /** DuckDB CTEs mirroring bandTable (same hash-once structure). */
@@ -107,8 +107,12 @@ object DedupQueries {
         cand
           .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sh_a"), Seq("doc_a"))
           .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sh_b"), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
+          // filter on the RAW value (like the oracle's WHERE), round only
+          // the output — filtering the rounded value diverges at the
+          // threshold boundary
+          .select(col("doc_a"), col("doc_b"), T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+          .filter(col("j_raw") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
       Some(sql(s"""WITH $bandTableSql,
                    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -146,13 +150,14 @@ object DedupQueries {
           .select(col("doc_id"), col("source"),
             (length(col("text")) / lit(64)).cast("long").as("len_bkt"),
             T.charNgrams(col("text")).as("ng"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        g.as("a").join(g.as("b"),
+        val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
+        gc.as("a").join(gc.as("b"),
           col("a.source") === col("b.source") && col("a.len_bkt") === col("b.len_bkt")
             && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            round(T.jaccard(col("a.ng"), col("b.ng")), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
+            T.jaccard(col("a.ng"), col("b.ng")).as("j_raw"))
+          .filter(col("j_raw") >= 0.5) // raw filter, rounded output
+          .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
       Some(sql(s"""WITH g AS (SELECT doc_id, source,
                                 CAST(floor(length(text) / 64.0) AS BIGINT) AS len_bkt,
@@ -180,8 +185,8 @@ object DedupQueries {
             shiftright(col("sig"), 6).bitwiseAND(lit(31L)),
             shiftright(col("sig"), 11).bitwiseAND(lit(31L))))
             .as(Seq("band", "bsig")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        banded.as("a").join(banded.as("b"),
+        val bandedC = graft.functions.CacheOnce.swap("dedup_simhash_bands", banded)
+        bandedC.as("a").join(bandedC.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -204,14 +209,15 @@ object DedupQueries {
     // signs): shuffle on bucket, pairwise strictly inside the bucket.
     Q("dedup_cosine",
       (s, d) => {
-        val e = table(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val e = graft.functions.CacheOnce.swap("dedup_cosine_buckets",
+          table(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket")))
         e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(T.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-          .filter(col("cos") >= 0.99)
+            T.cosineFast(col("a.embedding"), col("b.embedding")).as("c_raw"))
+          .filter(col("c_raw") >= 0.99) // raw filter, rounded output
+          .select(col("vec_a"), col("vec_b"), round(col("c_raw"), 6).as("cos"))
       },
       Some(sql(s"""WITH e AS (SELECT vec_id, embedding,
                      ${T.lshBucketSql("embedding")} AS bucket FROM embeddings)

@@ -21,15 +21,19 @@ import Registry.sql
 object MultimodalQueries {
 
   /** DETERMINISTIC DECODE STUB — stands in for an image/audio decoder.
-    * Consumes raw bytes, emits fixed-width "features": byte length, first
-    * byte, and a 60-bit content hash (same md5-prefix construction as
-    * Portable.stableHash64, computed here over the raw bytes' base64). */
+    * Consumes raw bytes, emits fixed-width "features": byte length, the
+    * first decoded code point (0 for empty payloads — matches the
+    * oracle's ascii() on all planes, not just ASCII), and a 60-bit
+    * content hash (same md5-prefix construction as Portable.stableHash64,
+    * computed here over the raw bytes' base64). */
   private def fakeDecode(bytes: Array[Byte]): (Long, Long, Long) = {
     val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
     val md = java.security.MessageDigest.getInstance("MD5").digest(
       b64.getBytes("UTF-8"))
     val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
-    (bytes.length.toLong, (bytes(0) & 0xff).toLong, java.lang.Long.parseLong(hex, 16))
+    val text = new String(bytes, "UTF-8")
+    val firstCp = if (text.isEmpty) 0L else text.codePointAt(0).toLong
+    (bytes.length.toLong, firstCp, java.lang.Long.parseLong(hex, 16))
   }
 
   val all: Seq[Q] = Seq(
@@ -44,14 +48,14 @@ object MultimodalQueries {
           .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         bin.mapPartitions { it =>
           it.map { case (id, payload) =>
-            val (nBytes, firstByte, contentHash) = fakeDecode(payload)
-            (id, nBytes, firstByte, contentHash)
+            val (nBytes, firstCp, contentHash) = fakeDecode(payload)
+            (id, nBytes, firstCp, contentHash)
           }
-        }.toDF("doc_id", "n_bytes", "first_byte", "content_hash")
+        }.toDF("doc_id", "n_bytes", "first_codepoint", "content_hash")
       },
       Some(sql(s"""SELECT doc_id,
                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+                    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_codepoint,
                     ${Portable.stableHash64Sql("to_base64(encode(text))")} AS content_hash
                    FROM documents"""))),
 
@@ -62,6 +66,9 @@ object MultimodalQueries {
         val nBytes = octet_length(encode(col("text"), "UTF-8")).cast("long")
         table(s, d, "documents")
           .filter(col("doc_id") < 100)
+          // empty payload → zero frames (matches the oracle's empty
+          // range; without this, (0-1) div 64 = 0 would emit one frame)
+          .filter(nBytes > 0)
           .select(col("doc_id"), col("text"), nBytes.as("n_bytes"),
             posexplode(sequence(lit(0L), expr("(CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) - 1) div 64")))
               .as(Seq("frame_idx", "off")))

@@ -81,9 +81,9 @@ object SimilarityQueries {
     // bucket — the fully data-independent scale path.
     Q("sim_topk_lsh",
       (s, d) => {
-        val e = table(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val e = graft.functions.CacheOnce.swap("sim_lsh_buckets",
+          table(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket")))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_vec"))
         val c = e.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"), col("embedding").as("c_vec"))

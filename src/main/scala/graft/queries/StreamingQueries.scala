@@ -163,13 +163,19 @@ object StreamingQueries {
         val q = StreamRunner.eventsStream(s, d)
           .select(col("event_type"), col("value"))
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            // idempotent sink: batch-id-named path + overwrite, so a
+            // retried micro-batch replaces its own output instead of
+            // appending a duplicate copy
+            batch.write.mode("overwrite").parquet(s"$out/batch=$id")
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"/tmp/graft_ckpt/fb-${System.nanoTime()}")
           .start()
-        q.awaitTermination(300000)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("stream_foreach_batch did not finish within 300s")
+        }
         s.read.parquet(out)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))

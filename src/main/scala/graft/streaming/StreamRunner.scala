@@ -65,7 +65,13 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"/tmp/graft_ckpt/$name-${System.nanoTime()}")
       .start()
-    q.awaitTermination(300000)
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      // fail loudly: a partial memory sink must never masquerade as the
+      // query result
+      q.stop()
+      throw new IllegalStateException(s"streaming query '$name' did not finish within 300s")
+    }
     spark.table(name)
   }
 }
