@@ -49,6 +49,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE wraps the shuffling plans (runtime re-optimization active)") {
+    for (name <- Seq("join_inner", "q1_agg", "dedup_minhash_lsh")) {
+      assert(plan(name).contains("AdaptiveSparkPlan"), name)
+    }
+  }
+
   test("whole-stage codegen covers the scan-side expression work") {
     // "*(n)" prefixes mark whole-stage-codegen stages in plan strings
     val p = plan("expr_arithmetic")

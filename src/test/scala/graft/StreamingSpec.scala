@@ -31,6 +31,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("file source replays as a multi-batch sequence (maxFilesPerTrigger)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamRunner.eventsStream(spark, TestSpark.Sf)
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("spec_batches").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-batches-${System.nanoTime()}")
+      .start()
+    assert(q.awaitTermination(300000))
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= StreamRunner.Batches,
+      s"expected >= ${StreamRunner.Batches} data batches, saw $dataBatches")
+  }
+
   test("streaming per-key totals equal batch groupBy") {
     val streamed = StreamRunner.runToTable(
       spark,
