@@ -111,6 +111,45 @@ object SourceQueries {
                   UNION ALL
                   SELECT 2 AS p, count(*) AS n, count(r_name) AS n_named FROM region"""))),
 
+    // Object-file round-trip (RDD.saveAsObjectFile:1570 / objectFile —
+    // the java-serialized RDD sink of §2.1).
+    Q("src_object_file",
+      (s, d) => {
+        import s.implicits._
+        val path = tmp(d, "obj_rdd")
+        val dir = new java.io.File(path)
+        if (dir.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(dir) }
+        table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .as(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+          .rdd.saveAsObjectFile(path)
+        s.sparkContext.objectFile[(Long, Long)](path)
+          .toDF("s_suppkey", "s_nationkey")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS key_sum
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // Sequence-file round-trip (SequenceFileRDDFunctions — the Hadoop
+    // Writable sink of §2.1).
+    Q("src_sequence_file",
+      (s, d) => {
+        import s.implicits._
+        val path = tmp(d, "seq_rdd")
+        val dir = new java.io.File(path)
+        if (dir.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(dir) }
+        table(s, d, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .as(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+          .rdd.saveAsSequenceFile(path)
+        s.sparkContext.sequenceFile[Long, String](path)
+          .toDF("n_nationkey", "n_name")
+      },
+      Some(sql("SELECT n_nationkey, n_name FROM nation"))),
+
     // saveAsTable + insertInto (DataFrame.scala:1013/:1204): managed table
     // in the session warehouse, overwritten then appended → exactly two
     // copies every run (repetition-safe).
