@@ -27,7 +27,8 @@ object SparkEntry {
       MultimodalQueries.all ++
       MiscQueries.all ++
       GraphQueries.all ++
-      Expr2Queries.all
+      Expr2Queries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

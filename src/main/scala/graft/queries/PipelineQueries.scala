@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Composite training-data pipelines (beyond-reference flagships): TF-IDF
+  * term scoring, int8 embedding quantization, and near-dup CLUSTERING —
+  * LSH candidate pairs promoted to connected components via GraphX, the
+  * full "which docs are the same" answer rather than raw pairs.
+  *
+  * Scale posture: tf-idf is explode → two hash aggregations → broadcast
+  * of the (vocabulary-sized) df table back onto terms; quantization is a
+  * pure projection; clustering runs GraphX CC on the (tiny) candidate
+  * pair set — documents themselves never enter the graph.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // TF-IDF with an exact-integer idf (idf_scaled = N*1e6 // df): both
+    // engines compute it in integer arithmetic, so scores are exact and
+    // the per-doc top-3 ranking is tie-stable (score desc, token asc).
+    Q("text_tfidf", bench = true,
+      fn = (s, d) => {
+        val docs = table(s, d, "documents")
+        val nDocs = docs.count() // corpus size: one job, a scalar
+        val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(broadcast(df), Seq("token"))
+          .withColumn("score", col("tf") * expr(s"CAST(${nDocs}000000 AS BIGINT) div df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rk"))
+      },
+      oracle = Some(sql("""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                                  FROM documents),
+                   tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+                   df AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+                   n AS (SELECT count(*) AS n_docs FROM documents)
+                   SELECT doc_id, token, tf, df, score, rk FROM (
+                     SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * ((n.n_docs * 1000000) // df.df) AS score,
+                       CAST(row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC,
+                                     tf.token) AS BIGINT) AS rk
+                     FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+                   WHERE rk <= 3"""))),
+
+    // int8 embedding quantization (the ANN compression step): scale by
+    // per-vector max-abs, round half-up via floor(y + 0.5) — portable,
+    // unlike round()'s engine-specific tie behavior.
+    Q("sim_quantize_int8",
+      (s, d) => {
+        val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), maxAbs.as("max_abs"))
+          .filter(col("max_abs") > 0.0) // all-zero vectors are unquantizable
+          .select(col("vec_id"), round(col("max_abs"), 6).as("scale"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") / col("max_abs") * 127.0 + 0.5).cast("long"))
+              .as("q8"))
+      },
+      Some(sql("""SELECT vec_id, round(max_abs, 6) AS scale,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x / max_abs * 127.0 + 0.5) AS BIGINT)) AS q8
+                  FROM (SELECT vec_id, embedding,
+                          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+                        FROM embeddings)
+                  WHERE max_abs > 0.0"""))),
+
+    // Near-dup CLUSTERING: MinHash-LSH candidate pairs → GraphX connected
+    // components → cluster id = min doc_id of the component. The oracle
+    // recomputes components with a recursive transitive closure (the
+    // candidate graph is tiny — only near-dup docs appear in it).
+    Q("dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val pairs = DedupQueries.all.find(_.name == "dedup_minhash_lsh").get.fn(s, d)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, 1) }
+        Graph.fromEdges(edges, 0).connectedComponents()
+          .vertices.toDF("doc_id", "cluster")
+      },
+      Some(sql(s"""WITH RECURSIVE pairs AS (
+                     SELECT doc_a, doc_b FROM (
+                       WITH ${dedupBandSql}
+                       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)),
+                   edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs
+                             UNION SELECT doc_a, doc_a FROM pairs
+                             UNION SELECT doc_b, doc_b FROM pairs),
+                   reach(a, b) AS (
+                     SELECT a, b FROM edges
+                     UNION
+                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+                   SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")))
+  )
+
+  /** The dedup band-table CTE body, regenerated here for the clusters
+    * oracle (kept in sync by construction with DedupQueries). */
+  private def dedupBandSql: String = {
+    import graft.functions.{Portable, TextFunctions => T}
+    val mhs = (0 until 16).map(i => s"${Portable.minhashFromHashesSql("hs", i)} AS mh$i").mkString(", ")
+    val bandIdx = (0 until 4).mkString("[", ", ", "]")
+    val bandSigs = (0 until 4).map { b =>
+      (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+    }.mkString("[", ", ", "]")
+    s"""docs AS (SELECT doc_id, ${Portable.shingleHashesSql(Portable.shingles3Sql("text"))} AS hs
+                 FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
+        sigs AS (SELECT doc_id, $mhs FROM docs),
+        bands AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($bandSigs) AS sig FROM sigs)"""
+  }
+}
