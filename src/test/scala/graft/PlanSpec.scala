@@ -82,6 +82,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partition-column filter prunes directories, not rows") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("src_parquet_partitioned")(spark, TestSpark.Sf).count() // stage table
+    val path = "/tmp/graft_io/_root_testdata_sf0_001/orders_part"
+    val p = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+  }
+
+  test("literal filter on the bucket column prunes buckets") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("src_bucketed_join")(spark, TestSpark.Sf).count() // stage tables
+    // autoBucketedScan would drop the bucketed layout for a plain filter
+    // scan; disable it so bucket pruning is observable
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = spark.table("graft_ord_bkt").filter(col("o_custkey") === 7L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("repartition + sortWithinPartitions yields locally-sorted partitions") {
     import org.apache.spark.sql.functions.col
     val sortedFlags = SparkEntry.queries("project")(spark, TestSpark.Sf)
