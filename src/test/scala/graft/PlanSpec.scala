@@ -49,6 +49,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val li = SparkEntry.queries("project")(spark, TestSpark.Sf)
+    val ord = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+    def planOf(hint: String): String =
+      li.join(ord.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash")
+    assert(planOf("merge").contains("SortMergeJoin"), "merge")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast")
+  }
+
   test("AQE wraps the shuffling plans (runtime re-optimization active)") {
     for (name <- Seq("join_inner", "q1_agg", "dedup_minhash_lsh")) {
       assert(plan(name).contains("AdaptiveSparkPlan"), name)
