@@ -68,6 +68,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("three-valued logic and null propagation match 1.3 semantics") {
+    val r = spark.sql(
+      """SELECT CAST(NULL AS BOOLEAN) AND false AS and_f,
+        |       CAST(NULL AS BOOLEAN) OR true AS or_t,
+        |       CAST(NULL AS BOOLEAN) AND true AS and_t,
+        |       concat('a', CAST(NULL AS STRING)) AS concat_null,
+        |       concat_ws('-', 'a', CAST(NULL AS STRING), 'b') AS cws_skips,
+        |       greatest(1, CAST(NULL AS INT), 3) AS greatest_ignores,
+        |       1 + CAST(NULL AS INT) AS arith_null
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) === false, "null AND false = false")
+    assert(r.getBoolean(1) === true, "null OR true = true")
+    assert(r.isNullAt(2), "null AND true = null")
+    assert(r.isNullAt(3), "concat propagates null")
+    assert(r.getString(4) === "a-b", "concat_ws skips nulls")
+    assert(r.getInt(5) === 3, "greatest ignores nulls")
+    assert(r.isNullAt(6), "arithmetic propagates null")
+  }
+
+  test("aggregates over empty groups: sum null, count zero") {
+    val r = spark.sql(
+      "SELECT sum(x) AS s, count(x) AS c, avg(x) AS a FROM (SELECT 1 AS x) WHERE x > 99")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(2))
+  }
+
+  test("shingles of a 2-token document are empty; minhash of empty is null") {
+    val r = df.filter(col("text") === "zeta").limit(1)
+      .select(Portable.shingles3(col("text")).as("sh"))
+    assert(r.select(size(col("sh"))).as[Int].head() === 0)
+    assert(r.select(Portable.minhashValue(col("sh"), 0)).collect()(0).isNullAt(0))
+  }
+
   test("deterministic sample keeps a stable subset (scalacheck-generated keys)") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
     val samples = Iterator.continually(gen.sample).flatten.take(5).toSeq
