@@ -19,20 +19,26 @@ object Engine {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Runtime confs every query needs regardless of who built the session.
-    * Safe to call repeatedly (idempotent, runtime-settable confs only). */
+    * Runs ONCE per session (guarded by a session-local conf flag):
+    * re-registering the native functions on every table() call produced
+    * "replaced a previously registered function" WARN spam and redundant
+    * session mutation on hot paths. */
   def configure(spark: SparkSession): SparkSession = {
-    val c = spark.conf
-    c.set("spark.sql.ansi.enabled", "false") // 1.3 semantics: null, not error
-    c.set("spark.sql.session.timeZone", "UTC")
-    c.set("spark.sql.adaptive.enabled", "true")
-    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // nanos timestamps in events.parquet: read as LONG then convert
-    // explicitly where needed (legacy flag keeps the scan vectorized).
-    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.plans.Hamming64.register(spark)
-    graft.plans.CosineSim.register(spark)
-    graft.plans.GraftRules.install(spark)
+    if (!spark.conf.getOption("spark.graft.configured").contains("true")) {
+      val c = spark.conf
+      c.set("spark.sql.ansi.enabled", "false") // 1.3 semantics: null, not error
+      c.set("spark.sql.session.timeZone", "UTC")
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // nanos timestamps in events.parquet: read as LONG then convert
+      // explicitly where needed (legacy flag keeps the scan vectorized).
+      c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.plans.Hamming64.register(spark)
+      graft.plans.CosineSim.register(spark)
+      graft.plans.GraftRules.install(spark)
+      c.set("spark.graft.configured", "true")
+    }
     spark
   }
 

@@ -21,6 +21,7 @@ object SparkEntry {
       DedupQueries.all ++
       SimilarityQueries.all ++
       SourceQueries.all ++
+      JdbcQueries.all ++
       UdfQueries.all ++
       RddQueries.all ++
       StreamingQueries.all ++

@@ -98,14 +98,21 @@ object AggQueries {
                   FROM orders GROUP BY o_orderpriority"""))),
 
     // ApproxCountDistinct (aggregates.scala:275, HLL) — different HLL
-    // lineages can't hash-match; declared rows-only (no oracle), with the
-    // exact count alongside for manual tolerance inspection.
+    // lineages can't hash-match, so the ORACLED contract is the reference's
+    // own accuracy bound (rsd=0.05): |approx-exact|/exact < 0.05, emitted as
+    // a boolean next to the exact count. The oracle computes the exact count
+    // and asserts the bound trivially holds (true).
     Q("agg_approx_count_distinct",
       (s, d) => table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_nd"),
-          countDistinct(col("l_partkey")).as("exact_nd")),
-      None),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) / col("exact_nd") < 0.05)
+            .as("within_tol")),
+      Some(sql("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+                   true AS within_tol
+                  FROM lineitem GROUP BY l_returnflag"""))),
 
     // Average widening + HAVING (UnresolvedHavingClauseAttributes path).
     Q("agg_having",
@@ -164,17 +171,21 @@ object AggQueries {
       (s, d) => table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          avg(col("l_extendedprice")).as("mean_price"),
-          stddev_samp(col("l_extendedprice")).as("sd_price"),
-          var_samp(col("l_extendedprice")).as("var_price"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-          covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price")),
+          round(avg(col("l_extendedprice")), 4).as("mean_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price")),
+      // Fixed-scale rounding on BOTH sides: Spark's partial-merge
+      // accumulation order and DuckDB's single-pass differ in the last
+      // double ulps; round(…, k) makes the contract portable (the same
+      // policy rdd_tree_aggregate uses).
       Some(sql("""SELECT l_returnflag,
-                   avg(l_extendedprice) AS mean_price,
-                   stddev_samp(l_extendedprice) AS sd_price,
-                   var_samp(l_extendedprice) AS var_price,
-                   corr(l_quantity, l_extendedprice) AS corr_qty_price,
-                   covar_samp(l_quantity, l_extendedprice) AS cov_qty_price
+                   round(avg(l_extendedprice), 4) AS mean_price,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(var_samp(l_extendedprice), 2) AS var_price,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
                   FROM lineitem GROUP BY l_returnflag"""))),
 
     // Exact percentile / median (beyond-reference; Hive-UDAF-only in 1.3).
@@ -189,25 +200,38 @@ object AggQueries {
                    quantile_cont(o_totalprice, 0.9) AS p90
                   FROM orders GROUP BY o_orderstatus"""))),
 
-    // percentile_approx (t-digest sketch) — sketch implementations are
-    // engine-specific, so rows-only, with the exact percentile alongside
-    // for manual tolerance inspection (same pattern as approx distinct).
+    // percentile_approx (t-digest sketch) — sketch outputs are
+    // engine-specific, so the ORACLED contract is the accuracy bound:
+    // the approx p50 must land within 5% of the exact p50 (true at
+    // accuracy=10000), emitted as a boolean next to the rounded exact value.
     Q("agg_percentile_approx",
       (s, d) => table(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          expr("percentile(o_totalprice, 0.5)").as("p50_exact")),
-      None),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"))
+        .select(col("o_orderstatus"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.05)
+            .as("within_tol")),
+      Some(sql("""SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+                   true AS within_tol
+                  FROM orders GROUP BY o_orderstatus"""))),
 
     // collect_list/collect_set parity (Hive-bridge-only in 1.3) — sorted for
-    // determinism; arrays compare element-wise in the oracle.
+    // determinism, then joined to a flat string: the harness's tabular
+    // checker can't order list-valued cells, so both sides emit the same
+    // '|'-delimited rendering.
     Q("agg_collect",
       (s, d) => table(s, d, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(sort_array(collect_list(col("s_name"))).as("names"),
-          sort_array(collect_set(col("s_suppkey"))).as("keys")),
-      Some(sql("""SELECT s_nationkey, list_sort(list(s_name)) AS names,
-                   list_sort(list(DISTINCT s_suppkey)) AS keys
+        .agg(
+          array_join(sort_array(collect_list(col("s_name"))), "|").as("names"),
+          array_join(transform(sort_array(collect_set(col("s_suppkey"))),
+            x => x.cast("string")), "|").as("keys")),
+      Some(sql("""SELECT s_nationkey,
+                   array_to_string(list_sort(list(s_name)), '|') AS names,
+                   array_to_string(list_sort(list(DISTINCT s_suppkey)), '|') AS keys
                   FROM supplier GROUP BY s_nationkey""")))
   )
 }

@@ -41,9 +41,13 @@ object DedupQueries {
       concat_ws("_", (0 until Rows).map(r => col(s"mh${b * Rows + r}")): _*)
     }
     // cached (swap semantics): the self-join consumes this twice — without
-    // the cache every signature (md5 over all shingles) is computed twice
-    graft.functions.CacheOnce.swap("dedup_bands",
-      withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig"))))
+    // the cache every signature (md5 over all shingles) is computed twice.
+    // SkewGuard drops degenerate mega-buckets before any self-join (inert
+    // at test SF; bounds the quadratic blowup at 100 TB).
+    graft.functions.SkewGuard.dropHotBuckets(
+      graft.functions.CacheOnce.swap("dedup_bands",
+        withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))),
+      Seq("band", "sig"))
   }
 
   /** DuckDB CTEs mirroring bandTable (same hash-once structure). */
@@ -150,7 +154,8 @@ object DedupQueries {
           .select(col("doc_id"), col("source"),
             (length(col("text")) / lit(64)).cast("long").as("len_bkt"),
             T.charNgrams(col("text")).as("ng"))
-        val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
+        val gc = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("dedup_ngrams", g), Seq("source", "len_bkt"))
         gc.as("a").join(gc.as("b"),
           col("a.source") === col("b.source") && col("a.len_bkt") === col("b.len_bkt")
             && col("a.doc_id") < col("b.doc_id"))
@@ -185,7 +190,8 @@ object DedupQueries {
             shiftright(col("sig"), 6).bitwiseAND(lit(31L)),
             shiftright(col("sig"), 11).bitwiseAND(lit(31L))))
             .as(Seq("band", "bsig")))
-        val bandedC = graft.functions.CacheOnce.swap("dedup_simhash_bands", banded)
+        val bandedC = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("dedup_simhash_bands", banded), Seq("band", "bsig"))
         bandedC.as("a").join(bandedC.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
@@ -209,9 +215,11 @@ object DedupQueries {
     // signs): shuffle on bucket, pairwise strictly inside the bucket.
     Q("dedup_cosine",
       (s, d) => {
-        val e = graft.functions.CacheOnce.swap("dedup_cosine_buckets",
-          table(s, d, "embeddings")
-            .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket")))
+        val e = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("dedup_cosine_buckets",
+            table(s, d, "embeddings")
+              .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))),
+          Seq("bucket"))
         e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -46,34 +46,41 @@ object Expr2Queries {
                   FROM part"""))),
 
     // Higher-order array functions (transform/filter/exists/forall/
-    // aggregate/slice/flatten/sort/sequence/zip_with).
+    // aggregate/slice/flatten/sort/sequence/zip_with). Array-typed outputs
+    // are flattened to '|'-joined decimal strings (Registry.arrDecStr) so
+    // the harness's tabular checker can sort them.
     Q("expr_arrays",
       (s, d) => {
+        import Registry.arrDecStr
         val arr = array(col("l_quantity"), col("l_discount"), col("l_tax"),
           col("l_extendedprice") / 1000.0)
         table(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
-          transform(arr, x => round(x * 2.0, 6)).as("doubled"),
-          filter(arr, x => x > 1.0).as("big_vals"),
+          arrDecStr(transform(arr, x => round(x * 2.0, 6))).as("doubled"),
+          arrDecStr(filter(arr, x => x > 1.0)).as("big_vals"),
           exists(arr, x => x > 40.0).as("any_big"),
           forall(arr, x => x >= 0.0).as("all_nonneg"),
           round(aggregate(arr, lit(0.0), (a, x) => a + x), 6).as("sum_"),
-          slice(sort_array(arr), 1, 2).as("two_smallest"),
+          arrDecStr(slice(sort_array(arr), 1, 2)).as("two_smallest"),
           round(element_at(sort_array(arr, asc = false), 1), 6).as("max_"),
-          flatten(array(arr, array(lit(0.0)))).as("flat"),
+          arrDecStr(flatten(array(arr, array(lit(0.0))))).as("flat"),
           size(sequence(lit(1), col("l_linenumber"))).cast("long").as("seq_n"),
           round(aggregate(zip_with(arr, arr, (x, y) => x * y), lit(0.0), (a, x) => a + x), 6)
             .as("self_dot"))
       },
       Some(sql("""SELECT l_orderkey, l_linenumber,
-                   list_transform(arr, x -> round(x * 2.0, 6)) AS doubled,
-                   list_filter(arr, x -> x > 1.0) AS big_vals,
+                   array_to_string(list_transform(list_transform(arr, x -> round(x * 2.0, 6)),
+                     x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS doubled,
+                   coalesce(array_to_string(list_transform(list_filter(arr, x -> x > 1.0),
+                     x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|'), '') AS big_vals,
                    len(list_filter(arr, x -> x > 40.0)) > 0 AS any_big,
                    len(list_filter(arr, x -> NOT (x >= 0.0))) = 0 AS all_nonneg,
                    round(list_sum(arr), 6) AS sum_,
-                   list_sort(arr)[1:2] AS two_smallest,
+                   array_to_string(list_transform(list_sort(arr)[1:2],
+                     x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS two_smallest,
                    round(list_sort(arr, 'DESC')[1], 6) AS max_,
-                   flatten([arr, [0.0]]) AS flat,
+                   array_to_string(list_transform(flatten([arr, [0.0]]),
+                     x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS flat,
                    CAST(l_linenumber AS BIGINT) AS seq_n,
                    round(list_sum(list_transform(arr, x -> x * x)), 6) AS self_dot
                   FROM (SELECT l_orderkey, l_linenumber,

@@ -232,12 +232,13 @@ object ExprQueries {
     Q("expr_complex",
       (s, d) => table(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        array(col("l_quantity"), col("l_discount"), col("l_tax")).as("arr"),
+        Registry.arrDecStr(array(col("l_quantity"), col("l_discount"), col("l_tax"))).as("arr"),
         element_at(array(col("l_quantity"), col("l_discount"), col("l_tax")), 1).as("item0"),
         array_contains(array(col("l_returnflag"), col("l_linestatus")), "R").as("has_r"),
         size(array(col("l_quantity"), col("l_discount"))).cast("long").as("arr_len")),
       Some(sql("""SELECT l_orderkey, l_linenumber,
-                   [l_quantity, l_discount, l_tax] AS arr,
+                   array_to_string(list_transform([l_quantity, l_discount, l_tax],
+                     x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS arr,
                    [l_quantity, l_discount, l_tax][1] AS item0,
                    list_contains([l_returnflag, l_linestatus], 'R') AS has_r,
                    CAST(len([l_quantity, l_discount]) AS BIGINT) AS arr_len

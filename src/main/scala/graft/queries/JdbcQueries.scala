@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.1 — JDBC source + sink (reference jdbc/JDBCRDD.scala:98
+  * schema probe, :244 compileFilter predicate pushdown;
+  * jdbc/JDBCRelation.scala:125 column-range partitioned reads; sinks at
+  * DataFrame.scala:1260 createJDBCTable / :1288 insertIntoJDBC), proven
+  * against EMBEDDED Derby — the same in-process-database pattern the
+  * reference's JDBCSuite uses with H2 (no external server needed).
+  *
+  * Scale posture: the partitioned read issues `numPartitions` range
+  * predicates on the partition column so every executor pulls its own
+  * stripe in parallel — the reference's JDBCRelation.columnPartition
+  * shape. Filters are pushed into the remote WHERE clause (asserted in
+  * PlanSpec via the scan's PushedFilters), so the database — not Spark —
+  * prunes rows.
+  */
+object JdbcQueries {
+
+  private val Url = "jdbc:derby:/tmp/graft_derby/gdb;create=true"
+
+  private def props: java.util.Properties = {
+    // keep derby.log out of the repo working dir (dir must pre-exist or
+    // Derby falls back with a FileNotFoundException on the log stream)
+    new java.io.File("/tmp/graft_derby").mkdirs()
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby/derby.log")
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** Write suppliers once per (session, sfDir); reruns overwrite. */
+  private def stage(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    table(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode(SaveMode.Overwrite).jdbc(Url, "GRAFT_SUPPLIER", props)
+
+  val all: Seq[Q] = Seq(
+
+    // Sink + partitioned source round-trip: df.write.jdbc → 4-way
+    // range-partitioned read on s_suppkey → aggregate equals the original.
+    Q("src_jdbc_roundtrip",
+      (s, d) => {
+        stage(s, d)
+        s.read.jdbc(Url, "GRAFT_SUPPLIER",
+            columnName = "s_suppkey", lowerBound = 0L, upperBound = 100000L,
+            numPartitions = 4, connectionProperties = props)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 4).as("bal"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                   round(sum(s_acctbal), 4) AS bal
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // Predicate-pushdown read (JDBCRDD.compileFilter analog): the filter
+    // travels to Derby in the WHERE clause; PlanSpec asserts PushedFilters
+    // on the JDBC scan.
+    Q("src_jdbc_read",
+      (s, d) => {
+        stage(s, d)
+        s.read.jdbc(Url, "GRAFT_SUPPLIER", props)
+          .filter(col("s_acctbal") > 1000.0 && col("s_nationkey") < 13)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            round(col("s_acctbal"), 4).as("bal"))
+      },
+      Some(sql("""SELECT s_suppkey, s_nationkey, round(s_acctbal, 4) AS bal
+                  FROM supplier
+                  WHERE s_acctbal > 1000.0 AND s_nationkey < 13""")))
+  )
+}

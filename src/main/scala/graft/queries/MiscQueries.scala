@@ -83,26 +83,43 @@ object MiscQueries {
       Some(sql("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
                    count(*) AS n FROM lineitem GROUP BY l_returnflag"""))),
 
-    // True seeded Bernoulli sample (basicOperators.scala:62 Sample):
-    // deterministic within Spark for a fixed seed, but not reproducible in
-    // another engine → rows-only (the hash variant `sample` is the
-    // oracle-checked twin).
+    // True seeded Bernoulli sample (basicOperators.scala:62 Sample): the
+    // sampled SET is engine-specific, so the ORACLED contract is the
+    // sample's invariants — size within statistical bounds (0.1±0.03 of N,
+    // »5σ wide) and strict subset-ness — which the oracle states exactly.
+    // (The hash variant `sample` remains the value-checked twin.)
     Q("sample_seeded",
-      (s, d) => table(s, d, "orders").sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("o_orderkey"), col("o_totalprice")),
-      None),
+      (s, d) => {
+        import s.implicits._
+        val orders = table(s, d, "orders")
+        val n = orders.count()
+        val sampled = orders.sample(withReplacement = false, 0.1, seed = 42)
+        val ns = sampled.count()
+        val nonSubset = sampled.select(col("o_orderkey"))
+          .except(orders.select(col("o_orderkey"))).count()
+        Seq((ns >= (n * 0.07).toLong && ns <= (n * 0.13).toLong, nonSubset))
+          .toDF("size_in_bounds", "non_subset")
+      },
+      Some(sql("SELECT true AS size_in_bounds, CAST(0 AS BIGINT) AS non_subset"))),
 
-    // randomSplit (RDD.scala:647): disjoint covering splits; emits split
-    // sizes (rows-only; sum-of-sizes invariant is asserted in tests).
+    // randomSplit (RDD.scala:647): split membership is engine-specific, so
+    // the ORACLED contract is the splits' defining invariants — sizes sum
+    // to N (covering), zero key overlap (disjoint), ratio near 0.8.
     Q("random_split",
       (s, d) => {
         import s.implicits._
-        val splits = table(s, d, "orders").randomSplit(Array(0.8, 0.2), seed = 42)
-        splits.zipWithIndex
-          .map { case (df, i) => (i.toLong, df.count()) }
-          .toSeq.toDF("split_id", "n")
+        val orders = table(s, d, "orders")
+        val total = orders.count()
+        val splits = orders.randomSplit(Array(0.8, 0.2), seed = 42)
+        val n0 = splits(0).count()
+        val n1 = splits(1).count()
+        val overlap = splits(0).select(col("o_orderkey"))
+          .intersect(splits(1).select(col("o_orderkey"))).count()
+        val ratio = n0.toDouble / total
+        Seq((n0 + n1 == total, overlap, ratio > 0.75 && ratio < 0.85))
+          .toDF("covering", "overlap", "ratio_ok")
       },
-      None),
+      Some(sql("SELECT true AS covering, CAST(0 AS BIGINT) AS overlap, true AS ratio_ok"))),
 
     // describe() (DataFrame.scala:788): restated as typed aggregates so
     // the oracle can verify the same statistics describe() reports.
@@ -209,15 +226,22 @@ object MiscQueries {
       Some(sql("SELECT n_nationkey, n_name, n_regionkey FROM nation"))),
 
     // DataFrameStatFunctions.crosstab (ds.stat surface of §2.6/§2.4).
+    // Counts re-cast to BIGINT on BOTH sides: DuckDB sum() yields HUGEINT
+    // whose rendering diverges from Spark's long at the harness hash.
     Q("stat_crosstab",
-      (s, d) => table(s, d, "orders").stat
-        .crosstab("o_orderstatus", "o_orderpriority"),
+      (s, d) => {
+        val ct = table(s, d, "orders").stat
+          .crosstab("o_orderstatus", "o_orderpriority")
+        ct.select(col("o_orderstatus_o_orderpriority") +:
+          ct.columns.filter(_ != "o_orderstatus_o_orderpriority").sorted
+            .map(c => col(s"`$c`").cast("long").as(c)): _*)
+      },
       Some(sql("""SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
-                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
-                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
-                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
                   FROM orders GROUP BY o_orderstatus"""))),
 
     // unionByName: schemas aligned by column NAME, not position.

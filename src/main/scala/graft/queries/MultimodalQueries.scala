@@ -59,29 +59,35 @@ object MultimodalQueries {
                     ${Portable.stableHash64Sql("to_base64(encode(text))")} AS content_hash
                    FROM documents"""))),
 
-    // Frame sampling: explode the payload into fixed 64-byte frames with
-    // per-frame metadata (the video frame-sample shape as a generator).
+    // Frame sampling: explode the payload into fixed 64-CHARACTER frames
+    // with per-frame metadata (the video frame-sample shape as a
+    // generator). Framing is character-based END TO END — count, length,
+    // and content slice all use the same char index — so the declared
+    // semantics hold for multi-byte text too. (A byte-true variant would
+    // slice the binary payload; with codecs stubbed in this environment,
+    // char frames are the deterministic stand-in, and the oracle mirrors
+    // the same definition exactly.)
     Q("mm_frame_sample",
       (s, d) => {
-        val nBytes = octet_length(encode(col("text"), "UTF-8")).cast("long")
+        val nChars = length(col("text")).cast("long")
         table(s, d, "documents")
           .filter(col("doc_id") < 100)
           // empty payload → zero frames (matches the oracle's empty
           // range; without this, (0-1) div 64 = 0 would emit one frame)
-          .filter(nBytes > 0)
-          .select(col("doc_id"), col("text"), nBytes.as("n_bytes"),
-            posexplode(sequence(lit(0L), expr("(CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) - 1) div 64")))
+          .filter(nChars > 0)
+          .select(col("doc_id"), col("text"), nChars.as("n_chars"),
+            posexplode(sequence(lit(0L), expr("(CAST(length(text) AS BIGINT) - 1) div 64")))
               .as(Seq("frame_idx", "off")))
           .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-            least(lit(64L), col("n_bytes") - col("frame_idx") * 64L).as("frame_len"),
+            least(lit(64L), col("n_chars") - col("frame_idx") * 64L).as("frame_len"),
             Portable.stableHash64(expr("substr(text, CAST(frame_idx AS INT) * 64 + 1, 64)"))
               .as("frame_hash"))
       },
       Some(sql(s"""SELECT doc_id,
-                    CAST(unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS BIGINT) AS frame_idx,
-                    unnest(list_transform(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)),
-                      i -> least(64, CAST(octet_length(encode(text)) AS BIGINT) - i * 64))) AS frame_len,
-                    unnest(list_transform(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)),
+                    CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS BIGINT) AS frame_idx,
+                    unnest(list_transform(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)),
+                      i -> least(64, CAST(length(text) AS BIGINT) - i * 64))) AS frame_len,
+                    unnest(list_transform(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)),
                       i -> ${Portable.stableHash64Sql("substr(text, CAST(i * 64 + 1 AS INTEGER), 64)")})) AS frame_hash
                    FROM documents WHERE doc_id < 100"""))),
 

@@ -63,13 +63,13 @@ object PipelineQueries {
           .select(col("vec_id"), col("embedding"), maxAbs.as("max_abs"))
           .filter(col("max_abs") > 0.0) // all-zero vectors are unquantizable
           .select(col("vec_id"), round(col("max_abs"), 6).as("scale"),
-            transform(col("embedding"),
-              x => floor(x.cast("double") / col("max_abs") * 127.0 + 0.5).cast("long"))
+            Registry.arrStr(transform(col("embedding"),
+              x => floor(x.cast("double") / col("max_abs") * 127.0 + 0.5).cast("long")))
               .as("q8"))
       },
       Some(sql("""SELECT vec_id, round(max_abs, 6) AS scale,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                     x -> CAST(floor(x / max_abs * 127.0 + 0.5) AS BIGINT)) AS q8
+                   array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x / max_abs * 127.0 + 0.5) AS BIGINT)), '|') AS q8
                   FROM (SELECT vec_id, embedding,
                           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
                         FROM embeddings)

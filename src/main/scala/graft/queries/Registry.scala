@@ -16,4 +16,21 @@ final case class Q(
 object Registry {
   /** Collapse whitespace so oracle SQL survives JSON + logs cleanly. */
   def sql(s: String): String = s.replaceAll("\\s+", " ").trim
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{array_join, transform}
+
+  /** Render a numeric array column as one '|'-joined string of fixed-scale
+    * decimal elements. The harness's tabular checker cannot sort list-valued
+    * cells, so array outputs are flattened to strings on BOTH sides; the
+    * DECIMAL(18,6) rendering is the one rendering Spark and DuckDB agree on
+    * exactly (full scale, no scientific notation). DuckDB twin:
+    * array_to_string(list_transform(l, x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|'). */
+  def arrDecStr(c: Column): Column =
+    array_join(transform(c, x => x.cast("decimal(18,6)").cast("string")), "|")
+
+  /** Same flattening for integral/string arrays (plain cast rendering).
+    * DuckDB twin: array_to_string(l, '|'). */
+  def arrStr(c: Column): Column =
+    array_join(transform(c, x => x.cast("string")), "|")
 }

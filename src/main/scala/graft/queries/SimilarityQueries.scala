@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Engine.table
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Registry.sql
 
@@ -21,6 +20,32 @@ object SimilarityQueries {
 
   private val K = 5
 
+  /** Scale-safe per-query top-k over a scored (q_id, c_id, cos) set.
+    *
+    * A row_number window partitioned by q_id shuffles EVERY scored pair
+    * into ≤Q partitions (Q = number of queries) — a 10-task reduce of N×Q
+    * rows, the classic 100 TB scale-killer. Instead: salt the candidate
+    * space, take a local top-k per (q_id, salt) — collect_list's map-side
+    * partial keeps state bounded per task — then merge the ≤64·k
+    * survivors per query. The final per-query reduce sees 64·k rows, not N.
+    *
+    * Ordering contract matches the window version exactly: cos DESC,
+    * c_id ASC (neg_cos makes the ascending array sort emit that order).
+    */
+  private def topK(scored: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val pair = struct((-col("cos")).as("neg_cos"), col("c_id"), col("cos"))
+    scored
+      .withColumn("salt", pmod(crc32(col("c_id").cast("string")), lit(64)).cast("int"))
+      .groupBy(col("q_id"), col("salt"))
+      .agg(slice(sort_array(collect_list(pair)), 1, k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .groupBy(col("q_id"))
+      .agg(slice(sort_array(collect_list(col("t"))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: 10 query vectors × all candidates.
@@ -29,16 +54,12 @@ object SimilarityQueries {
         val e = table(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("c_id").asc)
         // broadcast the SMALL query set and stream the full candidate
         // table — the only orientation that survives a 100 TB scan side
-        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        topK(e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
           .join(broadcast(q), col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos")), K)
       },
       oracle = Some(sql(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                             FROM embeddings WHERE vec_id < 10),
@@ -59,12 +80,9 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("label").as("q_cell"), col("embedding").as("q_vec"))
         val c = e.select(col("vec_id").as("c_id"), col("label").as("c_cell"), col("embedding").as("c_vec"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-        q.join(c, col("q_cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+        topK(q.join(c, col("q_cell") === col("c_cell") && col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos")), K)
       },
       Some(sql(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_cell, embedding AS q_vec
                             FROM embeddings WHERE vec_id < 10),
@@ -87,12 +105,9 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_vec"))
         val c = e.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"), col("embedding").as("c_vec"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-        q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+        topK(q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
           .select(col("q_id"), col("c_id"),
-            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= K)
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos")), K)
       },
       Some(sql(s"""WITH e AS (SELECT vec_id, embedding,
                      ${T.lshBucketSql("embedding")} AS bucket FROM embeddings),

@@ -129,7 +129,11 @@ object SourceQueries {
           .groupBy(col("s_nationkey"))
           .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"))
       },
-      Some(sql("""SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS key_sum
+      // CAST: DuckDB sum(BIGINT) yields HUGEINT whose rendering diverges
+      // from Spark's long at the harness hash (sum-of-double queries are
+      // unaffected — this is the repo's only integer-sum oracle).
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                   CAST(sum(s_suppkey) AS BIGINT) AS key_sum
                   FROM supplier GROUP BY s_nationkey"""))),
 
     // Sequence-file round-trip (SequenceFileRDDFunctions — the Hadoop
@@ -166,6 +170,42 @@ object SourceQueries {
       Some(sql("""SELECT n_regionkey, count(*) * 2 AS n_rows,
                    count(DISTINCT n_nationkey) AS n_distinct
                   FROM nation GROUP BY n_regionkey"""))),
+
+    // SQL DDL lifecycle (sources/ddl.scala DDLParser `CREATE … USING` +
+    // InsertIntoHiveTable semantics via SQL, not the API): CTAS into a
+    // managed parquet table, INSERT INTO appends, read back through the
+    // catalog. Complements src_save_as_table which drives the same
+    // machinery through DataFrameWriter.
+    Q("src_sql_ddl",
+      (s, d) => {
+        dropManaged(s, "graft_ddl_nation")
+        table(s, d, "nation").createOrReplaceTempView("graft_ddl_src")
+        s.sql(sql("""CREATE TABLE graft_ddl_nation USING parquet AS
+                     SELECT n_nationkey, n_name, n_regionkey
+                     FROM graft_ddl_src WHERE n_regionkey < 3"""))
+        s.sql(sql("""INSERT INTO graft_ddl_nation
+                     SELECT n_nationkey, n_name, n_regionkey
+                     FROM graft_ddl_src WHERE n_regionkey >= 3"""))
+        s.sql(sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                     FROM graft_ddl_nation GROUP BY n_regionkey"""))
+      },
+      Some(sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                  FROM nation GROUP BY n_regionkey"""))),
+
+    // DataSource-V2 SPI (reference sources/interfaces.scala:136-197 +
+    // filters.scala:23-101): graft.sources.RangeSource is a custom
+    // TableProvider with filter pushdown (range narrowing) and column
+    // pruning; the oracle recomputes the generator formula in DuckDB.
+    // PlanSpec asserts the narrowed range in the scan description.
+    Q("src_dsv2_pushdown",
+      (s, d) => s.read.format("graft.sources.RangeSource")
+        .option("n", "1000").option("partitions", "4").load()
+        .filter(col("id") >= 100 && col("id") < 600)
+        .groupBy((col("id") % 10).as("m"))
+        .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sv")),
+      Some(sql("""SELECT i % 10 AS m, count(*) AS cnt,
+                   CAST(sum((i*i) % 997) AS BIGINT) AS sv
+                  FROM range(100, 600) t(i) GROUP BY 1"""))),
 
     // Bucketed tables (the co-located-join scale technique): both sides
     // bucketed+sorted on the join key → the sort-merge join needs NO

@@ -29,21 +29,46 @@ object StreamRunner {
     // time) replays them as a REAL micro-batch sequence in event-time
     // order — watermarks and state genuinely advance across batches
     // instead of one batch swallowing everything.
+    // The staging dir is KEYED BY the source fixture's fingerprint
+    // (name+size+mtime of every file): regenerating events.parquet yields
+    // a new fingerprint → a fresh staging dir, so streaming queries can
+    // never silently replay stale data. Staging writes to a temp dir that
+    // is atomically renamed into place, so a concurrent JVM (sbt test +
+    // Verify) either sees the complete dir or stages its own temp.
+    val src = new java.io.File(path)
+    val fpFiles: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      fpFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
     val d = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp")
     this.synchronized {
       if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-        java.nio.file.Files.createDirectories(d)
+        val tmp = java.nio.file.Paths.get(s"${d.toString}_tmp_${System.nanoTime()}")
         spark.read.parquet(path)
           .repartitionByRange(Batches, col("ts"))
-          .write.mode("overwrite").parquet(d.toString)
+          .write.mode("overwrite").parquet(tmp.toString)
         // part-file index = range-partition index = time order
-        val parts = new java.io.File(d.toString).listFiles()
+        val parts = new java.io.File(tmp.toString).listFiles()
           .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
         parts.zipWithIndex.foreach { case (f, i) =>
           f.setLastModified(1000000000000L + i * 60000L): Unit
         }
-        java.nio.file.Files.createFile(d.resolve("_STAGED")): Unit
+        java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
+        try java.nio.file.Files.move(tmp, d,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          // another JVM staged the same fingerprint first — use theirs
+          if (java.nio.file.Files.exists(d.resolve("_STAGED"))) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(tmp.toFile)
+          } else throw new IllegalStateException(s"staging rename to $d failed")
+        }
       }
     }
     val schema = spark.read.parquet(path).schema

@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sim_topk is partial-aggregated per key, not a ≤Q-partition window") {
+    for (name <- Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh")) {
+      val p = plan(name)
+      // the old shape shuffled EVERY scored pair into ≤Q window partitions;
+      // the scale-safe shape is salted local top-k (map-side partial
+      // collect_list bounded by slice) merged per query
+      assert(!p.contains("Window"), s"$name still uses a window:\n$p")
+      assert(p.contains("partial_collect_list"), s"$name lacks partial agg:\n$p")
+    }
+  }
+
   test("dedup LSH shuffles signatures, not documents (no cartesian)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
@@ -114,6 +125,19 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
+  test("JDBC read pushes predicates into the database WHERE clause") {
+    val p = plan("src_jdbc_read")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(s_acctbal") || p.contains("GreaterThan(S_ACCTBAL"), p)
+  }
+
+  test("DSv2 custom source narrows the scan range from pushed filters") {
+    val p = plan("src_dsv2_pushdown")
+    // full range would print range=[0,1000); the narrowed bounds prove the
+    // id comparisons were handled source-side, not post-scan
+    assert(p.contains("range=[100,600)"), p)
   }
 
   test("repartition + sortWithinPartitions yields locally-sorted partitions") {

@@ -45,6 +45,29 @@ class StreamingSpec extends AnyFunSuite {
       s"expected >= ${StreamRunner.Batches} data batches, saw $dataBatches")
   }
 
+  test("rate source drives a non-file streaming input end-to-end") {
+    // the non-file input path (reference external/ receivers analog):
+    // the generator source feeds a windowless aggregate into a memory
+    // sink; liveness + monotonic totals are the contract (values are
+    // wall-clock dependent, so no oracle)
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "2")
+      .load()
+      .groupBy((col("value") % 10).as("m")).count()
+      .writeStream.format("memory").queryName("spec_rate").outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-rate-${System.nanoTime()}")
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var n = 0L
+      while (n == 0L && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("spec_rate").count()
+      }
+      assert(n > 0, "rate source produced no aggregated rows within 60s")
+    } finally q.stop()
+  }
+
   test("streaming per-key totals equal batch groupBy") {
     val streamed = StreamRunner.runToTable(
       spark,
