@@ -36,6 +36,7 @@ object Engine {
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.plans.Hamming64.register(spark)
       graft.plans.CosineSim.register(spark)
+      graft.plans.TopKAgg.register(spark)
       graft.plans.GraftRules.install(spark)
       c.set("spark.graft.configured", "true")
     }

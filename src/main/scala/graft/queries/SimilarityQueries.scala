@@ -24,27 +24,21 @@ object SimilarityQueries {
     *
     * A row_number window partitioned by q_id shuffles EVERY scored pair
     * into ≤Q partitions (Q = number of queries) — a 10-task reduce of N×Q
-    * rows, the classic 100 TB scale-killer. Instead: salt the candidate
-    * space, take a local top-k per (q_id, salt) — collect_list's map-side
-    * partial keeps state bounded per task — then merge the ≤64·k
-    * survivors per query. The final per-query reduce sees 64·k rows, not N.
+    * rows, the classic 100 TB scale-killer. Instead: the native
+    * graft_topk bounded-heap aggregate (plans/TopKAgg.scala) keeps O(k)
+    * partial state per (group, task) and ships ≤ tasks·k rows per query
+    * through the exchange — a true partial/merge aggregation of top-k.
     *
     * Ordering contract matches the window version exactly: cos DESC,
-    * c_id ASC (neg_cos makes the ascending array sort emit that order).
+    * c_id ASC.
     */
-  private def topK(scored: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
-    val pair = struct((-col("cos")).as("neg_cos"), col("c_id"), col("cos"))
+  private def topK(scored: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
     scored
-      .withColumn("salt", pmod(crc32(col("c_id").cast("string")), lit(64)).cast("int"))
-      .groupBy(col("q_id"), col("salt"))
-      .agg(slice(sort_array(collect_list(pair)), 1, k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
       .groupBy(col("q_id"))
-      .agg(slice(sort_array(collect_list(col("t"))), 1, k).as("top"))
+      .agg(expr(s"graft_topk(cos, c_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
+      .select(col("q_id"), col("col.id").as("c_id"), col("col.score").as("cos"),
         (col("pos") + 1).cast("long").as("rk"))
-  }
 
   val all: Seq[Q] = Seq(
 

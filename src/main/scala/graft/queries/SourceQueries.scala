@@ -171,6 +171,25 @@ object SourceQueries {
                    count(DISTINCT n_nationkey) AS n_distinct
                   FROM nation GROUP BY n_regionkey"""))),
 
+    // ORC round-trip (the second columnar format of §2.1 — the reference
+    // era's parquet/orc pair): write with a partition column, read back
+    // with predicate pushdown into the ORC scan.
+    Q("src_orc_roundtrip",
+      (s, d) => {
+        val path = tmp(d, "orders_orc")
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode(SaveMode.Overwrite).orc(path)
+        s.read.orc(path)
+          .filter(col("o_totalprice") > 100000.0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+                  FROM orders WHERE o_totalprice > 100000.0
+                  GROUP BY o_orderstatus"""))),
+
     // SQL DDL lifecycle (sources/ddl.scala DDLParser `CREATE … USING` +
     // InsertIntoHiveTable semantics via SQL, not the API): CTAS into a
     // managed parquet table, INSERT INTO appends, read back through the

@@ -30,13 +30,16 @@ object UdfQueries {
     def outputEncoder = Encoders.scalaDouble
   }
 
-  private def register(s: SparkSession): Unit = {
-    s.udf.register("graft_revenue",
-      (price: Double, discount: Double) => price * (1.0 - discount))
-    s.udf.register("graft_priority_rank",
-      (p: String) => p.substring(0, 1).toInt)
-    s.udf.register("graft_geomean", udaf(geoMean))
-  }
+  private def register(s: SparkSession): Unit =
+    // once per session: re-registering emits "replaced a previously
+    // registered function" WARNs on every query
+    if (!s.catalog.functionExists("graft_revenue")) {
+      s.udf.register("graft_revenue",
+        (price: Double, discount: Double) => price * (1.0 - discount))
+      s.udf.register("graft_priority_rank",
+        (p: String) => p.substring(0, 1).toInt)
+      s.udf.register("graft_geomean", udaf(geoMean))
+    }
 
   val all: Seq[Q] = Seq(
 

@@ -70,4 +70,35 @@ class CatalystExtensionSpec extends AnyFunSuite {
       .selectExpr("graft_cosine(a, b) AS c").collect()(0)
     assert(withNull.isNullAt(0))
   }
+
+  test("graft_topk keeps the best k by (score desc, id asc) across partitions") {
+    Engine.configure(spark)
+    // 1000 rows over 8 partitions forces real partial/merge; scores tie
+    // in pairs (score = id/2) so the id-asc tie-break is exercised
+    val rows = (0L until 1000L).map(i => (i % 3, (i / 2).toDouble, i))
+    val out = rows.toDF("g", "score", "id").repartition(8)
+      .groupBy($"g")
+      .agg(expr("graft_topk(score, id, 4)").as("top"))
+      .selectExpr("g", "inline(top)")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (g, rs) => g -> rs.map(r => (r.getDouble(1), r.getLong(2))).toSeq }
+    // per group: best 4 of the group's rows ordered score desc, id asc
+    for (g <- 0L to 2L) {
+      val expected = rows.filter(_._1 == g).map(t => (t._2, t._3))
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(4)
+      assert(out(g) === expected, s"group $g")
+    }
+  }
+
+  test("graft_topk skips null inputs and caps state at k") {
+    Engine.configure(spark)
+    val out = Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 10L), (null, 11L), (2.0, null), (3.0, 12L))
+      .toDF("score", "id")
+      .selectExpr("graft_topk(score, id, 2) AS top")
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out === Seq((3.0, 12L), (1.0, 10L)))
+  }
 }

@@ -92,10 +92,11 @@ class PlanSpec extends AnyFunSuite {
     for (name <- Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh")) {
       val p = plan(name)
       // the old shape shuffled EVERY scored pair into ≤Q window partitions;
-      // the scale-safe shape is salted local top-k (map-side partial
-      // collect_list bounded by slice) merged per query
+      // the scale-safe shape is the native bounded-heap graft_topk
+      // aggregate: O(k) partial state, real partial/merge split
       assert(!p.contains("Window"), s"$name still uses a window:\n$p")
-      assert(p.contains("partial_collect_list"), s"$name lacks partial agg:\n$p")
+      assert(p.contains("partial_graft_topk"), s"$name lacks partial topk agg:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$name not object-hash-aggregated:\n$p")
     }
   }
 
