@@ -43,18 +43,29 @@ object Engine {
     spark
   }
 
+  /** Hive-metastore confs shared by every session builder: a real
+    * HiveExternalCatalog (HiveTableScan / InsertIntoHiveTable parity)
+    * backed by an in-memory Derby metastore — unique per JVM, so
+    * concurrent JVMs (sbt test + Verify) never contend on a metastore
+    * lock, and the catalog state is rebuilt by each query (which are all
+    * repetition-safe by construction). */
+  def withHive(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:memory:graftms${java.lang.ProcessHandle.current().pid()};create=true")
+    .enableHiveSupport()
+
   /** Standalone session for mains/tests. local[*] here; on a cluster the
     * same builder settings apply unchanged. */
   def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
     val b = SparkSession.builder().appName(appName)
     master.foreach(b.master)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = b
+    val spark = withHive(b
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     configure(spark)

@@ -171,6 +171,32 @@ object SourceQueries {
                    count(DISTINCT n_nationkey) AS n_distinct
                   FROM nation GROUP BY n_regionkey"""))),
 
+    // REAL Hive table lifecycle (HiveTableScan.scala:43 +
+    // InsertIntoHiveTable.scala:53): hive-SERDE parquet table in the
+    // HiveExternalCatalog (sessions run enableHiveSupport over an
+    // embedded metastore), INSERT INTO appends (full set + region-0
+    // copy), read back through the catalog. PlanSpec asserts the table's
+    // provider is `hive`, not a Spark datasource table.
+    Q("src_hive_table",
+      (s, d) => {
+        dropManaged(s, "graft_hive_nation")
+        table(s, d, "nation").createOrReplaceTempView("graft_hive_src")
+        s.sql(sql("""CREATE TABLE graft_hive_nation
+                     (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+                     STORED AS PARQUET"""))
+        s.sql(sql("""INSERT INTO graft_hive_nation
+                     SELECT n_nationkey, n_name, n_regionkey FROM graft_hive_src"""))
+        s.sql(sql("""INSERT INTO graft_hive_nation
+                     SELECT n_nationkey, n_name, n_regionkey FROM graft_hive_src
+                     WHERE n_regionkey = 0"""))
+        s.sql(sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                     FROM graft_hive_nation GROUP BY n_regionkey"""))
+      },
+      Some(sql("""SELECT n_regionkey,
+                   count(*) * (CASE WHEN n_regionkey = 0 THEN 2 ELSE 1 END) AS n,
+                   min(n_name) AS first_name
+                  FROM nation GROUP BY n_regionkey"""))),
+
     // ORC round-trip (the second columnar format of §2.1 — the reference
     // era's parquet/orc pair): write with a partition column, read back
     // with predicate pushdown into the ORC scan.

@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("hive-format table lives in a real Hive metastore catalog") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
+    SparkEntry.queries("src_hive_table")(spark, TestSpark.Sf).count() // create
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_hive_nation"))
+    assert(meta.provider.contains("hive"), s"provider=${meta.provider}")
+  }
+
   test("JDBC read pushes predicates into the database WHERE clause") {
     val p = plan("src_jdbc_read")
     assert(p.contains("PushedFilters"), p)
