@@ -141,6 +141,79 @@ object JoinQueries {
         .select(col("r_name"), col("n_name")),
       Some(sql("SELECT r_name, n_name FROM region CROSS JOIN nation"))),
 
+    // AS-OF join (operator Spark lacks natively; the time-series staple):
+    // for each purchase, the user's most recent click at-or-before it.
+    // Scale shape: NO join at all — tag both sides, union, and carry the
+    // last click forward with a per-user window (last(_, ignoreNulls)).
+    // One shuffle on user_id; state per row is O(1). A naive theta join
+    // (p.ts >= c.ts) would be a per-user cross product. Clicks are
+    // deduped to max event_id per (user, ts) so equal-ts ties are
+    // deterministic in both engines. Oracle: DuckDB's native ASOF JOIN.
+    Q("join_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = graft.Engine.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("c_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        val tagged = clicks
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("c_id"), lit(null).cast("long").as("p_id"))
+          .unionByName(buys.select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("c_id"), col("p_id")))
+        // side=0 sorts clicks before purchases at equal ts → `>=` semantics
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"), coalesce(col("c_id"), col("p_id")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("last_c_id", last(col("c_id"), ignoreNulls = true).over(w))
+          .withColumn("last_c_ts",
+            last(when(col("c_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("p_id"), col("user_id"), col("ts").as("p_ts"),
+            col("last_c_id").as("c_id"), col("last_c_ts").as("c_ts"))
+      },
+      Some(sql("""WITH c AS (SELECT user_id, ts, max(event_id) AS c_id
+                             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+                   p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                         FROM events WHERE event_type = 'purchase')
+                  SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.ts AS c_ts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.p_ts >= c.ts"""))),
+
+    // RANGE (interval) join (operator Spark plans as a per-key cross
+    // product): click→purchase pairs of the same user within one hour.
+    // Scale shape: bucket the time axis into 1h bins, join on
+    // (user, bin) with each purchase probing its own and the previous
+    // bin — an ordinary partitioned equi-join — then apply the exact
+    // interval filter. Each qualifying pair matches in exactly one bin
+    // (the click's), so no dedup is needed. Work is O(pairs-in-bin), not
+    // O(pairs-per-user).
+    Q("join_range",
+      (s, d) => {
+        val ev = graft.Engine.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"),
+            floor(unix_timestamp(col("ts")) / 3600).as("bin"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+            explode(array(floor(unix_timestamp(col("ts")) / 3600),
+              floor(unix_timestamp(col("ts")) / 3600) - 1)).as("bin"))
+        clicks.join(buys, Seq("user_id", "bin"))
+          .filter(col("p_ts") >= col("c_ts") &&
+            col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("c_id"), col("p_id"), col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      },
+      Some(sql("""SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+                  FROM events c JOIN events p
+                    ON c.user_id = p.user_id
+                   AND c.event_type = 'click' AND p.event_type = 'purchase'
+                   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR"""))),
+
     // 5-way star join — the flagship / bench q3 analog. Dims broadcast,
     // single fact shuffle for the final aggregation.
     Q("join_star", bench = true,

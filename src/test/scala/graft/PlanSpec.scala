@@ -128,6 +128,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("as-of join is a single-shuffle window plan, not a per-key cross product") {
+    val p = plan("join_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "as-of should be join-free (union + window):\n" + p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("range join is a binned equi-join, not a cross product") {
+    val p = plan("join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hive-format table lives in a real Hive metastore catalog") {
     assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
     SparkEntry.queries("src_hive_table")(spark, TestSpark.Sf).count() // create
