@@ -244,6 +244,68 @@ object MiscQueries {
                    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
                   FROM orders GROUP BY o_orderstatus"""))),
 
+    // Stratified sampling (DataFrameStatFunctions.sampleBy): per-stratum
+    // Bernoulli fractions. Sampled membership is engine-specific, so the
+    // ORACLED contract is the per-stratum size bound: |got − f·N| within
+    // 4σ+3 of the binomial expectation.
+    Q("stat_sample_by",
+      (s, d) => {
+        import s.implicits._
+        val o = table(s, d, "orders")
+        val fractions = Map("F" -> 0.2, "O" -> 0.1, "P" -> 0.5)
+        val sampled = o.stat.sampleBy("o_orderstatus", fractions, 42L)
+        val full = o.groupBy(col("o_orderstatus")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = sampled.groupBy(col("o_orderstatus")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        fractions.toSeq.sortBy(_._1).map { case (st, f) =>
+          val exp = f * full.getOrElse(st, 0L)
+          val slack = 4.0 * math.sqrt(exp) + 3.0
+          (st, math.abs(got.getOrElse(st, 0L) - exp) <= slack)
+        }.toDF("o_orderstatus", "in_bounds")
+      },
+      Some(sql("""SELECT DISTINCT o_orderstatus, true AS in_bounds FROM orders"""))),
+
+    // Sketches (DataFrameStatFunctions.bloomFilter / countMinSketch):
+    // ORACLED on the sketches' defining guarantees — a Bloom filter has
+    // ZERO false negatives over the inserted keys (verified distributed,
+    // via a broadcast filter over the full scan), and CMS estimates are
+    // overcounts bounded by eps·total.
+    Q("stat_sketches",
+      (s, d) => {
+        import s.implicits._
+        val o = table(s, d, "orders")
+        val n = o.count()
+        val bf = o.stat.bloomFilter("o_orderkey", n, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+        val falseNeg = o.filter(!mightContain(col("o_orderkey"))).count()
+        val eps = 0.001
+        val cms = o.stat.countMinSketch(col("o_orderstatus"), eps, 0.99, 42)
+        val truth = o.groupBy(col("o_orderstatus")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cmsOk = truth.forall { case (k, v) =>
+          val est = cms.estimateCount(k)
+          est >= v && est <= v + (eps * cms.totalCount()).toLong + 1
+        }
+        Seq((falseNeg, cmsOk)).toDF("bloom_false_negatives", "cms_within_eps")
+      },
+      Some(sql("""SELECT CAST(0 AS BIGINT) AS bloom_false_negatives,
+                   true AS cms_within_eps"""))),
+
+    // Heavy hitters (DataFrameStatFunctions.freqItems): with support 0.25
+    // every ~33% status MUST appear in the result set (the guarantee is
+    // no false negatives above the support threshold).
+    Q("stat_freq_items",
+      (s, d) => {
+        import s.implicits._
+        val fi = table(s, d, "orders").stat.freqItems(Seq("o_orderstatus"), 0.25)
+        val items = fi.collect()(0).getSeq[String](0).toSet
+        Seq((items.contains("F"), items.contains("O"), items.contains("P")))
+          .toDF("has_f", "has_o", "has_p")
+      },
+      Some(sql("SELECT true AS has_f, true AS has_o, true AS has_p"))),
+
     // unionByName: schemas aligned by column NAME, not position.
     Q("set_union_by_name",
       (s, d) => {
