@@ -181,7 +181,6 @@ object DedupQueries {
     // (pigeonhole), so candidates come from an equi-join, never all-pairs.
     Q("dedup_simhash_hamming",
       (s, d) => {
-        graft.plans.Hamming64.register(s)
         val sigs = table(s, d, "documents")
           .select(col("doc_id"), T.simhash(col("text")).as("sig"))
         val banded = sigs.select(col("doc_id"), col("sig"),
@@ -216,7 +215,7 @@ object DedupQueries {
     Q("dedup_cosine",
       (s, d) => {
         val e = graft.functions.SkewGuard.dropHotBuckets(
-          graft.functions.CacheOnce.swap("dedup_cosine_buckets",
+          graft.functions.CacheOnce.swap("emb_lsh_buckets",
             table(s, d, "embeddings")
               .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))),
           Seq("bucket"))

@@ -80,14 +80,19 @@ object RelationalQueries {
 
     // Global Sort (basicOperators.scala:144): order materialized as a rank
     // column so the (row-order-insensitive) oracle can still verify it.
+    // Rank via zipWithIndex over the range-partitioned sort — a global
+    // row_number window would collapse everything into ONE partition;
+    // zipWithIndex ranks distributed (per-partition counts + offsets).
     Q("sort_global",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        import s.implicits._
         table(s, d, "orders")
           .filter(col("o_totalprice") > 250000.0)
           .select(col("o_orderkey"), col("o_totalprice"))
-          .withColumn("rn", row_number().over(w).cast("long"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .rdd.zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1) }
+          .toDF("o_orderkey", "o_totalprice", "rn")
       },
       Some(sql("""SELECT o_orderkey, o_totalprice,
                    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
@@ -130,14 +135,19 @@ object RelationalQueries {
 
     // Sort with explicit null ordering (SortOrder.scala:32 — NULLS
     // FIRST/LAST was NOT expressible in 1.3; beyond-ref extension).
+    // Same distributed zipWithIndex rank materialization as sort_global.
     Q("sort_nulls_last",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("status").asc_nulls_last, col("o_orderkey").asc)
+        import s.implicits._
         table(s, d, "orders")
           .filter(col("o_totalprice") > 350000.0)
           .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("status"))
-          .withColumn("rn", row_number().over(w).cast("long"))
+          .orderBy(col("status").asc_nulls_last, col("o_orderkey").asc)
+          .rdd.zipWithIndex
+          .map { case (r, i) =>
+            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), i + 1)
+          }
+          .toDF("o_orderkey", "status", "rn")
       },
       Some(sql("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status,
                    CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'P') ASC NULLS LAST,

@@ -93,7 +93,10 @@ object SimilarityQueries {
     // bucket — the fully data-independent scale path.
     Q("sim_topk_lsh",
       (s, d) => {
-        val e = graft.functions.CacheOnce.swap("sim_lsh_buckets",
+        // same key as dedup_cosine: the bucket table is plan-identical, so
+        // sharing the key keeps ONE cached copy (a second persist of an
+        // equivalent plan would just WARN and alias it anyway)
+        val e = graft.functions.CacheOnce.swap("emb_lsh_buckets",
           table(s, d, "embeddings")
             .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket")))
         val q = e.filter(col("vec_id") < 10)
