@@ -218,6 +218,46 @@ object AggQueries {
                    true AS within_tol
                   FROM orders GROUP BY o_orderstatus"""))),
 
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer results.
+    Q("agg_bitwise",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_orderkey")).as("band"),
+          bit_or(col("l_orderkey")).as("bor"),
+          bit_xor(col("l_orderkey")).as("bxor")),
+      Some(sql("""SELECT l_returnflag, bit_and(l_orderkey) AS band,
+                   bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor
+                  FROM lineitem GROUP BY l_returnflag"""))),
+
+    // mode() (beyond-reference, Spark 3.4+). Among tied counts both
+    // engines pick arbitrarily, so the ORACLED output is the
+    // DETERMINISTIC mode (highest count, then smallest value) plus a
+    // boolean asserting the native mode() hits the same top count.
+    Q("agg_mode",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        val det = counts.groupBy(col("l_returnflag"))
+          .agg(max(col("cnt")).as("max_cnt"),
+            max_by(col("l_quantity"), struct(col("cnt"), (-col("l_quantity")).as("nq")))
+              .as("det_mode"))
+        val native = li.groupBy(col("l_returnflag"))
+          .agg(mode(col("l_quantity")).as("native_mode"))
+        det.join(native, "l_returnflag")
+          .join(counts.withColumnRenamed("l_quantity", "native_mode"), Seq("l_returnflag", "native_mode"))
+          .select(col("l_returnflag"), col("det_mode"),
+            (col("cnt") === col("max_cnt")).as("native_is_a_mode"))
+      },
+      Some(sql("""WITH counts AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                                  FROM lineitem GROUP BY 1, 2)
+                  SELECT l_returnflag, l_quantity AS det_mode, true AS native_is_a_mode
+                  FROM (SELECT l_returnflag, l_quantity,
+                          row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+                        FROM counts)
+                  WHERE rn = 1"""))),
+
     // collect_list/collect_set parity (Hive-bridge-only in 1.3) — sorted for
     // determinism, then joined to a flat string: the harness's tabular
     // checker can't order list-valued cells, so both sides emit the same

@@ -123,6 +123,30 @@ object WindowQueries {
                                ORDER BY c_acctbal, c_custkey),
                          wp AS (PARTITION BY c_nationkey)"""))),
 
+    // RANGE (value-based) window frame — the other frame type next to
+    // ROWS. Price is scaled to exact integer cents so both the frame
+    // boundary semantics and the windowed sum are exact (no double
+    // accumulation-order drift; CAST the DuckDB sum: HUGEINT vs long).
+    Q("win_range_frame",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("cents"))
+          .rangeBetween(-1000000L, 0L) // $10k window below each order
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), cents.as("cents"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+            count(lit(1)).over(w).cast("long").as("n_within_10k"),
+            sum(col("cents")).over(w).as("cents_within_10k"))
+      },
+      Some(sql("""SELECT o_orderkey, o_orderstatus, cents,
+                   CAST(count(*) OVER w AS BIGINT) AS n_within_10k,
+                   CAST(sum(cents) OVER w AS BIGINT) AS cents_within_10k
+                  FROM (SELECT o_orderkey, o_orderstatus,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                        FROM orders)
+                  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents
+                               RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)"""))),
+
     // first/last value within a frame + nth-style top-per-group pattern.
     Q("win_top_per_group",
       (s, d) => {
