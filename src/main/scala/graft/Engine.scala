@@ -37,6 +37,7 @@ object Engine {
       graft.plans.Hamming64.register(spark)
       graft.plans.CosineSim.register(spark)
       graft.plans.TopKAgg.register(spark)
+      graft.plans.MinHash16.register(spark)
       graft.plans.GraftRules.install(spark)
       c.set("spark.graft.configured", "true")
     }

@@ -29,16 +29,17 @@ object DedupQueries {
     * functions — at 100 TB the hashing dominates the scan stage, so this
     * 16× reuse is the difference between CPU-bound and IO-bound. */
   private def bandTable(s: SparkSession, d: String): DataFrame = {
-    val docs = table(s, d, "documents")
+    val withSigs = table(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), Portable.shingles3FromTokens(col("toks")).as("sh"))
       .select(col("doc_id"), Portable.shingleHashes(col("sh")).as("hs"))
-    val withSigs = (0 until Hashes).foldLeft(docs) { (df, i) =>
-      df.withColumn(s"mh$i", Portable.minhashFromHashes(col("hs"), i))
-    }
+      // all 16 minhashes fused into one codegen'd pass over the shared
+      // shingle hashes (plans/MinHash16.scala — bit-identical to the
+      // composed array_min form the oracle mirrors)
+      .select(col("doc_id"), expr("graft_minhash16(hs)").as("mh"))
     val bandSigs: Seq[Column] = (0 until Bands).map { b =>
-      concat_ws("_", (0 until Rows).map(r => col(s"mh${b * Rows + r}")): _*)
+      concat_ws("_", (0 until Rows).map(r => element_at(col("mh"), b * Rows + r + 1)): _*)
     }
     // cached (swap semantics): the self-join consumes this twice — without
     // the cache every signature (md5 over all shingles) is computed twice.

@@ -71,6 +71,29 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("graft_minhash16 equals the 16 composed array_min minhashes") {
+    Engine.configure(spark)
+    import graft.functions.Portable
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs and more",
+        "a b c")
+      .toDF("text")
+      .select(Portable.shingleHashes(Portable.shingles3(org.apache.spark.sql.functions.col("text"))).as("hs"))
+    val fused = docs.selectExpr("graft_minhash16(hs) AS mh").collect()
+      .map(_.getSeq[Long](0).toSeq)
+    val composed = docs.select(
+        org.apache.spark.sql.functions.array(
+          (0 until 16).map(i => Portable.minhashFromHashes(org.apache.spark.sql.functions.col("hs"), i)): _*).as("mh"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(fused.toSeq === composed.toSeq)
+  }
+
+  test("graft_minhash16 of an empty hash array is null (array_min parity)") {
+    Engine.configure(spark)
+    val r = Seq(Seq.empty[Long]).toDF("hs").selectExpr("graft_minhash16(hs) AS mh").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("graft_topk keeps the best k by (score desc, id asc) across partitions") {
     Engine.configure(spark)
     // 1000 rows over 8 partitions forces real partial/merge; scores tie
