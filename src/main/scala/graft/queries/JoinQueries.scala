@@ -183,6 +183,32 @@ object JoinQueries {
                   FROM p ASOF LEFT JOIN c
                     ON p.user_id = c.user_id AND p.p_ts >= c.ts"""))),
 
+    // The SAME as-of semantics through the NATIVE operator
+    // (plans/AsOfJoin.scala: custom LogicalPlan + Strategy + exec whose
+    // declared distribution/ordering makes EnsureRequirements insert the
+    // co-partitioning exchanges — §7 extension path (c) end-to-end).
+    // Oracle identical to join_asof, so the custom operator is
+    // hash-verified against DuckDB's native ASOF JOIN.
+    Q("join_asof_native",
+      (s, d) => {
+        val ev = graft.Engine.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("c_id"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("c_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        graft.plans.AsOfJoin.asof(buys, "user_id", "p_ts", clicks, "c_user", "c_ts")
+          .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+      },
+      Some(sql("""WITH c AS (SELECT user_id, ts, max(event_id) AS c_id
+                             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+                   p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                         FROM events WHERE event_type = 'purchase')
+                  SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.ts AS c_ts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.p_ts >= c.ts"""))),
+
     // RANGE (interval) join (operator Spark plans as a per-key cross
     // product): click→purchase pairs of the same user within one hour.
     // Scale shape: bucket the time axis into 1h bins, join on

@@ -94,6 +94,15 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("native as-of join equals the window-composition as-of join") {
+    val native = SparkEntry.queries("join_asof_native")(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    val composed = SparkEntry.queries("join_asof")(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
   test("graft_topk keeps the best k by (score desc, id asc) across partitions") {
     Engine.configure(spark)
     // 1000 rows over 8 partitions forces real partial/merge; scores tie

@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("native as-of operator gets co-partitioned exchanges from its declared needs") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    // EnsureRequirements must have inserted hash exchanges on the keys
+    assert(p.contains("hashpartitioning(user_id") && p.contains("hashpartitioning(c_user"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("range join is a binned equi-join, not a cross product") {
     val p = plan("join_range")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
