@@ -218,6 +218,19 @@ object AggQueries {
                    true AS within_tol
                   FROM orders GROUP BY o_orderstatus"""))),
 
+    // Boolean aggregates: count_if + bool_and/bool_or (ANSI every/any).
+    Q("agg_bool",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count_if(col("l_quantity") > 25.0).as("n_big"),
+          bool_and(col("l_quantity") > 0.0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc")),
+      Some(sql("""SELECT l_returnflag,
+                   count_if(l_quantity > 25.0) AS n_big,
+                   bool_and(l_quantity > 0.0) AS all_positive,
+                   bool_or(l_discount > 0.09) AS any_big_disc
+                  FROM lineitem GROUP BY l_returnflag"""))),
+
     // Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer results.
     Q("agg_bitwise",
       (s, d) => table(s, d, "lineitem")

@@ -70,6 +70,36 @@ object MiscQueries {
       Some(sql("""SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
                   FROM orders GROUP BY o_custkey"""))),
 
+    // Typed two-sided cogroup (KeyValueGroupedDataset.cogroup — the
+    // Dataset[T] analog of PairRDD cogroup, per-key custom merge logic).
+    // Sums rounded at 2: the per-group iterator order is shuffle-
+    // dependent, so double accumulation order differs run to run.
+    Q("typed_cogroup",
+      (s, d) => {
+        import s.implicits._
+        val ords = table(s, d, "orders")
+          .select(col("o_custkey").as("_1"), col("o_totalprice").as("_2"))
+          .as[(Long, Double)].groupByKey(_._1)
+        val custs = table(s, d, "customer")
+          .select(col("c_custkey").as("_1"), col("c_acctbal").as("_2"))
+          .as[(Long, Double)].groupByKey(_._1)
+        ords.cogroup(custs) { (k, os, cs) =>
+          var n = 0L; var total = 0.0
+          os.foreach { o => n += 1; total += o._2 }
+          val bal = cs.foldLeft(0.0)(_ + _._2)
+          Iterator.single((k, n, math.round(total * 100.0) / 100.0,
+            math.round(bal * 100.0) / 100.0))
+        }.toDF("custkey", "n_orders", "spend", "acctbal")
+      },
+      Some(sql("""SELECT coalesce(o_custkey, c_custkey) AS custkey,
+                   coalesce(n_orders, 0) AS n_orders,
+                   round(coalesce(spend, 0), 2) AS spend,
+                   round(coalesce(c_acctbal, 0), 2) AS acctbal
+                  FROM (SELECT o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS spend
+                        FROM orders GROUP BY o_custkey) o
+                  FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"""))),
+
     // Columnar in-memory cache (§2.1/§4.3: InMemoryColumnarTableScan →
     // df.cache): cached re-aggregation must equal the uncached oracle.
     Q("cache_columnar",
