@@ -79,7 +79,11 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lEval = UnsafeProjection.create(Seq(lk, lts), leftOut)
       val rEval = UnsafeProjection.create(Seq(rk, rts), rightOut)
-      val outProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // bind against NULLABLE right attributes: an unmatched left row
+      // joins a null-filled row, and binding to a non-nullable input
+      // attribute would skip the null check and read 0 instead of NULL
+      val outProj = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
       val rBuf = rIt.buffered

@@ -123,6 +123,45 @@ class CatalystExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_topk matches a window top-k over 200k high-cardinality rows") {
+    Engine.configure(spark)
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 200000)
+      .selectExpr("id % 7 AS g", "CAST((id * 131) % 997 AS DOUBLE) AS score", "id")
+      .repartition(16)
+    val native = df.groupBy($"g")
+      .agg(expr("graft_topk(score, id, 5)").as("top"))
+      .selectExpr("g", "inline(top)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val windowed = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"g", $"score", $"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(native === windowed)
+    assert(native.size === 35)
+  }
+
+  test("native as-of join handles synthetic edge cases (no match, future-only, equal ts)") {
+    Engine.configure(spark)
+    // key 1: clicks before and after; key 2: only future clicks (no
+    // match); key 3: no clicks at all; key 4: click at EXACTLY the
+    // purchase ts (>= must match)
+    val right = Seq(
+      (1L, 100L, 10L), (1L, 200L, 11L), (1L, 400L, 12L),
+      (2L, 900L, 20L),
+      (4L, 500L, 40L))
+      .toDF("c_user", "c_ts_raw", "c_id")
+      .selectExpr("c_user", "timestamp_micros(c_ts_raw) AS c_ts", "c_id")
+    val left = Seq(
+      (1L, 300L, 1000L), (2L, 300L, 2000L), (3L, 300L, 3000L), (4L, 500L, 4000L))
+      .toDF("user_id", "p_ts_raw", "p_id")
+      .selectExpr("user_id", "timestamp_micros(p_ts_raw) AS p_ts", "p_id")
+    val out = graft.plans.AsOfJoin.asof(left, "user_id", "p_ts", right, "c_user", "c_ts")
+      .selectExpr("p_id", "c_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1000L -> 11L, 2000L -> -1L, 3000L -> -1L, 4000L -> 40L))
+  }
+
   test("graft_topk skips null inputs and caps state at k") {
     Engine.configure(spark)
     val out = Seq[(java.lang.Double, java.lang.Long)](
