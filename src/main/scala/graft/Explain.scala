@@ -10,7 +10,9 @@ object Explain {
     val spark = Engine.session("graft-explain", Some("local[4]"))
     val names =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.benchQueries.map(_.name) ++ Seq("join_inner", "dedup_simhash_hamming")
+      else SparkEntry.benchQueries.map(_.name) ++ Seq(
+        "join_inner", "dedup_simhash_hamming", "join_asof_native",
+        "join_range", "src_dsv2_pushdown", "src_jdbc_read")
     names.foreach { name =>
       println(s"\n===== $name =====")
       try {
