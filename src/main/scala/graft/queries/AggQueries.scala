@@ -226,7 +226,7 @@ object AggQueries {
           bool_and(col("l_quantity") > 0.0).as("all_positive"),
           bool_or(col("l_discount") > 0.09).as("any_big_disc")),
       Some(sql("""SELECT l_returnflag,
-                   count_if(l_quantity > 25.0) AS n_big,
+                   CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_big,
                    bool_and(l_quantity > 0.0) AS all_positive,
                    bool_or(l_discount > 0.09) AS any_big_disc
                   FROM lineitem GROUP BY l_returnflag"""))),
