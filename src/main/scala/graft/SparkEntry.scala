@@ -28,8 +28,10 @@ object SparkEntry {
       MultimodalQueries.all ++
       MiscQueries.all ++
       GraphQueries.all ++
+      Graph2Queries.all ++
       Expr2Queries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      Pipeline2Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY §2.10, wave 2 — the remaining GraphX library algorithms
+  * (graphx/.../lib/PageRank.scala, StronglyConnectedComponents.scala,
+  * LabelPropagation.scala) plus the aggregateMessages primitive that
+  * underlies all of GraphOps. Graph shapes are derived from `nation` so
+  * every result stays closed-form for the DuckDB oracle:
+  *
+  *  - PageRank runs on a per-region STAR (leaves → min-key hub): ranks
+  *    after a fixed iteration count have an exact closed form per role.
+  *  - SCC runs on a per-region directed CYCLE: one SCC per region.
+  *  - LabelPropagation runs on the region cliques; synchronous LPA's
+  *    label choice is tie-broken by hashmap iteration order upstream, so
+  *    the ORACLED contract is the deterministic invariant (the converged
+  *    label is a member of the vertex's own region), not the label value.
+  *
+  * Scale posture: identical to GraphQueries — GraphX 2D edge partitioning
+  * drives billion-edge graphs; nothing collects to the driver.
+  */
+object Graph2Queries {
+
+  /** (nation key, region, per-region min key, region size) staging frame. */
+  private def nations(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_regionkey"))
+    table(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_regionkey"))
+      .withColumn("hub", min(col("k")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Static PageRank (graphx/lib/PageRank.scala) with numIter=2,
+    // resetProb=0.15 on the region star graph (every non-hub nation links
+    // to its region's min-key nation; hubs are dangling). Modern GraphX
+    // updates EVERY vertex each sync round (rank = 0.15 + 0.85·msgSum) and
+    // normalizes final ranks to sum to the vertex count, so after 2 rounds:
+    //   leaf (no in-edges): 0.15,
+    //   hub (k-1 leaves):   0.15 + 0.85 · (k-1) · 0.15,
+    // each scaled by N / Σ(unnormalized). The oracle encodes that closed
+    // form, robust to uneven region sizes.
+    Q("graph_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val edges = nations(s, d).filter(col("cnt") >= 2 && col("k") =!= col("hub"))
+          .select(col("k").as("src"), col("hub").as("dst"))
+          .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, 1) }
+        Graph.fromEdges(edges, 0).staticPageRank(2, 0.15)
+          .vertices.toDF("n_nationkey", "rank")
+          .select(col("n_nationkey"), round(col("rank"), 6).as("rank"))
+      },
+      Some(sql("""WITH v AS (SELECT n_nationkey, hub, cnt
+                    FROM (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                            min(CAST(n_nationkey AS BIGINT)) OVER (PARTITION BY n_regionkey) AS hub,
+                            count(*) OVER (PARTITION BY n_regionkey) AS cnt
+                          FROM nation)
+                    WHERE cnt >= 2),
+                  u AS (SELECT n_nationkey,
+                          CASE WHEN n_nationkey = hub
+                               THEN 0.15 + 0.85 * 0.15 * (cnt - 1)
+                               ELSE 0.15 END AS ur FROM v),
+                  s AS (SELECT sum(ur) AS total, count(*) AS n FROM u)
+                  SELECT u.n_nationkey, round(u.ur * s.n / s.total, 6) AS rank
+                  FROM u, s"""))),
+
+    // StronglyConnectedComponents (graphx/lib/StronglyConnectedComponents
+    // .scala) on a directed cycle per region (k1→k2→…→kn→k1): exactly one
+    // SCC per region, id = min member.
+    Q("graph_scc",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy(col("n_regionkey")).orderBy(col("k"))
+        val edges = nations(s, d).filter(col("cnt") >= 2)
+          .withColumn("nxt", lead(col("k"), 1).over(w))
+          .select(col("k").as("src"), coalesce(col("nxt"), col("hub")).as("dst"))
+          .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, 1) }
+        Graph.fromEdges(edges, 0).stronglyConnectedComponents(10)
+          .vertices.toDF("n_nationkey", "scc")
+      },
+      Some(sql("""SELECT n_nationkey, component AS scc FROM (
+                    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                      min(CAST(n_nationkey AS BIGINT)) OVER (PARTITION BY n_regionkey) AS component,
+                      count(*) OVER (PARTITION BY n_regionkey) AS k
+                    FROM nation)
+                  WHERE k >= 2"""))),
+
+    // aggregateMessages (GraphOps' core primitive, graphx/Graph.scala):
+    // sum of neighbor ids over the region clique — closed form is the
+    // region key-sum minus the vertex's own key.
+    Q("graph_aggregate_messages",
+      (s, d) => {
+        val g = GraphQueries.nationGraph(s, d)
+        val sums = g.aggregateMessages[Long](
+          ctx => { ctx.sendToDst(ctx.srcId); ctx.sendToSrc(ctx.dstId) },
+          _ + _)
+        s.createDataFrame(sums.map { case (v, sum) => (v, sum) })
+          .toDF("n_nationkey", "neighbor_sum")
+      },
+      Some(sql("""SELECT n_nationkey,
+                    CAST(region_sum - n_nationkey AS BIGINT) AS neighbor_sum
+                  FROM (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                          sum(CAST(n_nationkey AS BIGINT)) OVER (PARTITION BY n_regionkey) AS region_sum,
+                          count(*) OVER (PARTITION BY n_regionkey) AS k
+                        FROM nation)
+                  WHERE k >= 2"""))),
+
+    // LabelPropagation (graphx/lib/LabelPropagation.scala), 5 synchronous
+    // rounds on the region cliques. The exact converged label depends on
+    // upstream tie-breaking (hashmap iteration order), so the declared
+    // contract is the invariant that IS deterministic: every vertex's
+    // final label is one of its own region's nation keys.
+    Q("graph_label_propagation",
+      (s, d) => {
+        import s.implicits._
+        val labels = org.apache.spark.graphx.lib.LabelPropagation
+          .run(GraphQueries.nationGraph(s, d), 5)
+          .vertices.toDF("n_nationkey", "label")
+        val regions = nations(s, d).select(col("k"), col("n_regionkey"))
+        labels
+          .join(regions.withColumnRenamed("k", "n_nationkey")
+            .withColumnRenamed("n_regionkey", "own_region"), Seq("n_nationkey"))
+          .join(regions.withColumnRenamed("k", "label")
+            .withColumnRenamed("n_regionkey", "label_region"), Seq("label"))
+          .select(col("n_nationkey"), (col("own_region") === col("label_region")).as("label_in_region"))
+      },
+      Some(sql("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, TRUE AS label_in_region
+                  FROM (SELECT n_nationkey,
+                          count(*) OVER (PARTITION BY n_regionkey) AS k
+                        FROM nation)
+                  WHERE k >= 2""")))
+  )
+}

@@ -20,14 +20,14 @@ import Registry.sql
 object GraphQueries {
 
   /** Edges: nation pairs sharing a region, canonical src < dst. */
-  private def nationEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def nationEdges(s: SparkSession, d: String): DataFrame = {
     val nn = table(s, d, "nation").select(col("n_nationkey").cast("long").as("k"), col("n_regionkey"))
     nn.as("a").join(nn.as("b"),
       col("a.n_regionkey") === col("b.n_regionkey") && col("a.k") < col("b.k"))
       .select(col("a.k").as("src"), col("b.k").as("dst"))
   }
 
-  private def nationGraph(s: SparkSession, d: String): Graph[Int, Int] = {
+  private[queries] def nationGraph(s: SparkSession, d: String): Graph[Int, Int] = {
     import s.implicits._
     val edges = nationEdges(s, d).as[(Long, Long)].rdd
       .map { case (a, b) => Edge(a, b, 1) }
