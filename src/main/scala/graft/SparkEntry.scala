@@ -31,7 +31,8 @@ object SparkEntry {
       Graph2Queries.all ++
       Expr2Queries.all ++
       PipelineQueries.all ++
-      Pipeline2Queries.all
+      Pipeline2Queries.all ++
+      Sql2Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -191,4 +191,32 @@ class PlanSpec extends AnyFunSuite {
     assert(sortedFlags.forall(identity))
     assert(sortedFlags.length === 8)
   }
+
+  test("DISTRIBUTE BY / SORT BY is a hash exchange + local sort, no global sort") {
+    val p = plan("sql_distribute_by")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // Sort prints its global flag positionally: "Sort [keys], false, 0"
+    assert(p.contains("], false, 0"), "no local sort found:\n" + p)
+    assert(!p.contains("], true, 0"), "global sort leaked into DISTRIBUTE BY:\n" + p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("SQL BROADCAST hint produces a broadcast join") {
+    assert(plan("sql_join_hint").contains("BroadcastHashJoin"))
+  }
+
+  test("SELECT TRANSFORM plans a script transformation, one pipe per task") {
+    val p = plan("sql_transform")
+    assert(p.toLowerCase.contains("scripttransformation"), p)
+  }
+
+  test("decontamination joins gram hashes via broadcast (text never shuffles)") {
+    val p = plan("pipe_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("k-means assign broadcasts the centroid set to the scan") {
+    val p = plan("sim_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
