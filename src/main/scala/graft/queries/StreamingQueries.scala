@@ -153,6 +153,75 @@ object StreamingQueries {
       },
       Some(sql("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))),
 
+    // REAL stream-static join (DStream.transform-with-RDD analog): the
+    // event stream enriches against a STATIC customer dimension loaded
+    // once per micro-batch planner — the canonical "stream + slowly
+    // changing dim" shape; at scale the static side broadcasts, so the
+    // stream never shuffles.
+    Q("stream_static_join",
+      (s, d) => {
+        val dim = Engine.table(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        val joined = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .join(broadcast(dim), Seq("user_id"))
+        StreamRunner.runToTable(s, joined, s"ssdim_${math.abs(d.hashCode)}", "append")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      },
+      Some(sql("""SELECT c_nationkey, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+                  FROM events JOIN customer ON user_id = c_custkey
+                  GROUP BY c_nationkey"""))),
+
+    // dropDuplicatesWithinWatermark: exactly-once dedup whose state is
+    // EVICTED once the watermark passes — the bounded-state form (plain
+    // dropDuplicates keeps keys forever; this is the one that survives an
+    // unbounded stream). Duplicate copies carry the same event time, so
+    // they always land inside the watermark and the contract is exact.
+    Q("stream_dedup_within_watermark",
+      (s, d) => {
+        val a = StreamRunner.eventsStream(s, d).select(col("event_id"), col("event_type"), col("ts"))
+        val b = StreamRunner.eventsStream(s, d).select(col("event_id"), col("event_type"), col("ts"))
+        val deduped = a.union(b)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        StreamRunner.runToTable(s, deduped.select(col("event_id"), col("event_type")),
+          s"sdwm_${math.abs(d.hashCode)}", "append")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      },
+      Some(sql("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))),
+
+    // flatMapGroupsWithState (the multi-row-emitting superset of
+    // mapGroupsWithState): per user, one row per event_type carrying the
+    // type's count and share of the user's events.
+    Q("stream_flat_map_groups_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = Engine.events(s, d)
+          .select(col("user_id"), col("event_type"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Map[String, Long], (Long, String, Long, Double)](
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, String)], state: GroupState[Map[String, Long]]) =>
+              val counts = rows.foldLeft(Map.empty[String, Long]) { (m, r) =>
+                m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+              }
+              val total = counts.values.sum
+              counts.toSeq.sortBy(_._1).iterator.map { case (t, n) =>
+                (user, t, n, total.toDouble)
+              }
+          }
+          .toDF("user_id", "event_type", "n", "total")
+          .select(col("user_id"), col("event_type"), col("n"),
+            round(col("n") / col("total"), 4).as("share"))
+      },
+      Some(sql("""SELECT user_id, event_type, count(*) AS n,
+                   round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE), 4) AS share
+                  FROM events GROUP BY user_id, event_type"""))),
+
     // foreachBatch sink (foreachRDD analog): each micro-batch is appended
     // to a parquet sink by custom driver-side code; verified by reading
     // the sink back and aggregating.
