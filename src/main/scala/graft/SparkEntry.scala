@@ -32,6 +32,7 @@ object SparkEntry {
       Expr2Queries.all ++
       PipelineQueries.all ++
       Pipeline2Queries.all ++
+      Pipeline3Queries.all ++
       Sql2Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Engine.table
+import graft.functions.{Portable, TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Training-data pipeline operators, wave 3 (beyond-reference flagships):
+  * source-mixture sampling, ANN recall measurement, the end-to-end
+  * quality gate, and product quantization.
+  *
+  * Scale posture, per operator:
+  *  - mixture_sample: pure per-row hash predicate inside the scan — the
+  *    deterministic restatement of per-source temperature sampling; no
+  *    shuffle until the (tiny) per-source audit aggregation.
+  *  - recall_at_k: both rankings are per-query top-k aggregates (bounded
+  *    heap partials); the recall join touches ≤ Q·k rows.
+  *  - quality_gate: one pass over documents for all per-doc signals +
+  *    one hash-keyed window for the exact-duplicate rule (shuffles
+  *    64-bit hashes + small stats, never text).
+  *  - pq_encode: the 8×4 codebook broadcasts to the scan; encode is a
+  *    per-row join against 32 rows — the classic PQ compression shape
+  *    that turns 256-byte vectors into 8-byte codes at 100 TB.
+  *    Distances are computed in EXACT integer arithmetic (floor(x·1000))
+  *    so both engines agree bit-for-bit on every argmin.
+  */
+object Pipeline3Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // Source-mixture sampling (the "3 epochs of Wikipedia, 0.5 of web"
+    // weighting step): per-source keep rates applied as a deterministic
+    // hash predicate, audited per source. Rates: src0-2 → 100%,
+    // src3-5 → 50%, others → 25%.
+    Q("pipe_mixture_sample",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        val rate = when(srcNum <= 2, 100).when(srcNum <= 5, 50).otherwise(25)
+        table(s, d, "documents")
+          .select(col("source"), col("doc_id"), rate.as("rate_pct"),
+            (Portable.stableHash64(col("doc_id")) % 100 < rate).as("kept"))
+          .groupBy(col("source"), col("rate_pct"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some(sql(s"""SELECT source, rate_pct,
+                    CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(CASE WHEN (${Portable.stableHash64Sql("doc_id")} % 100) < rate_pct
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+                   FROM (SELECT source, doc_id,
+                           CASE WHEN CAST(substr(source, 4) AS INT) <= 2 THEN 100
+                                WHEN CAST(substr(source, 4) AS INT) <= 5 THEN 50
+                                ELSE 25 END AS rate_pct
+                         FROM documents)
+                   GROUP BY source, rate_pct"""))),
+
+    // Recall@k of the IVF scale path against the brute-force ground
+    // truth — the metric that decides whether an ANN index is usable.
+    // Both rankings are deterministic, so recall itself is exact.
+    Q("sim_recall_at_k",
+      (s, d) => {
+        val brute = SimilarityQueries.all.find(_.name == "sim_topk_brute").get.fn(s, d)
+          .select(col("q_id"), col("c_id"))
+        val ivf = SimilarityQueries.all.find(_.name == "sim_topk_ivf").get.fn(s, d)
+          .select(col("q_id"), col("c_id"))
+        val hits = brute.join(ivf, Seq("q_id", "c_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+        brute.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("h"), lit(0L)) / 5.0, 4).as("recall"))
+      },
+      Some {
+        val brute = s"""SELECT q_id, c_id FROM (
+            SELECT q_id, c.vec_id AS c_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(${T.cosineSql("q_vec", "c.embedding")}, 6) DESC, c.vec_id) AS rk
+            FROM (SELECT vec_id AS q_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 10) q
+            JOIN embeddings c ON q_id <> c.vec_id) WHERE rk <= 5"""
+        val ivf = s"""SELECT q_id, c_id FROM (
+            SELECT q_id, c.vec_id AS c_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY round(${T.cosineSql("q_vec", "c.embedding")}, 6) DESC, c.vec_id) AS rk
+            FROM (SELECT vec_id AS q_id, label AS q_cell, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 10) q
+            JOIN embeddings c ON q_cell = c.label AND q_id <> c.vec_id) WHERE rk <= 5"""
+        sql(s"""WITH brute AS ($brute), ivf AS ($ivf),
+                  hits AS (SELECT b.q_id, count(*) AS h
+                           FROM brute b JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+                           GROUP BY 1)
+                SELECT q.q_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+                  round(coalesce(h, 0) / 5.0, 4) AS recall
+                FROM (SELECT DISTINCT q_id FROM brute) q
+                LEFT JOIN hits ON q.q_id = hits.q_id""")
+      }),
+
+    // End-to-end quality gate: the composed filter chain every corpus
+    // build runs — length bounds, mean-word-length bounds, repetition
+    // cap, exact-dup removal — each rule in EXACT integer arithmetic
+    // (no float thresholds), emitting keep/drop + the first failing rule.
+    Q("pipe_quality_gate",
+      (s, d) => {
+        val toks = T.tokens(col("text"))
+        val staged = table(s, d, "documents")
+          .select(col("doc_id"), col("text"), toks.as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            size(col("toks")).cast("long").as("n_tok"),
+            aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (a, x) => a + x).as("sum_len"),
+            Portable.shingles3FromTokens(col("toks")).as("grams"))
+          .select(col("doc_id"), col("text"), col("n_tok"), col("sum_len"),
+            size(col("grams")).cast("long").as("ng"),
+            size(array_distinct(col("grams"))).cast("long").as("nd"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("th"))
+        val flagged = staged
+          .withColumn("th", Portable.stableHash64(col("text")))
+          .withColumn("first_dup", min(col("doc_id")).over(w))
+          .withColumn("reason",
+            when(col("n_tok") < 10 || col("n_tok") > 5000, "length")
+              .when(col("sum_len") < col("n_tok") * 3
+                 || col("sum_len") > col("n_tok") * 10, "wordlen")
+              .when(col("ng") > 0 && (col("ng") - col("nd")) * 10 > col("ng") * 6, "repetition")
+              .when(col("doc_id") =!= col("first_dup"), "duplicate")
+              .otherwise("keep"))
+        flagged.select(col("doc_id"), col("n_tok"),
+          (col("reason") === "keep").as("kept"), col("reason"))
+      },
+      Some(sql(s"""SELECT doc_id, n_tok, reason = 'keep' AS kept, reason FROM (
+                    SELECT doc_id, n_tok,
+                      CASE WHEN n_tok < 10 OR n_tok > 5000 THEN 'length'
+                           WHEN sum_len < 3 * n_tok OR sum_len > 10 * n_tok THEN 'wordlen'
+                           WHEN ng > 0 AND (ng - nd) * 10 > ng * 6 THEN 'repetition'
+                           WHEN doc_id <> first_dup THEN 'duplicate'
+                           ELSE 'keep' END AS reason
+                    FROM (SELECT doc_id, n_tok, sum_len, ng, nd,
+                            min(doc_id) OVER (PARTITION BY th) AS first_dup
+                          FROM (SELECT doc_id,
+                                  CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_tok,
+                                  CAST(list_sum(list_transform(${T.tokensSql("text")},
+                                    t -> length(t))) AS BIGINT) AS sum_len,
+                                  CAST(len(${Portable.shingles3Sql("text")}) AS BIGINT) AS ng,
+                                  CAST(len(list_distinct(${Portable.shingles3Sql("text")})) AS BIGINT) AS nd,
+                                  ${Portable.stableHash64Sql("text")} AS th
+                                FROM documents)))"""))),
+
+    // Product quantization encode: 64 dims → 8 subspaces × 8 dims, 4
+    // codes per subspace (codebook = subvectors of vec_id 0-3). Each
+    // vector compresses to 8 code ids + an exact integer reconstruction
+    // error. All arithmetic on floor(x·1000) integers — bit-exact in
+    // both engines, no float-tie hazards in the argmin.
+    Q("sim_pq_encode",
+      (s, d) => {
+        val e = table(s, d, "embeddings")
+        // (vec_id, j, sub) with sub = 8 ints of subspace j
+        val subs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
+            col("embedding"))
+          .select(col("vec_id"), col("j"),
+            transform(slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+              x => floor(x.cast("double") * 1000).cast("long")).as("sub"))
+        val codebook = subs.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("code"), col("j").as("cj"), col("sub").as("csub"))
+        val scored = subs.join(broadcast(codebook), col("j") === col("cj"))
+          .select(col("vec_id"), col("j"), col("code"),
+            aggregate(zip_with(col("sub"), col("csub"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"))
+        val chosen = scored.groupBy(col("vec_id"), col("j"))
+          .agg(min(struct(col("dist"), col("code"))).as("best"))
+          .select(col("vec_id"), col("j"),
+            col("best.code").as("code"), col("best.dist").as("dist"))
+        chosen.groupBy(col("vec_id"))
+          .agg(
+            concat_ws("|",
+              transform(array_sort(collect_list(struct(col("j"), col("code")))),
+                x => x.getField("code").cast("string"))).as("pq_code"),
+            sum(col("dist")).as("err"))
+      },
+      Some(sql("""WITH subs AS (
+                    SELECT vec_id, j.range AS j,
+                      list_transform(embedding[(j.range*8+1):(j.range*8+8)],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sub
+                    FROM embeddings, range(0, 8) j),
+                  cb AS (SELECT CAST(vec_id AS INT) AS code, j AS cj, sub AS csub
+                         FROM subs WHERE vec_id < 4),
+                  scored AS (SELECT s.vec_id, s.j, cb.code,
+                      list_sum(list_transform(range(1, 9),
+                        i -> (s.sub[i] - cb.csub[i]) * (s.sub[i] - cb.csub[i]))) AS dist
+                    FROM subs s JOIN cb ON s.j = cb.cj),
+                  chosen AS (SELECT vec_id, j, code, dist FROM (
+                      SELECT vec_id, j, code, dist,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY dist, code) AS rk
+                      FROM scored) WHERE rk = 1)
+                  SELECT vec_id,
+                    array_to_string(list(CAST(code AS VARCHAR) ORDER BY j), '|') AS pq_code,
+                    CAST(sum(dist) AS BIGINT) AS err
+                  FROM chosen GROUP BY vec_id""")))
+  )
+}
