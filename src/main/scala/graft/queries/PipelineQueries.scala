@@ -29,8 +29,12 @@ object PipelineQueries {
         val nDocs = docs.count() // corpus size: one job, a scalar
         val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        val df = terms.select(col("doc_id"), col("token")).distinct()
-          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        // df from the tf aggregate: (doc_id, token) is already distinct
+        // there, so this replaces a second tokenize+explode+distinct pass
+        // with one more aggregation — and the shared (doc_id, token)
+        // exchange is deduped by ReuseExchange, so the corpus is scanned
+        // and tokenized exactly once.
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("token").asc)
         tf.join(broadcast(df), Seq("token"))
