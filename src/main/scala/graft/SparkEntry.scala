@@ -33,7 +33,8 @@ object SparkEntry {
       PipelineQueries.all ++
       Pipeline2Queries.all ++
       Pipeline3Queries.all ++
-      Sql2Queries.all
+      Sql2Queries.all ++
+      MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

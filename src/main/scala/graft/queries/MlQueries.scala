@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** SURVEY module map `mllib` — the reference ships MLlib 1.3
+  * (mllib/src/main/scala/org/apache/spark/mllib: regression/
+  * LinearRegression, stat/Statistics.chiSqTest, feature/StandardScaler,
+  * clustering/KMeans). The closed-form learners are re-expressed as
+  * DataFrame aggregations so the DuckDB oracle can verify them exactly
+  * (k-means lives in Pipeline2Queries as sim_kmeans_assign/centroids;
+  * GraphX covers the graph side).
+  *
+  * Float determinism technique: sufficient statistics (Σx, Σy, Σxy, Σx²)
+  * are accumulated in DECIMAL — exact and order-independent, so partial
+  * aggregation cannot perturb them — then cast ONCE to double for the
+  * closed-form solve, which is the same IEEE expression in both engines.
+  *
+  * Scale posture: each operator is one partial-aggregated pass (plus a
+  * broadcast of K group rows for the scaler's per-row transform) — the
+  * textbook shape for distributed sufficient-statistics learning.
+  */
+object MlQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Ordinary least squares y = a + b·x per group (mllib/regression):
+    // slope/intercept from exact decimal sufficient statistics.
+    Q("ml_linreg",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,6)")
+        val y = col("l_extendedprice").cast("decimal(18,6)")
+        table(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * y).cast("decimal(38,12)")).cast("double").as("sxy"),
+            sum((x * x).cast("decimal(38,12)")).cast("double").as("sxx"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+              .as("intercept"))
+      },
+      Some(sql("""SELECT l_returnflag, n,
+                    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+                  FROM (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                               * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                               * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+                        FROM lineitem GROUP BY l_returnflag)"""))),
+
+    // Chi-square contingency cells (mllib/stat Statistics.chiSqTest's
+    // observed/expected table) for source × lang: every cell value
+    // derives from exact integer counts, so each row is bit-identical —
+    // no cross-row float summation to perturb.
+    Q("ml_chi2_cells",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val cells = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+        val rowT = docs.groupBy(col("source")).agg(count(lit(1)).as("rt"))
+        val colT = docs.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+        val n = docs.count()
+        cells.join(broadcast(rowT), Seq("source")).join(broadcast(colT), Seq("lang"))
+          .select(col("source"), col("lang"), col("o"),
+            round(col("rt") * col("ct") / lit(n.toDouble), 6).as("expected"),
+            round(pow(col("o") - col("rt") * col("ct") / lit(n.toDouble), 2)
+              / (col("rt") * col("ct") / lit(n.toDouble)), 6).as("contrib"))
+      },
+      Some(sql("""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                    FROM documents GROUP BY 1, 2),
+                  rt AS (SELECT source, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1),
+                  ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1),
+                  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+                  SELECT source, lang, o,
+                    round(rt * ct / n, 6) AS expected,
+                    round(pow(o - rt * ct / n, 2) / (rt * ct / n), 6) AS contrib
+                  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n"""))),
+
+    // StandardScaler (mllib/feature): per-segment z-score of account
+    // balance. Mean and (population) variance come from exact decimal
+    // Σx / Σx², the per-row transform is a broadcast join of K group
+    // rows back onto the scan.
+    Q("ml_scaler",
+      (s, d) => {
+        val x = col("c_acctbal").cast("decimal(18,6)")
+        val stats = table(s, d, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum((x * x).cast("decimal(38,12)")).cast("double").as("sxx"))
+          .select(col("c_mktsegment"), (col("sx") / col("n")).as("mean"),
+            sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("std"))
+        table(s, d, "customer")
+          .join(broadcast(stats), Seq("c_mktsegment"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round((col("c_acctbal") - col("mean")) / col("std"), 6).as("z"))
+      },
+      Some(sql("""WITH stats AS (
+                    SELECT c_mktsegment,
+                      sx / n AS mean,
+                      sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+                    FROM (SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n,
+                            CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(19,6))
+                                 * CAST(c_acctbal AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+                          FROM customer GROUP BY 1))
+                  SELECT c_custkey, c_mktsegment,
+                    round((c_acctbal - mean) / std, 6) AS z
+                  FROM customer JOIN stats USING (c_mktsegment)""")))
+  )
+}
