@@ -12,7 +12,9 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else SparkEntry.benchQueries.map(_.name) ++ Seq(
         "join_inner", "dedup_simhash_hamming", "join_asof_native",
-        "join_range", "src_dsv2_pushdown", "src_jdbc_read")
+        "join_range", "src_dsv2_pushdown", "src_jdbc_read",
+        "pipe_decontaminate", "pipe_quality_gate", "sim_pq_encode",
+        "sim_recall_at_k", "sql_distribute_by", "ml_linreg")
     names.foreach { name =>
       println(s"\n===== $name =====")
       try {
