@@ -277,6 +277,64 @@ object SourceQueries {
       Some(sql("""SELECT c_nationkey, count(*) AS n,
                    round(sum(o_totalprice), 4) AS total
                   FROM orders JOIN customer ON o_custkey = c_custkey
-                  GROUP BY c_nationkey""")))
+                  GROUP BY c_nationkey"""))),
+
+    // Dynamic partition overwrite (InsertIntoHiveTable's dynamic-partition
+    // INSERT OVERWRITE semantics): rewrite ONLY the partitions present in
+    // the incoming data — here the 'F' partition gets re-priced while O/P
+    // stay untouched. The read-back proves per-partition surgical
+    // replacement, the SaveMode.Overwrite + dynamic mode pairing that a
+    // daily re-run of one day's partition relies on at 100 TB.
+    Q("src_dynamic_overwrite",
+      (s, d) => {
+        val path = tmp(d, s"orders_dynpart_${java.lang.ProcessHandle.current().pid()}")
+        val base = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        base.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+        val patch = base.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 4).as("o_totalprice"),
+            col("o_orderstatus"))
+        patch.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderstatus").parquet(path)
+        s.read.parquet(path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                    round(sum(CASE WHEN o_orderstatus = 'F'
+                                   THEN round(o_totalprice * 1.1, 4)
+                                   ELSE o_totalprice END), 4) AS total
+                  FROM orders GROUP BY o_orderstatus"""))),
+
+    // CSV with non-default dialect options: ';' delimiter, quoted fields
+    // containing the delimiter, custom nullValue token — the full
+    // writer/reader option surface round-tripped with an explicit schema.
+    Q("src_csv_options",
+      (s, d) => {
+        val path = tmp(d, "customer_csv_opts")
+        table(s, d, "customer")
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit(";addr")).as("c_name"), // force quoting
+            when(col("c_nationkey") % 5 === 0, lit(null).cast("int"))
+              .otherwise(col("c_nationkey")).as("nk"))
+          .write.mode(SaveMode.Overwrite)
+          .option("header", "true").option("delimiter", ";")
+          .option("quote", "\"").option("nullValue", "\\N")
+          .csv(path)
+        s.read
+          .schema("c_custkey LONG, c_name STRING, nk INT")
+          .option("header", "true").option("delimiter", ";")
+          .option("quote", "\"").option("nullValue", "\\N")
+          .csv(path)
+          .groupBy((col("c_custkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            count(col("nk")).as("n_nk"),
+            sum(length(col("c_name"))).as("name_len"))
+      },
+      Some(sql("""SELECT c_custkey % 7 AS grp, count(*) AS n,
+                    CAST(count(CASE WHEN c_nationkey % 5 <> 0 THEN 1 END) AS BIGINT) AS n_nk,
+                    CAST(sum(length(c_name) + 5) AS BIGINT) AS name_len
+                  FROM customer GROUP BY 1""")))
   )
 }

@@ -110,6 +110,40 @@ object TextQueries {
                    ${Portable.stableHash64Sql("lower(trim(text))")} AS doc_hash,
                    list_min(list_transform(${Portable.shingles3Sql("text")},
                      s -> ${Portable.stableHash64Sql("s")})) AS min_shingle_hash
-                  FROM documents""")))
+                  FROM documents"""))),
+
+    // Unigram surprisal scoring (the LM-perplexity proxy of corpus
+    // filtering) in EXACT integer arithmetic: a token occurring tf times
+    // in an N-token corpus contributes floor(log2 N) − floor(log2 tf)
+    // bits, with floor(log2 k) computed as binary-digit-count − 1 — no
+    // libm, no float summation, bit-identical in both engines.
+    // Rare-token-heavy documents score high; boilerplate scores low.
+    Q("text_surprisal",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        // corpus-size log2 as a 1-row DF cross-joined in (broadcast of one
+        // row) — the vocabulary table itself broadcasts onto the token scan
+        val total = corpus.agg(sum(col("tf")).as("n_total"))
+          .select((length(bin(col("n_total"))) - 1).cast("long").as("log2_n"))
+        toks.join(broadcast(corpus.withColumn("log2_tf",
+            (length(bin(col("tf"))) - 1).cast("long"))), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), (col("log2_n") - col("log2_tf")).as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("total_bits"))
+      },
+      Some(sql(s"""WITH toks AS (SELECT doc_id, unnest(${T.tokensSql("text")}) AS tok
+                     FROM documents),
+                   corpus AS (SELECT tok, count(*) AS tf,
+                       CAST(length(printf('%b', count(*))) - 1 AS BIGINT) AS log2_tf
+                     FROM toks GROUP BY 1),
+                   total AS (SELECT CAST(length(printf('%b', CAST(sum(tf) AS BIGINT))) - 1 AS BIGINT) AS log2_n
+                     FROM corpus)
+                   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                     CAST(sum(log2_n - log2_tf) AS BIGINT) AS total_bits
+                   FROM toks JOIN corpus USING (tok) CROSS JOIN total
+                   GROUP BY doc_id""")))
   )
 }

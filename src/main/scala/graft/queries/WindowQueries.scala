@@ -164,6 +164,25 @@ object WindowQueries {
                     FROM orders
                     WINDOW w AS (PARTITION BY o_custkey
                                  ORDER BY o_totalprice DESC, o_orderkey))
-                  WHERE rn <= 2""")))
+                  WHERE rn <= 2"""))),
+
+    // Time-interval RANGE frame: each event's trailing-1-hour sum per
+    // user — the event-time sibling of win_range_frame's integer frame.
+    // Frame sums accumulate in DECIMAL (exact, order-independent inside
+    // the frame) and render once as double.
+    Q("win_time_range",
+      (s, d) => events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .withColumn("sum_1h",
+          expr("""sum(v) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
+        .select(col("event_id"), col("user_id"),
+          round(col("sum_1h").cast("double"), 4).as("sum_1h")),
+      Some(sql("""SELECT event_id, user_id,
+                    round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS sum_1h
+                  FROM events""")))
   )
 }
