@@ -335,6 +335,30 @@ object SourceQueries {
       Some(sql("""SELECT c_custkey % 7 AS grp, count(*) AS n,
                     CAST(count(CASE WHEN c_nationkey % 5 <> 0 THEN 1 END) AS BIGINT) AS n_nk,
                     CAST(sum(length(c_name) + 5) AS BIGINT) AS name_len
-                  FROM customer GROUP BY 1""")))
+                  FROM customer GROUP BY 1"""))),
+
+    // DSv2 SINK (InsertableRelation/CreatableRelationProvider analog,
+    // reference sources/interfaces.scala:199-203): the full V2 write
+    // protocol — overwrite (TRUNCATE) then append through per-task
+    // DataWriters + driver-side commit — followed by a read-back through
+    // the same provider. Deterministic under re-runs: the first write
+    // truncates.
+    Q("src_dsv2_sink",
+      (s, d) => {
+        val fmt = "graft.sources.MemTableSource"
+        val name = s"cust_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        base.filter(col("c_acctbal") >= 0)
+          .write.format(fmt).option("name", name).mode("overwrite").save()
+        base.filter(col("c_acctbal") < 0)
+          .write.format(fmt).option("name", name).mode("append").save()
+        s.read.format(fmt).option("name", name).load()
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("total"))
+      },
+      Some(sql("""SELECT c_mktsegment, count(*) AS n,
+                    round(sum(c_acctbal), 4) AS total
+                  FROM customer GROUP BY c_mktsegment""")))
   )
 }

@@ -49,12 +49,17 @@ object StreamingQueries {
                    round(sum(value), 4) AS total_value
                   FROM events GROUP BY user_id"""))),
 
-    // Sliding window (window/slide = 2h/1h): each event lands in 2 windows.
+    // Sliding window (window/slide = 2h/1h): REAL stream, each event
+    // lands in 2 overlapping windows; complete mode → memory sink.
     Q("stream_sliding",
-      (s, d) => Engine.events(s, d)
-        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+      (s, d) => {
+        val agg = StreamRunner.eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        StreamRunner.runToTable(s, agg, s"sliding_${math.abs(d.hashCode)}")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      },
       Some(sql("""SELECT ws, event_type, count(*) AS n FROM (
                     SELECT unnest([date_trunc('hour', ts),
                                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,

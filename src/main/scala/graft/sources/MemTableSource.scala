@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource-V2 SINK (+ read-back) — the write half of the reference's
+  * public data-source SPI (sources/interfaces.scala:199-203
+  * `InsertableRelation` and CreatableRelationProvider), which the read-only
+  * RangeSource deliberately leaves uncovered. Implements the full V2 write
+  * protocol: LogicalWriteInfo → BatchWrite → per-task DataWriter →
+  * WriterCommitMessage → driver-side commit, with TRUNCATE capability for
+  * SaveMode.Overwrite.
+  *
+  * Rows travel driver-ward inside commit messages (the V2 memory-sink
+  * pattern): correct-by-construction exactly-once semantics — an aborted
+  * task's rows are never committed, a retried task replaces its message.
+  * A real external sink would push rows to storage in `write` and use the
+  * message only as an idempotency token; the protocol surface is the same.
+  *
+  * Usage:
+  *   df.write.format("graft.sources.MemTableSource")
+  *     .option("name", "t").mode("append"|"overwrite").save()
+  *   spark.read.format("graft.sources.MemTableSource").option("name", "t").load()
+  */
+class MemTableSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemTableStore.schemaOf(options.get("name")) // read-back path
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MemTable(properties.get("name"), schema)
+}
+
+/** JVM-global store: table name → (schema, committed rows). */
+object MemTableStore {
+  private val tables = TrieMap.empty[String, (StructType, Vector[Seq[Any]])]
+
+  def schemaOf(name: String): StructType =
+    tables.get(name).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(s"mem table '$name' not written yet"))
+
+  def rowsOf(name: String): Vector[Seq[Any]] = tables.get(name).map(_._2).getOrElse(Vector.empty)
+
+  def truncate(name: String, schema: StructType): Unit = tables.put(name, (schema, Vector.empty)): Unit
+
+  def append(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
+    tables.synchronized {
+      val cur = tables.get(name).map(_._2).getOrElse(Vector.empty)
+      tables.put(name, (schema, cur ++ rows)): Unit
+    }
+}
+
+final class MemTable(tname: String, tschema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  require(tname != null && tname.nonEmpty, "option 'name' is required")
+  override def name(): String = s"memtable:$tname"
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // ---- read side: one partition per committed chunk is pointless — a
+  // single partition of the (small, driver-held) buffer; a real source
+  // would split here.
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = MemTableStore.schemaOf(tname)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(new InputPartition {})
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val rows = MemTableStore.rowsOf(tname)
+            val sch = MemTableStore.schemaOf(tname)
+            new MemReaderFactory(rows, sch)
+          }
+        }
+      }
+    }
+
+  // ---- write side: the full V2 protocol.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new MemWriterFactory(info.schema())
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            if (doTruncate) MemTableStore.truncate(tname, info.schema())
+            messages.foreach { case m: MemCommitMessage =>
+              MemTableStore.append(tname, info.schema(), m.rows)
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+
+  override def toString: String = name()
+}
+
+final case class MemCommitMessage(rows: Seq[Seq[Any]]) extends WriterCommitMessage
+
+final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[Seq[Any]]
+      override def write(record: InternalRow): Unit =
+        buf += schema.fields.zipWithIndex.map { case (f, i) =>
+          val v = record.get(i, f.dataType)
+          v match {
+            case s: UTF8String => s.toString
+            case other => other
+          }
+        }.toSeq
+      override def commit(): WriterCommitMessage = MemCommitMessage(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+final class MemReaderFactory(rows: Vector[Seq[Any]], schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val r = it.next()
+        cur = new GenericInternalRow(r.zip(schema.fields).map {
+          case (s: String, _) => UTF8String.fromString(s)
+          case (v, _) => v.asInstanceOf[AnyRef]
+        }.toArray[Any])
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}

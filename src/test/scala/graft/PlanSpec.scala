@@ -219,4 +219,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sim_kmeans_assign")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("surprisal scoring broadcasts the vocabulary onto the token scan") {
+    val p = plan("text_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("PQ encode broadcasts the codebook (no candidate shuffle)") {
+    val p = plan("sim_pq_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("time-range window is partitioned by user, never single-partition") {
+    val p = plan("win_time_range")
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
