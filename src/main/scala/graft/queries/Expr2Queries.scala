@@ -110,6 +110,22 @@ object Expr2Queries {
                    strftime(o_orderdate, '%Y-%m') AS ym,
                    last_day(CAST(o_orderdate AS DATE)) AS month_end,
                    CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed_date
-                  FROM orders""")))
+                  FROM orders"""))),
+
+    // Spark 4 VARIANT type (semi-structured columns without a declared
+    // schema — the modern answer to the 1.3-era get_json_object UDF
+    // pattern): parse once, typed path extraction, safe access to a
+    // missing path, and the inferred variant schema.
+    Q("expr_variant",
+      (s, d) => graft.Engine.events(s, d).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_var"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").as("k_missing"),
+        expr("schema_of_variant(parse_json(props))").as("vschema")),
+      Some(sql("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+                   CAST(NULL AS BIGINT) AS k_missing,
+                   'OBJECT<k: BIGINT>' AS vschema
+                  FROM events""")))
   )
 }
