@@ -360,6 +360,43 @@ object MiscQueries {
       },
       Some(sql("""SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 20.0
                   INTERSECT ALL
-                  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.02""")))
+                  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.02"""))),
+
+    // unpivot/melt (wide → long reshape): the inverse of agg_pivot —
+    // per-row measures become (measure, value) pairs. A pure per-row
+    // generator at scale, no shuffle.
+    Q("misc_unpivot",
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value"),
+      Some(sql("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                    measure, value
+                  FROM (SELECT l_orderkey, l_linenumber, m.measure,
+                          CASE m.measure WHEN 'l_quantity' THEN l_quantity
+                                         WHEN 'l_discount' THEN l_discount
+                                         ELSE l_tax END AS value
+                        FROM lineitem,
+                          (SELECT unnest(['l_quantity','l_discount','l_tax']) AS measure) m
+                        WHERE l_orderkey % 100 = 0)"""))),
+
+    // Parameterized SQL (spark.sql with named args — the injection-safe
+    // form of string-built queries).
+    Q("sql_params",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_par")
+        s.sql(
+          "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), :scale) AS total " +
+            "FROM graft_ord_par WHERE o_totalprice > :minprice GROUP BY o_orderstatus",
+          Map("minprice" -> 150000.0, "scale" -> 4))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                    round(sum(o_totalprice), 4) AS total
+                  FROM orders WHERE o_totalprice > 150000.0
+                  GROUP BY o_orderstatus""")))
   )
 }

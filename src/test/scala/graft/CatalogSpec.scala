@@ -41,6 +41,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(cols.contains("s_suppkey") && cols.contains("s_nationkey"))
   }
 
+  test("df.observe surfaces accumulated metrics through Observation") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation()
+    Engine.table(spark, TestSpark.Sf, "orders")
+      .observe(obs, count(lit(1)).as("n"), max(col("o_totalprice")).as("maxp"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] > 0)
+    assert(m("maxp").asInstanceOf[Double] > 0.0)
+  }
+
   test("dropTempView removes resolution") {
     Engine.table(spark, TestSpark.Sf, "part").createOrReplaceTempView("graft_cat_part")
     assert(spark.catalog.tableExists("graft_cat_part"))
