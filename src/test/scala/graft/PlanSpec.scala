@@ -234,4 +234,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("win_time_range")
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val savedBroadcast = c.get("spark.sql.autoBroadcastJoinThreshold")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // the 10 GB application-side default can't trip at test SF; the
+    // TECHNIQUE is what's under test — at 100 TB the default thresholds
+    // fire on their own
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      val pt = spark.read.parquet(s"${TestSpark.Sf}/part.parquet")
+        .filter(col("p_size") === 1) // selective build-side filter
+      val q = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom"),
+        "no runtime bloom filter injected:\n" + optimized)
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }
