@@ -175,6 +175,42 @@ object DedupQueries {
                      AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
                    WHERE ${T.jaccardSql("a.ng", "b.ng")} >= 0.5"""))),
 
+    // Containment similarity C(A,B) = |A∩B| / |A| — the asymmetric
+    // sibling of Jaccard that catches a SHORT doc embedded in a LONGER
+    // one (sub-document duplication), which symmetric Jaccard misses
+    // across length buckets. Same source blocking; the threshold is the
+    // integer-exact 2·|A∩B| ≥ |A| (containment ≥ 0.5), both directions
+    // emitted per pair.
+    Q("dedup_containment",
+      (s, d) => {
+        val g = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
+        val gc = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("dedup_contain_ngrams", g), Seq("source"))
+        gc.as("a").join(gc.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            size(array_intersect(col("a.ng"), col("b.ng"))).cast("long").as("n_int"),
+            size(col("a.ng")).cast("long").as("n_a"),
+            size(col("b.ng")).cast("long").as("n_b"))
+          .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("n_int").cast("double") / col("n_a"), 6).as("c_ab"),
+            round(col("n_int").cast("double") / col("n_b"), 6).as("c_ba"))
+      },
+      Some(sql(s"""WITH g AS (SELECT doc_id, source, ${T.charNgramsSql("text")} AS ng
+                              FROM documents)
+                   SELECT doc_a, doc_b,
+                     round(CAST(n_int AS DOUBLE) / n_a, 6) AS c_ab,
+                     round(CAST(n_int AS DOUBLE) / n_b, 6) AS c_ba
+                   FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(len(list_intersect(a.ng, b.ng)) AS BIGINT) AS n_int,
+                           CAST(len(a.ng) AS BIGINT) AS n_a,
+                           CAST(len(b.ng) AS BIGINT) AS n_b
+                         FROM g a JOIN g b ON a.source = b.source
+                           AND a.doc_id < b.doc_id)
+                   WHERE n_int * 2 >= n_a OR n_int * 2 >= n_b"""))),
+
     // SimHash near-dup pairs by Hamming distance ≤ 2, using the NATIVE
     // codegen'd Hamming64 Catalyst expression (graft.plans.Hamming64) and
     // 3-band multi-index blocking: a pair within Hamming 2 of a 16-bit

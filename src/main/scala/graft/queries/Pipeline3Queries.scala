@@ -27,6 +27,49 @@ import Registry.sql
   */
 object Pipeline3Queries {
 
+  /** (vec_id, j, sub): 8-dim integer subvectors (floor(x·1000)) of every
+    * embedding, subspace j ∈ [0,8). Shared by PQ encode and PQ search. */
+  private[queries] def pqSubs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"), col("embedding"))
+      .select(col("vec_id"), col("j"),
+        transform(slice(col("embedding"), col("j") * 8 + 1, lit(8)),
+          x => floor(x.cast("double") * 1000).cast("long")).as("sub"))
+
+  /** 8×4 codebook: subvectors of vec_id 0-3 as the codes. */
+  private[queries] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqSubs(s, d).filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"), col("j").as("cj"), col("sub").as("csub"))
+
+  /** Encoded corpus: (vec_id, j, code, dist) — nearest code per subspace. */
+  private[queries] def pqChosen(s: SparkSession, d: String): DataFrame =
+    pqSubs(s, d).join(broadcast(pqCodebook(s, d)), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("code"),
+        aggregate(zip_with(col("sub"), col("csub"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"),
+        col("best.code").as("code"), col("best.dist").as("dist"))
+
+  /** DuckDB CTEs mirroring pqSubs/pqCodebook/pqChosen. */
+  private[queries] val pqCtesSql: String =
+    """subs AS (
+         SELECT vec_id, j.range AS j,
+           list_transform(embedding[(j.range*8+1):(j.range*8+8)],
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sub
+         FROM embeddings, range(0, 8) j),
+       cb AS (SELECT CAST(vec_id AS INT) AS code, j AS cj, sub AS csub
+              FROM subs WHERE vec_id < 4),
+       enc_scored AS (SELECT s.vec_id, s.j, cb.code,
+           list_sum(list_transform(range(1, 9),
+             i -> (s.sub[i] - cb.csub[i]) * (s.sub[i] - cb.csub[i]))) AS dist
+         FROM subs s JOIN cb ON s.j = cb.cj),
+       chosen AS (SELECT vec_id, j, code, dist FROM (
+           SELECT vec_id, j, code, dist,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rk
+           FROM enc_scored) WHERE rk = 1)"""
+
   val all: Seq[Q] = Seq(
 
     // Source-mixture sampling (the "3 epochs of Wikipedia, 0.5 of web"
@@ -153,49 +196,66 @@ object Pipeline3Queries {
     // both engines, no float-tie hazards in the argmin.
     Q("sim_pq_encode",
       (s, d) => {
-        val e = table(s, d, "embeddings")
-        // (vec_id, j, sub) with sub = 8 ints of subspace j
-        val subs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
-            col("embedding"))
-          .select(col("vec_id"), col("j"),
-            transform(slice(col("embedding"), col("j") * 8 + 1, lit(8)),
-              x => floor(x.cast("double") * 1000).cast("long")).as("sub"))
-        val codebook = subs.filter(col("vec_id") < 4)
-          .select(col("vec_id").cast("int").as("code"), col("j").as("cj"), col("sub").as("csub"))
-        val scored = subs.join(broadcast(codebook), col("j") === col("cj"))
-          .select(col("vec_id"), col("j"), col("code"),
-            aggregate(zip_with(col("sub"), col("csub"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("dist"))
-        val chosen = scored.groupBy(col("vec_id"), col("j"))
-          .agg(min(struct(col("dist"), col("code"))).as("best"))
-          .select(col("vec_id"), col("j"),
-            col("best.code").as("code"), col("best.dist").as("dist"))
-        chosen.groupBy(col("vec_id"))
+        pqChosen(s, d).groupBy(col("vec_id"))
           .agg(
             concat_ws("|",
               transform(array_sort(collect_list(struct(col("j"), col("code")))),
                 x => x.getField("code").cast("string"))).as("pq_code"),
             sum(col("dist")).as("err"))
       },
-      Some(sql("""WITH subs AS (
-                    SELECT vec_id, j.range AS j,
-                      list_transform(embedding[(j.range*8+1):(j.range*8+8)],
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sub
-                    FROM embeddings, range(0, 8) j),
-                  cb AS (SELECT CAST(vec_id AS INT) AS code, j AS cj, sub AS csub
-                         FROM subs WHERE vec_id < 4),
-                  scored AS (SELECT s.vec_id, s.j, cb.code,
-                      list_sum(list_transform(range(1, 9),
-                        i -> (s.sub[i] - cb.csub[i]) * (s.sub[i] - cb.csub[i]))) AS dist
-                    FROM subs s JOIN cb ON s.j = cb.cj),
-                  chosen AS (SELECT vec_id, j, code, dist FROM (
-                      SELECT vec_id, j, code, dist,
-                        row_number() OVER (PARTITION BY vec_id, j
-                          ORDER BY dist, code) AS rk
-                      FROM scored) WHERE rk = 1)
+      Some(sql(s"""WITH $pqCtesSql
                   SELECT vec_id,
                     array_to_string(list(CAST(code AS VARCHAR) ORDER BY j), '|') AS pq_code,
                     CAST(sum(dist) AS BIGINT) AS err
-                  FROM chosen GROUP BY vec_id""")))
+                  FROM chosen GROUP BY vec_id"""))),
+
+    // PQ SEARCH (asymmetric distance computation): queries keep their
+    // full integer subvectors; candidates are only their 8 codes. The
+    // per-query distance table against the codebook is 8x4 = 32 rows --
+    // broadcast -- so scoring a candidate is 8 integer lookups + a sum,
+    // never a full-vector read. Completes the PQ story: sim_pq_encode
+    // compresses, sim_topk_pq searches the compressed corpus; top-k via
+    // the bounded-heap graft_topk partial aggregate.
+    Q("sim_topk_pq",
+      (s, d) => {
+        val qsubs = pqSubs(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sub").as("qsub"))
+        // per-query distance to every (subspace, code) cell: 10x8x4 rows
+        val distTable = pqCodebook(s, d).join(broadcast(qsubs), col("cj") === col("qj"))
+          .select(col("q_id"), col("cj"), col("code").as("dcode"),
+            aggregate(zip_with(col("qsub"), col("csub"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dj"))
+        val scored = pqChosen(s, d)
+          .join(broadcast(distTable),
+            col("j") === col("cj") && col("code") === col("dcode")
+              && col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("dj")).as("dist"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            (-col("dist")).cast("double").as("score"))
+        scored.groupBy(col("q_id"))
+          .agg(expr("graft_topk(score, c_id, 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("c_id"),
+            (-col("col.score")).cast("long").as("dist"),
+            (col("pos") + 1).cast("long").as("rk"))
+      },
+      Some(sql(s"""WITH $pqCtesSql,
+                  qsubs AS (SELECT vec_id AS q_id, j AS qj, sub AS qsub
+                            FROM subs WHERE vec_id < 10),
+                  dt AS (SELECT q.q_id, cb.cj, cb.code,
+                      list_sum(list_transform(range(1, 9),
+                        i -> (q.qsub[i] - cb.csub[i]) * (q.qsub[i] - cb.csub[i]))) AS dj
+                    FROM cb JOIN qsubs q ON cb.cj = q.qj),
+                  tot AS (SELECT dt.q_id, ch.vec_id AS c_id,
+                      CAST(sum(dt.dj) AS BIGINT) AS dist
+                    FROM chosen ch JOIN dt ON ch.j = dt.cj AND ch.code = dt.code
+                      AND ch.vec_id <> dt.q_id
+                    GROUP BY 1, 2)
+                  SELECT q_id, c_id, dist, rk FROM (
+                    SELECT q_id, c_id, dist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY dist, c_id) AS BIGINT) AS rk
+                    FROM tot) WHERE rk <= 5""")))
   )
 }
