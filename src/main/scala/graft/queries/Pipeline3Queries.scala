@@ -41,12 +41,14 @@ object Pipeline3Queries {
     pqSubs(s, d).filter(col("vec_id") < 4)
       .select(col("vec_id").cast("int").as("code"), col("j").as("cj"), col("sub").as("csub"))
 
-  /** Encoded corpus: (vec_id, j, code, dist) — nearest code per subspace. */
+  /** Encoded corpus: (vec_id, j, code, dist) — nearest code per subspace.
+    * Distance via the NATIVE graft_intl2 kernel (plans/IntL2.scala): the
+    * aggregate(zip_with(…)) HOF form is interpreted and allocates two
+    * arrays per row; the fused loop stays in whole-stage codegen. */
   private[queries] def pqChosen(s: SparkSession, d: String): DataFrame =
     pqSubs(s, d).join(broadcast(pqCodebook(s, d)), col("j") === col("cj"))
       .select(col("vec_id"), col("j"), col("code"),
-        aggregate(zip_with(col("sub"), col("csub"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
+        expr("graft_intl2(sub, csub)").as("dist"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("j"),
@@ -223,8 +225,7 @@ object Pipeline3Queries {
         // per-query distance to every (subspace, code) cell: 10x8x4 rows
         val distTable = pqCodebook(s, d).join(broadcast(qsubs), col("cj") === col("qj"))
           .select(col("q_id"), col("cj"), col("code").as("dcode"),
-            aggregate(zip_with(col("qsub"), col("csub"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("dj"))
+            expr("graft_intl2(qsub, csub)").as("dj"))
         val scored = pqChosen(s, d)
           .join(broadcast(distTable),
             col("j") === col("cj") && col("code") === col("dcode")

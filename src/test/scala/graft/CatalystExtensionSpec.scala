@@ -172,4 +172,27 @@ class CatalystExtensionSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq
     assert(out === Seq((3.0, 12L), (1.0, 10L)))
   }
+
+  test("graft_intl2 matches the composable zip_with form") {
+    Engine.configure(spark)
+    val df = Seq((Array(5L, -3L, 10L), Array(1L, 2L, 10L))).toDF("a", "b")
+    val native = df.selectExpr("graft_intl2(a, b) AS d").as[Long].collect()(0)
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d")).as[Long].collect()(0)
+    assert(native === composed)
+    assert(native === 41L) // 16 + 25 + 0
+  }
+
+  test("graft_intl2 null-propagates on ragged lengths and rejects non-bigint") {
+    Engine.configure(spark)
+    val ragged = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+      .selectExpr("graft_intl2(a, b) AS d").collect()(0)
+    assert(ragged.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+        .selectExpr("graft_intl2(a, b)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
 }
