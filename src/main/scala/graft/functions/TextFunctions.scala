@@ -49,11 +49,15 @@ object TextFunctions {
     * the (+1/-1) vote of token-hash bit b is positive. Near-identical docs
     * land on equal signatures (token multiset barely changes the votes). */
   val SimHashBits = 16
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
+  def simhash(text: Column): Column = simhashOf(array_distinct(tokens(text)))
+
+  /** SimHash over an ALREADY-DISTINCT feature array (tokens, n-grams,
+    * byte-gram stand-ins) — the generalized form shared by text and
+    * binary-payload signatures. */
+  def simhashOf(feats: Column): Column = {
     val bitCols = (0 until SimHashBits).map { b =>
       val vote = aggregate(
-        transform(toks, t =>
+        transform(feats, t =>
           when(shiftright(Portable.stableHash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)),
         lit(0L), (acc, x) => acc + x)
@@ -62,13 +66,38 @@ object TextFunctions {
     bitCols.reduce(_ + _)
   }
 
-  def simhashSql(e: String): String = {
-    val toks = s"list_distinct(${tokensSql(e)})"
+  /** SimHash from PRE-COMPUTED 60-bit feature hashes — callers stage
+    * `transform(feats, Portable.stableHash64)` as its own projection so
+    * the md5 work happens once, not once per bit (16× less hashing; the
+    * per-bit vote is a nearly-free shift+mask). */
+  def simhashOfHashes(hs: Column): Column = {
+    val bitCols = (0 until SimHashBits).map { b =>
+      val vote = aggregate(
+        transform(hs, h =>
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        lit(0L), (acc, x) => acc + x)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** DuckDB twin — `hsExpr` references a staged list of 60-bit hashes. */
+  def simhashOfHashesSql(hsExpr: String): String =
     (0 until SimHashBits).map { b =>
-      val vote = s"list_sum(list_transform($toks, t -> CASE WHEN (${Portable.stableHash64Sql("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END))"
+      val vote = s"list_sum(list_transform($hsExpr, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END))"
       s"(CASE WHEN $vote > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
-  }
+
+  def simhashSql(e: String): String = simhashOfSql(s"list_distinct(${tokensSql(e)})")
+
+  /** DuckDB twin of simhashOf — `featsExpr` should reference a staged,
+    * already-distinct list column (recomputing the list per bit is 16×
+    * the work). */
+  def simhashOfSql(featsExpr: String): String =
+    (0 until SimHashBits).map { b =>
+      val vote = s"list_sum(list_transform($featsExpr, t -> CASE WHEN (${Portable.stableHash64Sql("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $vote > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
 
   /** Distinct character 4-grams (for exact n-gram Jaccard). */
   def charNgrams(text: Column, n: Int = 4): Column =

@@ -108,6 +108,60 @@ object MultimodalQueries {
       Some(sql("""SELECT doc_id, 'text/plain' AS mime,
                    CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
                    lang AS language
-                  FROM documents WHERE octet_length(encode(text)) > 200""")))
+                  FROM documents WHERE octet_length(encode(text)) > 200"""))),
+
+    // Perceptual-hash-style dedup over the BINARY payload (the media
+    // near-dup stage: pHash → hamming buckets → pairs). The signature is
+    // a SimHash over hex char-4-grams of the payload (hex, not base64:
+    // Spark's base64 MIME-chunks with CRLF every 76 chars, DuckDB's does
+    // not) — the deterministic codec-free stand-in for a real pHash,
+    // with the exact pipeline shape: 64-bit signature per asset computed
+    // in the scan, 3-band pigeonhole blocking, native graft_hamming64
+    // verify ≤ 2. Payloads never shuffle; only (doc_id, sig) pairs move.
+    Q("mm_dedup_phash",
+      (s, d) => {
+        import graft.functions.{TextFunctions => T}
+        val sigs = table(s, d, "documents")
+          .select(col("doc_id"),
+            T.charNgrams(hex(encode(col("text"), "UTF-8")), 8).as("grams"))
+          // hash grams ONCE; the 16 bit-votes reuse the staged hashes
+          .select(col("doc_id"),
+            transform(col("grams"), g => Portable.stableHash64(g)).as("hs"))
+          .select(col("doc_id"), T.simhashOfHashes(col("hs")).as("sig"))
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(array(
+            col("sig").bitwiseAND(lit(63L)),
+            shiftright(col("sig"), 6).bitwiseAND(lit(31L)),
+            shiftright(col("sig"), 11).bitwiseAND(lit(31L))))
+            .as(Seq("band", "bsig")))
+        val bandedC = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("mm_phash_bands", banded), Seq("band", "bsig"))
+        bandedC.as("a").join(bandedC.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("graft_hamming64(a.sig, b.sig)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .distinct()
+      },
+      Some {
+        import graft.functions.{TextFunctions => T}
+        sql(s"""WITH grams AS (SELECT doc_id,
+                    ${T.charNgramsSql("hex(encode(text))", 8)} AS g
+                  FROM documents),
+                hashed AS (SELECT doc_id,
+                    list_transform(g, x -> ${Portable.stableHash64Sql("x")}) AS hs
+                  FROM grams),
+                sigs AS (SELECT doc_id, ${T.simhashOfHashesSql("hs")} AS sig FROM hashed),
+                banded AS (SELECT doc_id, sig,
+                    unnest([0, 1, 2]) AS band,
+                    unnest([sig & 63, (sig >> 6) & 31, (sig >> 11) & 31]) AS bsig
+                  FROM sigs)
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sig, b.sig)) <= 2""")
+      })
   )
 }

@@ -137,6 +137,54 @@ object SimilarityQueries {
                    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
                                           CAST(c.embedding AS DOUBLE[])), 6) AS dot
                   FROM embeddings q, embeddings c
-                  WHERE q.vec_id < 5 AND c.vec_id BETWEEN 5 AND 25""")))
+                  WHERE q.vec_id < 5 AND c.vec_id BETWEEN 5 AND 25"""))),
+
+    // Matryoshka retrieve-then-rerank: candidate generation scores only
+    // the FIRST 16 dimensions (the prefix property of
+    // matryoshka-representation embeddings — 4× less compute and IO in
+    // the scan), then the ≤ Q·k survivors are re-ranked by full-vector
+    // cosine. The rerank input is bounded (k per query), so its window
+    // is scale-safe by construction.
+    Q("sim_matryoshka",
+      (s, d) => {
+        val e = table(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            slice(col("embedding"), 1, 16).as("q_pre"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+          slice(col("embedding"), 1, 16).as("c_pre"))
+        val cands = topK(
+          c.join(broadcast(q.select(col("q_id"), col("q_pre"))), col("q_id") =!= col("c_id"))
+            .select(col("q_id"), col("c_id"),
+              round(T.cosineFast(col("q_pre"), col("c_pre")), 6).as("cos")), K)
+          .select(col("q_id"), col("c_id"))
+        val reranked = cands
+          .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")), Seq("c_id"))
+          .select(col("q_id"), col("c_id"),
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos_full"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos_full").desc, col("c_id"))
+        reranked.withColumn("rk", row_number().over(w).cast("long"))
+      },
+      Some(sql(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                       embedding[1:16] AS q_pre
+                     FROM embeddings WHERE vec_id < 10),
+                   pre AS (SELECT q_id, c.vec_id AS c_id,
+                       round(${T.cosineSql("q_pre", "c.embedding[1:16]")}, 6) AS cos
+                     FROM q JOIN embeddings c ON q_id <> c.vec_id),
+                   cands AS (SELECT q_id, c_id FROM (
+                       SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, c_id) AS rk
+                       FROM pre) WHERE rk <= $K),
+                   rr AS (SELECT ca.q_id, ca.c_id,
+                       round(${T.cosineSql("q.q_vec", "c.embedding")}, 6) AS cos_full
+                     FROM cands ca JOIN q ON ca.q_id = q.q_id
+                     JOIN embeddings c ON ca.c_id = c.vec_id)
+                   SELECT q_id, c_id, cos_full,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_full DESC, c_id) AS BIGINT) AS rk
+                   FROM rr""")))
   )
 }
