@@ -126,6 +126,26 @@ object Expr2Queries {
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
                    CAST(NULL AS BIGINT) AS k_missing,
                    'OBJECT<k: BIGINT>' AS vschema
-                  FROM events""")))
+                  FROM events"""))),
+
+    // try_* family: the explicit null-on-error forms (the 1.3-era Cast/
+    // Divide semantics the engine pins globally via ansi=false, exposed
+    // as per-expression opt-ins): /0, 64-bit overflow, bad cast, and
+    // out-of-bounds element access all yield NULL, never an exception.
+    Q("expr_try_functions",
+      (s, d) => table(s, d, "nation").select(
+        col("n_nationkey"),
+        expr("try_divide(n_nationkey, n_nationkey % 3)").as("div3"),
+        expr("try_add(9223372036854775807L, n_nationkey)").as("overflow_add"),
+        expr("try_cast(n_name AS INT)").as("bad_cast"),
+        expr("try_element_at(split(n_name, ' '), 99)").as("oob_elem")),
+      Some(sql("""SELECT n_nationkey,
+                   CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                        ELSE CAST(n_nationkey AS DOUBLE) / (n_nationkey % 3) END AS div3,
+                   CASE WHEN n_nationkey > 0 THEN NULL
+                        ELSE CAST(9223372036854775807 AS BIGINT) END AS overflow_add,
+                   TRY_CAST(n_name AS INT) AS bad_cast,
+                   string_split(n_name, ' ')[99] AS oob_elem
+                  FROM nation""")))
   )
 }
