@@ -75,10 +75,20 @@ object Engine {
 
   /** Read one testdata table. Plain parquet scan — Catalyst pushes filters
     * and prunes columns into it; at 100 TB this is a partitioned columnar
-    * scan with row-group pruning, no code change needed. */
+    * scan with row-group pruning, no code change needed.
+    *
+    * The schema is inferred ONCE per path and then passed explicitly:
+    * schema inference fires a footer-read job per `spark.read.parquet`
+    * call, so without the cache every query DECLARATION launched a job
+    * (Verify declares 185 of them). With it, declaring a query builds a
+    * pure lazy plan — SkewGuardSpec asserts zero jobs at declaration. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
   }
 
   /** events with `ts` restored to a proper µs TimestampType column.

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * Shape: the per-key counts are aggregated (one partial-agg pass over
   * the already-cached signature table), the over-threshold keys — a
   * tiny set by construction — are broadcast, and the input is pruned
-  * with a broadcast anti-join. No extra shuffle of the data itself.
+  * with a broadcast anti-join. No extra shuffle of the data itself, and
+  * — deliberately — NO driver-side action: the guard is a pure plan
+  * transformation, so declaring a guarded query launches zero jobs
+  * (asserted by SkewGuardSpec's listener test). The previous design
+  * counted the hot keys eagerly to decide whether to join at all, which
+  * cost one extra job per declaration just to log.
   */
 object SkewGuard {
 
@@ -26,21 +31,15 @@ object SkewGuard {
     * binding only at the 100 TB scale it exists for. */
   val DefaultMaxBucket = 100000L
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Remove rows belonging to join-key buckets with more than `maxBucket`
-    * rows, logging how many buckets were dropped. Identity on data whose
-    * buckets are all under the threshold. */
+    * rows. Identity on data whose buckets are all under the threshold
+    * (the anti-join's build side is empty). Lazy: builds the plan only. */
   def dropHotBuckets(df: DataFrame, keys: Seq[String],
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
       .select(keys.map(col): _*)
-    val nHot = hot.count() // tiny by construction (degenerate keys only)
-    if (nHot > 0) {
-      log.warn(s"SkewGuard: dropping $nHot hot bucket(s) > $maxBucket rows on keys ${keys.mkString(",")}")
-      df.join(broadcast(hot), keys, "left_anti")
-    } else df
+    df.join(broadcast(hot), keys, "left_anti")
   }
 }

@@ -132,83 +132,142 @@ object DedupQueries {
                    WHERE ${T.jaccardSql("sa.shs", "sb.shs")} >= 0.5"""))),
 
     // SimHash: 16-bit signature; equal signatures = near-dup cluster.
+    // cluster_size via partial-aggregated groupBy + broadcast join back
+    // (≤ 2^16 distinct signatures ⇒ the count table is broadcastable at
+    // ANY corpus size) — a Window.partitionBy(simhash) would ship full
+    // rows per signature to one task with no map-side combine.
     Q("dedup_simhash",
       (s, d) => {
         val sigs = table(s, d, "documents")
           .select(col("doc_id"), T.simhash(col("text")).as("simhash"))
-        sigs.withColumn("cluster_size",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+        val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
+        sigs.join(broadcast(counts), Seq("simhash"))
           .select(col("doc_id"), col("simhash"), col("cluster_size").cast("long"))
       },
       Some(sql(s"""SELECT doc_id, simhash,
                     CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_size
                    FROM (SELECT doc_id, ${T.simhashSql("text")} AS simhash FROM documents)"""))),
 
-    // Character-4-gram Jaccard with standard blocking: candidates must
-    // share BOTH the source cell AND a 64-char length bucket (docs with
-    // Jaccard ≥ 0.5 have near-equal n-gram counts, so same-ish length is
-    // implied — the block prunes guaranteed-negative pairs). Keeps the
-    // per-cell pairwise work bounded as cells grow with the corpus.
+    // Character-4-gram Jaccard with PREFIX-FILTER blocking (SSJoin /
+    // PPJoin family): each doc sorts its distinct gram hashes by a global
+    // order (the hash value itself — any consistent total order is valid)
+    // and emits only the first floor(n/2)+1 as candidate keys. Pigeonhole:
+    // J(A,B) ≥ 0.5 forces |A∩B| ≥ ceil(0.5·max(|A|,|B|)), so the prefixes
+    // of A and B must share a gram — candidates = prefix⋈prefix on the
+    // gram hash, then the EXACT Jaccard verify. Same output as all-pairs
+    // within (source, len_bkt), but the join-key cardinality (distinct
+    // gram hashes) GROWS with the corpus, so bucket sizes stay bounded at
+    // 100 TB where a source-only key would go quadratic.
     Q("dedup_ngram_jaccard",
       (s, d) => {
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"),
             (length(col("text")) / lit(64)).cast("long").as("len_bkt"),
             T.charNgrams(col("text")).as("ng"))
-        val gc = graft.functions.SkewGuard.dropHotBuckets(
-          graft.functions.CacheOnce.swap("dedup_ngrams", g), Seq("source", "len_bkt"))
-        gc.as("a").join(gc.as("b"),
-          col("a.source") === col("b.source") && col("a.len_bkt") === col("b.len_bkt")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            T.jaccard(col("a.ng"), col("b.ng")).as("j_raw"))
+          .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
+        val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
+        val prefix = graft.functions.SkewGuard.dropHotBuckets(
+          gc.select(col("doc_id"), col("source"), col("len_bkt"),
+            explode(slice(col("hs"), lit(1),
+              floor(size(col("hs")) / 2).cast("int") + 1)).as("h")),
+          Seq("source", "len_bkt", "h"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.source") === col("b.source")
+            && col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        cand
+          .join(gc.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), T.jaccard(col("ng_a"), col("ng_b")).as("j_raw"))
           .filter(col("j_raw") >= 0.5) // raw filter, rounded output
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
       Some(sql(s"""WITH g AS (SELECT doc_id, source,
                                 CAST(floor(length(text) / 64.0) AS BIGINT) AS len_bkt,
                                 ${T.charNgramsSql("text")} AS ng
-                              FROM documents)
-                   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     round(${T.jaccardSql("a.ng", "b.ng")}, 6) AS jaccard
-                   FROM g a JOIN g b ON a.source = b.source
-                     AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
-                   WHERE ${T.jaccardSql("a.ng", "b.ng")} >= 0.5"""))),
+                              FROM documents),
+                   gh AS (SELECT doc_id, source, len_bkt, ng,
+                            list_sort(list_transform(ng, x -> ${Portable.stableHash64Sql("x")})) AS hs
+                          FROM g),
+                   pf AS (SELECT doc_id, source, len_bkt,
+                            unnest(list_slice(hs, 1, len(hs) // 2 + 1)) AS h FROM gh),
+                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                            FROM pf a JOIN pf b ON a.h = b.h AND a.source = b.source
+                              AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
+                   SELECT doc_a, doc_b,
+                     round(${T.jaccardSql("ga.ng", "gb.ng")}, 6) AS jaccard
+                   FROM cand JOIN gh ga ON ga.doc_id = doc_a
+                             JOIN gh gb ON gb.doc_id = doc_b
+                   WHERE ${T.jaccardSql("ga.ng", "gb.ng")} >= 0.5"""))),
 
     // Containment similarity C(A,B) = |A∩B| / |A| — the asymmetric
     // sibling of Jaccard that catches a SHORT doc embedded in a LONGER
     // one (sub-document duplication), which symmetric Jaccard misses
-    // across length buckets. Same source blocking; the threshold is the
-    // integer-exact 2·|A∩B| ≥ |A| (containment ≥ 0.5), both directions
-    // emitted per pair.
-    Q("dedup_containment",
-      (s, d) => {
+    // across length buckets. The threshold is the integer-exact
+    // 2·|A∩B| ≥ |A| (containment ≥ 0.5), both directions per pair.
+    //
+    // Blocking is probe-prefix ⋈ full-index on the gram hash: every doc
+    // indexes ALL its distinct gram hashes (the inverted-index side);
+    // candidates come from probing each doc's floor(n/2)+1 smallest
+    // hashes against it. Pigeonhole: if the smaller side's containment
+    // is ≥ 0.5 the probe prefix MUST hit the partner's index, so the
+    // candidate set is a strict superset of qualifying pairs — the exact
+    // verify below is unchanged and the output is identical to all-pairs
+    // within source. The join key (gram hash) grows with the corpus;
+    // the old source-only key was corpus-independent ⇒ quadratic buckets
+    // that SkewGuard would have silently dropped wholesale at 100 TB.
+    Q("dedup_containment", bench = true,
+      fn = (s, d) => {
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
-        val gc = graft.functions.SkewGuard.dropHotBuckets(
-          graft.functions.CacheOnce.swap("dedup_contain_ngrams", g), Seq("source"))
-        gc.as("a").join(gc.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            size(array_intersect(col("a.ng"), col("b.ng"))).cast("long").as("n_int"),
-            size(col("a.ng")).cast("long").as("n_a"),
-            size(col("b.ng")).cast("long").as("n_b"))
+          .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
+        val gc = graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
+        val index = graft.functions.SkewGuard.dropHotBuckets(
+          gc.select(col("doc_id"), col("source"), explode(col("hs")).as("h")),
+          Seq("source", "h"))
+        val probe = graft.functions.SkewGuard.dropHotBuckets(
+          gc.select(col("doc_id"), col("source"),
+            explode(slice(col("hs"), lit(1),
+              floor(size(col("hs")) / 2).cast("int") + 1)).as("h")),
+          Seq("source", "h"))
+        val cand = probe.as("p").join(index.as("i"),
+          col("p.h") === col("i.h") && col("p.source") === col("i.source")
+            && col("p.doc_id") =!= col("i.doc_id"))
+          .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
+            greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b")).distinct()
+        cand
+          .join(gc.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ng_a"), col("ng_b"))).cast("long").as("n_int"),
+            size(col("ng_a")).cast("long").as("n_a"),
+            size(col("ng_b")).cast("long").as("n_b"))
           .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))
           .select(col("doc_a"), col("doc_b"),
             round(col("n_int").cast("double") / col("n_a"), 6).as("c_ab"),
             round(col("n_int").cast("double") / col("n_b"), 6).as("c_ba"))
       },
-      Some(sql(s"""WITH g AS (SELECT doc_id, source, ${T.charNgramsSql("text")} AS ng
-                              FROM documents)
+      oracle = Some(sql(s"""WITH g AS (SELECT doc_id, source, ${T.charNgramsSql("text")} AS ng
+                              FROM documents),
+                   gh AS (SELECT doc_id, source, ng,
+                            list_sort(list_transform(ng, x -> ${Portable.stableHash64Sql("x")})) AS hs
+                          FROM g),
+                   idx AS (SELECT doc_id, source, unnest(hs) AS h FROM gh),
+                   pr AS (SELECT doc_id, source,
+                            unnest(list_slice(hs, 1, len(hs) // 2 + 1)) AS h FROM gh),
+                   cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+                                   greatest(p.doc_id, i.doc_id) AS doc_b
+                            FROM pr p JOIN idx i
+                              ON p.h = i.h AND p.source = i.source AND p.doc_id <> i.doc_id)
                    SELECT doc_a, doc_b,
                      round(CAST(n_int AS DOUBLE) / n_a, 6) AS c_ab,
                      round(CAST(n_int AS DOUBLE) / n_b, 6) AS c_ba
-                   FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                           CAST(len(list_intersect(a.ng, b.ng)) AS BIGINT) AS n_int,
-                           CAST(len(a.ng) AS BIGINT) AS n_a,
-                           CAST(len(b.ng) AS BIGINT) AS n_b
-                         FROM g a JOIN g b ON a.source = b.source
-                           AND a.doc_id < b.doc_id)
+                   FROM (SELECT doc_a, doc_b,
+                           CAST(len(list_intersect(ga.ng, gb.ng)) AS BIGINT) AS n_int,
+                           CAST(len(ga.ng) AS BIGINT) AS n_a,
+                           CAST(len(gb.ng) AS BIGINT) AS n_b
+                         FROM cand JOIN gh ga ON ga.doc_id = doc_a
+                                   JOIN gh gb ON gb.doc_id = doc_b)
                    WHERE n_int * 2 >= n_a OR n_int * 2 >= n_b"""))),
 
     // SimHash near-dup pairs by Hamming distance ≤ 2, using the NATIVE

@@ -60,19 +60,24 @@ object MlQueries {
     // Chi-square contingency cells (mllib/stat Statistics.chiSqTest's
     // observed/expected table) for source × lang: every cell value
     // derives from exact integer counts, so each row is bit-identical —
-    // no cross-row float summation to perturb.
+    // no cross-row float summation to perturb. The grand total joins in
+    // as a broadcast 1-row aggregate (same shape as the oracle's CROSS
+    // JOIN n), keeping the whole query one lazy plan — a driver-side
+    // docs.count() would fire an extra scan at declaration time and bake
+    // the total in as a literal.
     Q("ml_chi2_cells",
       (s, d) => {
         val docs = table(s, d, "documents")
         val cells = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
         val rowT = docs.groupBy(col("source")).agg(count(lit(1)).as("rt"))
         val colT = docs.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
-        val n = docs.count()
+        val n = docs.agg(count(lit(1)).cast("double").as("n"))
+        val e = col("rt") * col("ct") / col("n")
         cells.join(broadcast(rowT), Seq("source")).join(broadcast(colT), Seq("lang"))
+          .crossJoin(broadcast(n))
           .select(col("source"), col("lang"), col("o"),
-            round(col("rt") * col("ct") / lit(n.toDouble), 6).as("expected"),
-            round(pow(col("o") - col("rt") * col("ct") / lit(n.toDouble), 2)
-              / (col("rt") * col("ct") / lit(n.toDouble)), 6).as("contrib"))
+            round(e, 6).as("expected"),
+            round(pow(col("o") - e, 2) / e, 6).as("contrib"))
       },
       Some(sql("""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
                     FROM documents GROUP BY 1, 2),

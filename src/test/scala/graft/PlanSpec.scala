@@ -111,6 +111,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("containment/jaccard dedup candidates join on corpus-growing gram hashes") {
+    for (name <- Seq("dedup_containment", "dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n$p")
+      // the candidate equi-join must hash-partition on the exploded gram
+      // hash `h` — a key whose cardinality grows with the corpus — never
+      // on the fixed-cardinality source cell alone (the r4 scale-killer:
+      // quadratic buckets that SkewGuard would drop wholesale at 100 TB)
+      assert(p.matches("(?s).*hashpartitioning\\([^)]*\\bh#.*"),
+        s"$name candidate join not keyed on gram hash h:\n$p")
+    }
+  }
+
+  test("simhash cluster sizes are partial-aggregated, then broadcast back") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("Window"), "window shape has no partial aggregation:\n" + p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("partition-column filter prunes directories, not rows") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("src_parquet_partitioned")(spark, TestSpark.Sf).count() // stage table
@@ -256,6 +277,7 @@ class PlanSpec extends AnyFunSuite {
     } finally {
       c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     }
   }
 }

@@ -5,7 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The hot-bucket guard must drop degenerate LSH buckets (the 100 TB
   * O(n²) failure mode) while passing bounded buckets through untouched —
-  * dedup query outputs at test SF must be identical with the guard on. */
+  * dedup query outputs at test SF must be identical with the guard on.
+  * It must also be a PURE plan transformation: declaring a guarded query
+  * may not fire a Spark job (the r4 design ran an eager hot.count() per
+  * declaration). */
 class SkewGuardSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
@@ -17,12 +20,12 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(out.select("k").as[String].collect().toSet === Set("cold", "cold2"))
   }
 
-  test("identity (no plan change) when every bucket is under the threshold") {
+  test("identity output when every bucket is under the threshold") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val out = SkewGuard.dropHotBuckets(df, Seq("k"), maxBucket = 10)
     assert(out.count() === 3)
-    assert(out eq df, "guard must be a no-op fast path when nothing is hot")
+    assert(out.as[(String, Int)].collect().toSet === Set(("a", 1), ("a", 2), ("b", 3)))
   }
 
   test("multi-column bucket keys guard on the composite key") {
@@ -31,5 +34,29 @@ class SkewGuardSpec extends AnyFunSuite {
       .toDF("band", "sig", "doc")
     val out = SkewGuard.dropHotBuckets(df, Seq("band", "sig"), maxBucket = 5)
     assert(out.count() === 2)
+  }
+
+  test("declaring guarded / de-eagered queries launches NO Spark job") {
+    val names = Seq("dedup_containment", "dedup_ngram_jaccard",
+      "dedup_minhash_lsh", "dedup_simhash", "ml_chi2_cells")
+    // warm Engine.table's schema cache OUTSIDE the probe group: the very
+    // first read of a path fires one footer-inference job by design
+    names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
+    val sc = spark.sparkContext
+    // jobs launched from this thread carry the group id, so the check is
+    // immune to any concurrent activity in the shared session
+    sc.setJobGroup("graft-lazy-check", "declaration-time laziness probe")
+    try {
+      names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf)) // declare only
+      // settle the async status bus, then prove nothing ran in the group
+      Thread.sleep(500)
+      assert(sc.statusTracker.getJobIdsForGroup("graft-lazy-check").isEmpty,
+        "query declaration fired a driver-side job")
+      // sanity: the detection plumbing does see jobs from this thread
+      SparkEntry.queries("ml_chi2_cells")(spark, TestSpark.Sf).count()
+      Thread.sleep(500)
+      assert(sc.statusTracker.getJobIdsForGroup("graft-lazy-check").nonEmpty,
+        "job-group probe is broken — the assertion above proved nothing")
+    } finally sc.clearJobGroup()
   }
 }
