@@ -34,6 +34,7 @@ object SparkEntry {
       Pipeline2Queries.all ++
       Pipeline3Queries.all ++
       Sql2Queries.all ++
+      Sql3Queries.all ++
       MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -46,8 +46,8 @@ object Graph2Queries {
     //   hub (k-1 leaves):   0.15 + 0.85 · (k-1) · 0.15,
     // each scaled by N / Σ(unnormalized). The oracle encodes that closed
     // form, robust to uneven region sizes.
-    Q("graph_pagerank",
-      (s, d) => {
+    Q("graph_pagerank", bench = true,
+      fn = (s, d) => {
         import s.implicits._
         val edges = nations(s, d).filter(col("cnt") >= 2 && col("k") =!= col("hub"))
           .select(col("k").as("src"), col("hub").as("dst"))
@@ -56,7 +56,7 @@ object Graph2Queries {
           .vertices.toDF("n_nationkey", "rank")
           .select(col("n_nationkey"), round(col("rank"), 6).as("rank"))
       },
-      Some(sql("""WITH v AS (SELECT n_nationkey, hub, cnt
+      oracle = Some(sql("""WITH v AS (SELECT n_nationkey, hub, cnt
                     FROM (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                             min(CAST(n_nationkey AS BIGINT)) OVER (PARTITION BY n_regionkey) AS hub,
                             count(*) OVER (PARTITION BY n_regionkey) AS cnt
@@ -134,6 +134,51 @@ object Graph2Queries {
                   FROM (SELECT n_nationkey,
                           count(*) OVER (PARTITION BY n_regionkey) AS k
                         FROM nation)
-                  WHERE k >= 2""")))
+                  WHERE k >= 2"""))),
+
+    // SVDPlusPlus (graphx/lib/SVDPlusPlus.scala:39) on a bipartite rating
+    // graph: each nation (user, id = key) rates its region (item,
+    // id = 1000+regionkey) with rating (key mod 5)+1. The latent factors
+    // are randomly initialized UPSTREAM (defaultF uses an unseeded
+    // Random), so the ORACLED contract is the deterministic part of the
+    // trained model: the returned global mean u (exact — integer-valued
+    // ratings sum exactly in double); each USER vertex's norm attribute
+    // v._4 = 1/sqrt(#ratings) = 1.0 (set from the degree aggregation and
+    // carried through training); and for ITEM vertices — whose v._4 the
+    // final pass overwrites with the summed squared training error — the
+    // invariant 0 ≤ err ≤ deg·(maxVal-minVal)², which holds for any
+    // random init because predictions are clamped to [minVal, maxVal].
+    Q("graph_svdpp",
+      (s, d) => {
+        import s.implicits._
+        val ratings = table(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("u"),
+            (col("n_regionkey").cast("long") + 1000L).as("i"),
+            ((col("n_nationkey") % 5) + 1).cast("double").as("r"))
+          .as[(Long, Long, Double)].rdd
+          .map { case (u, i, r) => Edge(u, i, r) }
+        val conf = new org.apache.spark.graphx.lib.SVDPlusPlus.Conf(
+          2, 2, 0.0, 5.0, 0.007, 0.007, 0.005, 0.015)
+        val (g, uMean) = org.apache.spark.graphx.lib.SVDPlusPlus.run(ratings, conf)
+        val verts = g.vertices.map { case (vid, (_, _, _, v4)) => (vid, v4) }
+          .toDF("vid", "v4")
+        val items = table(s, d, "nation").groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .select((col("n_regionkey").cast("long") + 1000L).as("vid"), col("cnt"))
+        verts.join(broadcast(items), Seq("vid"), "left")
+          .select(col("vid"),
+            when(col("cnt").isNull, abs(col("v4") - 1.0) < 1e-9)
+              .otherwise(col("v4") >= 0.0 && col("v4") <= col("cnt") * 25.0)
+              .as("v4_ok"),
+            round(lit(uMean), 6).as("u_mean"))
+      },
+      Some(sql("""WITH um AS (SELECT sum((n_nationkey % 5) + 1) * 1.0 / count(*) AS u
+                              FROM nation),
+                  verts AS (
+                    SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation
+                    UNION ALL
+                    SELECT DISTINCT CAST(1000 + n_regionkey AS BIGINT) AS vid FROM nation)
+                  SELECT vid, TRUE AS v4_ok, round(um.u, 6) AS u_mean
+                  FROM verts CROSS JOIN um""")))
   )
 }

@@ -119,6 +119,42 @@ object MlQueries {
                           FROM customer GROUP BY 1))
                   SELECT c_custkey, c_mktsegment,
                     round((c_acctbal - mean) / std, 6) AS z
-                  FROM customer JOIN stats USING (c_mktsegment)""")))
+                  FROM customer JOIN stats USING (c_mktsegment)"""))),
+
+    // One ALS half-step (mllib/.../recommendation/ALS.scala:94): the
+    // alternating shape with the ITEM factors held fixed at a closed-form
+    // seed (rank 1, y_i = (i mod 7)+1), so the per-user update is the
+    // regularized least squares x_u = Σ(r_ui·y_i) / (Σ y_i² + λ), λ=10 —
+    // a pure DataFrame aggregation. This is exactly what one ALS
+    // iteration computes per user block; the full algorithm alternates
+    // the same solve between sides. Numerator/denominator accumulate in
+    // DECIMAL (exact, order-independent) with ONE double division at the
+    // end — the ml_linreg technique. Ratings: user = l_suppkey,
+    // item = l_partkey mod 50, r = l_quantity.
+    //
+    // Scale posture: one partial-aggregated pass over the ratings — the
+    // distributed normal-equations shape ALS runs per block.
+    Q("ml_als_step",
+      (s, d) => {
+        val r = table(s, d, "lineitem").select(
+          col("l_suppkey").as("user_id"),
+          (col("l_partkey") % 50).as("item_id"),
+          col("l_quantity").cast("decimal(18,6)").as("rating"))
+        val y = ((col("item_id") % 7) + 1).cast("decimal(18,6)")
+        r.withColumn("y", y)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("rating") * col("y")).cast("decimal(38,12)")).cast("double").as("num"),
+            sum((col("y") * col("y")).cast("decimal(38,12)")).cast("double").as("den"))
+          .select(col("user_id"), col("n_items"),
+            round(col("num") / (col("den") + lit(10.0)), 6).as("x_u"))
+      },
+      Some(sql("""SELECT user_id, n_items, round(num / (den + 10.0), 6) AS x_u
+                  FROM (SELECT l_suppkey AS user_id, count(*) AS n_items,
+                          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                               * CAST((l_partkey % 50) % 7 + 1 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS num,
+                          CAST(sum(CAST(CAST((l_partkey % 50) % 7 + 1 AS DECIMAL(19,6))
+                               * CAST((l_partkey % 50) % 7 + 1 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS den
+                        FROM lineitem GROUP BY 1)""")))
   )
 }

@@ -218,8 +218,8 @@ object Pipeline3Queries {
     // never a full-vector read. Completes the PQ story: sim_pq_encode
     // compresses, sim_topk_pq searches the compressed corpus; top-k via
     // the bounded-heap graft_topk partial aggregate.
-    Q("sim_topk_pq",
-      (s, d) => {
+    Q("sim_topk_pq", bench = true,
+      fn = (s, d) => {
         val qsubs = pqSubs(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sub").as("qsub"))
         // per-query distance to every (subspace, code) cell: 10x8x4 rows
@@ -241,7 +241,7 @@ object Pipeline3Queries {
             (-col("col.score")).cast("long").as("dist"),
             (col("pos") + 1).cast("long").as("rk"))
       },
-      Some(sql(s"""WITH $pqCtesSql,
+      oracle = Some(sql(s"""WITH $pqCtesSql,
                   qsubs AS (SELECT vec_id AS q_id, j AS qj, sub AS qsub
                             FROM subs WHERE vec_id < 10),
                   dt AS (SELECT q.q_id, cb.cj, cb.code,

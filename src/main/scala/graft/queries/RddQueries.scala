@@ -163,6 +163,81 @@ object RddQueries {
       Some(sql("""SELECT o_orderstatus, count(*) AS n,
                    round(sum(o_totalprice), 4) AS total
                   FROM orders WHERE o_totalprice > 100000.0
-                  GROUP BY o_orderstatus""")))
+                  GROUP BY o_orderstatus"""))),
+
+    // countApprox (RDD.scala:1261): the time-bounded approximate action.
+    // getFinalValue() waits for the full job, at which point the
+    // BoundedDouble collapses onto the exact count — oracled exactly,
+    // plus the interval invariant the partial result guarantees.
+    Q("rdd_count_approx",
+      (s, d) => {
+        import s.implicits._
+        val pr = table(s, d, "orders").select(col("o_orderkey"))
+          .as(Encoders.scalaLong).rdd.countApprox(60000L, 0.95)
+        val bd = pr.getFinalValue()
+        Seq((math.round(bd.mean), bd.low <= bd.mean && bd.mean <= bd.high))
+          .toDF("n", "bounds_contain_mean")
+      },
+      Some(sql("SELECT count(*) AS n, TRUE AS bounds_contain_mean FROM orders"))),
+
+    // meanApprox / sumApprox (DoubleRDDFunctions.scala:71/:82): same
+    // final-value collapse — o_totalprice carries 2 decimals, so the
+    // true sum is a multiple of 0.01 and round(…, 2) recovers it exactly
+    // despite order-dependent double accumulation.
+    Q("rdd_mean_sum_approx",
+      (s, d) => {
+        import s.implicits._
+        val vals = table(s, d, "orders").select(col("o_totalprice"))
+          .as(Encoders.scalaDouble).rdd
+        val m = vals.meanApprox(60000L, 0.95).getFinalValue()
+        val su = vals.sumApprox(60000L, 0.95).getFinalValue()
+        Seq((m.mean, su.mean)).toDF("mean_raw", "sum_raw")
+          .select(round(col("mean_raw"), 2).as("mean_price"),
+            round(col("sum_raw"), 2).as("sum_price"))
+      },
+      Some(sql("""SELECT round(avg(o_totalprice), 2) AS mean_price,
+                   round(sum(o_totalprice), 2) AS sum_price FROM orders"""))),
+
+    // countApproxDistinctByKey (PairRDDFunctions.scala:382): HyperLogLog
+    // per key. The estimate is sketch-implementation-specific, so the
+    // ORACLED contract is the rsd tolerance the API promises (±15% at
+    // rsd=0.05 is 3σ-loose) alongside the exact distinct count.
+    Q("rdd_count_approx_distinct_by_key",
+      (s, d) => {
+        import s.implicits._
+        val est = table(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"))
+          .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).rdd
+          .countApproxDistinctByKey(0.05)
+          .toDF("l_returnflag", "est")
+        val exact = table(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        est.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.15).as("within_tol"))
+      },
+      Some(sql("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+                   TRUE AS within_tol
+                  FROM lineitem GROUP BY 1"""))),
+
+    // sampleByKeyExact (PairRDDFunctions.scala:264): stratified sampling
+    // with EXACT per-stratum sizes — ceil(f·N_k) regardless of seed, so
+    // the sizes themselves are the oracle. f = 0.25 (binary-exact: no
+    // double-vs-decimal ceil boundary between engines).
+    Q("rdd_sample_by_key_exact",
+      (s, d) => {
+        import s.implicits._
+        val pairs = table(s, d, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"))
+          .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).rdd
+        val fracs = Map("F" -> 0.25, "O" -> 0.25, "P" -> 0.25)
+        pairs.sampleByKeyExact(withReplacement = false, fracs, seed = 42L)
+          .toDF("o_orderstatus", "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_sampled"))
+      },
+      Some(sql("""SELECT o_orderstatus,
+                   CAST(ceil(0.25 * count(*)) AS BIGINT) AS n_sampled
+                  FROM orders GROUP BY 1""")))
   )
 }

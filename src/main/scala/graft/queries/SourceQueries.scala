@@ -287,7 +287,10 @@ object SourceQueries {
     // daily re-run of one day's partition relies on at 100 TB.
     Q("src_dynamic_overwrite",
       (s, d) => {
-        val path = tmp(d, s"orders_dynpart_${java.lang.ProcessHandle.current().pid()}")
+        // fixed path: the query starts with a full Overwrite write, so
+        // re-runs are idempotent — a pid suffix would leak one partitioned
+        // copy of orders per JVM run
+        val path = tmp(d, "orders_dynpart")
         val base = table(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         base.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)

@@ -101,22 +101,26 @@ object Sql2Queries {
     // TABLESAMPLE (30 PERCENT) REPEATABLE(42): Bernoulli sample pushed
     // into the scan (SampleExec over the relation). The drawn subset is
     // engine-specific, so the ORACLED contract is the pair of invariants
-    // that fully characterize a correct sample: every sampled key exists
-    // in the source (zero escapees) and the size lands inside loose
-    // Chernoff bounds for p=0.3.
+    // that characterize a correct seeded sample: REPEATABLE determinism
+    // (two draws with the same seed are identical — EXCEPT empty both
+    // ways) and the size landing inside loose Chernoff bounds for p=0.3.
     Q("sql_tablesample",
       (s, d) => {
         table(s, d, "orders").createOrReplaceTempView("graft_ord_ts")
-        s.sql(sql("""WITH s AS (SELECT o_orderkey
+        s.sql(sql("""WITH s1 AS (SELECT o_orderkey
+                       FROM graft_ord_ts TABLESAMPLE (30 PERCENT) REPEATABLE (42)),
+                     s2 AS (SELECT o_orderkey
                        FROM graft_ord_ts TABLESAMPLE (30 PERCENT) REPEATABLE (42)),
                      tot AS (SELECT count(*) AS n FROM graft_ord_ts)
                      SELECT
-                       (SELECT count(*) FROM s LEFT ANTI JOIN graft_ord_ts USING (o_orderkey)) AS n_escaped,
-                       (SELECT count(*) FROM s) BETWEEN
+                       (SELECT count(*) FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2))
+                         + (SELECT count(*) FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1))
+                         AS n_seed_diff,
+                       (SELECT count(*) FROM s1) BETWEEN
                          CAST(0.10 * (SELECT n FROM tot) AS BIGINT) AND
                          CAST(0.50 * (SELECT n FROM tot) AS BIGINT) AS size_in_bounds"""))
       },
-      Some(sql("SELECT CAST(0 AS BIGINT) AS n_escaped, TRUE AS size_in_bounds"))),
+      Some(sql("SELECT CAST(0 AS BIGINT) AS n_seed_diff, TRUE AS size_in_bounds"))),
 
     // Join strategy hints (SELECT /*+ BROADCAST(n) */ …): the SQL-level
     // switch for the reference's BroadcastHashJoin vs ShuffledHashJoin

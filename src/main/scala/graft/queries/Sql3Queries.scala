@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** Reference-era SQL dialect surface, wave 3.
+  *
+  * - HiveQL multi-insert (`FROM src INSERT OVERWRITE TABLE a … INSERT
+  *   OVERWRITE TABLE b …`) — the one Hive-era construct a migration user
+  *   still hits daily: one scan fans out into several aggregated writes.
+  *   The reference parses the multi-insert clause list in
+  *   sql/hive/.../HiveQl.scala:547-560 and exercises it through the
+  *   HiveCompatibilitySuite golden corpus (multi_insert* whiteList rows,
+  *   sql/hive/compatibility/.../HiveCompatibilitySuite.scala:246).
+  *   At 100 TB this is a real optimization surface: N destination tables
+  *   from ONE pass over the fact table instead of N scans.
+  *
+  * - Multi-feature "stress" statements that combine dialect features the
+  *   way the reference's golden corpus does (CTE chains + LATERAL VIEW +
+  *   window + GROUPING SETS; subqueries + join hints + DISTRIBUTE BY),
+  *   guarding against pairwise-only coverage of analyzer features that
+  *   interact.
+  */
+object Sql3Queries {
+
+  /** Drop a managed table AND its warehouse directory (the directory can
+    * survive from a previous JVM whose in-memory catalog is gone). */
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // HiveQL multi-insert: one FROM clause, two INSERT OVERWRITE branches
+    // with independent aggregations — then both tables read back through
+    // the catalog as one tagged union the oracle can recompute.
+    Q("sql_multi_insert",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_mi")
+        dropManaged(s, "graft_mi_by_flag")
+        dropManaged(s, "graft_mi_by_status")
+        s.sql("CREATE TABLE graft_mi_by_flag (key STRING, n BIGINT, sum_qty DOUBLE) USING parquet")
+        s.sql("CREATE TABLE graft_mi_by_status (key STRING, n BIGINT, sum_qty DOUBLE) USING parquet")
+        s.sql(sql("""FROM graft_li_mi
+                     INSERT OVERWRITE TABLE graft_mi_by_flag
+                       SELECT l_returnflag, count(*), sum(l_quantity)
+                       GROUP BY l_returnflag
+                     INSERT OVERWRITE TABLE graft_mi_by_status
+                       SELECT l_linestatus, count(*), sum(l_quantity)
+                       GROUP BY l_linestatus"""))
+        s.sql(sql("""SELECT 'by_flag' AS side, key, n, sum_qty FROM graft_mi_by_flag
+                     UNION ALL
+                     SELECT 'by_status' AS side, key, n, sum_qty FROM graft_mi_by_status"""))
+      },
+      Some(sql("""SELECT 'by_flag' AS side, l_returnflag AS key,
+                    count(*) AS n, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_returnflag
+                  UNION ALL
+                  SELECT 'by_status' AS side, l_linestatus AS key,
+                    count(*) AS n, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_linestatus"""))),
+
+    // Analyzer stress: CTE chain + LATERAL VIEW generator + aggregation +
+    // ranking window + GROUPING SETS with grouping() flags, one statement.
+    // Top-3 part-name tokens per brand (rank ties broken by token), then
+    // re-aggregated across three grouping levels.
+    Q("sql_stress_olap",
+      (s, d) => {
+        table(s, d, "part").createOrReplaceTempView("graft_part_st")
+        s.sql(sql("""WITH toks AS (
+                       SELECT p_brand, w FROM graft_part_st
+                       LATERAL VIEW explode(split(p_name, ' ')) t AS w
+                       WHERE w <> ''),
+                     counted AS (
+                       SELECT p_brand, w, count(*) AS occ
+                       FROM toks GROUP BY p_brand, w),
+                     ranked AS (
+                       SELECT p_brand, w, occ,
+                         rank() OVER (PARTITION BY p_brand
+                                      ORDER BY occ DESC, w) AS r
+                       FROM counted)
+                     SELECT p_brand, w, sum(occ) AS n,
+                       CAST(grouping(p_brand) AS BIGINT) AS g_b,
+                       CAST(grouping(w) AS BIGINT) AS g_w
+                     FROM ranked WHERE r <= 3
+                     GROUP BY GROUPING SETS ((p_brand, w), (p_brand), ())"""))
+      },
+      Some(sql("""WITH toks AS (
+                    SELECT p_brand, unnest(string_split(p_name, ' ')) AS w
+                    FROM part),
+                  counted AS (
+                    SELECT p_brand, w, count(*) AS occ
+                    FROM toks WHERE w <> '' GROUP BY p_brand, w),
+                  ranked AS (
+                    SELECT p_brand, w, occ,
+                      rank() OVER (PARTITION BY p_brand
+                                   ORDER BY occ DESC, w) AS r
+                    FROM counted)
+                  SELECT p_brand, w, sum(occ) AS n,
+                    CAST(grouping(p_brand) AS BIGINT) AS g_b,
+                    CAST(grouping(w) AS BIGINT) AS g_w
+                  FROM ranked WHERE r <= 3
+                  GROUP BY GROUPING SETS ((p_brand, w), (p_brand), ())"""))),
+
+    // Dialect stress: scalar subquery + correlated EXISTS + BROADCAST
+    // hint + HAVING + DISTRIBUTE BY / SORT BY tail in one statement.
+    // Content is layout-invariant, so the oracle drops only the physical
+    // clauses (hint, DISTRIBUTE/SORT BY).
+    Q("sql_stress_dialect",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_st")
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_st")
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_st")
+        s.sql(sql("""WITH big AS (
+                       SELECT o_custkey, o_totalprice FROM graft_ord_st
+                       WHERE o_totalprice >
+                         (SELECT avg(o_totalprice) FROM graft_ord_st))
+                     SELECT /*+ BROADCAST(n) */ c_mktsegment, n_name,
+                       count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total
+                     FROM big JOIN graft_cust_st c ON o_custkey = c_custkey
+                     JOIN graft_nat_st n ON c_nationkey = n_nationkey
+                     WHERE EXISTS (SELECT 1 FROM graft_nat_st x
+                                   WHERE x.n_nationkey = n.n_nationkey
+                                     AND x.n_regionkey < 3)
+                     GROUP BY c_mktsegment, n_name
+                     HAVING count(*) >= 2
+                     DISTRIBUTE BY c_mktsegment
+                     SORT BY c_mktsegment, n_name"""))
+      },
+      Some(sql("""WITH big AS (
+                    SELECT o_custkey, o_totalprice FROM orders
+                    WHERE o_totalprice >
+                      (SELECT avg(o_totalprice) FROM orders))
+                  SELECT c_mktsegment, n_name,
+                    count(*) AS n_orders,
+                    round(sum(o_totalprice), 2) AS total
+                  FROM big JOIN customer c ON o_custkey = c_custkey
+                  JOIN nation n ON c_nationkey = n_nationkey
+                  WHERE EXISTS (SELECT 1 FROM nation x
+                                WHERE x.n_nationkey = n.n_nationkey
+                                  AND x.n_regionkey < 3)
+                  GROUP BY c_mktsegment, n_name
+                  HAVING count(*) >= 2""")))
+  )
+}

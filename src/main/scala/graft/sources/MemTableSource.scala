@@ -123,8 +123,16 @@ final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
       override def write(record: InternalRow): Unit =
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
           val v = record.get(i, f.dataType)
+          // Spark REUSES the incoming UnsafeRow across write() calls, and
+          // get() returns VIEWS into its buffer for string/array/map/struct
+          // values — buffering a view would silently alias every row to the
+          // last one. Strings become JVM strings; nested catalyst values
+          // are deep-copied.
           v match {
             case s: UTF8String => s.toString
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+            case r: InternalRow => r.copy()
             case other => other
           }
         }.toSeq

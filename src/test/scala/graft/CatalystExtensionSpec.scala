@@ -10,6 +10,24 @@ class CatalystExtensionSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("MemTableSource round-trips nested array/struct rows without aliasing") {
+    // Spark reuses the incoming UnsafeRow across write() calls; without
+    // deep-copying, every buffered row's array/struct views would alias
+    // the LAST row's buffer. Distinct per-row nested values prove the fix.
+    val in = Seq(
+      (1L, Seq("a", "b"), ("x", 10L)),
+      (2L, Seq("c"), ("y", 20L)),
+      (3L, Seq("d", "e", "f"), ("z", 30L)))
+      .toDF("id", "tags", "meta")
+    in.write.format("graft.sources.MemTableSource")
+      .option("name", "graft_nested_rt").mode("overwrite").save()
+    val back = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "graft_nested_rt").load()
+      .selectExpr("id", "concat_ws(',', tags) AS t", "meta._2 AS m")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(back === Array((1L, "a,b", 10L), (2L, "c", 20L), (3L, "d,e,f", 30L)))
+  }
+
   test("graft_hamming64 computes popcount of xor") {
     Engine.configure(spark)
     val rows = Seq((255L, 240L), (0L, 0L), (1L, -1L)).toDF("a", "b")
