@@ -64,6 +64,28 @@ object DedupQueries {
         bands AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($bandSigs) AS sig FROM sigs)"""
   }
 
+  /** Exploded gram hashes ranked per document by GLOBAL RARITY: document
+    * frequency ascending, hash ascending. Prefix filtering is exact under
+    * ANY consistent total order, but candidate volume is dominated by the
+    * most frequent grams — rarity ordering pushes them out of the probe
+    * prefixes (the PPJoin canonical ordering), collapsing candidates from
+    * near-all-pairs to near-linear. After ranking, grams with df = 1 are
+    * pruned from both probe and index: a gram appearing in one document
+    * cannot link a pair, so dropping them never loses a candidate.
+    * Input must carry (doc_id, `extra`…, hs); output rows are
+    * (h, doc_id, extra…, n = doc gram count, df, rn = rarity rank). */
+  private def rarityRanked(g: DataFrame, extra: Seq[String]): DataFrame = {
+    val grams = g.select(
+      (col("doc_id") +: extra.map(col)) ++
+        Seq(size(col("hs")).as("n"), explode(col("hs")).as("h")): _*)
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    grams.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("df") >= 2)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on normalized content; keeper = min doc_id.
@@ -149,15 +171,15 @@ object DedupQueries {
                    FROM (SELECT doc_id, ${T.simhashSql("text")} AS simhash FROM documents)"""))),
 
     // Character-4-gram Jaccard with PREFIX-FILTER blocking (SSJoin /
-    // PPJoin family): each doc sorts its distinct gram hashes by a global
-    // order (the hash value itself — any consistent total order is valid)
-    // and emits only the first floor(n/2)+1 as candidate keys. Pigeonhole:
-    // J(A,B) ≥ 0.5 forces |A∩B| ≥ ceil(0.5·max(|A|,|B|)), so the prefixes
-    // of A and B must share a gram — candidates = prefix⋈prefix on the
-    // gram hash, then the EXACT Jaccard verify. Same output as all-pairs
-    // within (source, len_bkt), but the join-key cardinality (distinct
-    // gram hashes) GROWS with the corpus, so bucket sizes stay bounded at
-    // 100 TB where a source-only key would go quadratic.
+    // PPJoin family): each doc orders its distinct gram hashes by global
+    // rarity (rarityRanked above) and emits only the first floor(n/2)+1
+    // as candidate keys. Pigeonhole: J(A,B) ≥ 0.5 forces |A∩B| ≥
+    // ceil(0.5·max(|A|,|B|)), so the prefixes of A and B must share a
+    // gram — candidates = prefix⋈prefix on the gram hash, then the EXACT
+    // Jaccard verify. Same output as all-pairs within (source, len_bkt),
+    // but the join-key cardinality (distinct gram hashes) GROWS with the
+    // corpus, so bucket sizes stay bounded at 100 TB where a source-only
+    // key would go quadratic.
     Q("dedup_ngram_jaccard",
       (s, d) => {
         val g = table(s, d, "documents")
@@ -166,19 +188,32 @@ object DedupQueries {
             T.charNgrams(col("text")).as("ng"))
           .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
         val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
+        // prefix = the floor(n/2)+1 RAREST grams of each doc (df-asc order)
         val prefix = graft.functions.SkewGuard.dropHotBuckets(
-          gc.select(col("doc_id"), col("source"), col("len_bkt"),
-            explode(slice(col("hs"), lit(1),
-              floor(size(col("hs")) / 2).cast("int") + 1)).as("h")),
+          graft.functions.CacheOnce.swap("dedup_ngrams_pf",
+            rarityRanked(gc, Seq("source", "len_bkt"))
+              .filter(col("rn") <= floor(col("n") / 2) + 1)
+              .select(col("doc_id"), col("source"), col("len_bkt"),
+                col("h"), col("rn"), col("n"))),
           Seq("source", "len_bkt", "h"))
+        // positional filter (PPJoin): a match at ranks (rn_a, rn_b) can
+        // support at most 1 + min(remaining_a, remaining_b) common grams;
+        // J >= 0.5 needs >= ceil(max(n_a,n_b)/2), and a qualifying pair's
+        // FIRST common gram always passes, so the prune is exact.
         val cand = prefix.as("a").join(prefix.as("b"),
           col("a.h") === col("b.h") && col("a.source") === col("b.source")
             && col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
+          .filter(lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+            >= ceil(greatest(col("a.n"), col("b.n")) / 2))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        // verify on the 60-bit HASH arrays, not the string grams: the
+        // same distinct sets (md5-hash bijection on this gram space, and
+        // the oracle mirrors the identical hashes), at integer-compare
+        // cost instead of string-compare cost
         cand
-          .join(gc.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
-          .join(gc.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), T.jaccard(col("ng_a"), col("ng_b")).as("j_raw"))
+          .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), T.jaccard(col("hs_a"), col("hs_b")).as("j_raw"))
           .filter(col("j_raw") >= 0.5) // raw filter, rounded output
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
@@ -195,10 +230,10 @@ object DedupQueries {
                             FROM pf a JOIN pf b ON a.h = b.h AND a.source = b.source
                               AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
                    SELECT doc_a, doc_b,
-                     round(${T.jaccardSql("ga.ng", "gb.ng")}, 6) AS jaccard
+                     round(${T.jaccardSql("ga.hs", "gb.hs")}, 6) AS jaccard
                    FROM cand JOIN gh ga ON ga.doc_id = doc_a
                              JOIN gh gb ON gb.doc_id = doc_b
-                   WHERE ${T.jaccardSql("ga.ng", "gb.ng")} >= 0.5"""))),
+                   WHERE ${T.jaccardSql("ga.hs", "gb.hs")} >= 0.5"""))),
 
     // Containment similarity C(A,B) = |A∩B| / |A| — the asymmetric
     // sibling of Jaccard that catches a SHORT doc embedded in a LONGER
@@ -207,41 +242,51 @@ object DedupQueries {
     // 2·|A∩B| ≥ |A| (containment ≥ 0.5), both directions per pair.
     //
     // Blocking is probe-prefix ⋈ full-index on the gram hash: every doc
-    // indexes ALL its distinct gram hashes (the inverted-index side);
-    // candidates come from probing each doc's floor(n/2)+1 smallest
-    // hashes against it. Pigeonhole: if the smaller side's containment
-    // is ≥ 0.5 the probe prefix MUST hit the partner's index, so the
-    // candidate set is a strict superset of qualifying pairs — the exact
-    // verify below is unchanged and the output is identical to all-pairs
-    // within source. The join key (gram hash) grows with the corpus;
-    // the old source-only key was corpus-independent ⇒ quadratic buckets
-    // that SkewGuard would have silently dropped wholesale at 100 TB.
+    // indexes ALL its df≥2 gram hashes (the inverted-index side);
+    // candidates come from probing each doc's floor(n/2)+1 RAREST grams
+    // (rarityRanked) against it. Pigeonhole: if the smaller side's
+    // containment is ≥ 0.5 the probe prefix MUST hit the partner's
+    // index, so the candidate set is a strict superset of qualifying
+    // pairs — the exact verify below is unchanged and the output is
+    // identical to all-pairs within source. The join key (gram hash)
+    // grows with the corpus; the old source-only key was
+    // corpus-independent ⇒ quadratic buckets that SkewGuard would have
+    // silently dropped wholesale at 100 TB.
     Q("dedup_containment", bench = true,
       fn = (s, d) => {
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
           .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
         val gc = graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
+        val ranked = graft.functions.CacheOnce.swap("dedup_contain_idx",
+          rarityRanked(gc, Seq("source")))
         val index = graft.functions.SkewGuard.dropHotBuckets(
-          gc.select(col("doc_id"), col("source"), explode(col("hs")).as("h")),
+          ranked.select(col("doc_id"), col("source"), col("h"), col("rn"), col("n")),
           Seq("source", "h"))
+        // probe = the floor(n/2)+1 RAREST grams of each doc (df-asc order)
         val probe = graft.functions.SkewGuard.dropHotBuckets(
-          gc.select(col("doc_id"), col("source"),
-            explode(slice(col("hs"), lit(1),
-              floor(size(col("hs")) / 2).cast("int") + 1)).as("h")),
+          ranked.filter(col("rn") <= floor(col("n") / 2) + 1)
+            .select(col("doc_id"), col("source"), col("h"), col("rn"), col("n")),
           Seq("source", "h"))
+        // positional filter (PPJoin): a match at ranks (rn_p, rn_i) can
+        // support at most 1 + min(remaining) common grams; the threshold
+        // 2*overlap >= min(n_a,n_b) needs ceil(min/2), and a qualifying
+        // pair's FIRST common gram always passes, so the prune is exact.
         val cand = probe.as("p").join(index.as("i"),
           col("p.h") === col("i.h") && col("p.source") === col("i.source")
             && col("p.doc_id") =!= col("i.doc_id"))
+          .filter(lit(1) + least(col("p.n") - col("p.rn"), col("i.n") - col("i.rn"))
+            >= ceil(least(col("p.n"), col("i.n")) / 2))
           .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
             greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b")).distinct()
+        // verify on the 60-bit HASH arrays (see dedup_ngram_jaccard)
         cand
-          .join(gc.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
-          .join(gc.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
+          .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("ng_a"), col("ng_b"))).cast("long").as("n_int"),
-            size(col("ng_a")).cast("long").as("n_a"),
-            size(col("ng_b")).cast("long").as("n_b"))
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_int"),
+            size(col("hs_a")).cast("long").as("n_a"),
+            size(col("hs_b")).cast("long").as("n_b"))
           .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))
           .select(col("doc_a"), col("doc_b"),
             round(col("n_int").cast("double") / col("n_a"), 6).as("c_ab"),
@@ -263,9 +308,9 @@ object DedupQueries {
                      round(CAST(n_int AS DOUBLE) / n_a, 6) AS c_ab,
                      round(CAST(n_int AS DOUBLE) / n_b, 6) AS c_ba
                    FROM (SELECT doc_a, doc_b,
-                           CAST(len(list_intersect(ga.ng, gb.ng)) AS BIGINT) AS n_int,
-                           CAST(len(ga.ng) AS BIGINT) AS n_a,
-                           CAST(len(gb.ng) AS BIGINT) AS n_b
+                           CAST(len(list_intersect(ga.hs, gb.hs)) AS BIGINT) AS n_int,
+                           CAST(len(ga.hs) AS BIGINT) AS n_a,
+                           CAST(len(gb.hs) AS BIGINT) AS n_b
                          FROM cand JOIN gh ga ON ga.doc_id = doc_a
                                    JOIN gh gb ON gb.doc_id = doc_b)
                    WHERE n_int * 2 >= n_a OR n_int * 2 >= n_b"""))),
