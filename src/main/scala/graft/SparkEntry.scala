@@ -35,7 +35,8 @@ object SparkEntry {
       Pipeline3Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
-      MlQueries.all
+      MlQueries.all ++
+      Ml2Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -147,6 +147,32 @@ object Sql3Queries {
                                 WHERE x.n_nationkey = n.n_nationkey
                                   AND x.n_regionkey < 3)
                   GROUP BY c_mktsegment, n_name
-                  HAVING count(*) >= 2""")))
+                  HAVING count(*) >= 2"""))),
+
+    // Reshape stress: CTE + join + SQL PIVOT clause + arithmetic over the
+    // pivoted columns in one statement (agg_pivot covers the DataFrame
+    // API path; this is the ANALYZER's pivot clause). The oracle restates
+    // the pivot as conditional aggregation.
+    Q("sql_stress_pivot",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_sp")
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_sp")
+        s.sql(sql("""WITH seg AS (
+                       SELECT c_mktsegment, o_orderpriority, count(*) AS n
+                       FROM graft_ord_sp JOIN graft_cust_sp ON o_custkey = c_custkey
+                       GROUP BY 1, 2)
+                     SELECT c_mktsegment, urgent, high,
+                       round(urgent / (urgent + high), 6) AS urgent_share
+                     FROM (SELECT * FROM seg
+                           PIVOT (sum(n) FOR o_orderpriority
+                                  IN ('1-URGENT' AS urgent, '2-HIGH' AS high)))"""))
+      },
+      Some(sql("""SELECT c_mktsegment, urgent, high,
+                    round(urgent / CAST(urgent + high AS DOUBLE), 6) AS urgent_share
+                  FROM (SELECT c_mktsegment,
+                          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+                          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY c_mktsegment)""")))
   )
 }
