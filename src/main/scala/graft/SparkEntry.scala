@@ -36,7 +36,8 @@ object SparkEntry {
       Sql2Queries.all ++
       Sql3Queries.all ++
       MlQueries.all ++
-      Ml2Queries.all
+      Ml2Queries.all ++
+      Ml3Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
