@@ -37,7 +37,8 @@ object SparkEntry {
       Sql3Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
-      Ml3Queries.all
+      Ml3Queries.all ++
+      Ml4Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
