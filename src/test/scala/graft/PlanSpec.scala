@@ -256,6 +256,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("Gramian is one scan of outer products, partial-aggregated — no self-join") {
+    val p = plan("ml_gramian")
+    assert(!p.contains("Join"), "Gramian must not self-join the matrix:\n" + p)
+    assert(p.contains("Generate"), "expected posexplode outer-product pass:\n" + p)
+    assert(p.contains("partial_sum"), "entry sums must partial-aggregate:\n" + p)
+  }
+
+  test("column similarities broadcast the 64-entry diagonal, never shuffle it") {
+    val p = plan("ml_col_similarities")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "diagonal join must not shuffle:\n" + p)
+  }
+
+  test("matrix multiply pre-aggregates both operands before the inner-dim join") {
+    val p = plan("ml_block_matmul")
+    assert(p.contains("partial_count"), "operand entries not partial-aggregated:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("FPGrowth prunes pair candidates with a broadcast of frequent singletons") {
+    val p = plan("ml_fpgrowth")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "Apriori pruning should broadcast the frequent-item set:\n" + p)
+  }
+
+  test("learner sufficient statistics are partial-aggregated single passes") {
+    for (name <- Seq("ml_ridge", "ml_logreg_step", "ml_power_iteration",
+        "ml_streaming_kmeans_update")) {
+      val p = plan(name)
+      assert(p.contains("partial"), s"$name lacks partial aggregation:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name should only broadcast-join K-row model tables:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val c = spark.conf
