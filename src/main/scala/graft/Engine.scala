@@ -39,6 +39,7 @@ object Engine {
       graft.plans.TopKAgg.register(spark)
       graft.plans.MinHash16.register(spark)
       graft.plans.IntL2.register(spark)
+      graft.plans.Overlap64.register(spark)
       graft.plans.GraftRules.install(spark)
       c.set("spark.graft.configured", "true")
     }

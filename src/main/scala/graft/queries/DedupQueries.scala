@@ -209,11 +209,23 @@ object DedupQueries {
         // verify on the 60-bit HASH arrays, not the string grams: the
         // same distinct sets (md5-hash bijection on this gram space, and
         // the oracle mirrors the identical hashes), at integer-compare
-        // cost instead of string-compare cost
+        // cost instead of string-compare cost. The intersect/union math
+        // runs in the native graft_overlap64 two-pointer kernel over the
+        // sorted arrays (|∪| = da + db − |∩|, per-doc distinct counts
+        // precomputed BEFORE the join) instead of interpreted
+        // array_intersect/array_union hash sets per candidate pair.
+        val withDist = gc.select(col("doc_id"), col("hs"),
+          expr("graft_overlap64(hs, hs)").as("nd"))
         cand
-          .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-          .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), T.jaccard(col("hs_a"), col("hs_b")).as("j_raw"))
+          .join(withDist.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+            col("nd").as("nd_a")), Seq("doc_a"))
+          .join(withDist.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+            col("nd").as("nd_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("nd_a"), col("nd_b"),
+            expr("graft_overlap64(hs_a, hs_b)").as("ov"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("ov").cast("double")
+              / (col("nd_a") + col("nd_b") - col("ov")).cast("double")).as("j_raw"))
           .filter(col("j_raw") >= 0.5) // raw filter, rounded output
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
@@ -279,12 +291,16 @@ object DedupQueries {
             >= ceil(least(col("p.n"), col("i.n")) / 2))
           .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
             greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b")).distinct()
-        // verify on the 60-bit HASH arrays (see dedup_ngram_jaccard)
+        // verify on the 60-bit HASH arrays (see dedup_ngram_jaccard),
+        // with the intersect count from the native graft_overlap64
+        // two-pointer kernel over the sorted arrays — codegen'd, zero
+        // allocation — instead of interpreted array_intersect hash sets
+        // per candidate pair (the r5 bench's dominant cost).
         cand
           .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
           .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_int"),
+            expr("graft_overlap64(hs_a, hs_b)").as("n_int"),
             size(col("hs_a")).cast("long").as("n_a"),
             size(col("hs_b")).cast("long").as("n_b"))
           .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))

@@ -55,10 +55,10 @@ object Ml2Queries {
       },
       Some(sql("""WITH agg AS (
                     SELECT t, count(*) AS n,
-                      sum(CASE WHEN x <= t AND y = 0 THEN 1 ELSE 0 END) AS l0,
-                      sum(CASE WHEN x <= t AND y = 1 THEN 1 ELSE 0 END) AS l1,
-                      sum(CASE WHEN x > t AND y = 0 THEN 1 ELSE 0 END) AS r0,
-                      sum(CASE WHEN x > t AND y = 1 THEN 1 ELSE 0 END) AS r1
+                      CAST(sum(CASE WHEN x <= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+                      CAST(sum(CASE WHEN x <= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+                      CAST(sum(CASE WHEN x > t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+                      CAST(sum(CASE WHEN x > t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1
                     FROM (SELECT c_nationkey AS x,
                             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,
                             unnest([5, 10, 15, 20]) AS t
@@ -111,25 +111,45 @@ object Ml2Queries {
     // Rank-based AUC (mllib/.../evaluation/BinaryClassificationMetrics
     // .scala) per priority group: positives = status 'F', score =
     // o_totalprice. Mann-Whitney with PROPER tie handling via average
-    // ranks: ar = rank() + (|tie group| − 1)/2 — both deterministic —
-    // then AUC = (Σ_pos ar − P(P+1)/2)/(P·N). Ranks are integers and tie
-    // adjustments are halves, so Σ is exact in double; one division.
-    // The rank window is PARTITIONED by group (scale posture: per-group
-    // metric, never a global single-partition sort).
+    // ranks ar = (#rows below) + (|tie group| + 1)/2, then
+    // AUC = (Σ_pos ar − P(P+1)/2)/(P·N); tie adjustments are halves, so
+    // Σ is exact in double; one division. Scale posture: rows collapse to
+    // (priority, price) TIE GROUPS first (partial agg, key grows with the
+    // corpus), and the prefix sum over tie groups is two bounded windows —
+    // within (priority, floor(price)) buckets (≤100 cent-distinct prices
+    // per bucket) plus a cross-bucket offset cumsum whose partition size
+    // is the price DOMAIN, not the corpus. No window partition here grows
+    // with N/|priorities| the way a per-priority rank() would.
     Q("ml_auc",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
-        val wt = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_orderpriority"), col("o_totalprice"))
-        val ranked = table(s, d, "orders")
+        val W = org.apache.spark.sql.expressions.Window
+        val groups = table(s, d, "orders")
           .select(col("o_orderpriority"), col("o_totalprice"),
             (col("o_orderstatus") === "F").cast("long").as("pos"))
-          .withColumn("ar", rank().over(w) + (count(lit(1)).over(wt) - 1) / 2.0)
-        ranked.groupBy(col("o_orderpriority"))
-          .agg(sum(col("pos")).as("p"),
-            sum(lit(1L) - col("pos")).as("n"),
-            sum(when(col("pos") === 1, col("ar")).otherwise(0.0)).as("sum_ar"))
+          .groupBy(col("o_orderpriority"), col("o_totalprice"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+          .withColumn("bucket", floor(col("o_totalprice")))
+        val bucketOff = groups
+          .groupBy(col("o_orderpriority"), col("bucket"))
+          .agg(sum(col("cnt")).as("bcnt"))
+          .withColumn("boff",
+            coalesce(sum(col("bcnt")).over(
+              W.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+          .drop("bcnt")
+        val ar = groups
+          .withColumn("woff",
+            coalesce(sum(col("cnt")).over(
+              W.partitionBy(col("o_orderpriority"), col("bucket"))
+                .orderBy(col("o_totalprice"))
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+          .join(bucketOff, Seq("o_orderpriority", "bucket"))
+          .withColumn("ar", (col("boff") + col("woff")).cast("double")
+            + (col("cnt") + 1) / 2.0)
+        ar.groupBy(col("o_orderpriority"))
+          .agg(sum(col("pc")).as("p"),
+            sum(col("cnt") - col("pc")).as("n"),
+            sum(col("pc") * col("ar")).as("sum_ar"))
           .select(col("o_orderpriority"), col("p"), col("n"),
             round((col("sum_ar") - col("p") * (col("p") + 1) / 2.0)
               / (col("p") * col("n")).cast("double"), 6).as("auc"))
@@ -142,7 +162,8 @@ object Ml2Queries {
                         AS ar
                     FROM orders)
                   SELECT o_orderpriority,
-                    sum(pos) AS p, sum(1 - pos) AS n,
+                    CAST(sum(pos) AS BIGINT) AS p,
+                    CAST(sum(1 - pos) AS BIGINT) AS n,
                     round((sum(CASE WHEN pos = 1 THEN ar ELSE 0 END)
                            - sum(pos) * (sum(pos) + 1) / 2.0)
                           / CAST(sum(pos) * sum(1 - pos) AS DOUBLE), 6) AS auc

@@ -56,7 +56,7 @@ object Ml3Queries {
                       count(*) AS a FROM lineitem GROUP BY 1, 2),
                   b AS (SELECT p_partkey % 12 AS j, p_size % 6 AS k,
                       count(*) AS b FROM part GROUP BY 1, 2)
-                  SELECT i, k, sum(a * b) AS c
+                  SELECT i, k, CAST(sum(a * b) AS BIGINT) AS c
                   FROM a JOIN b USING (j) GROUP BY 1, 2"""))),
 
     // Gramian G = A'A over the embeddings matrix (mllib/.../linalg/

@@ -153,7 +153,7 @@ object Ml4Queries {
       },
       Some(sql("""WITH a AS (SELECT l_suppkey % 25 AS i, l_partkey % 25 AS j,
                       count(*) AS a FROM lineitem GROUP BY 1, 2),
-                  deg AS (SELECT i, sum(a) AS d FROM a GROUP BY 1),
+                  deg AS (SELECT i, CAST(sum(a) AS BIGINT) AS d FROM a GROUP BY 1),
                   vol AS (SELECT sum(d) AS vol FROM deg),
                   num AS (SELECT a.i, sum(a.a * dj.d) AS num
                     FROM a JOIN deg dj ON a.j = dj.i GROUP BY 1)

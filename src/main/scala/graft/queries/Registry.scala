@@ -14,7 +14,16 @@ final case class Q(
     bench: Boolean = false)
 
 object Registry {
-  /** Collapse whitespace so oracle SQL survives JSON + logs cleanly. */
+  /** Collapse whitespace so oracle SQL survives JSON + logs cleanly.
+    *
+    * ORACLE TYPING RULE: DuckDB types a raw integer `sum(...)` as HUGEINT
+    * (int128) while Spark emits BIGINT, and the harness hashes the two
+    * differently even when every value is identical. Any EXPOSED oracle
+    * column built from an integer sum() must be wrapped
+    * `CAST(sum(...) AS BIGINT)` (count(*) is already BIGINT and needs no
+    * cast; sums that feed only into a CAST(... AS DOUBLE) expression are
+    * also fine). This cost six red rows in round 5 — keep the rule.
+    */
   def sql(s: String): String = s.replaceAll("\\s+", " ").trim
 
   import org.apache.spark.sql.Column

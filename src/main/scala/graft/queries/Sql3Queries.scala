@@ -102,7 +102,7 @@ object Sql3Queries {
                       rank() OVER (PARTITION BY p_brand
                                    ORDER BY occ DESC, w) AS r
                     FROM counted)
-                  SELECT p_brand, w, sum(occ) AS n,
+                  SELECT p_brand, w, CAST(sum(occ) AS BIGINT) AS n,
                     CAST(grouping(p_brand) AS BIGINT) AS g_b,
                     CAST(grouping(w) AS BIGINT) AS g_w
                   FROM ranked WHERE r <= 3
@@ -170,8 +170,8 @@ object Sql3Queries {
       Some(sql("""SELECT c_mktsegment, urgent, high,
                     round(urgent / CAST(urgent + high AS DOUBLE), 6) AS urgent_share
                   FROM (SELECT c_mktsegment,
-                          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
-                          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high
+                          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+                          CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high
                         FROM orders JOIN customer ON o_custkey = c_custkey
                         GROUP BY c_mktsegment)""")))
   )

@@ -109,6 +109,38 @@ object UdfQueries {
         }.toDF("doc_id", "lang_upper")
       },
       Some(sql("""SELECT doc_id, upper(lang) AS lang_upper
-                  FROM documents WHERE doc_id < 50""")))
+                  FROM documents WHERE doc_id < 50"""))),
+
+    // The Hive UDF/UDAF bridge itself (reference hive/hiveUdfs.scala:76
+    // HiveSimpleUdf, :139 HiveGenericUdf, :192 HiveGenericUdaf): register
+    // REAL Hive function classes from hive-exec through `CREATE TEMPORARY
+    // FUNCTION` and run all three bridge paths in one statement —
+    // UDFHex extends UDF (simple bridge, with Hive's implicit int→long
+    // coercion), GenericUDFUpper extends GenericUDF, GenericUDAFSum is a
+    // GenericUDAFResolver. The golden-corpus HiveQL suites lean on this
+    // surface constantly; until now it was the one §2.7 row with no
+    // declared query.
+    Q("sql_hive_udf",
+      (s, d) => {
+        if (!s.catalog.functionExists("graft_hive_upper")) {
+          s.sql("CREATE TEMPORARY FUNCTION graft_hive_upper AS " +
+            "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper'")
+          s.sql("CREATE TEMPORARY FUNCTION graft_hive_hex AS " +
+            "'org.apache.hadoop.hive.ql.udf.UDFHex'")
+          s.sql("CREATE TEMPORARY FUNCTION graft_hive_sum AS " +
+            "'org.apache.hadoop.hive.ql.udf.generic.GenericUDAFSum'")
+        }
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_hudf")
+        s.sql(sql("""SELECT graft_hive_upper(c_mktsegment) AS seg,
+                       graft_hive_hex(c_nationkey) AS nk_hex,
+                       count(*) AS n,
+                       graft_hive_sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+                     FROM graft_cust_hudf GROUP BY 1, 2"""))
+      },
+      Some(sql("""SELECT upper(c_mktsegment) AS seg,
+                    hex(c_nationkey) AS nk_hex,
+                    count(*) AS n,
+                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+                  FROM customer GROUP BY 1, 2""")))
   )
 }

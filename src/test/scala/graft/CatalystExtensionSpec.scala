@@ -213,4 +213,38 @@ class CatalystExtensionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("bigint"))
   }
+
+  test("graft_overlap64 matches size(array_intersect) on sorted arrays") {
+    Engine.configure(spark)
+    // includes duplicates (hash collisions count once), ragged lengths,
+    // negative values, and disjoint / identical / empty cases
+    val cases = Seq(
+      (Array(-5L, 1L, 2L, 2L, 7L, 9L), Array(-5L, 2L, 3L, 7L, 7L, 11L)),
+      (Array(1L, 2L, 3L), Array(4L, 5L)),
+      (Array(1L, 1L, 1L), Array(1L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(3L, 3L, 4L), Array(3L, 3L, 4L)))
+    val df = cases.toDF("a", "b")
+    val got = df.selectExpr("graft_overlap64(a, b) AS o").as[Long].collect().toSeq
+    val want = df.select(size(array_intersect(col("a"), col("b"))).cast("long").as("o"))
+      .as[Long].collect().toSeq
+    assert(got === want)
+    // self-overlap = distinct cardinality
+    val selfD = df.selectExpr("graft_overlap64(a, a) AS d").as[Long].collect().toSeq
+    val wantD = df.select(size(array_distinct(col("a"))).cast("long").as("d"))
+      .as[Long].collect().toSeq
+    assert(selfD === wantD)
+  }
+
+  test("graft_overlap64 is null-safe and rejects non-bigint arrays") {
+    Engine.configure(spark)
+    val r = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .selectExpr("graft_overlap64(a, b) AS o").collect()(0)
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq((Array(1.0), Array(2.0))).toDF("a", "b")
+        .selectExpr("graft_overlap64(a, b)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
 }
