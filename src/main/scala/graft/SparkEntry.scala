@@ -38,7 +38,8 @@ object SparkEntry {
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++
-      Ml4Queries.all
+      Ml4Queries.all ++
+      Ml5Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** MLlib parity, wave 5 — ITERATIVE CONVERGENCE as a declared
+  * capability: the reference's learners all run driver-side iteration
+  * loops over a cached distributed dataset (mllib/.../optimization/
+  * GradientDescent.scala:166's `for (i <- 1 to numIterations)`,
+  * clustering/KMeans.scala's Lloyd loop, graphx Pregel), re-caching the
+  * invariant input once and shipping a small model back and forth. The
+  * prior waves proved single steps (ml_streaming_kmeans_update, two-step
+  * ml_als_alternate); this wave runs a REAL multi-iteration loop in ONE
+  * declared query, with a per-iteration deterministic oracle.
+  *
+  * Exactness contract: features quantized to integer cents, centroid
+  * updates via integer division (`DIV` / DuckDB `//` — identical
+  * truncation on non-negative values), so every iteration's model is an
+  * exact BIGINT on both engines — no float drift can accumulate across
+  * iterations. Scale posture: each iteration is one scan of the CACHED
+  * points (never re-read from parquet) + a K-row partial agg; the model
+  * travels as a broadcast 1-row cross join.
+  */
+object Ml5Queries {
+
+  private val K = 4
+
+  /** One-row pivot of the (k, c) centroid table to columns cc0..cc3 —
+    * the broadcastable model the assignment expression closes over. */
+  private def pivotRow(cent: DataFrame): DataFrame = {
+    val cols = (0 until K).map(k => max(when(col("k") === k, col("c"))).as(s"cc$k"))
+    cent.groupBy().agg(cols.head, cols.tail: _*)
+  }
+
+  /** Nearest-centroid index in 1-D by |x − c_k|, ties to the LOWEST k
+    * (the first satisfied branch) — exact integer arithmetic, so the
+    * argmin is deterministic on both engines. */
+  private def argminK = {
+    val d = (0 until K).map(k => abs(col("x") - col(s"cc$k")))
+    when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0L)
+      .when(d(1) <= d(2) && d(1) <= d(3), 1L)
+      .when(d(2) <= d(3), 2L)
+      .otherwise(3L)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Three full Lloyd iterations of 1-D k-means on o_totalprice (cents),
+    // K=4, seeds c_k = 50k·(k+1) dollars (the ml_streaming_kmeans_update
+    // grid). Each iteration: assign every CACHED point to its nearest
+    // centroid (broadcast 1-row model), partial-agg (count, sum) per
+    // cluster, update c_k = sum DIV count with the previous centroid
+    // kept on an empty cluster. Output is the full iteration TRACE —
+    // (iter, k, cluster size, centroid) for iter 1..3 — so the oracle
+    // verifies every step of the loop, not just the fixpoint.
+    Q("ml_kmeans_iterate",
+      (s, d) => {
+        import s.implicits._
+        val pts = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("x"))
+        // the loop invariant: cache ONCE, every iteration re-reads this
+        val cached = graft.functions.CacheOnce.swap("ml_kmeans_pts", pts)
+        var cent: DataFrame = (0 until K)
+          .map(k => (k.toLong, 5000000L * (k + 1))).toDF("k", "c")
+        val trace = (1 to 3).map { it =>
+          val stats = cached.crossJoin(broadcast(pivotRow(cent)))
+            .withColumn("k", argminK)
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("m"), sum(col("x")).as("s"))
+          val next = cent.select(col("k"), col("c").as("c_prev"))
+            .join(stats, Seq("k"), "left")
+            .select(col("k"),
+              coalesce(col("m"), lit(0L)).as("m"),
+              coalesce(expr("CAST(s DIV m AS BIGINT)"), col("c_prev")).as("c"))
+          cent = next.select(col("k"), col("c"))
+          next.select(lit(it.toLong).as("iter"), col("k"), col("m"), col("c"))
+        }
+        trace.reduce(_ unionByName _)
+      },
+      Some {
+        // the oracle unrolls the identical three iterations as chained
+        // CTEs — integer-exact at every step, so it verifies the whole
+        // trajectory bit-for-bit
+        val assign = (i: Int) =>
+          s"""a$i AS (SELECT x, CASE
+                WHEN abs(x-cc0) <= abs(x-cc1) AND abs(x-cc0) <= abs(x-cc2) AND abs(x-cc0) <= abs(x-cc3) THEN 0
+                WHEN abs(x-cc1) <= abs(x-cc2) AND abs(x-cc1) <= abs(x-cc3) THEN 1
+                WHEN abs(x-cc2) <= abs(x-cc3) THEN 2 ELSE 3 END AS k
+              FROM pts, p${i - 1}),
+              s$i AS (SELECT k, count(*) AS m, CAST(sum(x) AS BIGINT) AS s
+                      FROM a$i GROUP BY k),
+              c$i AS (SELECT c${i - 1}.k,
+                        coalesce(s$i.m, 0) AS m,
+                        coalesce(s$i.s // s$i.m, c${i - 1}.c) AS c
+                      FROM c${i - 1} LEFT JOIN s$i ON c${i - 1}.k = s$i.k)"""
+        val pivot = (i: Int) =>
+          s"""p$i AS (SELECT max(CASE WHEN k=0 THEN c END) AS cc0,
+                        max(CASE WHEN k=1 THEN c END) AS cc1,
+                        max(CASE WHEN k=2 THEN c END) AS cc2,
+                        max(CASE WHEN k=3 THEN c END) AS cc3 FROM c$i)"""
+        sql(s"""WITH pts AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                             FROM orders),
+                c0 AS (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS k,
+                              CAST(unnest([5000000,10000000,15000000,20000000]) AS BIGINT) AS c),
+                ${pivot(0)}, ${assign(1)}, ${pivot(1)}, ${assign(2)},
+                ${pivot(2)}, ${assign(3)}
+                SELECT CAST(1 AS BIGINT) AS iter, k, m, c FROM c1
+                UNION ALL SELECT CAST(2 AS BIGINT), k, m, c FROM c2
+                UNION ALL SELECT CAST(3 AS BIGINT), k, m, c FROM c3""")
+      })
+  )
+}

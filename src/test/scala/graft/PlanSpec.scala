@@ -292,6 +292,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AUC ranks come from tie-group aggregation, not a per-priority rank window") {
+    // the r5 shape ranked RAW rows inside a 5-value partition key —
+    // N/5 rows in one task at any scale. The fix collapses rows to
+    // (priority, price) tie groups FIRST (partial agg), so every window
+    // here runs over aggregated tie-group rows bounded by the price
+    // domain, and no rank() touches raw orders rows.
+    val p = plan("ml_auc")
+    assert(!p.contains("rank("), s"raw-row rank window is back:\n$p")
+    assert(p.contains("partial_count"),
+      s"tie-group aggregation must precede the prefix-sum windows:\n$p")
+  }
+
+  test("k-means iteration loop re-reads the CACHED points, never the parquet scan") {
+    val df = SparkEntry.queries("ml_kmeans_iterate")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // all three Lloyd iterations scan the one persisted points table
+    val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size
+    assert(cacheScans >= 3, s"expected >=3 cache scans (one per iteration), got $cacheScans:\n$p")
+    // every FileScan in the plan STRING is the cached relation reprinting
+    // its build plan (one per InMemoryRelation occurrence); a live parquet
+    // re-scan would add a FileScan with no InMemoryRelation above it
+    val parquetScans = "FileScan parquet".r.findAllIn(p).size
+    val cachedRelations = "InMemoryRelation".r.findAllIn(p).size
+    assert(parquetScans <= cachedRelations,
+      s"iteration loop has a live parquet scan outside the cache ($parquetScans scans, $cachedRelations cached):\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val c = spark.conf
