@@ -186,8 +186,15 @@ object Ml3Queries {
           .distinct()
         val nTrans = t.select(countDistinct(col("tid")).as("n"))
         val f1 = t.groupBy(col("item")).agg(count(lit(1)).as("c"))
-        val pairs = t.select(col("tid"), col("item").as("ia"))
-          .join(t.select(col("tid"), col("item").as("ib")), Seq("tid"))
+        // Apriori prune BEFORE the pair self-join (as in ml_fpgrowth): a
+        // frequent pair's items are each frequent, so semi-joining t to
+        // the broadcast frequent singletons first loses nothing and keeps
+        // the per-transaction self-join quadratic only in FREQUENT items.
+        val f1k = f1.crossJoin(broadcast(nTrans))
+          .filter(col("c") * 42 >= col("n")).select(col("item"))
+        val tf = t.join(broadcast(f1k), Seq("item"))
+        val pairs = tf.select(col("tid"), col("item").as("ia"))
+          .join(tf.select(col("tid"), col("item").as("ib")), Seq("tid"))
           .filter(col("ia") < col("ib"))
           .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c_ab"))
           .crossJoin(broadcast(nTrans))

@@ -27,13 +27,18 @@ object Ml4Queries {
     // term → bucket via a deterministic arithmetic hash (first-char code
     // × 31 + length, mod 16 — expressible identically in both engines,
     // collisions and all, which is the point of the trick), then tf
-    // counts per (doc, bucket). One scan + one partial-agg; the sparse
-    // (doc_id, bucket, tf) triples ARE the feature vectors.
+    // counts per (doc, bucket). Tokens are guarded to ASCII-leading
+    // (ascii(t) BETWEEN 1 AND 127): for a multibyte-leading token the
+    // engines' ascii() may disagree (codepoint vs byte), but under EITHER
+    // semantics such tokens fall outside 1..127 and are filtered the same
+    // way, so the hash input set is engine-identical by construction.
+    // One scan + one partial-agg; the sparse (doc_id, bucket, tf) triples
+    // ARE the feature vectors.
     Q("ml_hashing_tf",
       (s, d) => {
         table(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-          .filter(length(col("t")) > 0)
+          .filter(length(col("t")) > 0 && ascii(col("t")).between(1, 127))
           .groupBy(col("doc_id"),
             ((ascii(col("t")) * 31 + length(col("t"))) % 16).as("bucket"))
           .agg(count(lit(1)).as("tf"))
@@ -42,19 +47,22 @@ object Ml4Queries {
                     count(*) AS tf
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                         FROM documents)
-                  WHERE length(t) > 0
+                  WHERE length(t) > 0 AND ascii(t) BETWEEN 1 AND 127
                   GROUP BY 1, 2"""))),
 
     // L2 Normalizer (mllib/.../feature/Normalizer.scala): micro-unit
     // quantized elements make the squared norm an exact integer sum
-    // (64 · (1e6)² ≈ 1.6e13 « 2^53, so the double accumulation is exact
+    // (64 · (1e6)² ≈ 6.4e13 « 2^53, so the double accumulation is exact
     // and order-independent); the unit vector is rendered through the
-    // arrDecStr round-then-DECIMAL contract. Pure per-row expression
-    // chain — no shuffle at any scale.
+    // arrDecStr round-then-DECIMAL contract. An all-zero embedding is
+    // guarded by nullif(norm2, 0) on BOTH engines — the unit vector and
+    // norm come out NULL instead of Inf/NaN on one side and a DECIMAL
+    // cast error on the other. Pure per-row expression chain — no
+    // shuffle at any scale.
     Q("ml_normalizer",
       (s, d) => {
         val q = transform(col("embedding"), x => round(x.cast("double") * 1e6))
-        val norm2 = aggregate(q, lit(0.0), (a, x) => a + x * x)
+        val norm2 = nullif(aggregate(q, lit(0.0), (a, x) => a + x * x), lit(0.0))
         table(s, d, "embeddings")
           .select(col("vec_id"), q.as("q"), norm2.as("norm2"))
           .select(col("vec_id"),
@@ -67,7 +75,7 @@ object Ml4Queries {
                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6)) AS q
                     FROM embeddings),
                   n AS (SELECT vec_id, q,
-                      list_sum(list_transform(q, x -> x * x)) AS norm2 FROM qx)
+                      nullif(list_sum(list_transform(q, x -> x * x)), 0) AS norm2 FROM qx)
                   SELECT vec_id,
                     round(sqrt(norm2) / 1e6, 6) AS l2_norm,
                     array_to_string(list_transform(q,

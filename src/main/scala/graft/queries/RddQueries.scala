@@ -223,17 +223,22 @@ object RddQueries {
     // countApproxDistinct (RDD.scala:1295, non-keyed HLL): same
     // rsd-tolerance contract as the keyed variant, over the union of two
     // id spaces so the estimate covers a genuinely distinct-heavy input.
+    // Like every rdd_*_approx row, the driver-side action is inherent to
+    // the API under test; its result enters as the DataFrame's CONTENT
+    // (the sibling construction) rather than a lit() spliced into
+    // another plan.
     Q("rdd_count_approx_distinct",
       (s, d) => {
         import s.implicits._
         val ids = table(s, d, "lineitem").select(col("l_orderkey"))
           .union(table(s, d, "orders").select(col("o_orderkey")))
           .as(Encoders.scalaLong).rdd
-        val est = ids.countApproxDistinct(0.05)
         val exact = table(s, d, "orders").agg(
           countDistinct(col("o_orderkey")).as("n_exact"))
-        exact.select(col("n_exact"),
-          (abs(lit(est) - col("n_exact")) <= col("n_exact") * 0.15).as("within_tol"))
+        Seq(ids.countApproxDistinct(0.05)).toDF("est")
+          .crossJoin(broadcast(exact))
+          .select(col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.15).as("within_tol"))
       },
       Some(sql("""SELECT count(DISTINCT o_orderkey) AS n_exact, TRUE AS within_tol
                   FROM orders"""))),

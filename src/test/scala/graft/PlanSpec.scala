@@ -276,10 +276,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("FPGrowth prunes pair candidates with a broadcast of frequent singletons") {
-    val p = plan("ml_fpgrowth")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"),
-      "Apriori pruning should broadcast the frequent-item set:\n" + p)
+    for (name <- Seq("ml_fpgrowth", "ml_assoc_rules")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: Apriori pruning should broadcast the frequent-item set:\n$p")
+    }
   }
 
   test("learner sufficient statistics are partial-aggregated single passes") {
