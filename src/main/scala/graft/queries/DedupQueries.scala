@@ -72,9 +72,28 @@ object DedupQueries {
     * near-all-pairs to near-linear. After ranking, grams with df = 1 are
     * pruned from both probe and index: a gram appearing in one document
     * cannot link a pair, so dropping them never loses a candidate.
+    *
+    * HOT-GRAM CONTRACT (the 100 TB skew bound): grams with df >
+    * `spark.graft.dedup.hotDf` (default 100k) are excluded from probe,
+    * prefix, AND index by this ONE gram-level rule, so "hot" means the
+    * same thing on every side of every join. Because ranking is df-asc,
+    * hot grams occupy the LAST ranks: any document with at least
+    * ⌊n/2⌋+1 non-hot grams keeps its full-size prefix of purely non-hot
+    * grams, and the prefix-filter pigeonhole stays EXACT for such docs —
+    * |prefix| + |A∩B| − |A| ≥ 1 guarantees a common NON-HOT gram, which
+    * the partner's surviving index/prefix still carries (df is global,
+    * so hotness agrees across docs). The ONLY recall loss is for
+    * "residue" documents with fewer than ⌊n/2⌋+1 non-hot grams — more
+    * than half their content is corpus-wide boilerplate — whose pairs
+    * are degenerate-signature noise by the same argument as SkewGuard;
+    * they are excluded by contract (HotGramSpec proves both sides).
+    *
     * Input must carry (doc_id, `extra`…, hs); output rows are
     * (h, doc_id, extra…, n = doc gram count, df, rn = rarity rank). */
   private def rarityRanked(g: DataFrame, extra: Seq[String]): DataFrame = {
+    val hotDf = g.sparkSession.conf
+      .get("spark.graft.dedup.hotDf", graft.functions.SkewGuard.DefaultMaxBucket.toString)
+      .toLong
     val grams = g.select(
       (col("doc_id") +: extra.map(col)) ++
         Seq(size(col("hs")).as("n"), explode(col("hs")).as("h")): _*)
@@ -83,7 +102,7 @@ object DedupQueries {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     grams.join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("df") >= 2)
+      .filter(col("df") >= 2 && col("df") <= hotDf)
   }
 
   val all: Seq[Q] = Seq(
@@ -188,14 +207,13 @@ object DedupQueries {
             T.charNgrams(col("text")).as("ng"))
           .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
         val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
-        // prefix = the floor(n/2)+1 RAREST grams of each doc (df-asc order)
-        val prefix = graft.functions.SkewGuard.dropHotBuckets(
-          graft.functions.CacheOnce.swap("dedup_ngrams_pf",
-            rarityRanked(gc, Seq("source", "len_bkt"))
-              .filter(col("rn") <= floor(col("n") / 2) + 1)
-              .select(col("doc_id"), col("source"), col("len_bkt"),
-                col("h"), col("rn"), col("n"))),
-          Seq("source", "len_bkt", "h"))
+        // prefix = the floor(n/2)+1 RAREST grams of each doc (df-asc
+        // order; hot grams excluded by rarityRanked's gram-level rule)
+        val prefix = graft.functions.CacheOnce.swap("dedup_ngrams_pf",
+          rarityRanked(gc, Seq("source", "len_bkt"))
+            .filter(col("rn") <= floor(col("n") / 2) + 1)
+            .select(col("doc_id"), col("source"), col("len_bkt"),
+              col("h"), col("rn"), col("n")))
         // positional filter (PPJoin): a match at ranks (rn_a, rn_b) can
         // support at most 1 + min(remaining_a, remaining_b) common grams;
         // J >= 0.5 needs >= ceil(max(n_a,n_b)/2), and a qualifying pair's
@@ -254,14 +272,16 @@ object DedupQueries {
     // 2·|A∩B| ≥ |A| (containment ≥ 0.5), both directions per pair.
     //
     // Blocking is probe-prefix ⋈ full-index on the gram hash: every doc
-    // indexes ALL its df≥2 gram hashes (the inverted-index side);
-    // candidates come from probing each doc's floor(n/2)+1 RAREST grams
-    // (rarityRanked) against it. Pigeonhole: if the smaller side's
+    // indexes ALL its df ∈ [2, hotDf] gram hashes (the inverted-index
+    // side); candidates come from probing each doc's floor(n/2)+1 RAREST
+    // grams (rarityRanked) against it. Pigeonhole: if the smaller side's
     // containment is ≥ 0.5 the probe prefix MUST hit the partner's
     // index, so the candidate set is a strict superset of qualifying
     // pairs — the exact verify below is unchanged and the output is
-    // identical to all-pairs within source. The join key (gram hash)
-    // grows with the corpus; the old source-only key was
+    // identical to all-pairs within source, up to the rarityRanked
+    // hot-gram contract (exact for docs with ⌊n/2⌋+1 non-hot grams;
+    // residue docs excluded — see rarityRanked + HotGramSpec). The join
+    // key (gram hash) grows with the corpus; the old source-only key was
     // corpus-independent ⇒ quadratic buckets that SkewGuard would have
     // silently dropped wholesale at 100 TB.
     Q("dedup_containment", bench = true,
@@ -272,14 +292,14 @@ object DedupQueries {
         val gc = graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
         val ranked = graft.functions.CacheOnce.swap("dedup_contain_idx",
           rarityRanked(gc, Seq("source")))
-        val index = graft.functions.SkewGuard.dropHotBuckets(
-          ranked.select(col("doc_id"), col("source"), col("h"), col("rn"), col("n")),
-          Seq("source", "h"))
-        // probe = the floor(n/2)+1 RAREST grams of each doc (df-asc order)
-        val probe = graft.functions.SkewGuard.dropHotBuckets(
+        val index =
+          ranked.select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
+        // probe = the floor(n/2)+1 RAREST grams of each doc (df-asc
+        // order; hot grams excluded by rarityRanked's gram-level rule,
+        // so probe, prefix and index agree on what "hot" means)
+        val probe =
           ranked.filter(col("rn") <= floor(col("n") / 2) + 1)
-            .select(col("doc_id"), col("source"), col("h"), col("rn"), col("n")),
-          Seq("source", "h"))
+            .select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
         // positional filter (PPJoin): a match at ranks (rn_p, rn_i) can
         // support at most 1 + min(remaining) common grams; the threshold
         // 2*overlap >= min(n_a,n_b) needs ceil(min/2), and a qualifying

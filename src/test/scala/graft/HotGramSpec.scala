@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gram-dedup HOT-GRAM CONTRACT (DedupQueries.rarityRanked): grams
+  * with df > spark.graft.dedup.hotDf are excluded from probe, prefix,
+  * and index by one gram-level rule. The contract this spec proves on a
+  * constructed hot-gram corpus:
+  *
+  *  1. EXACT for eligible docs — a qualifying pair whose docs each keep
+  *     ⌊n/2⌋+1 non-hot grams is still found even though OTHER grams they
+  *     share are globally hot (rarity ordering pushes hot grams out of
+  *     the prefix, and the pigeonhole runs entirely on non-hot grams).
+  *  2. DOCUMENTED EXCLUSION for residue docs — a doc made (mostly) of
+  *     corpus-wide boilerplate has no full non-hot prefix; its pairs are
+  *     dropped BY CONTRACT, not silently: the same corpus under the
+  *     default threshold finds them, isolating the rule as the cause.
+  */
+class HotGramSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_hotgram"
+
+  // H = shared boilerplate (its 7 char-4-grams go hot: df = 12 docs);
+  // R = rare block unique to docs 1 and 2 (df = 2, never hot).
+  private val H = "qrstuvwxyz"
+  private val R = "abcdefghij"
+
+  private def writeCorpus(): Unit = {
+    val docs =
+      Seq((1L, R + H), (2L, R + H)) ++ // dup pair: rare content + hot tail
+        (3 to 10).map(i => (i.toLong, H + ("" + ('A' + i - 3).toChar) * 8)) ++
+        Seq((11L, H), (12L, H)) // residue dup pair: pure boilerplate
+    docs.map { case (id, t) => (id, "web", t) }
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  test("hot-gram rule is exact for eligible docs and excludes residue docs by contract") {
+    writeCorpus()
+    spark.conf.set("spark.graft.dedup.hotDf", "5")
+    try {
+      // docs 1,2 share hot grams (H) but keep a full non-hot prefix (R +
+      // boundary, 10 of 17 grams) → found. Docs 11,12 are PURE hot →
+      // residue, excluded. Docs 3..10 link only through hot grams →
+      // their (qualifying) containment pairs are excluded too.
+      assert(pairs("dedup_ngram_jaccard") === Set((1L, 2L)))
+      assert(pairs("dedup_containment") === Set((1L, 2L)))
+    } finally spark.conf.unset("spark.graft.dedup.hotDf")
+
+    // same corpus, default (inert) threshold: the residue pair IS found,
+    // proving the exclusion above is the documented contract at work,
+    // not a blocking defect
+    val jac = pairs("dedup_ngram_jaccard")
+    assert(jac((1L, 2L)) && jac((11L, 12L)), jac.toString)
+    val con = pairs("dedup_containment")
+    assert(con((1L, 2L)) && con((11L, 12L)), con.toString)
+  }
+}
