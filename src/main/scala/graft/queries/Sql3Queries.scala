@@ -173,6 +173,137 @@ object Sql3Queries {
                           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
                           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high
                         FROM orders JOIN customer ON o_custkey = c_custkey
-                        GROUP BY c_mktsegment)""")))
+                        GROUP BY c_mktsegment)"""))),
+
+    // Golden-corpus crossing: HiveQL multi-insert × DYNAMIC partition
+    // overwrite in ONE statement (HiveCompatibilitySuite's multi_insert*
+    // + dynamic-partition families) — one scan fans into two PARTITIONED
+    // tables, each partition value coming from the data. A pre-seeded
+    // SENTINEL partition must survive the overwrite: dynamic mode
+    // replaces only the partitions present in the insert, which is the
+    // contract a daily partition re-run depends on at 100 TB.
+    Q("sql_multi_insert_dynpart",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_mid")
+        dropManaged(s, "graft_mid_qty")
+        dropManaged(s, "graft_mid_cnt")
+        s.sql("CREATE TABLE graft_mid_qty (n BIGINT, sum_qty DOUBLE, flag STRING) " +
+          "USING parquet PARTITIONED BY (flag)")
+        s.sql("CREATE TABLE graft_mid_cnt (n BIGINT, status STRING, flag STRING) " +
+          "USING parquet PARTITIONED BY (status, flag)")
+        s.sql("INSERT INTO graft_mid_qty PARTITION (flag='SENTINEL') VALUES (-1, -1.0)")
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql(sql("""FROM graft_li_mid
+                         INSERT OVERWRITE TABLE graft_mid_qty PARTITION (flag)
+                           SELECT count(*), sum(l_quantity), l_returnflag
+                           GROUP BY l_returnflag
+                         INSERT OVERWRITE TABLE graft_mid_cnt PARTITION (status, flag)
+                           SELECT count(*), l_linestatus, l_returnflag
+                           GROUP BY l_linestatus, l_returnflag"""))
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.sql(sql("""SELECT 'qty' AS side, flag AS key1, '' AS key2, n, sum_qty
+                     FROM graft_mid_qty
+                     UNION ALL
+                     SELECT 'cnt' AS side, flag AS key1, status AS key2, n,
+                       CAST(NULL AS DOUBLE) AS sum_qty
+                     FROM graft_mid_cnt"""))
+      },
+      Some(sql("""SELECT 'qty' AS side, l_returnflag AS key1, '' AS key2,
+                    count(*) AS n, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_returnflag
+                  UNION ALL
+                  SELECT 'qty', 'SENTINEL', '', CAST(-1 AS BIGINT), -1.0
+                  UNION ALL
+                  SELECT 'cnt', l_returnflag, l_linestatus,
+                    count(*), CAST(NULL AS DOUBLE)
+                  FROM lineitem GROUP BY l_returnflag, l_linestatus"""))),
+
+    // Golden-corpus crossing: chained LATERAL VIEWs with UDTF ALIAS REUSE
+    // (the second explode consumes the first's column — HiveQl's
+    // lateral_view* family), a MERGE join hint, and a ranking window over
+    // the joined aggregate, one statement. Letter frequencies of part
+    // names weighted by each part's lineitem count.
+    Q("sql_stress_lateral_join",
+      (s, d) => {
+        table(s, d, "part").createOrReplaceTempView("graft_part_lw")
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_lw")
+        s.sql(sql("""WITH tc AS (
+                       SELECT p_partkey, p_brand, c, count(*) AS occ
+                       FROM graft_part_lw
+                       LATERAL VIEW explode(split(p_name, ' ')) t1 AS w
+                       LATERAL VIEW explode(split(w, '')) t2 AS c
+                       WHERE w <> ''
+                       GROUP BY p_partkey, p_brand, c),
+                     lc AS (SELECT l_partkey, count(*) AS n_li
+                            FROM graft_li_lw GROUP BY l_partkey),
+                     j AS (SELECT /*+ MERGE(lc) */ p_brand, c,
+                             CAST(sum(occ * n_li) AS BIGINT) AS w8
+                           FROM tc JOIN lc ON p_partkey = l_partkey
+                           GROUP BY p_brand, c)
+                     SELECT p_brand, c, w8, r FROM (
+                       SELECT p_brand, c, w8,
+                         rank() OVER (PARTITION BY p_brand
+                                      ORDER BY w8 DESC, c) AS r
+                       FROM j) WHERE r <= 5"""))
+      },
+      Some(sql("""WITH w1 AS (SELECT p_partkey, p_brand,
+                                unnest(string_split(p_name, ' ')) AS w FROM part),
+                  w2 AS (SELECT p_partkey, p_brand,
+                           unnest(string_split(w, '')) AS c
+                         FROM w1 WHERE w <> ''),
+                  tc AS (SELECT p_partkey, p_brand, c, count(*) AS occ
+                         FROM w2 GROUP BY 1, 2, 3),
+                  lc AS (SELECT l_partkey, count(*) AS n_li
+                         FROM lineitem GROUP BY 1),
+                  j AS (SELECT p_brand, c, CAST(sum(occ * n_li) AS BIGINT) AS w8
+                        FROM tc JOIN lc ON p_partkey = l_partkey
+                        GROUP BY 1, 2)
+                  SELECT p_brand, c, w8, r FROM (
+                    SELECT p_brand, c, w8,
+                      rank() OVER (PARTITION BY p_brand
+                                   ORDER BY w8 DESC, c) AS r
+                    FROM j) q WHERE r <= 5"""))),
+
+    // Golden-corpus crossing: GROUPING SETS branches UNIONed with a
+    // correlated-scalar-subquery branch over the same CTE (groupby_
+    // grouping_sets* × correlationoptimizer* families). The correlated
+    // branch counts customers above their own nation's average balance.
+    Q("sql_stress_gsets_corr",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_gs")
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_gs")
+        s.sql(sql("""WITH base AS (
+                       SELECT n_name, c_mktsegment, c_acctbal
+                       FROM graft_cust_gs
+                       JOIN graft_nat_gs ON c_nationkey = n_nationkey)
+                     SELECT n_name, c_mktsegment, count(*) AS n,
+                       CAST(grouping(n_name) AS BIGINT) AS g_n,
+                       CAST(grouping(c_mktsegment) AS BIGINT) AS g_m
+                     FROM base
+                     GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+                     UNION ALL
+                     SELECT n_name, 'ABOVE_NATION_AVG', count(*),
+                       CAST(9 AS BIGINT), CAST(9 AS BIGINT)
+                     FROM base b
+                     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM base b2
+                                        WHERE b2.n_name = b.n_name)
+                     GROUP BY n_name"""))
+      },
+      Some(sql("""WITH base AS (
+                    SELECT n_name, c_mktsegment, c_acctbal
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey)
+                  SELECT n_name, c_mktsegment, count(*) AS n,
+                    CAST(grouping(n_name) AS BIGINT) AS g_n,
+                    CAST(grouping(c_mktsegment) AS BIGINT) AS g_m
+                  FROM base
+                  GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+                  UNION ALL
+                  SELECT n_name, 'ABOVE_NATION_AVG', count(*),
+                    CAST(9 AS BIGINT), CAST(9 AS BIGINT)
+                  FROM base b
+                  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM base b2
+                                     WHERE b2.n_name = b.n_name)
+                  GROUP BY n_name""")))
   )
 }
