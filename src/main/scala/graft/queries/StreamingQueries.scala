@@ -256,6 +256,65 @@ object StreamingQueries {
       },
       Some(sql("""SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS sum_value
-                  FROM events GROUP BY event_type""")))
+                  FROM events GROUP BY event_type"""))),
+
+    // reduceByKeyAndWindow WITH invReduceFunc (streaming/.../dstream/
+    // PairDStreamFunctions.scala:198-324) — the INCREMENTAL window
+    // maintenance contract: the window aggregate is updated by ADDING the
+    // newly-entered slice and SUBTRACTING the expired slice, never
+    // recomputed from scratch. Restated on event time over the REAL
+    // 4-batch stream: per user, state holds per-hour partial sums
+    // (micro-unit integers, so add/subtract is exact and order-free) and
+    // every 2-hour sliding window value is produced by the recurrence
+    //   W(h) = W(h−1) + S(h) − S(h−2)
+    // — one add, one inverse-subtract per step, exactly the invReduceFunc
+    // dataflow. Each micro-batch re-emits the windows at a bumped state
+    // revision; the sink keeps the LAST revision per (user, hour), and
+    // the oracle checks it against direct (non-incremental) window sums —
+    // a wrong subtraction cannot cancel out.
+    Q("stream_window_inverse",
+      (s, d) => {
+        import s.implicits._
+        val ev = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"),
+            floor(col("ts").cast("long") / 3600).cast("long").as("h"),
+            round(col("value") * 10000).cast("long").as("um"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+        val upd = ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Map[Long, Long], Long), (Long, Long, Long, Long)](
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, Long, Long)],
+             state: GroupState[(Map[Long, Long], Long)]) =>
+              val (hs0, rev0) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+              val hs = rows.foldLeft(hs0) { case (m, (_, h, um)) =>
+                m.updated(h, m.getOrElse(h, 0L) + um)
+              }
+              val rev = rev0 + 1
+              state.update((hs, rev))
+              if (hs.isEmpty) Iterator.empty
+              else {
+                var w = 0L
+                (hs.keys.min to hs.keys.max).iterator.map { h =>
+                  w = w + hs.getOrElse(h, 0L) - hs.getOrElse(h - 2, 0L)
+                  (h, w)
+                }.filter { case (h, _) => hs.contains(h) }
+                  .map { case (h, wv) => (user, h, wv, rev) }
+              }
+          }
+          .toDF("user_id", "h", "w_um", "rev")
+        StreamRunner.runToTable(s, upd,
+          s"wininv_${math.abs(d.hashCode)}", "update")
+          .groupBy(col("user_id"), col("h"))
+          .agg(max_by(col("w_um"), col("rev")).as("w2h_um"))
+      },
+      Some(sql("""WITH hs AS (SELECT user_id,
+                      CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                      CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS um
+                    FROM events GROUP BY 1, 2)
+                  SELECT a.user_id, a.h,
+                    CAST(a.um + coalesce(b.um, 0) AS BIGINT) AS w2h_um
+                  FROM hs a LEFT JOIN hs b
+                    ON a.user_id = b.user_id AND b.h = a.h - 1""")))
   )
 }
