@@ -408,6 +408,60 @@ object DedupQueries {
                    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      round(${T.cosineSql("a.embedding", "b.embedding")}, 6) AS cos
                    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-                   WHERE ${T.cosineSql("a.embedding", "b.embedding")} >= 0.99""")))
+                   WHERE ${T.cosineSql("a.embedding", "b.embedding")} >= 0.99"""))),
+
+    // SemDeDup-shape SEMANTIC dedup (Abbas et al. 2023, public): cluster
+    // embeddings by nearest centroid, then prune near-duplicates ONLY
+    // within a cluster — a vector is dropped when a LOWER-id vector in
+    // its cluster has cosine ≥ τ, so each semantic dup group keeps its
+    // min-id representative. Output is the full per-vector keep/drop
+    // decision (never empty, unlike raw pair lists at tiny SF).
+    //
+    // Scale posture: this IS the SemDeDup design — the quadratic step is
+    // confined inside clusters, and K grows with the corpus (K ≈ N/target
+    // cluster size) so cluster populations stay bounded; the pair join is
+    // keyed on cluster id, the centroid table broadcasts, and at 100 TB
+    // only the assign scan touches every vector.
+    Q("dedup_semantic",
+      (s, d) => {
+        val nonZero = aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) > 0.0
+        val emb = table(s, d, "embeddings")
+          .filter(nonZero).select(col("vec_id"), col("embedding"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            round(T.cosineFast(col("embedding"), col("cvec")), 6).as("cs"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cluster"),
+            first(col("embedding")).as("embedding"))
+        val av = graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned)
+        val dropped = av.as("x").join(av.as("y"),
+            col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
+          .filter(round(T.cosineFast(col("x.embedding"), col("y.embedding")), 6) >= 0.8)
+          .select(col("x.vec_id").as("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        av.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            (!coalesce(col("dropped"), lit(false))).as("keep"))
+      },
+      Some(sql(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+                   cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id < 8),
+                   scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                       round(${T.cosineSql("e.embedding", "c.cvec")}, 6) AS cs
+                     FROM emb e CROSS JOIN cents c),
+                   av AS (SELECT vec_id, cid AS cluster, embedding FROM (
+                       SELECT vec_id, cid, embedding,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+                       FROM scored) WHERE rk = 1),
+                   dropped AS (SELECT DISTINCT x.vec_id
+                     FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+                     WHERE round(${T.cosineSql("x.embedding", "y.embedding")}, 6) >= 0.8)
+                   SELECT v.vec_id, v.cluster,
+                     v.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+                   FROM av v""")))
   )
 }

@@ -125,6 +125,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup verify runs in the codegen overlap kernel, not interpreted set math") {
+    for (name <- Seq("dedup_containment", "dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(p.contains("graft_overlap64"), s"$name verify lost the native kernel:\n$p")
+      assert(!p.contains("array_intersect"),
+        s"$name still builds interpreted per-pair hash sets:\n$p")
+    }
+  }
+
   test("simhash cluster sizes are partial-aggregated, then broadcast back") {
     val p = plan("dedup_simhash")
     assert(!p.contains("Window"), "window shape has no partial aggregation:\n" + p)
