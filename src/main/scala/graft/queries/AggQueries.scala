@@ -114,6 +114,39 @@ object AggQueries {
                    true AS within_tol
                   FROM lineitem GROUP BY l_returnflag"""))),
 
+    // DataSketches HLL (beyond-reference; Spark 3.5+ hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate): the MERGEABLE-sketch
+    // contract that matters at 100 TB — per-group sketches built in one
+    // partial-agg pass, then UNIONED into a global estimate without
+    // touching the rows again (the re-aggregation a plain
+    // approx_count_distinct cannot do). Estimates are
+    // sketch-implementation-specific, so the oracled contract is the
+    // tolerance bound next to the exact count, per group AND for the
+    // union row.
+    Q("agg_hll_union",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val grouped = li.groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+            countDistinct(col("l_orderkey")).as("n_exact"))
+        val per = grouped.select(col("l_returnflag").as("key"), col("n_exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+            <= col("n_exact") * 0.05).as("within_tol"))
+        val unionEst = grouped
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val globalExact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        per.unionByName(globalExact.crossJoin(broadcast(unionEst))
+          .select(lit("__ALL__").as("key"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+              .as("within_tol")))
+      },
+      Some(sql("""SELECT l_returnflag AS key,
+                    count(DISTINCT l_orderkey) AS n_exact, true AS within_tol
+                  FROM lineitem GROUP BY 1
+                  UNION ALL
+                  SELECT '__ALL__', count(DISTINCT l_orderkey), true
+                  FROM lineitem"""))),
+
     // Average widening + HAVING (UnresolvedHavingClauseAttributes path).
     Q("agg_having",
       (s, d) => table(s, d, "orders")
