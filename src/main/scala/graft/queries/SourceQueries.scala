@@ -54,6 +54,26 @@ object SourceQueries {
       Some(sql("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
                   FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus"""))),
 
+    // XML round-trip (Spark 4 merged the spark-xml data source into
+    // sql/core — a source format the reference era never had): write
+    // with an explicit rowTag, read back with schema inference, and
+    // aggregate. Verifies the full writer/reader option surface of the
+    // newest built-in format.
+    Q("src_xml_roundtrip",
+      (s, d) => {
+        val path = tmp(d, "supplier_xml")
+        table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode(SaveMode.Overwrite)
+          .option("rowTag", "supplier").xml(path)
+        s.read.option("rowTag", "supplier").xml(path)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 4).as("total"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                    round(sum(s_acctbal), 4) AS total
+                  FROM supplier GROUP BY s_nationkey"""))),
+
     // CSV round-trip with header + explicit schema on read.
     Q("src_csv_roundtrip",
       (s, d) => {
