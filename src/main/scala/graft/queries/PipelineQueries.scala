@@ -26,19 +26,21 @@ object PipelineQueries {
     Q("text_tfidf", bench = true,
       fn = (s, d) => {
         val docs = table(s, d, "documents")
-        val nDocs = docs.count() // corpus size: one job, a scalar
+        // corpus size joins in as a broadcast 1-row aggregate (the
+        // ml_chi2_cells de-eager pattern) — declaring launches no job
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        // df from the tf aggregate: (doc_id, token) is already distinct
-        // there, so this replaces a second tokenize+explode+distinct pass
-        // with one more aggregation — and the shared (doc_id, token)
-        // exchange is deduped by ReuseExchange, so the corpus is scanned
-        // and tokenized exactly once.
+        // the (doc_id, token) tf aggregate is THE shared signature table
+        // of the text family — cached, so df (one more aggregation, no
+        // second tokenize pass) and the scoring join both reuse it
+        val tf = graft.functions.CacheOnce.swap("text_tf",
+          terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
         val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("token").asc)
         tf.join(broadcast(df), Seq("token"))
-          .withColumn("score", col("tf") * expr(s"CAST(${nDocs}000000 AS BIGINT) div df"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf") * expr("CAST(n_docs * 1000000 AS BIGINT) div df"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rk"))

@@ -141,6 +141,33 @@ object UdfQueries {
                     hex(c_nationkey) AS nk_hex,
                     count(*) AS n,
                     CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-                  FROM customer GROUP BY 1, 2""")))
+                  FROM customer GROUP BY 1, 2"""))),
+
+    // The Hive UDTF bridge (reference hive/hiveUdfs.scala HiveGenericUdtf
+    // — the third and last Hive function class kind): a REAL
+    // GenericUDTFPosExplode from hive-exec registered via CREATE
+    // TEMPORARY FUNCTION and consumed through LATERAL VIEW with a
+    // two-column AS alias list — the generator path the golden corpus'
+    // udtf_* / lateral_view* families run.
+    Q("sql_hive_udtf",
+      (s, d) => {
+        if (!s.catalog.functionExists("graft_hive_posexplode")) {
+          s.sql("CREATE TEMPORARY FUNCTION graft_hive_posexplode AS " +
+            "'org.apache.hadoop.hive.ql.udf.generic.GenericUDTFPosExplode'")
+        }
+        table(s, d, "part").createOrReplaceTempView("graft_part_hudtf")
+        s.sql(sql("""SELECT p_brand, pos, w, count(*) AS n
+                     FROM graft_part_hudtf
+                     LATERAL VIEW graft_hive_posexplode(split(p_name, ' ')) t AS pos, w
+                     WHERE w <> ''
+                     GROUP BY p_brand, pos, w"""))
+      },
+      Some(sql("""SELECT p_brand, CAST(pos AS INTEGER) AS pos, w, count(*) AS n
+                  FROM (SELECT p_brand,
+                          unnest(string_split(p_name, ' ')) AS w,
+                          unnest(range(len(string_split(p_name, ' ')))) AS pos
+                        FROM part)
+                  WHERE w <> ''
+                  GROUP BY 1, 2, 3""")))
   )
 }
