@@ -120,15 +120,19 @@ object MiscQueries {
     // (The hash variant `sample` remains the value-checked twin.)
     Q("sample_seeded",
       (s, d) => {
-        import s.implicits._
         val orders = table(s, d, "orders")
-        val n = orders.count()
         val sampled = orders.sample(withReplacement = false, 0.1, seed = 42)
-        val ns = sampled.count()
+        // all three counts stay DECLARATIVE one-row aggregates (no
+        // driver-side .count() jobs at declaration), combined by
+        // broadcast cross joins
+        val n = orders.agg(count(lit(1)).as("n"))
+        val ns = sampled.agg(count(lit(1)).as("ns"))
         val nonSubset = sampled.select(col("o_orderkey"))
-          .except(orders.select(col("o_orderkey"))).count()
-        Seq((ns >= (n * 0.07).toLong && ns <= (n * 0.13).toLong, nonSubset))
-          .toDF("size_in_bounds", "non_subset")
+          .except(orders.select(col("o_orderkey")))
+          .agg(count(lit(1)).as("non_subset"))
+        n.crossJoin(broadcast(ns)).crossJoin(broadcast(nonSubset))
+          .select((col("ns") >= col("n") * 0.07 && col("ns") <= col("n") * 0.13)
+            .as("size_in_bounds"), col("non_subset"))
       },
       Some(sql("SELECT true AS size_in_bounds, CAST(0 AS BIGINT) AS non_subset"))),
 
@@ -137,17 +141,21 @@ object MiscQueries {
     // to N (covering), zero key overlap (disjoint), ratio near 0.8.
     Q("random_split",
       (s, d) => {
-        import s.implicits._
         val orders = table(s, d, "orders")
-        val total = orders.count()
         val splits = orders.randomSplit(Array(0.8, 0.2), seed = 42)
-        val n0 = splits(0).count()
-        val n1 = splits(1).count()
+        // declarative invariant checks — no driver-side counts
+        val total = orders.agg(count(lit(1)).as("total"))
+        val n0 = splits(0).agg(count(lit(1)).as("n0"))
+        val n1 = splits(1).agg(count(lit(1)).as("n1"))
         val overlap = splits(0).select(col("o_orderkey"))
-          .intersect(splits(1).select(col("o_orderkey"))).count()
-        val ratio = n0.toDouble / total
-        Seq((n0 + n1 == total, overlap, ratio > 0.75 && ratio < 0.85))
-          .toDF("covering", "overlap", "ratio_ok")
+          .intersect(splits(1).select(col("o_orderkey")))
+          .agg(count(lit(1)).as("overlap"))
+        total.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+          .crossJoin(broadcast(overlap))
+          .select((col("n0") + col("n1") === col("total")).as("covering"),
+            col("overlap"),
+            (col("n0") / col("total") > 0.75 && col("n0") / col("total") < 0.85)
+              .as("ratio_ok"))
       },
       Some(sql("SELECT true AS covering, CAST(0 AS BIGINT) AS overlap, true AS ratio_ok"))),
 
@@ -280,19 +288,20 @@ object MiscQueries {
     // 4σ+3 of the binomial expectation.
     Q("stat_sample_by",
       (s, d) => {
-        import s.implicits._
         val o = table(s, d, "orders")
         val fractions = Map("F" -> 0.2, "O" -> 0.1, "P" -> 0.5)
         val sampled = o.stat.sampleBy("o_orderstatus", fractions, 42L)
-        val full = o.groupBy(col("o_orderstatus")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val got = sampled.groupBy(col("o_orderstatus")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        fractions.toSeq.sortBy(_._1).map { case (st, f) =>
-          val exp = f * full.getOrElse(st, 0L)
-          val slack = 4.0 * math.sqrt(exp) + 3.0
-          (st, math.abs(got.getOrElse(st, 0L) - exp) <= slack)
-        }.toDF("o_orderstatus", "in_bounds")
+        // declarative bound check: per-stratum expected size = f·N_k with
+        // the fraction as a literal CASE, slack = 4σ+3 — no collect()
+        val f = fractions.foldLeft(lit(0.0)) { case (acc, (st, fr)) =>
+          when(col("o_orderstatus") === st, fr).otherwise(acc)
+        }
+        val full = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_full"))
+        val got = sampled.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_got"))
+        full.join(broadcast(got), Seq("o_orderstatus"), "left")
+          .select(col("o_orderstatus"),
+            (abs(coalesce(col("n_got"), lit(0L)) - f * col("n_full"))
+              <= sqrt(f * col("n_full")) * 4.0 + 3.0).as("in_bounds"))
       },
       Some(sql("""SELECT DISTINCT o_orderstatus, true AS in_bounds FROM orders"""))),
 

@@ -39,7 +39,8 @@ class SkewGuardSpec extends AnyFunSuite {
   test("declaring guarded / de-eagered queries launches NO Spark job") {
     val names = Seq("dedup_containment", "dedup_ngram_jaccard",
       "dedup_minhash_lsh", "dedup_simhash", "ml_chi2_cells",
-      "dedup_semantic", "ml_kmeans_iterate")
+      "dedup_semantic", "ml_kmeans_iterate", "text_tfidf",
+      "sample_seeded", "random_split", "stat_sample_by")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
