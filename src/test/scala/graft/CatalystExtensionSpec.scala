@@ -236,6 +236,22 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(selfD === wantD)
   }
 
+  test("graft_overlap64 equals array_intersect on scalacheck-generated sorted arrays") {
+    Engine.configure(spark)
+    import org.scalacheck.Gen
+    // skewed element domain (0..40) forces dense duplicate/overlap
+    // structure that uniform 64-bit values would never produce
+    val arr = Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.sorted.toArray)
+    val pair = for { a <- arr; b <- arr } yield (a, b)
+    val cases = Iterator.continually(Gen.listOfN(50, pair).sample)
+      .flatten.take(1).toSeq.flatten
+    val df = cases.toDF("a", "b")
+    val got = df.selectExpr("graft_overlap64(a, b) AS o").as[Long].collect().toSeq
+    val want = df.select(size(array_intersect(col("a"), col("b"))).cast("long").as("o"))
+      .as[Long].collect().toSeq
+    assert(got === want)
+  }
+
   test("graft_overlap64 is null-safe and rejects non-bigint arrays") {
     Engine.configure(spark)
     val r = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
