@@ -20,6 +20,34 @@ import Registry.sql
   */
 object StreamingQueries {
 
+  /** Spark 4 StatefulProcessor for `stream_transform_with_state`:
+    * per-user running (event count, micro-unit value sum) in a single
+    * ValueState cell, re-emitted at a bumped revision every micro-batch
+    * — the arbitrary-state API that superseded mapGroupsWithState
+    * (typed composite state, timers, and the RocksDB-backed store it
+    * requires). */
+  private class RunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val (n0, s0, rev0) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      var n = n0
+      var sum = s0
+      rows.foreach { r => n += 1; sum += r._2 }
+      val rev = rev0 + 1
+      st.update((n, sum, rev))
+      Iterator.single((key, n, sum, rev))
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // window()/reduceByKeyAndWindow analog: REAL stream, event-time
@@ -315,6 +343,43 @@ object StreamingQueries {
                   SELECT a.user_id, a.h,
                     CAST(a.um + coalesce(b.um, 0) AS BIGINT) AS w2h_um
                   FROM hs a LEFT JOIN hs b
-                    ON a.user_id = b.user_id AND b.h = a.h - 1""")))
+                    ON a.user_id = b.user_id AND b.h = a.h - 1"""))),
+
+    // Spark 4 transformWithState (the arbitrary-state operator that
+    // superseded mapGroupsWithState: typed StatefulProcessor + named
+    // state cells + TTL/timers) over the REAL 4-batch stream, running on
+    // the RocksDB state store provider — the disk-backed store large
+    // stateful jobs need at 100 TB, where hash-map state no longer fits
+    // the heap. Per-user running totals re-emit each micro-batch at a
+    // bumped revision; the sink keeps the last revision and the oracle
+    // checks the final totals against a direct batch aggregation.
+    Q("stream_transform_with_state",
+      (s, d) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = StreamRunner.eventsStream(s, d)
+            .select(col("user_id"), round(col("value") * 10000).cast("long").as("um"))
+            .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new RunningTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n_events", "sum_um", "rev")
+          StreamRunner.runToTable(s, out, s"tws_${math.abs(d.hashCode)}", "update")
+            .groupBy(col("user_id"))
+            .agg(max_by(col("n_events"), col("rev")).as("n_events"),
+              max_by(col("sum_um"), col("rev")).as("sum_um"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_um
+                  FROM events GROUP BY 1""")))
   )
 }
