@@ -68,6 +68,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggregation restarted from its checkpoint resumes exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    // Two-phase replay: stage HALF the corpus, run an AvailableNow
+    // aggregation to completion (offsets + state land in the
+    // checkpoint), then add the remaining files and RESTART with the
+    // SAME checkpoint. The restarted query must resume from recorded
+    // offsets and recovered state: the final aggregate equals the batch
+    // answer over the full corpus — no loss (missed files) and no
+    // duplication (re-read files would double counts).
+    val stamp = System.nanoTime()
+    val srcDir = s"/tmp/graft_stream/recovery_src_$stamp"
+    val ckpt = s"/tmp/graft_ckpt/recovery-$stamp"
+    val events = Engine.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("event_id"))
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("spec_recovery")
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      assert(q.awaitTermination(300000))
+    }
+    runOnce() // phase 1: half the corpus, checkpointed
+    val phase1 = spark.table("spec_recovery").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phase 2: the second half arrives as NEW files; same checkpoint
+    half2.coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val restarted = spark.table("spec_recovery").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(restarted === batch,
+      "restart from checkpoint lost or duplicated rows")
+    assert(phase1 !== batch,
+      "phase 1 already saw the full corpus — the two-phase setup is broken")
+  }
+
   test("streaming per-key totals equal batch groupBy") {
     val streamed = StreamRunner.runToTable(
       spark,
