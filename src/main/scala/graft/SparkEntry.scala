@@ -35,6 +35,7 @@ object SparkEntry {
       Pipeline3Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
+      Sql4Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

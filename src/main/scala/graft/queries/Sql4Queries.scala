@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** Modern SQL dialect surface, wave 4 — the Spark 4 features a user
+  * migrating OFF the reference's 1.3-era dialect gains for free, each
+  * paired with a DuckDB-recomputable oracle:
+  *
+  *  - session variables + EXECUTE IMMEDIATE (dynamic SQL with named
+  *    parameter binding — the JDBC-era string-splicing killer);
+  *  - SQL-defined scalar functions (CREATE FUNCTION ... RETURN expr —
+  *    UDFs that live in the catalog and stay fully codegen'd, no JVM
+  *    closure);
+  *  - column DEFAULT values honored by INSERT column lists.
+  */
+object Sql4Queries {
+
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Session variables + EXECUTE IMMEDIATE: the threshold and segment
+    // live in DECLAREd variables, the query text is a string with NAMED
+    // parameter markers, and USING binds variables to markers — fully
+    // parameterized dynamic SQL.
+    Q("sql_exec_immediate",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_ei")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING DEFAULT 'BUILDING'")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_bal DOUBLE DEFAULT 1000.0")
+        s.sql(sql("""EXECUTE IMMEDIATE
+                       'SELECT c_nationkey, count(*) AS n,
+                          round(sum(c_acctbal), 4) AS total
+                        FROM graft_cust_ei
+                        WHERE c_mktsegment = :seg AND c_acctbal > :bal
+                        GROUP BY c_nationkey'
+                     USING graft_seg AS seg, graft_bal AS bal"""))
+      },
+      Some(sql("""SELECT c_nationkey, count(*) AS n,
+                    round(sum(c_acctbal), 4) AS total
+                  FROM customer
+                  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+                  GROUP BY c_nationkey"""))),
+
+    // SQL-defined scalar function (CREATE FUNCTION ... RETURN expr): the
+    // catalog-resident, closure-free UDF — revenue math declared ONCE in
+    // SQL and inlined by the optimizer into whole-stage codegen at every
+    // call site (unlike a JVM closure UDF, which is an opaque black box
+    // to Catalyst at any scale).
+    Q("sql_declarative_udf",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_sqludf")
+        s.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_sql_revenue")
+        s.sql(sql("""CREATE TEMPORARY FUNCTION graft_sql_revenue(
+                       price DOUBLE, discount DOUBLE, tax DOUBLE)
+                     RETURNS DOUBLE
+                     RETURN price * (1.0 - discount) * (1.0 + tax)"""))
+        s.sql(sql("""SELECT l_returnflag, count(*) AS n,
+                       round(sum(graft_sql_revenue(l_extendedprice, l_discount, l_tax)), 2)
+                         AS revenue
+                     FROM graft_li_sqludf
+                     WHERE l_shipdate < '1996-01-01'
+                     GROUP BY l_returnflag"""))
+      },
+      Some(sql("""SELECT l_returnflag, count(*) AS n,
+                    round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+                      AS revenue
+                  FROM lineitem
+                  WHERE l_shipdate < '1996-01-01'
+                  GROUP BY l_returnflag"""))),
+
+    // Column DEFAULT values: rows inserted through a partial column list
+    // pick up declared defaults; read-back proves both the explicit and
+    // the defaulted values.
+    Q("sql_default_columns",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_def")
+        dropManaged(s, "graft_def_tbl")
+        s.sql(sql("""CREATE TABLE graft_def_tbl (
+                       n_name STRING,
+                       grade STRING DEFAULT 'UNRATED',
+                       score BIGINT DEFAULT 0)
+                     USING parquet"""))
+        s.sql(sql("""INSERT INTO graft_def_tbl (n_name)
+                     SELECT n_name FROM graft_nat_def WHERE n_regionkey = 0"""))
+        s.sql(sql("""INSERT INTO graft_def_tbl (n_name, grade, score)
+                     SELECT n_name, 'RATED', n_nationkey
+                     FROM graft_nat_def WHERE n_regionkey = 1"""))
+        s.sql("SELECT n_name, grade, score FROM graft_def_tbl")
+      },
+      Some(sql("""SELECT n_name, 'UNRATED' AS grade, CAST(0 AS BIGINT) AS score
+                  FROM nation WHERE n_regionkey = 0
+                  UNION ALL
+                  SELECT n_name, 'RATED', n_nationkey
+                  FROM nation WHERE n_regionkey = 1""")))
+  )
+}
