@@ -101,6 +101,40 @@ object Sql4Queries {
                   FROM nation WHERE n_regionkey = 0
                   UNION ALL
                   SELECT n_name, 'RATED', n_nationkey
-                  FROM nation WHERE n_regionkey = 1""")))
+                  FROM nation WHERE n_regionkey = 1"""))),
+
+    // SQL scripting (Spark 4 BEGIN...END compound statements): a WHILE
+    // loop doubles a price threshold three times, accumulating the count
+    // of orders above each successive threshold — control flow and
+    // mutable script variables in PURE SQL, no driver-side loop. The
+    // oracle unrolls the three iterations arithmetically.
+    Q("sql_scripting_while",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_script")
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        try s.sql(sql("""BEGIN
+                           DECLARE i INT DEFAULT 0;
+                           DECLARE thr DOUBLE DEFAULT 100000.0;
+                           DECLARE acc BIGINT DEFAULT 0;
+                           WHILE i < 3 DO
+                             SET acc = acc + (SELECT count(*) FROM graft_ord_script
+                                              WHERE o_totalprice > thr);
+                             SET thr = thr * 2.0;
+                             SET i = i + 1;
+                           END WHILE;
+                           SELECT acc AS n_above_cum, thr AS final_thr;
+                         END"""))
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.scripting.enabled", p)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      },
+      Some(sql("""SELECT CAST(
+                      (SELECT count(*) FROM orders WHERE o_totalprice > 100000.0)
+                    + (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
+                    + (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)
+                    AS BIGINT) AS n_above_cum,
+                    CAST(800000.0 AS DOUBLE) AS final_thr""")))
   )
 }
