@@ -48,6 +48,36 @@ object StreamingQueries {
     }
   }
 
+  /** StatefulProcessor for `stream_tws_mapstate`: per-user MAP state
+    * (event_type → count) — the keyed composite-state cell kind, where
+    * the RocksDB store reads/writes individual map entries instead of
+    * deserializing one monolithic value per update. */
+  private class TypeCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long, Long)] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var rev: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      m = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      val r = (if (rev.exists()) rev.get() else 0L) + 1
+      rev.update(r)
+      rows.foreach { case (_, t) =>
+        val c = if (m.containsKey(t)) m.getValue(t) else 0L
+        m.updateValue(t, c + 1)
+      }
+      m.iterator().map { case (t, c) => (key, t, c, r) }.toSeq.iterator
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // window()/reduceByKeyAndWindow analog: REAL stream, event-time
@@ -380,6 +410,38 @@ object StreamingQueries {
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,
                     CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_um
-                  FROM events GROUP BY 1""")))
+                  FROM events GROUP BY 1"""))),
+
+    // transformWithState with MAP state (per-user event_type → count):
+    // the keyed composite-state kind where RocksDB touches individual
+    // entries per update instead of round-tripping one monolithic value
+    // — the right state shape when per-key sub-state grows wide. Same
+    // revision/last-write sink protocol as the ValueState row.
+    Q("stream_tws_mapstate",
+      (s, d) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = StreamRunner.eventsStream(s, d)
+            .select(col("user_id"), col("event_type"))
+            .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new TypeCounts,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "event_type", "n", "rev")
+          StreamRunner.runToTable(s, out, s"twsm_${math.abs(d.hashCode)}", "update")
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max_by(col("n"), col("rev")).as("n"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some(sql("""SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2""")))
   )
 }
