@@ -68,6 +68,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("socket source streams lines from a TCP server end-to-end") {
+    // the third non-file input path (alongside rate): a real TCP feed
+    // into a windowless aggregate; the contract is that every line the
+    // server wrote is eventually counted exactly once
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        (1 to 50).foreach(i => out.println(s"evt${i % 5}"))
+        out.flush()
+        Thread.sleep(30000) // keep the connection open while the query drains
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort)
+      .load()
+      .groupBy(col("value")).count()
+      .writeStream.format("memory").queryName("spec_socket").outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-socket-${System.nanoTime()}")
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var total = 0L
+      while (total < 50L && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        val rows = spark.table("spec_socket").collect()
+        total = rows.map(_.getLong(1)).sum
+      }
+      val counts = spark.table("spec_socket").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum === 50L, s"socket lines lost or duplicated: $counts")
+      assert(counts.size === 5 && counts.values.forall(_ === 10L), counts.toString)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("aggregation restarted from its checkpoint resumes exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     // Two-phase replay: stage HALF the corpus, run an AvailableNow
