@@ -78,6 +78,34 @@ object StreamingQueries {
     }
   }
 
+  /** StatefulProcessor for `stream_tws_liststate`: per-user LIST state
+    * accumulating event ids across batches — the append-only cell kind
+    * (RocksDB merge-appends entries; no read-modify-write of the whole
+    * list per row). Emitted summary is order-insensitive (size/min/max)
+    * because intra-batch row order is not deterministic. */
+  private class EventIdLog
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var ids: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var rev: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      ids = getHandle.getListState[Long]("ids",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val r = (if (rev.exists()) rev.get() else 0L) + 1
+      rev.update(r)
+      rows.foreach { row => ids.appendValue(row._2) }
+      val all = ids.get().toSeq
+      Iterator.single((key, all.size.toLong, all.min, all.max, r))
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // window()/reduceByKeyAndWindow analog: REAL stream, event-time
@@ -442,6 +470,41 @@ object StreamingQueries {
         }
       },
       Some(sql("""SELECT user_id, event_type, count(*) AS n
-                  FROM events GROUP BY 1, 2""")))
+                  FROM events GROUP BY 1, 2"""))),
+
+    // transformWithState with LIST state (append-only event-id log per
+    // user): the third and last state cell kind — RocksDB merge-appends
+    // entries instead of rewriting the collection, the right shape for
+    // per-key logs that only grow. Order-insensitive summary (size, min,
+    // max) because intra-batch arrival order is not deterministic.
+    Q("stream_tws_liststate",
+      (s, d) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = StreamRunner.eventsStream(s, d)
+            .select(col("user_id"), col("event_id"))
+            .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new EventIdLog,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n_ids", "min_id", "max_id", "rev")
+          StreamRunner.runToTable(s, out, s"twsl_${math.abs(d.hashCode)}", "update")
+            .groupBy(col("user_id"))
+            .agg(max_by(col("n_ids"), col("rev")).as("n_ids"),
+              max_by(col("min_id"), col("rev")).as("min_id"),
+              max_by(col("max_id"), col("rev")).as("max_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_ids,
+                    min(event_id) AS min_id, max(event_id) AS max_id
+                  FROM events GROUP BY 1""")))
   )
 }
