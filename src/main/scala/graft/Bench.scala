@@ -42,7 +42,11 @@ object Bench {
     val results = qs.map { q =>
       val t = try {
         val best2 = math.min(runOnce(q), runOnce(q))
-        if (best2 > 2.0) math.min(best2, runOnce(q)) else best2
+        // the extra trial for slow rows must not discard two valid
+        // timings if it fails transiently — fall back to best2
+        if (best2 > 2.0)
+          math.min(best2, try runOnce(q) catch { case _: Throwable => best2 })
+        else best2
       } catch { case _: Throwable => -1.0 }
       q.name -> t
     }

@@ -16,6 +16,13 @@ import org.apache.spark.storage.StorageLevel
   * dedup-by-equivalence Spark's own CacheManager applies. A genuinely
   * different plan (new scale dir, changed spark.graft.* conf) still
   * swaps.
+  *
+  * CONTRACT: plan equivalence compares root PATHS, not file listings,
+  * so inputs at a given path must be immutable within a JVM (true for
+  * /root/testdata and the fingerprint-keyed stream staging). A test
+  * that regenerates a fixture in-process must write to a FRESH path
+  * (HotGramSpec does) or clearCache() first — otherwise reuse would
+  * serve the old corpus.
   */
 object CacheOnce {
   private val cached = scala.collection.concurrent.TrieMap.empty[String, DataFrame]

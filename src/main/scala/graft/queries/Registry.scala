@@ -42,4 +42,18 @@ object Registry {
     * DuckDB twin: array_to_string(l, '|'). */
   def arrStr(c: Column): Column =
     array_join(transform(c, x => x.cast("string")), "|")
+
+  /** Drop a managed table AND its warehouse location — the location can
+    * survive from a previous JVM whose in-memory catalog is gone, and
+    * CTAS refuses to reuse it. Shared by every query that creates
+    * managed tables (Source/Sql3/Sql4 waves). */
+  def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
 }

@@ -25,18 +25,8 @@ object SourceQueries {
   private def tmp(d: String, name: String) =
     s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
-  /** Drop a managed table AND its warehouse location — the location can
-    * survive from a previous JVM whose in-memory catalog is gone, and
-    * CTAS refuses to reuse it. */
-  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
-    if (loc.exists()) rm(loc)
-  }
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Registry.dropManaged(s, name)
 
   val all: Seq[Q] = Seq(
 

@@ -23,17 +23,8 @@ import Registry.sql
   */
 object Sql3Queries {
 
-  /** Drop a managed table AND its warehouse directory (the directory can
-    * survive from a previous JVM whose in-memory catalog is gone). */
-  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
-    if (loc.exists()) rm(loc)
-  }
+  private def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit =
+    Registry.dropManaged(s, name)
 
   val all: Seq[Q] = Seq(
 

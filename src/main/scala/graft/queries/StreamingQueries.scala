@@ -20,6 +20,20 @@ import Registry.sql
   */
 object StreamingQueries {
 
+  /** Run `body` with the RocksDB state store provider set (required by
+    * transformWithState — and the disk-backed store large stateful jobs
+    * need at scale), restoring the previous session conf afterwards. */
+  private def withRocksDBStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Spark 4 StatefulProcessor for `stream_transform_with_state`:
     * per-user running (event count, micro-unit value sum) in a single
     * ValueState cell, re-emitted at a bumped revision every micro-batch
@@ -412,29 +426,20 @@ object StreamingQueries {
     // bumped revision; the sink keeps the last revision and the oracle
     // checks the final totals against a direct batch aggregation.
     Q("stream_transform_with_state",
-      (s, d) => {
+      (s, d) => withRocksDBStateStore(s) {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          val ev = StreamRunner.eventsStream(s, d)
-            .select(col("user_id"), round(col("value") * 10000).cast("long").as("um"))
-            .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-          val out = ev.groupByKey(_._1)
-            .transformWithState(new RunningTotals,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              org.apache.spark.sql.streaming.OutputMode.Update())
-            .toDF("user_id", "n_events", "sum_um", "rev")
-          StreamRunner.runToTable(s, out, s"tws_${math.abs(d.hashCode)}", "update")
-            .groupBy(col("user_id"))
-            .agg(max_by(col("n_events"), col("rev")).as("n_events"),
-              max_by(col("sum_um"), col("rev")).as("sum_um"))
-        } finally prev match {
-          case Some(p) => s.conf.set(key, p)
-          case None => s.conf.unset(key)
-        }
+        val ev = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), round(col("value") * 10000).cast("long").as("um"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new RunningTotals,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_um", "rev")
+        StreamRunner.runToTable(s, out, s"tws_${math.abs(d.hashCode)}", "update")
+          .groupBy(col("user_id"))
+          .agg(max_by(col("n_events"), col("rev")).as("n_events"),
+            max_by(col("sum_um"), col("rev")).as("sum_um"))
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,
                     CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_um
@@ -446,28 +451,19 @@ object StreamingQueries {
     // — the right state shape when per-key sub-state grows wide. Same
     // revision/last-write sink protocol as the ValueState row.
     Q("stream_tws_mapstate",
-      (s, d) => {
+      (s, d) => withRocksDBStateStore(s) {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          val ev = StreamRunner.eventsStream(s, d)
-            .select(col("user_id"), col("event_type"))
-            .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
-          val out = ev.groupByKey(_._1)
-            .transformWithState(new TypeCounts,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              org.apache.spark.sql.streaming.OutputMode.Update())
-            .toDF("user_id", "event_type", "n", "rev")
-          StreamRunner.runToTable(s, out, s"twsm_${math.abs(d.hashCode)}", "update")
-            .groupBy(col("user_id"), col("event_type"))
-            .agg(max_by(col("n"), col("rev")).as("n"))
-        } finally prev match {
-          case Some(p) => s.conf.set(key, p)
-          case None => s.conf.unset(key)
-        }
+        val ev = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), col("event_type"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new TypeCounts,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "event_type", "n", "rev")
+        StreamRunner.runToTable(s, out, s"twsm_${math.abs(d.hashCode)}", "update")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max_by(col("n"), col("rev")).as("n"))
       },
       Some(sql("""SELECT user_id, event_type, count(*) AS n
                   FROM events GROUP BY 1, 2"""))),
@@ -478,30 +474,21 @@ object StreamingQueries {
     // per-key logs that only grow. Order-insensitive summary (size, min,
     // max) because intra-batch arrival order is not deterministic.
     Q("stream_tws_liststate",
-      (s, d) => {
+      (s, d) => withRocksDBStateStore(s) {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          val ev = StreamRunner.eventsStream(s, d)
-            .select(col("user_id"), col("event_id"))
-            .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-          val out = ev.groupByKey(_._1)
-            .transformWithState(new EventIdLog,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              org.apache.spark.sql.streaming.OutputMode.Update())
-            .toDF("user_id", "n_ids", "min_id", "max_id", "rev")
-          StreamRunner.runToTable(s, out, s"twsl_${math.abs(d.hashCode)}", "update")
-            .groupBy(col("user_id"))
-            .agg(max_by(col("n_ids"), col("rev")).as("n_ids"),
-              max_by(col("min_id"), col("rev")).as("min_id"),
-              max_by(col("max_id"), col("rev")).as("max_id"))
-        } finally prev match {
-          case Some(p) => s.conf.set(key, p)
-          case None => s.conf.unset(key)
-        }
+        val ev = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), col("event_id"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new EventIdLog,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_ids", "min_id", "max_id", "rev")
+        StreamRunner.runToTable(s, out, s"twsl_${math.abs(d.hashCode)}", "update")
+          .groupBy(col("user_id"))
+          .agg(max_by(col("n_ids"), col("rev")).as("n_ids"),
+            max_by(col("min_id"), col("rev")).as("min_id"),
+            max_by(col("max_id"), col("rev")).as("max_id"))
       },
       Some(sql("""SELECT user_id, count(*) AS n_ids,
                     min(event_id) AS min_id, max(event_id) AS max_id

@@ -20,7 +20,10 @@ class HotGramSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private val dir = "/tmp/graft_hotgram"
+  // fresh path per JVM: CacheOnce reuses persisted plans keyed by root
+  // path, so a fixture regenerated at a reused path could be served
+  // from cache (see CacheOnce contract)
+  private val dir = s"/tmp/graft_hotgram_${System.nanoTime()}"
 
   // H = shared boilerplate (its 7 char-4-grams go hot: df = 12 docs);
   // R = rare block unique to docs 1 and 2 (df = 2, never hot).
