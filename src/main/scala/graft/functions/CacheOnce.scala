@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.storage.StorageLevel
 
 /** Keyed persist with swap semantics: re-registering a key unpersists the
@@ -17,24 +18,58 @@ import org.apache.spark.storage.StorageLevel
   * different plan (new scale dir, changed spark.graft.* conf) still
   * swaps.
   *
-  * CONTRACT: plan equivalence compares root PATHS, not file listings,
-  * so inputs at a given path must be immutable within a JVM (true for
-  * /root/testdata and the fingerprint-keyed stream staging). A test
-  * that regenerates a fixture in-process must write to a FRESH path
-  * (HotGramSpec does) or clearCache() first — otherwise reuse would
-  * serve the old corpus.
+  * ENFORCED contract: plan equivalence compares root PATHS, so a reuse
+  * hit additionally re-checks a filesystem fingerprint (mtime + length
+  * of each file-source root and its direct children, captured when the
+  * entry was persisted). A fixture regenerated in-process at a
+  * previously cached path therefore SWAPS — recompute, never stale data
+  * — instead of relying on specs remembering to use fresh paths
+  * (HotGramSpec does anyway). Driver-side fs metadata only; no job.
   */
 object CacheOnce {
-  private val cached = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val cached =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[String])]
 
-  def swap(key: String, df: DataFrame): DataFrame = cached.get(key) match {
-    case Some(prev)
-        if prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
-      prev
-    case _ =>
-      cached.remove(key).foreach(_.unpersist(blocking = false))
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.put(key, p)
-      p
+  /** One line per file-source root: path@mtime:len plus its direct
+    * children (name@mtime:len). Overwriting a dataset rewrites the part
+    * files (and on local fs the dir mtime), so any in-place regeneration
+    * changes the fingerprint. Non-file leaves contribute nothing and are
+    * covered by sameResult alone. */
+  private def fingerprint(df: DataFrame): Seq[String] = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map { p =>
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) s"$p:absent"
+          else {
+            val st = fs.getFileStatus(p)
+            val kids =
+              if (st.isDirectory)
+                fs.listStatus(p).map(c =>
+                  s"${c.getPath.getName}@${c.getModificationTime}:${c.getLen}")
+                  .sorted.mkString(",")
+              else ""
+            s"$p@${st.getModificationTime}:${st.getLen}|$kids"
+          }
+        }
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+  }
+
+  def swap(key: String, df: DataFrame): DataFrame = {
+    val fp = fingerprint(df)
+    cached.get(key) match {
+      case Some((prev, prevFp))
+          if prevFp == fp &&
+            prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        prev
+      case _ =>
+        cached.remove(key).foreach(_._1.unpersist(blocking = false))
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.put(key, (p, fp))
+        p
+    }
   }
 }

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * values — 60-bit hash collisions — count once, exactly like
   * array_intersect on pre-distinct gram lists; `graft_overlap64(a, a)`
   * is therefore the distinct-cardinality of `a`). Inputs MUST be sorted
-  * ascending with no null elements (the dedup pipeline array_sorts its
-  * hash arrays); NULL on null input arrays. Extension path per SURVEY
+  * ascending (the dedup pipeline array_sorts its hash arrays); NULL on
+  * null input arrays, and NULL — never a corrupted count — when an
+  * array contains a null ELEMENT (guarded only when the schema can't
+  * prove containsNull=false). Extension path per SURVEY
   * §7: custom Expression beats UDF (reference analog: catalyst/
   * expressions/arithmetic.scala's fused kernels).
   */
@@ -29,6 +31,17 @@ case class Overlap64(left: Expression, right: Expression) extends BinaryExpressi
   private def isLongArray(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
     case _ => false
+  }
+
+  /** getLong would read a null element as 0 and silently miscount; when
+    * the schema cannot prove elements non-null, a per-array null scan
+    * guards the merge and yields NULL instead of a corrupted count. The
+    * dedup pipeline's transform/array_sort chains never contain nulls,
+    * but their schemas still say containsNull=true, so the guard (two
+    * branch-predictable passes) stays in those plans too. */
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -45,6 +58,14 @@ case class Overlap64(left: Expression, right: Expression) extends BinaryExpressi
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (na, nb) = (x.numElements(), y.numElements())
+    if (mayHaveNullElems(left)) {
+      var t = 0
+      while (t < na) { if (x.isNullAt(t)) return null; t += 1 }
+    }
+    if (mayHaveNullElems(right)) {
+      var t = 0
+      while (t < nb) { if (y.isNullAt(t)) return null; t += 1 }
+    }
     var cnt = 0L
     var i = 0
     var j = 0
@@ -71,23 +92,39 @@ case class Overlap64(left: Expression, right: Expression) extends BinaryExpressi
       val cnt = ctx.freshName("cnt")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val t = ctx.freshName("t")
+      val bad = ctx.freshName("hasNullElem")
+      val nullGuard = (mayHaveNullElems(left), mayHaveNullElems(right)) match {
+        case (false, false) => s"boolean $bad = false;"
+        case (gl, gr) =>
+          val gls = if (gl) s"for (int $t = 0; $t < $na && !$bad; $t++) { $bad = $a.isNullAt($t); }" else ""
+          val grs = if (gr) s"for (int $t = 0; $t < $nb && !$bad; $t++) { $bad = $b.isNullAt($t); }" else ""
+          s"""boolean $bad = false;
+             |$gls
+             |$grs""".stripMargin
+      }
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
-         |long $cnt = 0L;
-         |int $i = 0, $j = 0;
-         |while ($i < $na && $j < $nb) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else {
-         |    $cnt++;
-         |    while ($i < $na && $a.getLong($i) == $xv) { $i++; }
-         |    while ($j < $nb && $b.getLong($j) == $xv) { $j++; }
+         |$nullGuard
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $cnt = 0L;
+         |  int $i = 0, $j = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($j);
+         |    if ($xv < $yv) { $i++; }
+         |    else if ($xv > $yv) { $j++; }
+         |    else {
+         |      $cnt++;
+         |      while ($i < $na && $a.getLong($i) == $xv) { $i++; }
+         |      while ($j < $nb && $b.getLong($j) == $xv) { $j++; }
+         |    }
          |  }
+         |  ${ev.value} = $cnt;
          |}
-         |${ev.value} = $cnt;
        """.stripMargin
     })
 

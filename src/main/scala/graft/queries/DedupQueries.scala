@@ -24,6 +24,13 @@ object DedupQueries {
   private val Bands = 4
   private val Rows = 4 // hashes per band
 
+  /** SemDeDup target cluster population: K = max(ceil(N/target), 8).
+    * One constant shared by the Spark plan and the DuckDB oracle so the
+    * centroid set always agrees; at sf0.01 (500 vecs) K=8, at sf0.1
+    * (2 000 vecs) K=32 — the pair-join key cardinality grows with the
+    * corpus (asserted by PlanSpec). */
+  private val SemClusterTarget = 64
+
   /** (doc_id, band, sig): one row per document per LSH band. The md5
     * shingle hashes are computed once (`hs`) and shared by all 16 minhash
     * functions — at 100 TB the hashing dominates the scan stage, so this
@@ -418,10 +425,19 @@ object DedupQueries {
     // decision (never empty, unlike raw pair lists at tiny SF).
     //
     // Scale posture: this IS the SemDeDup design — the quadratic step is
-    // confined inside clusters, and K grows with the corpus (K ≈ N/target
-    // cluster size) so cluster populations stay bounded; the pair join is
-    // keyed on cluster id, the centroid table broadcasts, and at 100 TB
-    // only the assign scan touches every vector.
+    // confined inside clusters, and K GROWS WITH THE CORPUS:
+    // K = max(ceil(N / SemClusterTarget), 8), derived lazily from a
+    // count aggregate broadcast into the centroid filter (no driver
+    // action at declaration). Cluster populations therefore stay near
+    // SemClusterTarget regardless of N — the within-cluster pair join is
+    // O(N·target), linear in the corpus, not N²/K for fixed K. The
+    // centroid table (K rows) broadcasts, assignment skew is capped by
+    // the same SkewGuard hot-bucket drop as every other bucketed
+    // self-join (inert at test SF), and at 100 TB only the assign scan
+    // touches every vector. Centroid choice is deterministic (the K
+    // lowest vec_ids) so the DuckDB oracle reproduces it exactly; a real
+    // deployment would plug k-means centroids into the same plan shape
+    // (ml_kmeans_iterate shows that loop).
     Q("dedup_semantic",
       (s, d) => {
         val nonZero = aggregate(
@@ -429,7 +445,10 @@ object DedupQueries {
           lit(0.0), (acc, x) => acc + x) > 0.0
         val emb = table(s, d, "embeddings")
           .filter(nonZero).select(col("vec_id"), col("embedding"))
-        val cents = emb.filter(col("vec_id") < 8)
+        val kRow = emb.agg(greatest(
+          ceil(count(lit(1)) / lit(SemClusterTarget.toDouble)), lit(8L)).as("k"))
+        val cents = emb.crossJoin(broadcast(kRow))
+          .filter(col("vec_id") < col("k"))
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val assigned = emb.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cid"),
@@ -437,7 +456,9 @@ object DedupQueries {
           .groupBy(col("vec_id"))
           .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cluster"),
             first(col("embedding")).as("embedding"))
-        val av = graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned)
+        val av = graft.functions.SkewGuard.dropHotBuckets(
+          graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned),
+          Seq("cluster"))
         val dropped = av.as("x").join(av.as("y"),
             col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
           .filter(round(T.cosineFast(col("x.embedding"), col("y.embedding")), 6) >= 0.8)
@@ -449,7 +470,8 @@ object DedupQueries {
       },
       Some(sql(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
                      WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
-                   cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id < 8),
+                   cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb
+                     WHERE vec_id < (SELECT greatest(CAST(ceil(count(*) / ${SemClusterTarget}.0) AS BIGINT), 8) FROM emb)),
                    scored AS (SELECT e.vec_id, e.embedding, c.cid,
                        round(${T.cosineSql("e.embedding", "c.cvec")}, 6) AS cs
                      FROM emb e CROSS JOIN cents c),

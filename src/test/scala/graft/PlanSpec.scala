@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup derives K from the corpus count (no fixed cluster key)") {
+    val p = plan("dedup_semantic")
+    // the r6 defect: centroids were `vec_id < 8`, a corpus-INDEPENDENT
+    // 8-value pair-join key ⇒ within-cluster pairs ∝ N². The fix keys the
+    // centroid filter on k = max(ceil(count(*)/target), 8) — the filter
+    // must compare vec_id against the count-derived attribute, never a
+    // literal, and the pair self-join must hash-partition on cluster.
+    assert(!p.matches("(?s).*vec_id#\\d+L? < 8\\).*"),
+      s"centroid set is a fixed literal again:\n$p")
+    assert(p.matches("(?s).*vec_id#\\d+L? < k#.*"),
+      s"centroid filter not keyed on corpus-derived k:\n$p")
+    // ceil(count/target) folds into the aggregate's result projection, so
+    // the plan string shows k emitted directly by the count(1) aggregate
+    assert(p.matches("(?s).*functions=\\[count\\(1\\)\\], output=\\[k#.*"),
+      s"k not derived from a corpus count(1) aggregate:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\([^)]*cluster#.*"),
+      s"pair join not hash-partitioned on cluster:\n$p")
+  }
+
   test("dedup verify runs in the codegen overlap kernel, not interpreted set math") {
     for (name <- Seq("dedup_containment", "dedup_ngram_jaccard")) {
       val p = plan(name)

@@ -73,13 +73,18 @@ class StreamingSpec extends AnyFunSuite {
     // into a windowless aggregate; the contract is that every line the
     // server wrote is eventually counted exactly once
     val server = new java.net.ServerSocket(0)
+    // the feeder holds the connection open until the polling loop below
+    // SIGNALS it has observed all 50 lines (latch), not for a fixed
+    // sleep — a loaded machine can take arbitrarily long to drain, and
+    // closing early would reset the socket source mid-stream
+    val drained = new java.util.concurrent.CountDownLatch(1)
     val feeder = new Thread(() => {
       try {
         val sock = server.accept()
         val out = new java.io.PrintWriter(sock.getOutputStream, true)
         (1 to 50).foreach(i => out.println(s"evt${i % 5}"))
         out.flush()
-        Thread.sleep(30000) // keep the connection open while the query drains
+        drained.await(120, java.util.concurrent.TimeUnit.SECONDS)
         sock.close()
       } catch { case _: Throwable => () }
     })
@@ -100,6 +105,7 @@ class StreamingSpec extends AnyFunSuite {
         val rows = spark.table("spec_socket").collect()
         total = rows.map(_.getLong(1)).sum
       }
+      drained.countDown() // all 50 observed (or deadline) — feeder may close
       val counts = spark.table("spec_socket").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts.values.sum === 50L, s"socket lines lost or duplicated: $counts")
