@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol mirrors the reference's trial policy (README.md:75-80: first
   * trial discarded as warm-up): one warm-up pass, then two timed trials
-  * per query — plus a third for any query whose best is still over 2 s,
-  * where single-trial variance would otherwise mask real deltas —
-  * best-of-trials reported. Results are fully materialized through the
-  * noop sink so projection work isn't pruned away by a count().
+  * per query — plus a third when the best is still over 2 s OR the two
+  * trials disagree by >25% (the signature of GC/cache-pressure variance
+  * that inflated three sub-second rows in round 6: best-of-2 keeps the
+  * noisy draw when both draws are noisy) — best-of-trials reported.
+  * Results are fully materialized through the noop sink so projection
+  * work isn't pruned away by a count().
   *
   * Output carries the full `total` plus `core8`, the sum over the fixed
   * 8-query set benched since round 4, so round-over-round comparisons
@@ -41,10 +43,12 @@ object Bench {
     qs.foreach { q => try runOnce(q) catch { case _: Throwable => () } } // warm-up
     val results = qs.map { q =>
       val t = try {
-        val best2 = math.min(runOnce(q), runOnce(q))
-        // the extra trial for slow rows must not discard two valid
+        val t1 = runOnce(q)
+        val t2 = runOnce(q)
+        val best2 = math.min(t1, t2)
+        // the extra trial for slow/noisy rows must not discard two valid
         // timings if it fails transiently — fall back to best2
-        if (best2 > 2.0)
+        if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2)
           math.min(best2, try runOnce(q) catch { case _: Throwable => best2 })
         else best2
       } catch { case _: Throwable => -1.0 }
