@@ -26,6 +26,11 @@ import Registry.sql
 object Ml5Queries {
 
   private val K = 4
+  /** Convergence loop bounds: halt when no centroid moves ≥ Eps cents
+    * ($15k — reached at iteration 5 on this corpus at both test SFs, so
+    * the break genuinely fires mid-loop), hard cap MaxIter. */
+  private val MaxIter = 8L
+  private val Eps = 1500000L
 
   /** One-row pivot of the (k, c) centroid table to columns cc0..cc3 —
     * the broadcastable model the assignment expression closes over. */
@@ -109,6 +114,103 @@ object Ml5Queries {
                 SELECT CAST(1 AS BIGINT) AS iter, k, m, c FROM c1
                 UNION ALL SELECT CAST(2 AS BIGINT), k, m, c FROM c2
                 UNION ALL SELECT CAST(3 AS BIGINT), k, m, c FROM c3""")
+      }),
+
+    // CONVERGENCE-TERMINATED iteration (the reference's actual loop
+    // shape: GradientDescent.scala:166 halts on a convergence check,
+    // Pregel on vote-to-halt — not a fixed trip count). Same integer
+    // Lloyd step as ml_kmeans_iterate, but the loop runs until
+    // max_k |c_new − c_prev| < Eps (a DATA-DEPENDENT stop decided on the
+    // driver from a K-row collect per iteration, exactly like the
+    // reference's learners) or MaxIter. Output is the executed-iteration
+    // trace including the stop evidence: per-iteration delta and the
+    // converged flag — the oracle unrolls all MaxIter steps in SQL,
+    // derives the same first-convergence iteration, and must agree on
+    // WHICH iterations ran, not just their centroids.
+    //
+    // Scale posture: per iteration one scan of the CACHED points (same
+    // persisted table as ml_kmeans_iterate) + a K-row partial agg +
+    // a K-row collect; the model is driver-resident. Inherently runs
+    // jobs at declaration (the stop is data-dependent), so this row is
+    // excluded from the zero-jobs contract like the stat_* rows.
+    Q("ml_kmeans_converge",
+      (s, d) => {
+        import s.implicits._
+        val pts = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("x"))
+        val cached = graft.functions.CacheOnce.swap("ml_kmeans_pts", pts)
+        var cent: Map[Long, Long] =
+          (0 until K).map(k => k.toLong -> 5000000L * (k + 1)).toMap
+        val trace = Seq.newBuilder[(Long, Long, Long, Long, Long, Boolean)]
+        var it = 1L
+        var done = false
+        while (it <= MaxIter && !done) {
+          val cdf = cent.toSeq.toDF("k", "c")
+          val stats = cached.crossJoin(broadcast(pivotRow(cdf)))
+            .withColumn("k", argminK)
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("m"), sum(col("x")).as("s"))
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val next = (0 until K).map { ki =>
+            val k = ki.toLong
+            stats.get(k) match {
+              // x ≥ 0 so Long '/' truncation == SQL DIV == DuckDB '//'
+              case Some((m, sum)) => (k, m, sum / m)
+              case None => (k, 0L, cent(k)) // empty cluster keeps its centroid
+            }
+          }
+          val delta = next.map { case (k, _, c) => math.abs(c - cent(k)) }.max
+          done = delta < Eps
+          next.foreach { case (k, m, c) => trace += ((it, k, m, c, delta, done)) }
+          cent = next.map { case (k, _, c) => k -> c }.toMap
+          it += 1
+        }
+        trace.result().toDF("iter", "k", "m", "c", "delta", "converged")
+      },
+      Some {
+        // every CTE is MATERIALIZED: the chain references c_i from four
+        // places (next assign, delta, trace row, stp) and DuckDB inlines
+        // plain CTEs per reference — 8 unrolled iterations would
+        // re-execute the whole prefix exponentially without it
+        val assign = (i: Int) =>
+          s"""a$i AS MATERIALIZED (SELECT x, CASE
+                WHEN abs(x-cc0) <= abs(x-cc1) AND abs(x-cc0) <= abs(x-cc2) AND abs(x-cc0) <= abs(x-cc3) THEN 0
+                WHEN abs(x-cc1) <= abs(x-cc2) AND abs(x-cc1) <= abs(x-cc3) THEN 1
+                WHEN abs(x-cc2) <= abs(x-cc3) THEN 2 ELSE 3 END AS k
+              FROM pts, p${i - 1}),
+              s$i AS MATERIALIZED (SELECT k, count(*) AS m, CAST(sum(x) AS BIGINT) AS s
+                      FROM a$i GROUP BY k),
+              c$i AS MATERIALIZED (SELECT c${i - 1}.k,
+                        coalesce(s$i.m, 0) AS m,
+                        coalesce(s$i.s // s$i.m, c${i - 1}.c) AS c
+                      FROM c${i - 1} LEFT JOIN s$i ON c${i - 1}.k = s$i.k),
+              d$i AS MATERIALIZED (SELECT CAST(max(abs(cur.c - prev.c)) AS BIGINT) AS delta
+                      FROM c$i cur JOIN c${i - 1} prev ON cur.k = prev.k)"""
+        val pivot = (i: Int) =>
+          s"""p$i AS MATERIALIZED (SELECT max(CASE WHEN k=0 THEN c END) AS cc0,
+                        max(CASE WHEN k=1 THEN c END) AS cc1,
+                        max(CASE WHEN k=2 THEN c END) AS cc2,
+                        max(CASE WHEN k=3 THEN c END) AS cc3 FROM c$i)"""
+        val n = MaxIter.toInt
+        val chain = (1 to n).map(i => s"${pivot(i - 1)}, ${assign(i)}").mkString(",\n")
+        val deltas = (1 to n)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS iter, delta FROM d$i")
+          .mkString(" UNION ALL ")
+        val rows = (1 to n).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS iter, k, m, c,
+                (SELECT delta FROM d$i) AS delta,
+                (SELECT delta FROM d$i) < $Eps AS converged FROM c$i""")
+          .mkString(" UNION ALL ")
+        sql(s"""WITH pts AS MATERIALIZED (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                             FROM orders),
+                c0 AS MATERIALIZED (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS k,
+                              CAST(unnest([5000000,10000000,15000000,20000000]) AS BIGINT) AS c),
+                $chain,
+                ds AS MATERIALIZED ($deltas),
+                stp AS (SELECT coalesce(min(iter), $MaxIter) AS j FROM ds WHERE delta < $Eps)
+                SELECT iter, k, m, c, delta, converged
+                FROM ($rows) t WHERE iter <= (SELECT j FROM stp)""")
       })
   )
 }

@@ -349,6 +349,32 @@ class PlanSpec extends AnyFunSuite {
       s"iteration loop has a live parquet scan outside the cache ($parquetScans scans, $cachedRelations cached):\n$p")
   }
 
+  test("convergence loop runs a data-dependent number of iterations over cached points") {
+    import org.apache.spark.sql.functions.{col, round}
+    val rows = SparkEntry.queries("ml_kmeans_converge")(spark, TestSpark.Sf).collect()
+    val iters = rows.map(_.getLong(0)).distinct.sorted
+    assert(iters.nonEmpty && iters.head == 1L && iters.last <= 8L &&
+      iters.length == iters.last.toInt,
+      s"iterations not contiguous from 1: ${iters.toSeq}")
+    val byIter = rows.groupBy(_.getLong(0))
+    val last = iters.last
+    // every non-final iteration must NOT be converged (the loop would
+    // have over-run its own stop decision), and the final one must be
+    // converged or the max-iteration cap
+    for (i <- iters if i < last)
+      assert(!byIter(i).head.getBoolean(5), s"iter $i converged but the loop kept running")
+    assert(byIter(last).head.getBoolean(5) || last == 8L,
+      "loop stopped without converging and without hitting max-iter")
+    // the loop's per-iteration scans hit the PERSISTED points table: the
+    // exact points plan must be registered in the cache after the run
+    val pts = graft.Engine.table(spark, TestSpark.Sf, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("x"))
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(pts.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .nonEmpty,
+      "points table not in the persistent cache after the loop")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     val c = spark.conf
