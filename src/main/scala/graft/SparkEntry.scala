@@ -36,6 +36,7 @@ object SparkEntry {
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++
+      Sql5Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++
