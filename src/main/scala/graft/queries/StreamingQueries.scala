@@ -492,6 +492,50 @@ object StreamingQueries {
       },
       Some(sql("""SELECT user_id, count(*) AS n_ids,
                     min(event_id) AS min_id, max(event_id) AS max_id
+                  FROM events GROUP BY 1"""))),
+
+    // CHECKPOINT RECOVERY as a declared, oracled capability (promoted
+    // from StreamingSpec): stage HALF the corpus, run an AvailableNow
+    // aggregation to completion (offsets + state land in the
+    // checkpoint), append the remaining half, then RESTART with the
+    // SAME checkpoint. The recovered query must resume from recorded
+    // offsets and state: the final aggregate equals the batch answer
+    // over the full corpus — no loss (missed files) and no duplication
+    // (re-read files would double counts). Staging is per-invocation
+    // (nanoTime dir) so EVERY run exercises a real recovery, not a
+    // replay of a warm checkpoint.
+    Q("stream_ckpt_recovery",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.Engine.configure(s)
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/ckptrec_src_$stamp"
+        val ckpt = s"/tmp/graft_ckpt/ckptrec-$stamp"
+        val events = Engine.events(s, d).select(col("user_id"), col("event_id"))
+        events.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        def runPass(name: String): Unit = {
+          val q = s.readStream.schema(schema).parquet(srcDir)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+            .writeStream.format("memory").queryName(name).outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException(s"recovery pass '$name' did not finish within 300s")
+          }
+        }
+        runPass(s"ckptrec_p1_$stamp") // phase 1: half the corpus
+        events.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        runPass(s"ckptrec_final_$stamp") // restart: resume offsets + state
+        s.table(s"ckptrec_final_$stamp")
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                    CAST(sum(event_id) AS BIGINT) AS sum_ids
                   FROM events GROUP BY 1""")))
   )
 }
