@@ -171,6 +171,97 @@ object Sql5Queries {
         WHERE c_custkey IN
           (SELECT o_custkey FROM orders UNION ALL SELECT CAST(NULL AS BIGINT))"""))),
 
+    // Recursive CTE (Spark 4.0's WITH RECURSIVE, the reference era had
+    // none): an anchor + recursive step generates the 0..9 bucket
+    // series, which then LEFT JOINs the orders fact — recursion drives
+    // the row set, data drives the counts. Cast to BIGINT both sides so
+    // the coercion of the recursive column is pinned too.
+    Q("sql_recursive_cte",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o5r")
+        s.sql(sql("""
+          WITH RECURSIVE seq(n) AS (
+            SELECT 0
+            UNION ALL
+            SELECT n + 1 FROM seq WHERE n < 9
+          )
+          SELECT CAST(s.n AS BIGINT) AS n, count(o.o_orderkey) AS n_orders
+          FROM seq s LEFT JOIN graft_o5r o ON o.o_orderkey % 10 = s.n
+          GROUP BY s.n"""))
+      },
+      Some(sql("""
+        WITH RECURSIVE seq(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + 1 FROM seq WHERE n < 9
+        )
+        SELECT CAST(s.n AS BIGINT) AS n, count(o.o_orderkey) AS n_orders
+        FROM seq s LEFT JOIN orders o ON o.o_orderkey % 10 = s.n
+        GROUP BY s.n"""))),
+
+    // Correlated LATERAL subquery (standard-SQL lateral join): per
+    // customer, the single highest-value order — the decorrelation path
+    // (DomainJoin rewrite) that replaced LATERAL VIEW for relational
+    // subqueries. Tie-broken on o_orderkey so top-1 is deterministic.
+    Q("sql_lateral_join",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_c5l")
+        table(s, d, "orders").createOrReplaceTempView("graft_o5l")
+        s.sql(sql("""
+          SELECT c.c_custkey, t.o_orderkey AS top_order, t.o_totalprice AS top_price
+          FROM graft_c5l c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM graft_o5l o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+          ) t"""))
+      },
+      Some(sql("""
+        SELECT c.c_custkey, t.o_orderkey AS top_order, t.o_totalprice AS top_price
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        ) t ON true"""))),
+
+    // SQL UNPIVOT (wide metrics → long rows) over an aggregated base;
+    // the DuckDB oracle states the same reshape as a UNION ALL so the
+    // row set, not the syntax, is what's pinned.
+    Q("sql_unpivot",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li5u")
+        s.sql(sql("""
+          SELECT flag, metric, val FROM (
+            SELECT l_returnflag AS flag,
+              CAST(sum(l_quantity) AS DOUBLE) AS qty,
+              CAST(sum(l_extendedprice) AS DOUBLE) AS price
+            FROM graft_li5u GROUP BY l_returnflag
+          ) UNPIVOT (val FOR metric IN (qty, price))"""))
+      },
+      Some(sql("""
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+            CAST(sum(l_quantity) AS DOUBLE) AS qty,
+            CAST(sum(l_extendedprice) AS DOUBLE) AS price
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT flag, 'qty' AS metric, qty AS val FROM base
+        UNION ALL
+        SELECT flag, 'price', price FROM base"""))),
+
+    // GROUP BY ALL: every non-aggregate select item becomes a grouping
+    // key — both engines support the clause, so the oracle uses it too.
+    Q("sql_group_by_all",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li5g")
+        s.sql(sql("""
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+            CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          FROM graft_li5g GROUP BY ALL"""))
+      },
+      Some(sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ALL"""))),
+
     // DecimalPrecision parity: widening sum/avg over DECIMAL(12,2),
     // a fixed-point product, an explicit DECIMAL(38,10) widening cast,
     // and overflow-to-NULL via try_cast (Spark ANSI off == DuckDB
