@@ -144,6 +144,80 @@ object TextQueries {
                    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
                      CAST(sum(log2_n - log2_tf) AS BIGINT) AS total_bits
                    FROM toks JOIN corpus USING (tok) CROSS JOIN total
-                   GROUP BY doc_id""")))
+                   GROUP BY doc_id"""))),
+
+    // CCNet-style LINE-level dedup (public: Wenzek et al. 2020;
+    // RefinedWeb does the same): documents are chunked into fixed
+    // 10-word segments (the synthetic corpus has no newlines, so the
+    // chunk stands in for the paragraph), every segment is hashed, and
+    // only the corpus-wide FIRST occurrence of each distinct segment
+    // (min (doc_id, seg)) survives; each document is reassembled from
+    // its kept segments in order. Scale posture: the keep decision is
+    // one shuffle hash-partitioned on the 64-bit segment hash — a
+    // corpus-growing key — and the reassembly is a per-doc aggregation;
+    // no all-pairs stage, no driver action.
+    Q("text_line_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val segs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"), explode(sequence(lit(0),
+            (ceil(size(col("w")) / lit(10.0)) - 1).cast("int"))).as("seg"))
+          .select(col("doc_id"), col("seg"),
+            concat_ws(" ", slice(col("w"), col("seg") * 10 + 1, lit(10))).as("seg_text"))
+        val ranked = segs
+          .withColumn("h", Portable.stableHash64(col("seg_text")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg"))))
+        ranked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_seg"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when(col("rk") === 1,
+                struct(col("seg"), col("seg_text"))))),
+              x => x.getField("seg_text")), " ").as("kept_text"))
+      },
+      Some(sql(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   segs AS (SELECT doc_id, seg,
+                       array_to_string(w[(seg*10+1):(seg*10+10)], ' ') AS seg_text
+                     FROM (SELECT doc_id, w,
+                         unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS seg
+                       FROM docs)),
+                   ranked AS (SELECT doc_id, seg, seg_text,
+                       row_number() OVER (PARTITION BY ${Portable.stableHash64Sql("seg_text")}
+                         ORDER BY doc_id, seg) AS rk
+                     FROM segs)
+                   SELECT doc_id, count(*) AS n_seg,
+                     count(*) FILTER (WHERE rk = 1) AS n_kept,
+                     coalesce(string_agg(seg_text, ' ' ORDER BY seg)
+                       FILTER (WHERE rk = 1), '') AS kept_text
+                   FROM ranked GROUP BY doc_id"""))),
+
+    // Corpus bigram language model: P(w2|w1) = c(w1,w2) / c(w1·) from
+    // one pass of adjacent-pair extraction — the classic KenLM-shape
+    // count aggregation (conditional denominators re-aggregated from
+    // the pair counts, so the corpus is tokenized exactly once). Output
+    // bounded by vocabulary² and the count floor, independent of corpus
+    // rows — safe to materialize at any scale.
+    Q("text_bigram_lm",
+      (s, d) => {
+        val pairs = table(s, d, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        c12.join(c1, "w1").filter(col("c12") >= 10)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            round(col("c12") / col("c1"), 6).as("p"))
+      },
+      Some(sql("""WITH w AS (SELECT string_split(text, ' ') AS l FROM documents),
+                  pairs AS (SELECT l[i] AS w1, l[i+1] AS w2
+                    FROM (SELECT l, unnest(range(1, len(l))) AS i FROM w)),
+                  c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+                  c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+                  SELECT w1, w2, c12, c1, round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+                  FROM c12 JOIN c1 USING (w1) WHERE c12 >= 10""")))
   )
 }
