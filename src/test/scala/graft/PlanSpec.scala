@@ -349,6 +349,17 @@ class PlanSpec extends AnyFunSuite {
       s"iteration loop has a live parquet scan outside the cache ($parquetScans scans, $cachedRelations cached):\n$p")
   }
 
+  test("line dedup keep-decision is hash-partitioned on the segment hash") {
+    val p = plan("text_line_dedup")
+    // the keep-first window must partition on the 64-bit segment hash h
+    // (corpus-growing key), never collapse to a single partition, and
+    // the whole pipeline stays join-free below the final aggregation
+    assert(p.matches("(?s).*hashpartitioning\\([^)]*h#.*"),
+      s"keep-decision window not partitioned on segment hash:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("convergence loop runs a data-dependent number of iterations over cached points") {
     import org.apache.spark.sql.functions.{col, round}
     val rows = SparkEntry.queries("ml_kmeans_converge")(spark, TestSpark.Sf).collect()
