@@ -218,6 +218,44 @@ object TextQueries {
                   c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
                   c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
                   SELECT w1, w2, c12, c1, round(CAST(c12 AS DOUBLE) / c1, 6) AS p
-                  FROM c12 JOIN c1 USING (w1) WHERE c12 >= 10""")))
+                  FROM c12 JOIN c1 USING (w1) WHERE c12 >= 10"""))),
+
+    // CCNet-style LM quality filter (Wenzek et al. 2020 scores documents
+    // by KenLM perplexity): each document's bigrams are scored by the
+    // CORPUS bigram model, bits(w1,w2) = ⌊log2 c(w1·)⌋ − ⌊log2 c(w1,w2)⌋
+    // (the integer-log2 bin() trick from text_surprisal, exact on both
+    // engines), and the document's mean bits-per-pair is its quality
+    // score — high bits = improbable word sequences = low quality.
+    // Scale posture: the LM table is bounded by vocabulary², so it
+    // BROADCASTS onto the one tokenize pass; corpus rows shuffle only
+    // for the per-doc aggregation.
+    Q("text_lm_perplexity",
+      (s, d) => {
+        val pairs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val lm = c12.join(c1, "w1").select(col("w1"), col("w2"),
+          (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
+        pairs.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("total_bits"),
+            round(sum(col("bits")) / count(lit(1)), 6).as("bits_per_pair"))
+      },
+      Some(sql("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                  pairs AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
+                  c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+                  c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+                  lm AS (SELECT w1, w2,
+                      CAST(length(printf('%b', c1)) - length(printf('%b', c12)) AS BIGINT) AS bits
+                    FROM c12 JOIN c1 USING (w1))
+                  SELECT doc_id, count(*) AS n_pairs,
+                    CAST(sum(bits) AS BIGINT) AS total_bits,
+                    round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS bits_per_pair
+                  FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id""")))
   )
 }
