@@ -263,4 +263,21 @@ class CatalystExtensionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("bigint"))
   }
+
+  test("graft_overlap64 yields NULL, never a miscount, on null array ELEMENTS") {
+    Engine.configure(spark)
+    // getLong would read a null element as 0 — the guard must return
+    // NULL instead of silently counting the phantom zero. Exercise both
+    // the codegen path (column input) and a case where only one side
+    // carries the null.
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), None, Some(3L)), Seq[Option[Long]](Some(1L), Some(3L))),
+      (Seq[Option[Long]](Some(1L), Some(3L)), Seq[Option[Long]](None)),
+      (Seq[Option[Long]](Some(1L), Some(3L)), Seq[Option[Long]](Some(3L)))
+    ).toDF("a", "b")
+    val rows = df.selectExpr("graft_overlap64(a, b) AS o").collect()
+    assert(rows(0).isNullAt(0), "null element on the left not detected")
+    assert(rows(1).isNullAt(0), "null element on the right not detected")
+    assert(rows(2).getLong(0) === 1L, "null-free row must still count overlap")
+  }
 }
