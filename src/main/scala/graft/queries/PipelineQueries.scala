@@ -109,7 +109,84 @@ object PipelineQueries {
                      SELECT a, b FROM edges
                      UNION
                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-                   SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")))
+                   SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""))),
+
+    // END-TO-END CORPUS CURATION (the capstone composition — each stage
+    // is an operator proven elsewhere, chained the way a real training
+    // corpus is built): (1) language + length gate, (2) exact dedup
+    // keeping the min-id copy of each normalized text, (3) CCNet-style
+    // segment dedup keeping corpus-wide first occurrences, (4) a
+    // boilerplate gate dropping documents that lost more than half
+    // their segments. Output is the per-source funnel — rows in after
+    // each stage plus surviving segment mass — the report a data-eng
+    // team actually reads. Scale posture: two hash shuffles (content
+    // hash, segment hash), one small per-source aggregation; no
+    // all-pairs stage, no driver action.
+    Q("pipeline_curate",
+      (s, d) => {
+        import graft.functions.Portable
+        val gated = table(s, d, "documents")
+          .filter(col("lang") === "en" && col("n_chars").between(100, 500))
+          .select(col("doc_id"), col("source"), col("text"))
+        val exact = gated
+          .withColumn("ch", Portable.stableHash64(lower(trim(col("text")))))
+          .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+          .filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("source"), col("text"))
+        val ranked = exact
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"), col("w"), explode(sequence(lit(0),
+            (ceil(size(col("w")) / lit(10.0)) - 1).cast("int"))).as("seg"))
+          .select(col("doc_id"), col("source"), col("seg"),
+            concat_ws(" ", slice(col("w"), col("seg") * 10 + 1, lit(10))).as("seg_text"))
+          .withColumn("h", Portable.stableHash64(col("seg_text")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg"))))
+        val perdoc = ranked.groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_seg"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+        val fin = perdoc.filter(col("n_kept") * 2 >= col("n_seg"))
+        val g = gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+        val e = exact.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        val f = fin.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_final"), sum(col("n_kept")).as("kept_segments"))
+        g.join(e, Seq("source"), "left").join(f, Seq("source"), "left")
+          .select(col("source"), col("n_gated"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("kept_segments"), lit(0L)).as("kept_segments"))
+      },
+      Some {
+        import graft.functions.Portable
+        sql(s"""WITH gated AS MATERIALIZED (SELECT doc_id, source, text FROM documents
+                  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500),
+                exact AS MATERIALIZED (SELECT doc_id, source, text FROM (
+                    SELECT doc_id, source, text,
+                      min(doc_id) OVER (PARTITION BY ${Portable.stableHash64Sql("lower(trim(text))")}) AS keeper
+                    FROM gated) WHERE doc_id = keeper),
+                docs2 AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w FROM exact),
+                ranked AS MATERIALIZED (SELECT doc_id, source, seg,
+                    row_number() OVER (PARTITION BY ${Portable.stableHash64Sql("seg_text")}
+                      ORDER BY doc_id, seg) AS rk
+                  FROM (SELECT doc_id, source, seg,
+                      array_to_string(w[(seg*10+1):(seg*10+10)], ' ') AS seg_text
+                    FROM (SELECT doc_id, source, w,
+                        unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS seg
+                      FROM docs2))),
+                perdoc AS MATERIALIZED (SELECT doc_id, source, count(*) AS n_seg,
+                    count(*) FILTER (WHERE rk = 1) AS n_kept
+                  FROM ranked GROUP BY 1, 2),
+                fin AS MATERIALIZED (SELECT * FROM perdoc WHERE 2 * n_kept >= n_seg),
+                g AS (SELECT source, count(*) AS n_gated FROM gated GROUP BY 1),
+                e AS (SELECT source, count(*) AS n_exact FROM exact GROUP BY 1),
+                f AS (SELECT source, count(*) AS n_final,
+                    CAST(sum(n_kept) AS BIGINT) AS kept_segments FROM fin GROUP BY 1)
+                SELECT g.source, g.n_gated,
+                  coalesce(e.n_exact, 0) AS n_exact,
+                  coalesce(f.n_final, 0) AS n_final,
+                  coalesce(f.kept_segments, 0) AS kept_segments
+                FROM g LEFT JOIN e USING (source) LEFT JOIN f USING (source)""")
+      })
   )
 
   /** The dedup band-table CTE body, regenerated here for the clusters
