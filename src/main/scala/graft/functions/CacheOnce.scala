@@ -20,21 +20,28 @@ import org.apache.spark.storage.StorageLevel
   *
   * ENFORCED contract: plan equivalence compares root PATHS, so a reuse
   * hit additionally re-checks a filesystem fingerprint (mtime + length
-  * of each file-source root and its direct children, captured when the
-  * entry was persisted). A fixture regenerated in-process at a
+  * of each file-source root and EVERY descendant file, captured when
+  * the entry was persisted — recursive, so a rewrite nested inside
+  * partition subdirectories is caught even when the direct children's
+  * metadata is unchanged). A fixture regenerated in-process at a
   * previously cached path therefore SWAPS — recompute, never stale data
   * — instead of relying on specs remembering to use fresh paths
   * (HotGramSpec does anyway). Driver-side fs metadata only; no job.
+  * Residual window: a same-millisecond, same-length in-place rewrite of
+  * a leaf file is indistinguishable by metadata (content hashing would
+  * need a job); no fixture-regeneration path does this.
   */
 object CacheOnce {
   private val cached =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[String])]
 
-  /** One line per file-source root: path@mtime:len plus its direct
-    * children (name@mtime:len). Overwriting a dataset rewrites the part
-    * files (and on local fs the dir mtime), so any in-place regeneration
-    * changes the fingerprint. Non-file leaves contribute nothing and are
-    * covered by sameResult alone. */
+  /** One line per file-source root: path@mtime:len plus every
+    * DESCENDANT file (relative-path@mtime:len, depth-first). Overwriting
+    * a dataset rewrites its part files wherever they nest (partition
+    * subdirectories included), so any in-place regeneration changes the
+    * fingerprint. Fixture roots are small (test/bench staging), so the
+    * metadata walk stays driver-cheap. Non-file leaves contribute
+    * nothing and are covered by sameResult alone. */
   private def fingerprint(df: DataFrame): Seq[String] = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     df.queryExecution.analyzed.collect {
@@ -44,12 +51,11 @@ object CacheOnce {
           if (!fs.exists(p)) s"$p:absent"
           else {
             val st = fs.getFileStatus(p)
-            val kids =
-              if (st.isDirectory)
-                fs.listStatus(p).map(c =>
-                  s"${c.getPath.getName}@${c.getModificationTime}:${c.getLen}")
-                  .sorted.mkString(",")
-              else ""
+            def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+              if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+              else Seq(s"${s.getPath.toString.stripPrefix(p.toString)}" +
+                s"@${s.getModificationTime}:${s.getLen}")
+            val kids = if (st.isDirectory) walk(st).sorted.mkString(",") else ""
             s"$p@${st.getModificationTime}:${st.getLen}|$kids"
           }
         }

@@ -208,11 +208,18 @@ object DedupQueries {
     // key would go quadratic.
     Q("dedup_ngram_jaccard",
       (s, d) => {
+        // array_compact is a semantic no-op (the gram pipeline never
+        // produces null elements) but retypes hs to containsNull=false,
+        // which compiles the null-element guard OUT of every
+        // graft_overlap64 call in the per-candidate-pair verify loop
+        // (plans/Overlap64.scala) — one pass at array-build time buys
+        // two saved passes per candidate pair
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"),
             (length(col("text")) / lit(64)).cast("long").as("len_bkt"),
             T.charNgrams(col("text")).as("ng"))
-          .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
+          .withColumn("hs",
+            array_sort(array_compact(transform(col("ng"), x => Portable.stableHash64(x)))))
         val gc = graft.functions.CacheOnce.swap("dedup_ngrams", g)
         // prefix = the floor(n/2)+1 RAREST grams of each doc (df-asc
         // order; hot grams excluded by rarityRanked's gram-level rule)
@@ -293,9 +300,13 @@ object DedupQueries {
     // silently dropped wholesale at 100 TB.
     Q("dedup_containment", bench = true,
       fn = (s, d) => {
+        // array_compact retypes hs to containsNull=false so the
+        // graft_overlap64 null-element guard compiles out of the verify
+        // stage (see dedup_ngram_jaccard)
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
-          .withColumn("hs", array_sort(transform(col("ng"), x => Portable.stableHash64(x))))
+          .withColumn("hs",
+            array_sort(array_compact(transform(col("ng"), x => Portable.stableHash64(x)))))
         val gc = graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
         val ranked = graft.functions.CacheOnce.swap("dedup_contain_idx",
           rarityRanked(gc, Seq("source")))

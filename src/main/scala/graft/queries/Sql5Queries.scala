@@ -114,7 +114,7 @@ object Sql5Queries {
           UNION ALL
           SELECT 'decimal', CAST(max(l_quantity) AS DECIMAL(10,2)) FROM graft_li5
           UNION ALL
-          SELECT 'double', avg(l_discount) FROM graft_li5
+          SELECT 'double', round(avg(l_discount), 6) FROM graft_li5
           UNION ALL
           SELECT 'null_branch', NULL"""))
       },
@@ -125,7 +125,7 @@ object Sql5Queries {
         UNION ALL
         SELECT 'decimal', CAST(CAST(max(l_quantity) AS DECIMAL(10,2)) AS DOUBLE) FROM lineitem
         UNION ALL
-        SELECT 'double', avg(l_discount) FROM lineitem
+        SELECT 'double', round(avg(l_discount), 6) FROM lineitem
         UNION ALL
         SELECT 'null_branch', NULL"""))),
 

@@ -532,6 +532,15 @@ object StreamingQueries {
         events.filter(col("event_id") % 2 === 1)
           .coalesce(1).write.mode("append").parquet(srcDir)
         runPass(s"ckptrec_final_$stamp") // restart: resume offsets + state
+        // the memory sink holds the complete-mode result in driver
+        // memory once the query terminates, so the per-invocation
+        // staging + checkpoint dirs can go immediately — repeated
+        // Verify/Bench runs must not accumulate /tmp state
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        Seq(srcDir, ckpt).foreach(p => rm(new java.io.File(p)))
         s.table(s"ckptrec_final_$stamp")
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,

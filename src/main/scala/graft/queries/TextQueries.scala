@@ -201,8 +201,12 @@ object TextQueries {
     // rows — safe to materialize at any scale.
     Q("text_bigram_lm",
       (s, d) => {
+        // single-token / empty docs yield no pairs; without the guard
+        // sequence(1, 0) is the DESCENDING [1, 0] and element_at(w, 0)
+        // throws, where the oracle's range(1, len(l)) is simply empty
         val pairs = table(s, d, "documents")
           .select(split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
           .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -231,8 +235,10 @@ object TextQueries {
     // for the per-doc aggregation.
     Q("text_lm_perplexity",
       (s, d) => {
+        // same <2-token guard as text_bigram_lm (sequence(1,0) descends)
         val pairs = table(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))

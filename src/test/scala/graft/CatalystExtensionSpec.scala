@@ -280,4 +280,25 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0), "null element on the right not detected")
     assert(rows(2).getLong(0) === 1L, "null-free row must still count overlap")
   }
+
+  test("overlap64 codegen drops the null-element scan when the schema proves it") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def gen(containsNull: Boolean): String = {
+      val t = ArrayType(LongType, containsNull)
+      val e = graft.plans.Overlap64(
+        BoundReference(0, t, nullable = false), BoundReference(1, t, nullable = false))
+      e.genCode(new CodegenContext).code.toString
+    }
+    assert(!gen(containsNull = false).contains("isNullAt"),
+      "guard passes survive in code the schema proves unnecessary")
+    assert(gen(containsNull = true).contains("isNullAt"),
+      "generic nullable inputs must keep the guard")
+    // value parity through the no-guard path (array_compact retypes)
+    val got = Seq((Seq(1L, 2L, 7L), Seq(2L, 7L, 9L))).toDF("a", "b")
+      .select(array_compact(col("a")).as("a"), array_compact(col("b")).as("b"))
+      .selectExpr("graft_overlap64(a, b) AS o").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
 }

@@ -153,6 +153,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap64 inputs prove containsNull=false so the null guard compiles out") {
+    // the per-pair null-element scan in Overlap64 is gated on the input
+    // schema; the hot pipelines build hs via array_compact precisely so
+    // the verify stage pays zero guard passes per candidate pair
+    import org.apache.spark.sql.types.ArrayType
+    for (name <- Seq("dedup_containment", "dedup_ngram_jaccard")) {
+      val qe = SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution
+      val ovs = qe.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect { case o: graft.plans.Overlap64 => o }))
+      assert(ovs.nonEmpty, s"$name lost the native kernel")
+      for (o <- ovs; c <- Seq(o.left, o.right))
+        assert(!c.dataType.asInstanceOf[ArrayType].containsNull,
+          s"$name overlap input still claims nullable elements: $c")
+    }
+  }
+
   test("simhash cluster sizes are partial-aggregated, then broadcast back") {
     val p = plan("dedup_simhash")
     assert(!p.contains("Window"), "window shape has no partial aggregation:\n" + p)
