@@ -27,10 +27,11 @@ import org.apache.spark.sql.SparkSession
   * from one noisy draw (GC); and (b) `calib_pre` / `calib_post` — a
   * fixed pure-CPU xorshift loop timed in this same JVM before the
   * warm-ups and after the last trial. The loop's cost is
-  * machine-invariant at fixed clock (~0.1 s quiet); a calib reading
-  * inflated vs other rounds means the HOST was loaded and the row
-  * times should be discounted by the same factor. Pre+post brackets
-  * contention that arrives mid-run.
+  * machine-invariant at fixed clock (≈0.284 s on the round-8 build
+  * machine, pre/post agreeing to 3 digits on a quiet run); a calib
+  * reading inflated vs other rounds means the HOST was loaded and the
+  * row times should be discounted by the same factor. Pre+post
+  * brackets contention that arrives mid-run.
   */
 object Bench {
 

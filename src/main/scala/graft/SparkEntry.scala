@@ -37,6 +37,7 @@ object SparkEntry {
       Sql3Queries.all ++
       Sql4Queries.all ++
       Sql5Queries.all ++
+      Sql6Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

@@ -24,6 +24,11 @@ object DedupQueries {
   private val Bands = 4
   private val Rows = 4 // hashes per band
 
+  /** Exact-substring window length in tokens (dedup_exact_substr): a
+    * duplicated run must span ≥ KSub tokens to be reported. One constant
+    * shared by the Spark plan and the DuckDB oracle. */
+  private val KSub = 8
+
   /** SemDeDup target cluster population: K = max(ceil(N/target), 8).
     * One constant shared by the Spark plan and the DuckDB oracle so the
     * centroid set always agrees; at sf0.01 (500 vecs) K=8, at sf0.1
@@ -368,6 +373,79 @@ object DedupQueries {
                          FROM cand JOIN gh ga ON ga.doc_id = doc_a
                                    JOIN gh gb ON gb.doc_id = doc_b)
                    WHERE n_int * 2 >= n_a OR n_int * 2 >= n_b"""))),
+
+    // EXACT-SUBSTRING dedup (the ExactSubstr layer of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // public): find duplicated token runs ≥ KSub tokens at ARBITRARY
+    // alignment, not the fixed segmentation of text_line_dedup. The
+    // suffix-array semantics in shuffle-join shape: every stride-1
+    // KSub-token window is hashed (ONE explode, ~n rows per doc — same
+    // order as the gram pipelines); the corpus-wide FIRST occurrence of
+    // each distinct window survives (min (doc_id, pos) rank), every
+    // later occurrence is a duplicated window; per document,
+    // overlapping/adjacent duplicated windows merge into maximal runs
+    // (gaps-and-islands over pos, gap ≤ KSub). Output: one row per
+    // duplicated run with its token span.
+    //
+    // Scale posture: the keep decision is one shuffle hash-partitioned
+    // on the 64-bit window hash — a corpus-growing key (PlanSpec pins
+    // it); the run merge is a per-doc window bounded by doc length;
+    // SkewGuard drops degenerate boilerplate windows before the rank,
+    // the same hot-key bound as every dedup family (inert at test SF).
+    Q("dedup_exact_substr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wins = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= KSub)
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0), size(col("w")) - KSub)).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            Portable.stableHash64(
+              concat_ws(" ", slice(col("w"), col("pos") + 1, lit(KSub)))).as("h"))
+        val guarded = graft.functions.SkewGuard.dropHotBuckets(wins, Seq("h"))
+        val dup = guarded
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rk") > 1)
+          .select(col("doc_id"), col("pos"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // island break when the gap to the previous duplicated window
+        // exceeds KSub (overlapping OR adjacent runs merge); first row's
+        // null lag falls through to the break branch
+        val runs = dup
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(byDoc) <= KSub, 0).otherwise(1))
+          .withColumn("run_id", sum(col("brk")).over(byDoc))
+        runs.groupBy(col("doc_id"), col("run_id"))
+          .agg(min(col("pos")).as("run_start"),
+            (max(col("pos")) + lit(KSub - 1)).as("run_end"),
+            count(lit(1)).as("n_windows"))
+          .select(col("doc_id"), col("run_start"), col("run_end"),
+            (col("run_end") - col("run_start") + 1).as("dup_tokens"),
+            col("n_windows"))
+      },
+      Some(sql(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE len(string_split(text, ' ')) >= $KSub),
+                   wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       ${Portable.stableHash64Sql(s"array_to_string(w[(i+1):(i+$KSub)], ' ')")} AS h
+                     FROM (SELECT doc_id, w,
+                         unnest(range(0, len(w) - $KSub + 1)) AS i FROM docs)),
+                   dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+                       FROM wins) WHERE rk > 1),
+                   brk AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $KSub
+                            THEN 0 ELSE 1 END AS brk
+                     FROM dup),
+                   runs AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+                     FROM brk)
+                   SELECT doc_id, min(pos) AS run_start,
+                     max(pos) + $KSub - 1 AS run_end,
+                     max(pos) + $KSub - min(pos) AS dup_tokens,
+                     count(*) AS n_windows
+                   FROM runs GROUP BY doc_id, run_id"""))),
 
     // SimHash near-dup pairs by Hamming distance ≤ 2, using the NATIVE
     // codegen'd Hamming64 Catalyst expression (graft.plans.Hamming64) and

@@ -162,6 +162,57 @@ object MultimodalQueries {
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.sig, b.sig)) <= 2""")
+      }),
+
+    // CROSS-MODAL retrieval: the multimodal assets meet the ANN stack.
+    // Each media asset derives a 64-dim embedding from its BINARY
+    // payload via the deterministic decode stub (hex-payload hash per
+    // dimension — a real deployment plugs a vision/audio encoder into
+    // the same plan; the dim matches the text embedding space), then
+    // retrieves its top-K nearest TEXT-side vectors from `embeddings`
+    // with the graft_topk bounded heap. Scale posture = sim_topk_brute
+    // (SimilarityQueries.scala): broadcast the SMALL query side, stream
+    // the full candidate table, O(k) heap state per (group, task) — no
+    // window over all scored pairs, payloads never shuffle.
+    Q("mm_crossmodal_topk",
+      (s, d) => {
+        import graft.functions.{TextFunctions => T}
+        // hex, not base64: Spark's base64 MIME-chunks with CRLF (see
+        // mm_dedup_phash); each dim is an independent payload hash
+        // mapped into [-1, 1) and rounded to FLOAT like a real encoder
+        val hx = hex(encode(col("text"), "UTF-8"))
+        val qvec = transform(sequence(lit(0), lit(63)), j =>
+          ((Portable.stableHash64(concat(hx, lit("#"), j.cast("string"))) % 1000L)
+            .cast("double") / lit(500.0) - lit(1.0)).cast("float"))
+        val q = table(s, d, "documents").filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), qvec.as("q_vec"))
+        val c = table(s, d, "embeddings")
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        c.join(broadcast(q))
+          .select(col("q_id"), col("c_id"),
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos"))
+          .groupBy(col("q_id"))
+          .agg(expr("graft_topk(cos, c_id, 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("c_id"), col("col.score").as("cos"),
+            (col("pos") + 1).cast("long").as("rk"))
+      },
+      Some {
+        import graft.functions.{TextFunctions => T}
+        val dimHash = Portable.stableHash64Sql(
+          "concat(hex(encode(text)), '#', CAST(j AS VARCHAR))")
+        sql(s"""WITH q AS (SELECT doc_id AS q_id,
+                    list_transform(range(0, 64),
+                      j -> CAST(($dimHash % 1000) / 500.0 - 1 AS FLOAT)) AS q_vec
+                  FROM documents WHERE doc_id < 10),
+                scored AS (SELECT q_id, c.vec_id AS c_id,
+                    round(${T.cosineSql("q_vec", "c.embedding")}, 6) AS cos
+                  FROM q CROSS JOIN embeddings c)
+                SELECT * FROM (SELECT q_id, c_id, cos,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+                  FROM scored)
+                WHERE rk <= 5""")
       })
   )
 }

@@ -44,6 +44,41 @@ object SourceQueries {
       Some(sql("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
                   FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus"""))),
 
+    // JSON inference WIDENING (reference json/JsonRDD.scala:44
+    // inferSchema, :156 compatibleType): lines with CONFLICTING field
+    // types must resolve by the widening ladder — int→double→string
+    // fallback (original text preserved on string fallback), structs
+    // field-merged across lines, untyped nulls pinning nothing. The
+    // staged fixture holds one conflict per class; the inferred schema
+    // itself travels as a data column (schema_sig) so the oracle pins
+    // TYPES as well as values.
+    Q("src_json_widening",
+      (s, d) => {
+        val path = tmp(d, "json_widening")
+        new java.io.File(path).mkdirs()
+        val w = new java.io.PrintWriter(s"$path/data.json")
+        try w.print(Seq(
+          """{"id": 1, "a": 1,    "b": "x",  "c": 7,    "d": 1,   "s": {"p": 1}}""",
+          """{"id": 2, "a": 2.5,  "b": 3,    "c": 8,    "d": 2.5, "s": {"q": "z"}}""",
+          """{"id": 3, "a": "w7", "b": null, "c": null, "d": 3,   "s": {"p": 4, "q": "y"}}""",
+          """{"id": 4, "a": null, "b": true, "c": 9,    "d": 4}""").mkString("\n"))
+        finally w.close()
+        val df = s.read.json(path)
+        df.select(col("id"), col("a"), col("b"), col("c"), col("d"),
+            col("s.p").as("s_p"), col("s.q").as("s_q"))
+          .withColumn("schema_sig", lit(df.schema.simpleString))
+      },
+      Some(sql("""
+        SELECT CAST(id AS BIGINT) AS id, a, b, CAST(c AS BIGINT) AS c,
+               CAST(d AS DOUBLE) AS d, CAST(s_p AS BIGINT) AS s_p, s_q,
+               'struct<a:string,b:string,c:bigint,d:double,id:bigint,s:struct<p:bigint,q:string>>' AS schema_sig
+        FROM (VALUES
+          (1, '1',    'x',    7,    1.0, 1,    NULL),
+          (2, '2.5',  '3',    8,    2.5, NULL, 'z'),
+          (3, 'w7',   NULL,   NULL, 3.0, 4,    'y'),
+          (4, NULL,   'true', 9,    4.0, NULL, NULL)
+        ) AS t(id, a, b, c, d, s_p, s_q)"""))),
+
     // XML round-trip (Spark 4 merged the spark-xml data source into
     // sql/core — a source format the reference era never had): write
     // with an explicit rowTag, read back with schema inference, and

@@ -153,6 +153,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring dedup ranks on the corpus-growing window hash") {
+    val p = plan("dedup_exact_substr")
+    // the keep-first rank must be hash-partitioned on the 64-bit window
+    // hash (corpus-growing key), and nothing in the plan may collapse to
+    // a single partition — the ExactSubstr scale contract
+    assert(p.matches("(?s).*hashpartitioning\\([^)]*h#.*"),
+      s"keep decision not partitioned on the window hash:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"dedup_exact_substr has a single-partition stage:\n$p")
+  }
+
   test("overlap64 inputs prove containsNull=false so the null guard compiles out") {
     // the per-pair null-element scan in Overlap64 is gated on the input
     // schema; the hot pipelines build hs via array_compact precisely so

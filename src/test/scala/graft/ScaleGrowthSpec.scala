@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression fence for the dedup stack's 100 TB contract: candidate
+  * volume must grow ~LINEARLY with the corpus, never quadratically.
+  * PlanSpec pins plan SHAPES; this spec pins the resulting METRIC — the
+  * largest equi-join output row count, read from SQL metrics after real
+  * executions at two scale factors. A corpus-independent join key (the
+  * r6 dedup_semantic bug class) reappearing anywhere in these pipelines
+  * would push the measured growth toward the data ratio SQUARED.
+  */
+class ScaleGrowthSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Executes the declared query and returns the LARGEST output-row
+    * metric across its shuffled/broadcast EQUI-join operators — the
+    * candidate-generation and verify joins. Cached-relation internals
+    * are not traversed (their builds are one-time linear passes);
+    * broadcast nested-loop shapes (the K-row centroid fan-outs) are
+    * out of scope for the candidate-volume contract. */
+  private def maxJoinRows(name: String, sf: String): Long = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // fills the SQL metrics of this exact QueryExecution
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    nodes(df.queryExecution.executedPlan)
+      .collect {
+        case j: SortMergeJoinExec => j.metrics.get("numOutputRows")
+        case j: ShuffledHashJoinExec => j.metrics.get("numOutputRows")
+        case j: BroadcastHashJoinExec => j.metrics.get("numOutputRows")
+      }
+      .flatten.map(_.value).foldLeft(0L)(math.max)
+  }
+
+  test("containment candidate volume grows ~linearly over a 10× corpus") {
+    // The positional filter is fused into the candidate join's
+    // condition, so its numOutputRows IS the verify-stage candidate
+    // volume. 10× documents: linear candidate growth lands near 10×
+    // (measured ~1×: gram vocabulary growth spreads the buckets), a
+    // corpus-independent blocking key near 100×. Bound 30× (the
+    // log-scale midpoint, slack for constant factors); the floor keeps
+    // a near-empty sf0.001 candidate set from dividing into noise.
+    val small = maxJoinRows("dedup_containment", "/root/testdata/sf0.001")
+    val big = maxJoinRows("dedup_containment", "/root/testdata/sf0.01")
+    info(s"dedup_containment max equi-join rows: sf0.001=$small sf0.01=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"containment candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
+  }
+
+  test("semantic-dedup pair volume tracks the corpus once K leaves the floor") {
+    // The cosine threshold is FUSED into the pair join's condition, so
+    // numOutputRows reports survivors (≈0), not candidates — measure the
+    // pair volume the join must evaluate, Σ_cluster C(n_c, 2), from the
+    // query's own (vec_id, cluster) output instead.
+    // K = max(ceil(N/64), 8): below N=512 the floor holds K at 8, so the
+    // informative span is sf0.01 (N=500, K=8) → sf0.1 (N=2000, K=32) —
+    // 4× vectors with cluster populations pinned near the 64 target.
+    // Linear contract: pair volume ≈ 4× (measured 4.005×); a fixed-K
+    // regression leaves K=8 with ~250-vector clusters ⇒ ~16×.
+    def pairVolume(sf: String): Long =
+      SparkEntry.queries("dedup_semantic")(spark, sf)
+        .groupBy("cluster").count().collect()
+        .map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
+    val small = pairVolume("/root/testdata/sf0.01")
+    val big = pairVolume("/root/testdata/sf0.1")
+    info(s"dedup_semantic within-cluster pair volume: sf0.01=$small sf0.1=$big")
+    assert(big <= 8L * math.max(small, 50L),
+      s"semantic pair volume grew superlinearly: sf0.01=$small → sf0.1=$big")
+  }
+}
