@@ -38,6 +38,7 @@ object SparkEntry {
       Sql4Queries.all ++
       Sql5Queries.all ++
       Sql6Queries.all ++
+      Sql7Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

@@ -111,6 +111,61 @@ object PipelineQueries {
                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
                    SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""))),
 
+    // KEEP-BEST representative selection — the step that turns a
+    // near-dup clustering into an actual deduplicated corpus: within
+    // each connected component, keep the single document with the
+    // highest quality score (here: distinct-token count, an exact
+    // integer; real pipelines plug in their quality model), ties broken
+    // by min doc_id. Output is the cluster manifest a curation job
+    // writes: representative, population, and the best score.
+    //
+    // Scale posture: the component set is bounded by the near-dup pair
+    // volume (corpus-linear, ScaleGrowthSpec's contract); scoring joins
+    // documents once on doc_id, and the keep decision is two per-cluster
+    // hash aggregations — no window over the corpus, no driver action.
+    Q("dedup_keep_best",
+      (s, d) => {
+        val clusters = all.find(_.name == "dedup_clusters").get.fn(s, d)
+        val scored = clusters.join(
+          table(s, d, "documents").select(col("doc_id"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("q")),
+          "doc_id")
+        val best = scored.groupBy(col("cluster"))
+          .agg(max(col("q")).as("best_q"), count(lit(1)).as("n_docs"))
+        scored.join(best, "cluster")
+          .filter(col("q") === col("best_q"))
+          .groupBy(col("cluster"), col("n_docs"), col("best_q"))
+          .agg(min(col("doc_id")).as("rep_doc"))
+          .select(col("cluster"), col("rep_doc"), col("n_docs"), col("best_q"))
+      },
+      Some(sql(s"""WITH RECURSIVE pairs AS (
+                     SELECT doc_a, doc_b FROM (
+                       WITH ${dedupBandSql}
+                       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)),
+                   edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                             UNION SELECT doc_b, doc_a FROM pairs
+                             UNION SELECT doc_a, doc_a FROM pairs
+                             UNION SELECT doc_b, doc_b FROM pairs),
+                   reach(a, b) AS (
+                     SELECT a, b FROM edges
+                     UNION
+                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+                   clusters AS (SELECT a AS doc_id, min(b) AS cluster
+                                FROM reach GROUP BY a),
+                   scored AS (SELECT c.cluster, c.doc_id,
+                       CAST(len(list_distinct(string_split(t.text, ' '))) AS BIGINT) AS q
+                     FROM clusters c JOIN documents t USING (doc_id)),
+                   best AS (SELECT cluster, max(q) AS best_q, count(*) AS n_docs
+                            FROM scored GROUP BY cluster)
+                   SELECT s.cluster,
+                     min(CASE WHEN s.q = b.best_q THEN s.doc_id END) AS rep_doc,
+                     b.n_docs AS n_docs, b.best_q AS best_q
+                   FROM scored s JOIN best b USING (cluster)
+                   GROUP BY s.cluster, b.n_docs, b.best_q"""))),
+
     // END-TO-END CORPUS CURATION (the capstone composition — each stage
     // is an operator proven elsewhere, chained the way a real training
     // corpus is built): (1) language + length gate, (2) exact dedup

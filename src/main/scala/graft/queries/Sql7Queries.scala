@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** Golden-corpus semantics, wave 7 — surfaces of the engine's SQL
+  * dialect no earlier wave crossed:
+  *
+  * - COLLATION (Spark 4 `COLLATE UTF8_LCASE`): case-insensitive
+  *   grouping and equality are a first-class column property, not a
+  *   `lower()` rewrite. The reference era had no collation support at
+  *   all (strings compared byte-wise everywhere), so this is a declared
+  *   extension; the oracle pins the semantics with the `lower()`
+  *   rewrite DuckDB needs.
+  *
+  * - named WINDOW clause (the golden `windowing.q` family shape): one
+  *   WINDOW definition shared by several window functions, plus a
+  *   second and third named spec in the same SELECT — resolution, not
+  *   the window algebra itself (WindowQueries covers that).
+  *
+  * - GROUP BY ALL + ORDER BY ALL (Spark ≥3.5 / DuckDB dialect
+  *   convergence): every non-aggregate column groups, every output
+  *   column orders, LIMIT applies after — deterministic because the
+  *   ordering covers the full row.
+  *
+  * - IDENTIFIER clause (Spark 4): table AND column names supplied as
+  *   constant strings, resolved at analysis time — the safe
+  *   parameterized-identifier surface (no SQL injection through
+  *   concatenation).
+  *
+  * - ANSI interval types: timestamp subtraction yields a DAY-TO-SECOND
+  *   interval, `make_ym_interval` a YEAR-TO-MONTH one; both support
+  *   EXTRACT and date arithmetic with end-of-month clamping. The
+  *   reference (Spark 1.3) had CalendarIntervalType only as an
+  *   unexposed internal — declared extension, DuckDB INTERVAL oracle.
+  */
+object Sql7Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // Case-insensitive grouping + equality via a real collation. The
+    // fixture doubles nation with its lower-cased twin, so every
+    // case-insensitive group must hold exactly two rows, and the
+    // mixed-case equality probe must match both casings of ALGERIA.
+    Q("sql_collation",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_n7")
+        s.sql(sql("""
+          WITH v AS (SELECT n_name AS nm, n_nationkey AS k FROM graft_n7
+                     UNION ALL
+                     SELECT lower(n_name), n_nationkey + 100 FROM graft_n7)
+          SELECT lower(min(nm)) AS name_ci, count(*) AS n,
+                 CAST(sum(CASE WHEN collate(nm, 'UTF8_LCASE') = 'aLgErIa'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_mixed,
+                 CAST(sum(k) AS BIGINT) AS sum_keys
+          FROM v GROUP BY collate(nm, 'UTF8_LCASE')"""))
+      },
+      Some(sql("""
+        WITH v AS (SELECT n_name AS nm, n_nationkey AS k FROM nation
+                   UNION ALL
+                   SELECT lower(n_name), n_nationkey + 100 FROM nation)
+        SELECT lower(min(nm)) AS name_ci, count(*) AS n,
+               CAST(sum(CASE WHEN lower(nm) = 'algeria'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_mixed,
+               CAST(sum(k) AS BIGINT) AS sum_keys
+        FROM v GROUP BY lower(nm)"""))),
+
+    // Named WINDOW clause: w reused by a running sum AND a lag, w2 a
+    // second ordering, w3 an unordered partition count — all in one
+    // SELECT, per the golden windowing family.
+    Q("sql_named_window",
+      (s, d) => {
+        graft.Engine.events(s, d).createOrReplaceTempView("graft_e7")
+        s.sql(sql("""
+          SELECT user_id, event_id,
+                 round(sum(value) OVER w, 6) AS run_val,
+                 CAST(rank() OVER w2 AS BIGINT) AS rk_val,
+                 lag(event_id) OVER w AS prev_id,
+                 count(*) OVER w3 AS n_type
+          FROM graft_e7
+          WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 w2 AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+                 w3 AS (PARTITION BY user_id, event_type)"""))
+      },
+      Some(sql("""
+        SELECT user_id, event_id,
+               round(sum(value) OVER w, 6) AS run_val,
+               CAST(rank() OVER w2 AS BIGINT) AS rk_val,
+               lag(event_id) OVER w AS prev_id,
+               count(*) OVER w3 AS n_type
+        FROM events
+        WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w2 AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+               w3 AS (PARTITION BY user_id, event_type)"""))),
+
+    // GROUP BY ALL + ORDER BY ALL + LIMIT: the ordering covers the
+    // group keys, so the LIMIT window is fully deterministic.
+    Q("sql_order_by_all",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o7")
+        s.sql(sql("""
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 round(avg(o_totalprice), 4) AS avg_price
+          FROM graft_o7 GROUP BY ALL ORDER BY ALL LIMIT 10"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY ALL ORDER BY ALL LIMIT 10"""))),
+
+    // IDENTIFIER clause on the table, the grouping column, and the
+    // aggregated column — all constant strings resolved at analysis.
+    Q("sql_identifier_clause",
+      (s, d) => {
+        table(s, d, "supplier").createOrReplaceTempView("graft_s7")
+        s.sql(sql("""
+          SELECT IDENTIFIER('s_nationkey') AS nk, count(*) AS n,
+                 round(sum(IDENTIFIER('s_acctbal')), 4) AS bal
+          FROM IDENTIFIER('graft_s7')
+          GROUP BY IDENTIFIER('s_nationkey')"""))
+      },
+      Some(sql("""SELECT s_nationkey AS nk, count(*) AS n,
+                    round(sum(s_acctbal), 4) AS bal
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // ANSI intervals: per-user event span as DAY-TO-SECOND (EXTRACT of
+    // every component), a YEAR-TO-MONTH built from months with the
+    // >12-month carry (26 months ⇒ 2-2), and DATE + year-month
+    // arithmetic hitting the end-of-month clamp (Jan 31 + months).
+    Q("expr_interval_types",
+      (s, d) => {
+        graft.Engine.events(s, d).createOrReplaceTempView("graft_ev7")
+        s.sql(sql("""
+          WITH spans AS (SELECT user_id, max(ts) - min(ts) AS dt
+                         FROM graft_ev7 GROUP BY user_id)
+          SELECT user_id,
+                 CAST(extract(DAY FROM dt) AS BIGINT) AS d_days,
+                 CAST(extract(HOUR FROM dt) AS BIGINT) AS d_hours,
+                 CAST(extract(MINUTE FROM dt) AS BIGINT) AS d_mins,
+                 CAST(extract(SECOND FROM dt) AS BIGINT) AS d_secs,
+                 CAST(extract(YEAR FROM
+                   make_ym_interval(0, CAST(user_id % 26 + 1 AS INT))) AS BIGINT) AS ym_years,
+                 CAST(extract(MONTH FROM
+                   make_ym_interval(0, CAST(user_id % 26 + 1 AS INT))) AS BIGINT) AS ym_months,
+                 CAST(DATE '2020-01-31' +
+                   make_ym_interval(0, CAST(user_id % 26 + 1 AS INT)) AS DATE) AS base_plus_ym
+          FROM spans"""))
+      },
+      Some(sql("""
+        WITH spans AS (SELECT user_id, max(ts) - min(ts) AS dt
+                       FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(extract(day FROM dt) AS BIGINT) AS d_days,
+               CAST(extract(hour FROM dt) AS BIGINT) AS d_hours,
+               CAST(extract(minute FROM dt) AS BIGINT) AS d_mins,
+               CAST(extract(second FROM dt) AS BIGINT) AS d_secs,
+               CAST(extract(year FROM
+                 to_months(CAST(user_id % 26 + 1 AS INTEGER))) AS BIGINT) AS ym_years,
+               CAST(extract(month FROM
+                 to_months(CAST(user_id % 26 + 1 AS INTEGER))) AS BIGINT) AS ym_months,
+               CAST(DATE '2020-01-31' +
+                 to_months(CAST(user_id % 26 + 1 AS INTEGER)) AS DATE) AS base_plus_ym
+        FROM spans""")))
+  )
+}

@@ -16,6 +16,18 @@ import Registry.sql
   */
 object TextQueries {
 
+  /** Ordered BPE merge table (rank order = application order), shared
+    * verbatim by the Spark plan and the DuckDB oracle (text_bpe_encode).
+    * Pairs are over the space-separated symbol alphabet; later merges
+    * consume the outputs of earlier ones ("t h" -> "th" before
+    * "th e" -> "the"). Declared before `all`: the oracle SQL string
+    * interpolates it at construction time. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re",
+    "a t" -> "at", "e n" -> "en", "o r" -> "or", "s t" -> "st",
+    "e s" -> "es", "o u" -> "ou", "in g" -> "ing")
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, BPE-ish tokens,
@@ -262,6 +274,56 @@ object TextQueries {
                   SELECT doc_id, count(*) AS n_pairs,
                     CAST(sum(bits) AS BIGINT) AS total_bits,
                     round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS bits_per_pair
-                  FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id""")))
+                  FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id"""))),
+
+    // TRUE BPE encoding (Sennrich et al. 2016 — public): apply an
+    // ORDERED merge table to each token's character sequence, exactly
+    // the greedy all-occurrences merge loop a trained BPE tokenizer
+    // runs at encode time (text_tokens' n_bpe is the merge-FREE regex
+    // lower bound; this is the merge loop itself). The merge table here
+    // is a fixed English-frequency stand-in — a real deployment swaps
+    // in the learned table; the plan shape (broadcast vocabulary
+    // applied inside one scan) is identical. Each token becomes a
+    // space-separated symbol sequence with sentinel boundaries; merge
+    // k = (" x y " -> " xy ") replaces left-to-right non-overlapping,
+    // the BPE convention both engines' replace() implements.
+    //
+    // Scale posture: pure per-row expression chain inside the scan —
+    // no explode, no shuffle, no UDF; the merge table is a compile-time
+    // constant (broadcast-equivalent).
+    Q("text_bpe_encode",
+      (s, d) => {
+        val chain = (t: org.apache.spark.sql.Column) =>
+          BpeMerges.foldLeft(
+            concat(lit(" "),
+              array_join(regexp_extract_all(lower(t), lit("."), lit(0)), " "),
+              lit(" "))) { case (c, (a, b)) =>
+            replace(c, lit(s" $a "), lit(s" $b "))
+          }
+        val toks = filter(T.tokens(col("text")), t => length(t) > 0)
+        val symCounts = transform(toks, t =>
+          size(split(trim(chain(t)), " +")).cast("long"))
+        table(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          aggregate(symCounts, lit(0L), (acc, x) => acc + x).as("n_sym"))
+          .withColumn("sym_per_tok", round(col("n_sym") / col("n_tok"), 6))
+      },
+      Some {
+        val chain = BpeMerges.foldLeft(
+          "' ' || array_to_string(regexp_extract_all(lower(t), '.'), ' ') || ' '") {
+          case (c, (a, b)) => s"replace($c, ' $a ', ' $b ')"
+        }
+        sql(s"""SELECT doc_id,
+                  CAST(len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)) AS BIGINT) AS n_tok,
+                  CAST(list_sum(list_transform(
+                    list_filter(${T.tokensSql("text")}, t -> len(t) > 0),
+                    t -> len(regexp_split_to_array(trim($chain), ' +')))) AS BIGINT) AS n_sym,
+                  round(CAST(list_sum(list_transform(
+                      list_filter(${T.tokensSql("text")}, t -> len(t) > 0),
+                      t -> len(regexp_split_to_array(trim($chain), ' +')))) AS DOUBLE) /
+                    len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)), 6) AS sym_per_tok
+                FROM documents""")
+      })
   )
 }

@@ -164,6 +164,23 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_exact_substr has a single-partition stage:\n$p")
   }
 
+  test("BPE encode is a pure scan-stage projection (no shuffle)") {
+    // the merge loop is a per-row expression chain over a broadcast-
+    // equivalent constant table — at 100 TB it must ride the scan, so
+    // any Exchange in this plan is a regression
+    val p = plan("text_bpe_encode")
+    assert(!p.contains("Exchange"), s"BPE encode shuffles:\n$p")
+  }
+
+  test("keep-best representative selection is aggregation-shaped, not window-shaped") {
+    // per-cluster best + representative are two hash aggregations and a
+    // bounded join — a corpus-wide Window or a cartesian product here
+    // would not survive scale-up
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("CartesianProduct"), s"keep-best goes cartesian:\n$p")
+    assert(!p.contains("Window"), s"keep-best uses a corpus-wide window:\n$p")
+  }
+
   test("overlap64 inputs prove containsNull=false so the null guard compiles out") {
     // the per-pair null-element scan in Overlap64 is gated on the input
     // schema; the hot pipelines build hs via array_compact precisely so
