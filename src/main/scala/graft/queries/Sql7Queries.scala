@@ -123,6 +123,55 @@ object Sql7Queries {
                     round(sum(s_acctbal), 4) AS bal
                   FROM supplier GROUP BY s_nationkey"""))),
 
+    // Catalog DDL lifecycle (the golden alter*/describe*/stats
+    // families) through the real Hive catalog: rows inserted BEFORE an
+    // ALTER TABLE ADD COLUMNS must read back with NULL in the new
+    // column (parquet schema evolution), table properties round-trip,
+    // ANALYZE TABLE feeds the row count into DESCRIBE EXTENDED
+    // statistics, and DESCRIBE's column section reflects the final
+    // schema. All of it re-emitted AS DATA (section, k, v) so the
+    // oracle pins catalog METADATA, not just query results.
+    Q("sql_catalog_ddl",
+      (s, d) => {
+        graft.Engine.configure(s)
+        Registry.dropManaged(s, "graft_ddl_t")
+        s.sql("CREATE TABLE graft_ddl_t (a INT, b STRING) USING parquet")
+        s.sql("INSERT INTO graft_ddl_t VALUES (1, 'x'), (2, 'y')")
+        s.sql("ALTER TABLE graft_ddl_t ADD COLUMNS (c DOUBLE)")
+        s.sql("INSERT INTO graft_ddl_t VALUES (3, 'z', 2.5)")
+        s.sql("ALTER TABLE graft_ddl_t SET TBLPROPERTIES ('graft.note' = 'r8')")
+        s.sql("ANALYZE TABLE graft_ddl_t COMPUTE STATISTICS")
+        import org.apache.spark.sql.functions._
+        val cols = s.sql("DESCRIBE TABLE graft_ddl_t")
+          .filter(col("col_name").isin("a", "b", "c"))
+          .select(lit("col").as("section"), col("col_name").as("k"),
+            col("data_type").as("v"))
+        val prop = s.sql("SHOW TBLPROPERTIES graft_ddl_t")
+          .filter(col("key") === "graft.note")
+          .select(lit("prop").as("section"), col("key").as("k"),
+            col("value").as("v"))
+        val stat = s.sql("DESCRIBE TABLE EXTENDED graft_ddl_t")
+          .filter(col("col_name") === "Statistics")
+          .select(lit("stat").as("section"), lit("rowCount").as("k"),
+            regexp_extract(col("data_type"), "(\\d+) rows", 1).as("v"))
+        val data = s.table("graft_ddl_t")
+          .select(lit("data").as("section"), col("a").cast("string").as("k"),
+            concat(col("b"), lit("|"),
+              coalesce(col("c").cast("string"), lit("NULL"))).as("v"))
+        cols.unionAll(prop).unionAll(stat).unionAll(data)
+      },
+      Some(sql("""
+        SELECT section, k, v FROM (VALUES
+          ('col',  'a', 'int'),
+          ('col',  'b', 'string'),
+          ('col',  'c', 'double'),
+          ('prop', 'graft.note', 'r8'),
+          ('stat', 'rowCount', '3'),
+          ('data', '1', 'x|NULL'),
+          ('data', '2', 'y|NULL'),
+          ('data', '3', 'z|2.5')
+        ) AS t(section, k, v)"""))),
+
     // ANSI intervals: per-user event span as DAY-TO-SECOND (EXTRACT of
     // every component), a YEAR-TO-MONTH built from months with the
     // >12-month carry (26 months ⇒ 2-2), and DATE + year-month

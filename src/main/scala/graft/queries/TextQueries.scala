@@ -28,6 +28,11 @@ object TextQueries {
     "a t" -> "at", "e n" -> "en", "o r" -> "or", "s t" -> "st",
     "e s" -> "es", "o u" -> "ou", "in g" -> "ing")
 
+  /** BPE training iterations (text_bpe_train): greedy merge steps
+    * learned from the corpus. Shared by the Spark loop and the DuckDB
+    * unrolled oracle. */
+  val BpeTrainSteps = 4
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, BPE-ish tokens,
@@ -324,6 +329,86 @@ object TextQueries {
                       t -> len(regexp_split_to_array(trim($chain), ' +')))) AS DOUBLE) /
                     len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)), 6) AS sym_per_tok
                 FROM documents""")
+      }),
+
+    // BPE TRAINING (the other half of text_bpe_encode — Sennrich et al.
+    // 2016 learn-merges loop): iteratively find the most frequent
+    // adjacent symbol pair in the corpus vocabulary and merge it,
+    // BpeTrainSteps times. The classic formulation trains on the
+    // word-frequency dictionary, not raw text: vocab = (token, count),
+    // pair counts are weighted by token frequency — one corpus tokenize
+    // pass total, then per-step passes over the (vocabulary-sized)
+    // cached dict. Ties break deterministically (count desc, pair asc).
+    // Output: one row per learned merge with its pair count — the merge
+    // table text_bpe_encode would then apply.
+    //
+    // Scale posture: the reference learner-loop shape
+    // (GradientDescent.scala:166; same as ml_kmeans_converge): per
+    // iteration one scan of the CACHED vocab, a pair aggregation
+    // bounded by vocabulary size, and a 1-ROW collect (the argmax
+    // merge — the model is driver-resident by design). Runs jobs at
+    // declaration like the stat_*/kmeans rows — documented exclusion
+    // from the zero-jobs contract.
+    Q("text_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val base = table(s, d, "documents")
+          .select(explode(filter(T.tokens(lower(col("text"))), t => length(t) > 0)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .select(concat(lit(" "),
+            array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), " "),
+            lit(" ")).as("sym"), col("n"))
+        var vocab = graft.functions.CacheOnce.swap("bpe_vocab_0", base)
+        val learned = Seq.newBuilder[(Long, String, String, Long)]
+        for (i <- 1 to BpeTrainSteps) {
+          val best = vocab
+            .select(split(trim(col("sym")), " +").as("a"), col("n"))
+            .filter(size(col("a")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(a) - 1), j -> struct(element_at(a, j) AS p1, element_at(a, j + 1) AS p2))")).as("p"),
+              col("n"))
+            .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+            .agg(sum(col("n")).as("c"))
+            .orderBy(desc("c"), asc("p1"), asc("p2"))
+            .limit(1).collect()(0)
+          val (p1, p2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+          learned += ((i.toLong, p1, p2, c))
+          vocab = graft.functions.CacheOnce.swap(s"bpe_vocab_$i",
+            vocab.withColumn("sym",
+              replace(col("sym"), lit(s" $p1 $p2 "), lit(s" $p1$p2 "))))
+        }
+        learned.result().toDF("step", "p1", "p2", "pair_count")
+      },
+      Some {
+        // unrolled BpeTrainSteps times; every CTE MATERIALIZED (the
+        // ml_kmeans_converge rule — v_i is referenced by both p_{i+1}
+        // and v_{i+1}, and DuckDB re-executes inlined CTE prefixes)
+        val step = (i: Int) =>
+          s"""p$i AS MATERIALIZED (
+                SELECT a[j] AS p1, a[j + 1] AS p2, CAST(sum(n) AS BIGINT) AS c
+                FROM (SELECT a, n, unnest(range(1, len(a))) AS j
+                      FROM (SELECT regexp_split_to_array(trim(sym), ' +') AS a, n
+                            FROM v${i - 1}) sp) px
+                GROUP BY 1, 2),
+              m$i AS MATERIALIZED (
+                SELECT p1, p2, c FROM p$i ORDER BY c DESC, p1, p2 LIMIT 1),
+              v$i AS MATERIALIZED (
+                SELECT replace(sym,
+                    ' ' || (SELECT p1 FROM m$i) || ' ' || (SELECT p2 FROM m$i) || ' ',
+                    ' ' || (SELECT p1 FROM m$i) || (SELECT p2 FROM m$i) || ' ') AS sym, n
+                FROM v${i - 1})"""
+        val chain = (1 to BpeTrainSteps).map(step).mkString(",\n")
+        val rows = (1 to BpeTrainSteps)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, p1, p2, c AS pair_count FROM m$i")
+          .mkString(" UNION ALL ")
+        sql(s"""WITH v0 AS MATERIALIZED (
+                  SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS sym, n
+                  FROM (SELECT tok, count(*) AS n
+                        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> len(t) > 0)) AS tok FROM documents) tt
+                        GROUP BY tok) vc),
+                $chain
+                $rows""")
       })
   )
 }

@@ -181,6 +181,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"keep-best uses a corpus-wide window:\n$p")
   }
 
+  test("BPE training learns greedy merges with non-increasing pair counts") {
+    // the greedy invariant: a merge can only create pairs whose count is
+    // bounded by the count of the pair just consumed, so the best-pair
+    // count sequence never increases; steps must be contiguous from 1
+    val rows = SparkEntry.queries("text_bpe_train")(spark, TestSpark.Sf)
+      .orderBy("step").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length.toLong),
+      "steps not contiguous")
+    val counts = rows.map(_.getLong(3)).toSeq
+    assert(counts == counts.sorted.reverse,
+      s"greedy best-pair counts increased: $counts")
+    val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.distinct.size == merges.size, s"duplicate merge learned: $merges")
+  }
+
   test("overlap64 inputs prove containsNull=false so the null guard compiles out") {
     // the per-pair null-element scan in Overlap64 is gated on the input
     // schema; the hot pipelines build hs via array_compact precisely so
