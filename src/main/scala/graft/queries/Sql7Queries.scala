@@ -172,6 +172,37 @@ object Sql7Queries {
           ('data', '3', 'z|2.5')
         ) AS t(section, k, v)"""))),
 
+    // CHAR(n)/VARCHAR(n) semantics (the golden char_*/varchar_*
+    // families): CHAR reads back BLANK-PADDED to its declared length
+    // (read-side padding), VARCHAR preserves the stored length, and
+    // both survive concat un-trimmed. DuckDB's CHAR is a plain VARCHAR
+    // alias, so the oracle hand-writes the padded truth — pinning the
+    // ENGINE's defined padding behavior, not an oracle recomputation.
+    Q("sql_char_padding",
+      (s, d) => {
+        graft.Engine.configure(s)
+        Registry.dropManaged(s, "graft_char_t")
+        s.sql("CREATE TABLE graft_char_t (id INT, c CHAR(6), v VARCHAR(6)) USING parquet")
+        s.sql("INSERT INTO graft_char_t VALUES (1, 'abc', 'abc'), (2, 'abcdef', 'abcdef')")
+        s.sql(sql("""
+          SELECT id,
+                 CAST(length(c) AS BIGINT) AS len_c,
+                 CAST(length(v) AS BIGINT) AS len_v,
+                 concat(c, '|') AS c_pipe,
+                 concat(v, '|') AS v_pipe,
+                 (c = 'abc') AS eq_c,
+                 (v = 'abc') AS eq_v
+          FROM graft_char_t"""))
+      },
+      // rpad, not a literal: Registry.sql collapses whitespace runs, so
+      // a padded string constant cannot survive in oracle SQL text
+      Some(sql("""
+        SELECT id, len_c, len_v, rpad(cbase, 6, ' ') || '|' AS c_pipe,
+               v_pipe, eq_c, eq_v FROM (VALUES
+          (1, CAST(6 AS BIGINT), CAST(3 AS BIGINT), 'abc', 'abc|', true,  true),
+          (2, CAST(6 AS BIGINT), CAST(6 AS BIGINT), 'abcdef', 'abcdef|', false, false)
+        ) AS t(id, len_c, len_v, cbase, v_pipe, eq_c, eq_v)"""))),
+
     // ANSI intervals: per-user event span as DAY-TO-SECOND (EXTRACT of
     // every component), a YEAR-TO-MONTH built from months with the
     // >12-month carry (26 months ⇒ 2-2), and DATE + year-month

@@ -164,6 +164,14 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_exact_substr has a single-partition stage:\n$p")
   }
 
+  test("multiple DISTINCT aggregates plan via Expand, not repeated scans") {
+    // two distinct column-sets in one agg (nd_part, nd_part_supp) must
+    // compile to the single-scan Expand rewrite — N distinct aggregates
+    // re-scanning the fact table N times would not survive 100 TB
+    val p = plan("agg_count_distinct")
+    assert(p.contains("Expand"), s"multi-distinct agg lost the Expand rewrite:\n$p")
+  }
+
   test("BPE encode is a pure scan-stage projection (no shuffle)") {
     // the merge loop is a per-row expression chain over a broadcast-
     // equivalent constant table — at 100 TB it must ride the scan, so
