@@ -308,10 +308,15 @@ object TextQueries {
         val toks = filter(T.tokens(col("text")), t => length(t) > 0)
         val symCounts = transform(toks, t =>
           size(split(trim(chain(t)), " +")).cast("long"))
+        // n_tok > 0 guard: an all-whitespace document would otherwise
+        // diverge (Spark sums an empty array to 0 and 0/0 → NULL ratio;
+        // DuckDB's list_sum of an empty list is NULL) — same latent
+        // class as the bigram <2-token guard
         table(s, d, "documents").select(
           col("doc_id"),
           size(toks).cast("long").as("n_tok"),
           aggregate(symCounts, lit(0L), (acc, x) => acc + x).as("n_sym"))
+          .filter(col("n_tok") > 0)
           .withColumn("sym_per_tok", round(col("n_sym") / col("n_tok"), 6))
       },
       Some {
@@ -328,7 +333,8 @@ object TextQueries {
                       list_filter(${T.tokensSql("text")}, t -> len(t) > 0),
                       t -> len(regexp_split_to_array(trim($chain), ' +')))) AS DOUBLE) /
                     len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)), 6) AS sym_per_tok
-                FROM documents""")
+                FROM documents
+                WHERE len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)) > 0""")
       }),
 
     // BPE TRAINING (the other half of text_bpe_encode — Sennrich et al.

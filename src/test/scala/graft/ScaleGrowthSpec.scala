@@ -57,6 +57,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"containment candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
   }
 
+  test("minhash-LSH banding candidate volume grows ~linearly over a 10× corpus") {
+    // the (band, signature) bucket join is the candidate generator; its
+    // key space grows with the corpus (signatures derive from content),
+    // so bucket sizes stay bounded and candidates track N. A band/sig
+    // scheme collapsing to few buckets (the corpus-independent-key bug
+    // class) would push growth toward the ratio squared.
+    val small = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.001")
+    val big = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.01")
+    info(s"dedup_minhash_lsh max equi-join rows: sf0.001=$small sf0.01=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"LSH candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
+  }
+
   test("semantic-dedup pair volume tracks the corpus once K leaves the floor") {
     // The cosine threshold is FUSED into the pair join's condition, so
     // numOutputRows reports survivors (≈0), not candidates — measure the
