@@ -123,6 +123,64 @@ object Sql7Queries {
                     round(sum(s_acctbal), 4) AS bal
                   FROM supplier GROUP BY s_nationkey"""))),
 
+    // Session isolation (the reference's SQLContext.newSession contract,
+    // SQLContext.scala — separate temp-table namespaces over a shared
+    // catalog): a LOCAL temp view is invisible from a new session, a
+    // GLOBAL temp view crosses sessions via the global_temp database.
+    // Emitted as a bounded truth table (the stat-row pattern: the
+    // capability IS driver-side catalog behavior, so declaration probes
+    // the four visibility cells).
+    Q("sql_session_isolation",
+      (s, d) => {
+        graft.Engine.configure(s)
+        s.sql("CREATE OR REPLACE TEMP VIEW graft_iso_tv AS SELECT 1 AS x")
+        s.sql("CREATE OR REPLACE GLOBAL TEMP VIEW graft_iso_gv AS SELECT 2 AS x")
+        val s2 = s.newSession()
+        def visible(sp: org.apache.spark.sql.SparkSession, t: String): Boolean =
+          try { sp.sql(s"SELECT * FROM $t").collect(); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        import s.implicits._
+        Seq(
+          ("temp_view_same_session", visible(s, "graft_iso_tv")),
+          ("temp_view_new_session", visible(s2, "graft_iso_tv")),
+          ("global_view_same_session", visible(s, "global_temp.graft_iso_gv")),
+          ("global_view_new_session", visible(s2, "global_temp.graft_iso_gv")))
+          .toDF("surface", "visible")
+      },
+      Some(sql("""
+        SELECT surface, visible FROM (VALUES
+          ('temp_view_same_session',   true),
+          ('temp_view_new_session',    false),
+          ('global_view_same_session', true),
+          ('global_view_new_session',  true)
+        ) AS t(surface, visible)"""))),
+
+    // Quoted-identifier resolution (golden quote*/keyword families):
+    // column names with an embedded space, a DOT (which must NOT parse
+    // as a struct access when backtick-quoted), a reserved keyword, and
+    // an escaped backtick — all resolvable through a view and an
+    // aggregate. DuckDB double-quotes the same names.
+    Q("sql_quoted_idents",
+      (s, d) => {
+        graft.Engine.configure(s)
+        s.sql(sql("""CREATE OR REPLACE TEMP VIEW graft_q7 AS
+          SELECT n_nationkey AS `key col`, n_name AS `n.name`,
+                 n_regionkey AS `select`, upper(n_name) AS `tick``col`
+          FROM parquet.`""" + d + "/nation.parquet`"))
+        s.sql(sql("""
+          SELECT `select` AS rk, count(*) AS n,
+                 CAST(sum(`key col`) AS BIGINT) AS sum_keys,
+                 min(`n.name`) AS first_name,
+                 max(length(`tick``col`)) AS max_tick_len
+          FROM graft_q7 GROUP BY `select`"""))
+      },
+      Some(sql("""
+        SELECT n_regionkey AS rk, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_keys,
+               min(n_name) AS first_name,
+               CAST(max(length(upper(n_name))) AS INT) AS max_tick_len
+        FROM nation GROUP BY n_regionkey"""))),
+
     // Catalog DDL lifecycle (the golden alter*/describe*/stats
     // families) through the real Hive catalog: rows inserted BEFORE an
     // ALTER TABLE ADD COLUMNS must read back with NULL in the new

@@ -164,6 +164,38 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_exact_substr has a single-partition stage:\n$p")
   }
 
+  test("AQE re-plans a shuffle join to broadcast from runtime stats") {
+    // at 100 TB the static size estimate of a filtered scan is the full
+    // file footprint, so selective-dimension joins plan as shuffle
+    // joins; AQE must rescue them at runtime from the ACTUAL post-filter
+    // size — drop the broadcast threshold below the orders file size so
+    // the static plan can't broadcast, then verify the adaptive re-plan
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+    // few shuffle partitions: AQE DEMOTES broadcast when the build
+    // side's map output is mostly empty partitions (3 rows over 32
+    // partitions trips nonEmptyPartitionRatioForBroadcastJoin) — with 2
+    // partitions the ratio clears the bar and size alone decides
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val li = Engine.table(spark, TestSpark.Sf, "lineitem").select(col("l_orderkey"))
+      val o = Engine.table(spark, TestSpark.Sf, "orders")
+        .filter(col("o_totalprice") > 499000).select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey")).groupBy().count()
+      assert(!j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "static plan broadcast despite the lowered threshold — test is vacuous")
+      j.collect()
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("BroadcastHashJoin"),
+        s"AQE did not convert the shuffle join to broadcast at runtime:\n$fin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+    }
+  }
+
   test("multiple DISTINCT aggregates plan via Expand, not repeated scans") {
     // two distinct column-sets in one agg (nd_part, nd_part_supp) must
     // compile to the single-scan Expand rewrite — N distinct aggregates
