@@ -42,7 +42,8 @@ class SkewGuardSpec extends AnyFunSuite {
       "dedup_semantic", "ml_kmeans_iterate", "text_tfidf",
       "sample_seeded", "random_split", "stat_sample_by",
       "text_line_dedup", "text_bigram_lm", "pipeline_curate",
-      "dedup_exact_substr", "mm_crossmodal_topk", "text_bpe_encode")
+      "dedup_exact_substr", "mm_crossmodal_topk", "text_bpe_encode",
+      "pipe_mixture_weights")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
