@@ -74,45 +74,51 @@ object Pipeline3Queries {
 
   val all: Seq[Q] = Seq(
 
-    // Source-mixture sampling (the "3 epochs of Wikipedia, 0.5 of web"
-    // weighting step): per-source keep rates applied as a deterministic
-    // hash predicate, audited per source. Rates: src0-2 → 100%,
-    // src3-5 → 50%, others → 25%.
     // TEMPERATURE-WEIGHTED mixture sampling weights (the multilingual-
-    // training standard, p_i ∝ n_i^α with α=0.3 — upweights small
+    // training standard, p_i ∝ n_i^α with α=0.5 — upweights small
     // sources relative to proportional sampling): per source, token
     // mass, the normalized sampling probability, and the upweight
     // factor vs proportional (p_i / share_i > 1 ⇔ source is boosted).
-    // One tokenize-free aggregation pass; the two corpus totals join
-    // back as a broadcast 1-row aggregate (the de-eager pattern) — no
-    // driver action, no second scan.
+    // α=0.5 is computed as sqrt (IEEE-correctly-rounded in both
+    // engines, unlike a general pow) and quantized to an integer
+    // milli-grid BEFORE normalization, so every weight, sum, and ratio
+    // downstream is bit-exact across Spark and DuckDB — no float-sum
+    // merge-order or libm-pow last-ulp flake. One tokenize-free
+    // aggregation pass; the two corpus totals join back as a broadcast
+    // 1-row aggregate (the de-eager pattern) — no driver action, no
+    // second scan.
     Q("pipe_mixture_weights",
       (s, d) => {
         val bySrc = table(s, d, "documents")
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-          .withColumn("w_raw", pow(col("n_tokens").cast("double"), lit(0.3)))
-        val total = bySrc.agg(sum(col("w_raw")).as("w_sum"),
+          .withColumn("w_raw",
+            floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+        val total = bySrc.agg(sum(col("w_raw")).cast("double").as("w_sum"),
           sum(col("n_tokens")).cast("double").as("tok_sum"))
         bySrc.crossJoin(broadcast(total))
           .select(col("source"), col("n_docs"), col("n_tokens"),
-            round(col("w_raw") / col("w_sum"), 6).as("p_sample"),
-            round((col("w_raw") / col("w_sum")) /
+            round(col("w_raw").cast("double") / col("w_sum"), 6).as("p_sample"),
+            round((col("w_raw").cast("double") / col("w_sum")) /
               (col("n_tokens").cast("double") / col("tok_sum")), 6).as("upweight"))
       },
       Some(sql("""
         WITH t AS (SELECT source, count(*) AS n_docs,
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
                    FROM documents GROUP BY source),
-             w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.3) AS w_raw FROM t),
-             tot AS (SELECT sum(w_raw) AS w_sum,
+             w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_raw FROM t),
+             tot AS (SELECT CAST(sum(w_raw) AS DOUBLE) AS w_sum,
                        CAST(sum(n_tokens) AS DOUBLE) AS tok_sum FROM w)
         SELECT source, n_docs, n_tokens,
-               round(w_raw / w_sum, 6) AS p_sample,
-               round((w_raw / w_sum) / (CAST(n_tokens AS DOUBLE) / tok_sum), 6) AS upweight
+               round(CAST(w_raw AS DOUBLE) / w_sum, 6) AS p_sample,
+               round((CAST(w_raw AS DOUBLE) / w_sum) / (CAST(n_tokens AS DOUBLE) / tok_sum), 6) AS upweight
         FROM w, tot"""))),
 
+    // Source-mixture sampling (the "3 epochs of Wikipedia, 0.5 of web"
+    // weighting step): per-source keep rates applied as a deterministic
+    // hash predicate, audited per source. Rates: src0-2 → 100%,
+    // src3-5 → 50%, others → 25%.
     Q("pipe_mixture_sample",
       (s, d) => {
         val srcNum = substring(col("source"), 4, 10).cast("int")

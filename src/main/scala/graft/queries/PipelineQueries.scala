@@ -94,22 +94,8 @@ object PipelineQueries {
         Graph.fromEdges(edges, 0).connectedComponents()
           .vertices.toDF("doc_id", "cluster")
       },
-      Some(sql(s"""WITH RECURSIVE pairs AS (
-                     SELECT doc_a, doc_b FROM (
-                       WITH ${dedupBandSql}
-                       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                       FROM bands a JOIN bands b
-                         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2)),
-                   edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                             UNION SELECT doc_b, doc_a FROM pairs
-                             UNION SELECT doc_a, doc_a FROM pairs
-                             UNION SELECT doc_b, doc_b FROM pairs),
-                   reach(a, b) AS (
-                     SELECT a, b FROM edges
-                     UNION
-                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-                   SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""))),
+      Some(sql(s"""WITH RECURSIVE ${clustersChainSql}
+                   SELECT doc_id, cluster FROM clusters"""))),
 
     // KEEP-BEST representative selection — the step that turns a
     // near-dup clustering into an actual deduplicated corpus: within
@@ -138,23 +124,7 @@ object PipelineQueries {
           .agg(min(col("doc_id")).as("rep_doc"))
           .select(col("cluster"), col("rep_doc"), col("n_docs"), col("best_q"))
       },
-      Some(sql(s"""WITH RECURSIVE pairs AS (
-                     SELECT doc_a, doc_b FROM (
-                       WITH ${dedupBandSql}
-                       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                       FROM bands a JOIN bands b
-                         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2)),
-                   edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                             UNION SELECT doc_b, doc_a FROM pairs
-                             UNION SELECT doc_a, doc_a FROM pairs
-                             UNION SELECT doc_b, doc_b FROM pairs),
-                   reach(a, b) AS (
-                     SELECT a, b FROM edges
-                     UNION
-                     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-                   clusters AS (SELECT a AS doc_id, min(b) AS cluster
-                                FROM reach GROUP BY a),
+      Some(sql(s"""WITH RECURSIVE ${clustersChainSql},
                    scored AS (SELECT c.cluster, c.doc_id,
                        CAST(len(list_distinct(string_split(t.text, ' '))) AS BIGINT) AS q
                      FROM clusters c JOIN documents t USING (doc_id)),
@@ -243,6 +213,29 @@ object PipelineQueries {
                 FROM g LEFT JOIN e USING (source) LEFT JOIN f USING (source)""")
       })
   )
+
+  /** The full pairs→edges→reach→clusters recursive-closure CTE chain,
+    * shared by the `dedup_clusters` and `dedup_keep_best` oracles so a
+    * future change to the clustering (edge symmetrization, closure
+    * seeding) can never silently diverge between the two. */
+  private def clustersChainSql: String =
+    s"""pairs AS (
+         SELECT doc_a, doc_b FROM (
+           WITH ${dedupBandSql}
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs
+                 UNION SELECT doc_a, doc_a FROM pairs
+                 UNION SELECT doc_b, doc_b FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       clusters AS (SELECT a AS doc_id, min(b) AS cluster
+                    FROM reach GROUP BY a)"""
 
   /** The dedup band-table CTE body, regenerated here for the clusters
     * oracle (kept in sync by construction with DedupQueries). */

@@ -49,11 +49,16 @@ object Registry {
     * managed tables (Source/Sql3/Sql4 waves). */
   def dropManaged(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     val loc = new java.io.File(s"/tmp/graft_warehouse/$name")
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) rmTree(loc)
+  }
+
+  /** Recursive delete — the single shared copy (warehouse drops,
+    * object/sequence-file staging, stream staging + checkpoint
+    * cleanup). Null-safe against listFiles returning null when a
+    * directory vanishes or errors mid-walk. */
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
   }
 }

@@ -163,7 +163,7 @@ object SourceQueries {
         import s.implicits._
         val path = tmp(d, "obj_rdd")
         val dir = new java.io.File(path)
-        if (dir.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(dir) }
+        if (dir.exists()) Registry.rmTree(dir)
         table(s, d, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))
           .as(org.apache.spark.sql.Encoders.tuple(
@@ -188,7 +188,7 @@ object SourceQueries {
         import s.implicits._
         val path = tmp(d, "seq_rdd")
         val dir = new java.io.File(path)
-        if (dir.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(dir) }
+        if (dir.exists()) Registry.rmTree(dir)
         table(s, d, "nation")
           .select(col("n_nationkey").cast("long"), col("n_name"))
           .as(org.apache.spark.sql.Encoders.tuple(

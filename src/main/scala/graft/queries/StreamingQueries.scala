@@ -536,11 +536,7 @@ object StreamingQueries {
         // memory once the query terminates, so the per-invocation
         // staging + checkpoint dirs can go immediately — repeated
         // Verify/Bench runs must not accumulate /tmp state
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        Seq(srcDir, ckpt).foreach(p => rm(new java.io.File(p)))
+        Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
         s.table(s"ckptrec_final_$stamp")
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,

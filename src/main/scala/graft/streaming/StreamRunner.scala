@@ -62,11 +62,7 @@ object StreamRunner {
                      _: java.nio.file.FileSystemException =>
           // another JVM staged the same fingerprint first — use theirs
           if (java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-            rm(tmp.toFile)
+            graft.queries.Registry.rmTree(tmp.toFile)
           } else throw new IllegalStateException(s"staging rename to $d failed")
         }
       }
