@@ -39,6 +39,7 @@ object SparkEntry {
       Sql5Queries.all ++
       Sql6Queries.all ++
       Sql7Queries.all ++
+      Sql8Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** Golden-corpus semantics, wave 8 — more uncrossed families from the
+  * reference's golden corpus (sql/hive/compatibility/.../
+  * HiveCompatibilitySuite.scala:246 whiteList):
+  *
+  * - ordinal positions (groupby*_map / order* goldens): GROUP BY 1 and
+  *   ORDER BY ordinals must resolve against the SELECT list, not the
+  *   underlying table order.
+  *
+  * - HAVING without GROUP BY (having.q corner): the query becomes a
+  *   global aggregate and HAVING filters its single row — a branch
+  *   whose predicate fails contributes zero rows, not a null row.
+  *
+  * - UNION null dedup (union*.q + set-op semantics): UNION (set) must
+  *   treat NULL keys as EQUAL when deduplicating across branches —
+  *   the opposite of NULL's join/WHERE behavior, and exactly the
+  *   three-valued corner sql_not_in_nulls pins from the other side.
+  *
+  * - aggregate INSIDE a window over a grouped result (windowing.q
+  *   family, ptf* goldens): sum(sum(x)) OVER (...) — the inner sum is
+  *   the group aggregate, the outer is a running window over the
+  *   grouped rows. Resolution order (aggregate first, then window over
+  *   the aggregated output) must match, as must the default
+  *   RANGE-to-current frame implied by ORDER BY.
+  *
+  * - STRING-vs-numeric comparison (the filter half of
+  *   HiveTypeCoercion.PromoteStrings:230 — sql_join_coerce pinned the
+  *   join half): a digit-string column compared against an integer
+  *   literal coerces numerically ('000000100' > 75 is true), not
+  *   lexicographically ('000000100' < '75' as strings).
+  */
+object Sql8Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // GROUP BY + ORDER BY ordinals resolving against the SELECT list.
+    Q("sql_ordinals",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li8")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+                 FROM graft_li8 GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(sql("""SELECT l_returnflag, l_linestatus,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                    count(*) AS n
+                  FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // HAVING over a global (ungrouped) aggregate: the passing branch
+    // keeps its one row, the failing branch yields ZERO rows (not a
+    // null row) — UNION ALL makes both outcomes observable at once.
+    Q("sql_having_no_groupby",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li8h")
+        s.sql("""SELECT 'pass' AS branch,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                 FROM graft_li8h HAVING count(*) > 10
+                 UNION ALL
+                 SELECT 'never' AS branch,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                 FROM graft_li8h HAVING count(*) > 1000000000""")
+      },
+      Some(sql("""SELECT 'pass' AS branch,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                  FROM lineitem HAVING count(*) > 10
+                  UNION ALL
+                  SELECT 'never' AS branch,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                  FROM lineitem HAVING count(*) > 1000000000"""))),
+
+    // UNION (set) dedups NULL keys as equal: branch A nulls out 'P',
+    // branch B nulls out 'O'; the union must contain exactly ONE null
+    // row alongside {'F','O','P'} — 4 rows total.
+    Q("sql_union_null_dedup",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord8")
+        s.sql("""SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS st FROM graft_ord8
+                 UNION
+                 SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                        ELSE o_orderstatus END AS st FROM graft_ord8""")
+      },
+      Some(sql("""SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_orderstatus END AS st FROM orders
+                  UNION
+                  SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                         ELSE o_orderstatus END AS st FROM orders"""))),
+
+    // Aggregate nested inside a window over the grouped result:
+    // inner sum = per-(flag,status) group aggregate; outer sum = the
+    // running total across statuses WITHIN a flag (partitioned — never
+    // a single-partition window), under the implicit
+    // RANGE UNBOUNDED PRECEDING..CURRENT ROW frame of ORDER BY.
+    Q("sql_agg_in_window",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li8w")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS grp_qty,
+                   CAST(sum(sum(CAST(l_quantity AS BIGINT))) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_linestatus)
+                     AS BIGINT) AS run_qty
+                 FROM graft_li8w GROUP BY l_returnflag, l_linestatus""")
+      },
+      Some(sql("""SELECT l_returnflag, l_linestatus,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS grp_qty,
+                    CAST(sum(sum(CAST(l_quantity AS BIGINT))) OVER (
+                      PARTITION BY l_returnflag ORDER BY l_linestatus)
+                      AS BIGINT) AS run_qty
+                  FROM lineitem GROUP BY l_returnflag, l_linestatus"""))),
+
+    // STRING column vs numeric literal in a FILTER coerces numerically:
+    // the digit suffix of c_name ('000000923') compared against an INT
+    // threshold — lexicographic comparison would flip the result for
+    // values with fewer digits than the literal.
+    Q("sql_string_num_filter",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust8")
+        s.sql("""SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(c_custkey) AS BIGINT) AS key_sum
+                 FROM graft_cust8
+                 WHERE substr(c_name, 10) > 75
+                 GROUP BY c_mktsegment""")
+      },
+      // DuckDB refuses implicit VARCHAR⋈INT comparison on columns, so
+      // the oracle casts explicitly — stating the numeric truth Spark
+      // must reach via PromoteStrings-style implicit coercion.
+      Some(sql("""SELECT c_mktsegment, count(*) AS n,
+                    CAST(sum(c_custkey) AS BIGINT) AS key_sum
+                  FROM customer
+                  WHERE CAST(substr(c_name, 10) AS INT) > 75
+                  GROUP BY c_mktsegment""")))
+  )
+}
