@@ -33,6 +33,7 @@ object SparkEntry {
       PipelineQueries.all ++
       Pipeline2Queries.all ++
       Pipeline3Queries.all ++
+      Pipeline4Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++

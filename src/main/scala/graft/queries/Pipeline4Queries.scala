@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Engine.table
+import graft.functions.{Portable, TextFunctions => T}
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Training-data pipeline operators, wave 4 (beyond-reference):
+  * the Gopher rule census, DSIR-shape importance weighting, and the
+  * combined IVF+PQ search — the three pieces that finish the curation
+  * and retrieval stories started in Pipeline/Pipeline2/Pipeline3.
+  *
+  * Scale posture, per operator:
+  *  - gopher_rules: pure per-row expression chain inside the scan (HOF
+  *    filter/transform + a constant stopword array) — no shuffle, no
+  *    UDF, safe inside a 100 TB scan stage.
+  *  - dsir_weights: the bucket model is bounded by B=256 rows per side,
+  *    BROADCAST onto the one tokenize pass; corpus rows shuffle only
+  *    64-bit (doc_id, bucket) pairs for the per-doc aggregation.
+  *  - topk_ivfpq: the coarse cell prunes candidates BEFORE the ADC
+  *    lookup (the IVF nprobe=1 shape), and scoring touches only 8
+  *    broadcast integer lookups per candidate (the PQ shape) — the
+  *    production ANN layout where neither the full vectors nor the
+  *    distance table ever shuffle.
+  */
+object Pipeline4Queries {
+
+  /** Gopher stopword list restricted to words the synthetic corpus can
+    * contain (rule semantics are unchanged; the list is a parameter). */
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  val all: Seq[Q] = Seq(
+
+    // GOPHER RULE CENSUS (Rae et al. 2021, Table A1 — public): the five
+    // document-quality rules as independent booleans plus the composite
+    // gate, in EXACT integer arithmetic (ratio thresholds become
+    // cross-multiplied integer comparisons — no float rounding at the
+    // decision boundary):
+    //   r_wordcount: 50 ≤ n_tok ≤ 100000
+    //   r_meanlen:   3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
+    //   r_symbol:    symbol-to-word ratio ≤ 0.1  (10·n_sym ≤ n_tok)
+    //   r_alpha:     ≥80% of words contain a letter (5·n_alpha ≥ 4·n_tok)
+    //   r_stopwords: ≥2 distinct stopwords present
+    // Unlike pipe_quality_gate (first-failing-rule funnel), this emits
+    // the full rule bitmap — the per-rule ablation report a curation
+    // team reads before picking thresholds.
+    Q("text_gopher_rules",
+      (s, d) => {
+        val staged = table(s, d, "documents")
+          .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (a, x) => a + x).as("sum_len"),
+            size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+              .cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(col("toks")),
+              array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[#…]", "")))
+              .cast("long").as("n_sym"))
+        val rules = staged
+          .withColumn("r_wordcount", col("n_tok") >= 50 && col("n_tok") <= 100000)
+          .withColumn("r_meanlen",
+            col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10)
+          .withColumn("r_symbol", col("n_sym") * 10 <= col("n_tok"))
+          .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_tok") * 4)
+          .withColumn("r_stopwords", col("n_stop") >= 2)
+        rules.select(col("doc_id"), col("n_tok"),
+          col("r_wordcount"), col("r_meanlen"), col("r_symbol"),
+          col("r_alpha"), col("r_stopwords"),
+          (col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+            col("r_alpha") && col("r_stopwords")).as("gopher_pass"))
+      },
+      Some(sql(s"""SELECT doc_id, n_tok,
+                    r_wordcount, r_meanlen, r_symbol, r_alpha, r_stopwords,
+                    r_wordcount AND r_meanlen AND r_symbol AND r_alpha
+                      AND r_stopwords AS gopher_pass
+                  FROM (SELECT doc_id, n_tok,
+                      n_tok >= 50 AND n_tok <= 100000 AS r_wordcount,
+                      sum_len >= n_tok * 3 AND sum_len <= n_tok * 10 AS r_meanlen,
+                      n_sym * 10 <= n_tok AS r_symbol,
+                      n_alpha * 5 >= n_tok * 4 AS r_alpha,
+                      n_stop >= 2 AS r_stopwords
+                    FROM (SELECT doc_id,
+                        CAST(len(toks) AS BIGINT) AS n_tok,
+                        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+                        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                        CAST(len(list_intersect(list_distinct(toks),
+                          [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
+                        CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS n_sym
+                      FROM (SELECT doc_id, text, ${T.tokensSql("text")} AS toks
+                            FROM documents)))"""))),
+
+    // DSIR-SHAPE IMPORTANCE WEIGHTS (Xie et al. 2023 — public): score
+    // every document by how target-like its hashed-unigram distribution
+    // is. Features are 256 hash buckets; the per-bucket weight is the
+    // integer-log2 likelihood ratio bits(b) = ⌊log2(c_tgt+1)⌋ −
+    // ⌊log2(c_raw+1)⌋ (the bin()-length trick from text_lm_perplexity —
+    // exact in both engines, add-one smoothed so empty target buckets
+    // are defined). A document's weight is the sum of its tokens'
+    // bucket bits — high = target-like, the resampling key DSIR ranks
+    // by. Target domain here: sources src0-src2.
+    Q("pipe_dsir_weights",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(T.tokens(col("text"))).as("tok"))
+          .withColumn("b", pmod(Portable.stableHash64(col("tok")), lit(256L)))
+        val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+        val tgt = toks.filter(col("source").isin("src0", "src1", "src2"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+        val model = raw.join(tgt, Seq("b"), "left")
+          .select(col("b"),
+            (length(bin(coalesce(col("c_tgt"), lit(0L)) + 1)) -
+              length(bin(col("c_raw") + 1))).cast("long").as("bits_b"))
+        toks.join(broadcast(model), "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("bits_b")).as("w_bits"),
+            round(sum(col("bits_b")).cast("double") / count(lit(1)), 6)
+              .as("bits_per_tok"))
+      },
+      Some(sql(s"""WITH toks AS (SELECT doc_id, source,
+                      ${Portable.stableHash64Sql("tok")} % 256 AS b
+                    FROM (SELECT doc_id, source,
+                            unnest(${T.tokensSql("text")}) AS tok
+                          FROM documents)),
+                  raw AS (SELECT b, count(*) AS c_raw FROM toks GROUP BY b),
+                  tgt AS (SELECT b, count(*) AS c_tgt FROM toks
+                          WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+                  model AS (SELECT b,
+                      CAST(length(printf('%b', coalesce(c_tgt, 0) + 1)) -
+                           length(printf('%b', c_raw + 1)) AS BIGINT) AS bits_b
+                    FROM raw LEFT JOIN tgt USING (b))
+                  SELECT doc_id, count(*) AS n_tok,
+                    CAST(sum(bits_b) AS BIGINT) AS w_bits,
+                    round(CAST(sum(bits_b) AS DOUBLE) / count(*), 6) AS bits_per_tok
+                  FROM toks JOIN model USING (b) GROUP BY doc_id"""))),
+
+    // IVF + PQ COMBINED SEARCH — the production ANN layout (an IVF
+    // index whose cells store PQ codes, searched with ADC): the coarse
+    // cell (label, nprobe=1 — the sim_topk_ivf shape) prunes candidates
+    // FIRST, then each survivor is scored by 8 integer lookups in the
+    // query's broadcast distance table (the sim_topk_pq shape). Top-k
+    // via the graft_topk bounded heap. Neither full vectors nor the
+    // distance table ever shuffle; the candidate set is |cell|, not N.
+    Q("sim_topk_ivfpq",
+      (s, d) => {
+        val cells = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val qsubs = Pipeline3Queries.pqSubs(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sub").as("qsub"))
+        val distTable = Pipeline3Queries.pqCodebook(s, d)
+          .join(broadcast(qsubs), col("cj") === col("qj"))
+          .select(col("q_id"), col("cj"), col("code").as("dcode"),
+            expr("graft_intl2(qsub, csub)").as("dj"))
+          .join(broadcast(cells.select(col("vec_id").as("q_id"), col("label").as("q_cell"))), "q_id")
+        val cand = Pipeline3Queries.pqChosen(s, d).join(cells, "vec_id")
+        val scored = cand
+          .join(broadcast(distTable),
+            col("j") === col("cj") && col("code") === col("dcode")
+              && col("label") === col("q_cell") && col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("dj")).as("dist"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            (-col("dist")).cast("double").as("score"))
+        scored.groupBy(col("q_id"))
+          .agg(expr("graft_topk(score, c_id, 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("c_id"),
+            (-col("col.score")).cast("long").as("dist"),
+            (col("pos") + 1).cast("long").as("rk"))
+      },
+      Some(sql(s"""WITH ${Pipeline3Queries.pqCtesSql},
+                  cells AS (SELECT vec_id, label FROM embeddings),
+                  qsubs AS (SELECT vec_id AS q_id, j AS qj, sub AS qsub
+                            FROM subs WHERE vec_id < 10),
+                  dt AS (SELECT q.q_id, cb.cj, cb.code,
+                      list_sum(list_transform(range(1, 9),
+                        i -> (q.qsub[i] - cb.csub[i]) * (q.qsub[i] - cb.csub[i]))) AS dj
+                    FROM cb JOIN qsubs q ON cb.cj = q.qj),
+                  tot AS (SELECT dt.q_id, ch.vec_id AS c_id,
+                      CAST(sum(dt.dj) AS BIGINT) AS dist
+                    FROM chosen ch JOIN dt ON ch.j = dt.cj AND ch.code = dt.code
+                      AND ch.vec_id <> dt.q_id
+                    JOIN cells cc ON cc.vec_id = ch.vec_id
+                    JOIN cells qc ON qc.vec_id = dt.q_id AND cc.label = qc.label
+                    GROUP BY 1, 2)
+                  SELECT q_id, c_id, dist, rk FROM (
+                    SELECT q_id, c_id, dist,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY dist, c_id) AS BIGINT) AS rk
+                    FROM tot)
+                  WHERE rk <= 5""")))
+  )
+}

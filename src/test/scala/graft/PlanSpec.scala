@@ -378,6 +378,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("gopher rule census is a pure in-scan expression chain (zero exchanges)") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange"), "per-row rule census must not shuffle:\n" + p)
+  }
+
+  test("DSIR bucket model broadcasts onto the token pass") {
+    val p = plan("pipe_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("IVF+PQ search broadcasts the distance table and never cross-joins") {
+    val p = plan("sim_topk_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "ADC scoring must stay an equi-join:\n" + p)
+    assert(p.contains("graft_topk"), "top-k must use the bounded-heap aggregate:\n" + p)
+  }
+
   test("time-range window is partitioned by user, never single-partition") {
     val p = plan("win_time_range")
     assert(!p.contains("SinglePartition"), p)

@@ -43,7 +43,8 @@ class SkewGuardSpec extends AnyFunSuite {
       "sample_seeded", "random_split", "stat_sample_by",
       "text_line_dedup", "text_bigram_lm", "pipeline_curate",
       "dedup_exact_substr", "mm_crossmodal_topk", "text_bpe_encode",
-      "pipe_mixture_weights")
+      "pipe_mixture_weights", "text_gopher_rules", "pipe_dsir_weights",
+      "sim_topk_ivfpq")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
