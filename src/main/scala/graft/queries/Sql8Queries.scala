@@ -32,6 +32,16 @@ import Registry.sql
   *   join half): a digit-string column compared against an integer
   *   literal coerces numerically ('000000100' > 75 is true), not
   *   lexicographically ('000000100' < '75' as strings).
+  *
+  * - correlated scalar subquery in the SELECT list (subq* goldens):
+  *   must de-correlate to a left outer aggregate join, NULL for
+  *   unmatched outer rows.
+  *
+  * - INTERSECT/EXCEPT null equality (set-op semantics): NULL keys
+  *   compare EQUAL inside set operations.
+  *
+  * - LIKE … ESCAPE (like* goldens): the escaped '_' is a literal, the
+  *   bare '_' a wildcard.
   */
 object Sql8Queries {
 
@@ -133,6 +143,80 @@ object Sql8Queries {
                     CAST(sum(c_custkey) AS BIGINT) AS key_sum
                   FROM customer
                   WHERE CAST(substr(c_name, 10) AS INT) > 75
-                  GROUP BY c_mktsegment""")))
+                  GROUP BY c_mktsegment"""))),
+
+    // CORRELATED SCALAR SUBQUERY in the SELECT list (subquery_in/
+    // subq* goldens — sql_subqueries covers the WHERE-clause forms):
+    // per-customer max order value, NULL-defaulted via coalesce for
+    // customers with no orders. Spark must de-correlate this into a
+    // left outer aggregate join; max() of doubles is exact (single
+    // surviving value), so no rounding is needed.
+    Q("sql_scalar_subquery_select",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust8s")
+        table(s, d, "orders").createOrReplaceTempView("graft_ord8s")
+        s.sql("""SELECT c_custkey,
+                   coalesce((SELECT max(o_totalprice) FROM graft_ord8s
+                             WHERE o_custkey = c_custkey), 0.0) AS max_spend
+                 FROM graft_cust8s""")
+      },
+      Some(sql("""SELECT c_custkey,
+                    coalesce((SELECT max(o_totalprice) FROM orders
+                              WHERE o_custkey = c_custkey), 0.0) AS max_spend
+                  FROM customer"""))),
+
+    // INTERSECT / EXCEPT treat NULL keys as EQUAL (set-op semantics,
+    // the companion of sql_union_null_dedup): a-set {NULL,'O','F'} vs
+    // b-set {NULL,'P','F'} must intersect to {NULL,'F'} and subtract
+    // to {'O'} — NULL survives INTERSECT and is removed by EXCEPT,
+    // the opposite of its WHERE/join behavior.
+    Q("sql_setop_nulls",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord8n")
+        s.sql("""WITH a AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                              ELSE o_orderstatus END AS st FROM graft_ord8n),
+                      b AS (SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                              ELSE o_orderstatus END AS st FROM graft_ord8n)
+                 SELECT 'intersect' AS op, st FROM
+                   (SELECT st FROM a INTERSECT SELECT st FROM b)
+                 UNION ALL
+                 SELECT 'except' AS op, st FROM
+                   (SELECT st FROM a EXCEPT SELECT st FROM b)""")
+      },
+      // MATERIALIZED per the repo's multi-referenced-CTE oracle rule
+      Some(sql("""WITH a AS MATERIALIZED (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                              ELSE o_orderstatus END AS st FROM orders),
+                       b AS MATERIALIZED (SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                              ELSE o_orderstatus END AS st FROM orders)
+                  SELECT 'intersect' AS op, st FROM
+                    (SELECT st FROM a INTERSECT SELECT st FROM b)
+                  UNION ALL
+                  SELECT 'except' AS op, st FROM
+                    (SELECT st FROM a EXCEPT SELECT st FROM b)"""))),
+
+    // LIKE with an ESCAPE clause (like* / udf_like goldens): '#_'
+    // matches a LITERAL underscore while bare '_' stays the any-char
+    // wildcard — the two counts differ exactly where the wildcard
+    // crosses a word boundary it shouldn't.
+    Q("sql_like_escape",
+      (s, d) => {
+        table(s, d, "part").createOrReplaceTempView("graft_part8")
+        s.sql("""SELECT
+                   CAST(sum(CASE WHEN nm LIKE '%#_r%' ESCAPE '#'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_underscore_r,
+                   CAST(sum(CASE WHEN nm LIKE '%_r%'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_wildcard_r,
+                   CAST(sum(CASE WHEN nm LIKE 's%#_g%' ESCAPE '#'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_s_then_g
+                 FROM (SELECT replace(p_name, ' ', '_') AS nm FROM graft_part8)""")
+      },
+      Some(sql("""SELECT
+                    CAST(sum(CASE WHEN nm LIKE '%#_r%' ESCAPE '#'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_underscore_r,
+                    CAST(sum(CASE WHEN nm LIKE '%_r%'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_wildcard_r,
+                    CAST(sum(CASE WHEN nm LIKE 's%#_g%' ESCAPE '#'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_s_then_g
+                  FROM (SELECT replace(p_name, ' ', '_') AS nm FROM part)""")))
   )
 }
