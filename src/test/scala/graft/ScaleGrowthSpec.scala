@@ -70,6 +70,26 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"LSH candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
   }
 
+  test("exact-substring duplicated-window volume grows ~linearly over a 10× corpus") {
+    // No candidate join here — the keep decision is one window over the
+    // corpus-growing 64-bit window hash. The quadratic bug class is a
+    // boilerplate hash collapsing the key space (every occurrence past
+    // the first counts as duplicated), so the fence metric is the total
+    // duplicated-window volume Σ n_windows from the query's own output:
+    // linear corpus growth must give ~linear duplicated-window growth.
+    def dupWindows(sf: String): Long =
+      SparkEntry.queries("dedup_exact_substr")(spark, sf)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_windows"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0)
+    val small = dupWindows("/root/testdata/sf0.001")
+    val big = dupWindows("/root/testdata/sf0.01")
+    info(s"dedup_exact_substr duplicated windows: sf0.001=$small sf0.01=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"duplicated-window volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+  }
+
   test("semantic-dedup pair volume tracks the corpus once K leaves the floor") {
     // The cosine threshold is FUSED into the pair join's condition, so
     // numOutputRows reports survivors (≈0), not candidates — measure the
