@@ -184,6 +184,61 @@ object DedupQueries {
                              JOIN shset sb ON sb.doc_id = doc_b
                    WHERE ${T.jaccardSql("sa.shs", "sb.shs")} >= 0.5"""))),
 
+    // MINHASH ESTIMATOR CALIBRATION — the report that justifies the
+    // sketch: for every LSH candidate pair, the signature-agreement
+    // estimate ĵ = matches/16 next to the EXACT shingle Jaccard and the
+    // absolute error. matches/16 has a power-of-two denominator, so
+    // every estimate is a bit-exact double in both engines; the exact
+    // Jaccard joins text-derived shingle sets only for candidates (the
+    // two-stage shape of dedup_minhash_verified, unthresholded).
+    Q("dedup_minhash_estimate",
+      (s, d) => {
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), Portable.shingles3FromTokens(col("toks")).as("sh"))
+          .select(col("doc_id"), array_distinct(col("sh")).as("shs"),
+            Portable.shingleHashes(col("sh")).as("hs"))
+          .select(col("doc_id"), col("shs"), expr("graft_minhash16(hs)").as("mh"))
+        val cand = {
+          val bands = bandTable(s, d)
+          bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        }
+        cand
+          .join(base.select(col("doc_id").as("doc_a"),
+            col("shs").as("sh_a"), col("mh").as("mh_a")), Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"),
+            col("shs").as("sh_b"), col("mh").as("mh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            aggregate(zip_with(col("mh_a"), col("mh_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+              .as("n_match"),
+            T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+          .select(col("doc_a"), col("doc_b"), col("n_match"),
+            round(col("n_match").cast("double") / 16.0, 6).as("est_j"),
+            round(col("j_raw"), 6).as("jaccard"),
+            round(abs(col("n_match").cast("double") / 16.0 - col("j_raw")), 6).as("err"))
+      },
+      Some(sql(s"""WITH $bandTableSql,
+                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                            FROM bands a JOIN bands b
+                              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   shset AS (SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
+                             FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
+                   m AS (SELECT doc_a, doc_b,
+                       CAST(${(0 until Hashes).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match
+                     FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+                               JOIN sigs sb ON sb.doc_id = doc_b)
+                   SELECT m.doc_a, m.doc_b, n_match,
+                     round(CAST(n_match AS DOUBLE) / 16, 6) AS est_j,
+                     round(${T.jaccardSql("ga.shs", "gb.shs")}, 6) AS jaccard,
+                     round(abs(CAST(n_match AS DOUBLE) / 16 - ${T.jaccardSql("ga.shs", "gb.shs")}), 6) AS err
+                   FROM m JOIN shset ga ON ga.doc_id = m.doc_a
+                          JOIN shset gb ON gb.doc_id = m.doc_b"""))),
+
     // SimHash: 16-bit signature; equal signatures = near-dup cluster.
     // cluster_size via partial-aggregated groupBy + broadcast join back
     // (≤ 2^16 distinct signatures ⇒ the count table is broadcastable at

@@ -29,6 +29,11 @@ object Pipeline4Queries {
     * contain (rule semantics are unchanged; the list is a parameter). */
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Training-token budget for pipe_token_budget — one constant
+    * interpolated into BOTH the plan and the oracle SQL (the
+    * conf-desync rule: a spark.graft.* conf would silently diverge). */
+  private val TrainBudget = 1000000L
+
   val all: Seq[Q] = Seq(
 
     // GOPHER RULE CENSUS (Rae et al. 2021, Table A1 — public): the five
@@ -136,6 +141,68 @@ object Pipeline4Queries {
                     CAST(sum(bits_b) AS BIGINT) AS w_bits,
                     round(CAST(sum(bits_b) AS DOUBLE) / count(*), 6) AS bits_per_tok
                   FROM toks JOIN model USING (b) GROUP BY doc_id"""))),
+
+    // TOKEN-BUDGET EPOCH PLAN — the step after mixture weighting: given
+    // a total training budget, allocate tokens per source by the
+    // temperature weights (the same milli-sqrt integer grid as
+    // pipe_mixture_weights) and report the implied epochs over each
+    // source's available tokens, in milli-epochs. EVERY value is BIGINT
+    // integer arithmetic (div truncation identical in both engines) —
+    // the "3 epochs of Wikipedia, 0.4 of web" table a training run is
+    // configured from.
+    Q("pipe_token_budget",
+      (s, d) => {
+        val bySrc = table(s, d, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+          .withColumn("w_raw",
+            floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+        val total = bySrc.agg(sum(col("w_raw")).as("w_sum"))
+        bySrc.crossJoin(broadcast(total))
+          .select(col("source"), col("n_tokens"),
+            expr(s"($TrainBudget * w_raw) div w_sum").as("alloc_tokens"),
+            expr(s"(($TrainBudget * w_raw) div w_sum) * 1000 div n_tokens")
+              .as("epochs_milli"))
+      },
+      Some(sql(s"""WITH t AS (SELECT source,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY source),
+                   w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_raw FROM t),
+                   tot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_sum FROM w)
+                   SELECT source, n_tokens,
+                     ($TrainBudget * w_raw) // w_sum AS alloc_tokens,
+                     (($TrainBudget * w_raw) // w_sum) * 1000 // n_tokens AS epochs_milli
+                   FROM w, tot"""))),
+
+    // CURRICULUM PHASES by LM difficulty — bucket documents into
+    // easy/medium/hard training phases by their corpus-LM bits-per-pair
+    // score (the text_lm_perplexity model, shared via one CTE chain so
+    // filter and curriculum can never disagree). Thresholds 4.5/4.7
+    // bits are applied as EXACT cross-multiplied integer comparisons
+    // (total_bits·10 vs n_pairs·45/47) — no float boundary. Output is
+    // the per-phase census a curriculum schedule is built from.
+    Q("pipe_curriculum",
+      (s, d) => {
+        val perdoc = TextQueries.all.find(_.name == "text_lm_perplexity").get.fn(s, d)
+        perdoc
+          .withColumn("phase",
+            when(col("total_bits") * 10 <= col("n_pairs") * 45, "easy")
+              .when(col("total_bits") * 10 > col("n_pairs") * 47, "hard")
+              .otherwise("medium"))
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_pairs")).as("sum_pairs"),
+            sum(col("total_bits")).as("sum_bits"))
+      },
+      Some(sql(s"""WITH ${TextQueries.lmDocBitsSql}
+                   SELECT phase, count(*) AS n_docs,
+                     CAST(sum(n_pairs) AS BIGINT) AS sum_pairs,
+                     CAST(sum(total_bits) AS BIGINT) AS sum_bits
+                   FROM (SELECT n_pairs, total_bits,
+                       CASE WHEN total_bits * 10 <= n_pairs * 45 THEN 'easy'
+                            WHEN total_bits * 10 > n_pairs * 47 THEN 'hard'
+                            ELSE 'medium' END AS phase FROM perdoc)
+                   GROUP BY phase"""))),
 
     // IVF + PQ COMBINED SEARCH — the production ANN layout (an IVF
     // index whose cells store PQ codes, searched with ADC): the coarse

@@ -33,6 +33,24 @@ object TextQueries {
     * unrolled oracle. */
   val BpeTrainSteps = 4
 
+  /** The corpus-bigram-LM per-document bits CTE chain (w → pairs → c12
+    * → c1 → lm → perdoc), shared by the `text_lm_perplexity` oracle and
+    * the `pipe_curriculum` oracle so the scoring model can never drift
+    * between the filter and the phases built on it. Declared before
+    * `all`: the oracle SQL strings interpolate it at construction time. */
+  private[queries] val lmDocBitsSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       pairs AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+         FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
+       c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       lm AS (SELECT w1, w2,
+           CAST(length(printf('%b', c1)) - length(printf('%b', c12)) AS BIGINT) AS bits
+         FROM c12 JOIN c1 USING (w1)),
+       perdoc AS (SELECT doc_id, count(*) AS n_pairs,
+           CAST(sum(bits) AS BIGINT) AS total_bits
+         FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id)"""
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, BPE-ish tokens,
@@ -268,18 +286,10 @@ object TextQueries {
           .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("total_bits"),
             round(sum(col("bits")) / count(lit(1)), 6).as("bits_per_pair"))
       },
-      Some(sql("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-                  pairs AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
-                    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
-                  c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
-                  c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-                  lm AS (SELECT w1, w2,
-                      CAST(length(printf('%b', c1)) - length(printf('%b', c12)) AS BIGINT) AS bits
-                    FROM c12 JOIN c1 USING (w1))
-                  SELECT doc_id, count(*) AS n_pairs,
-                    CAST(sum(bits) AS BIGINT) AS total_bits,
-                    round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS bits_per_pair
-                  FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id"""))),
+      Some(sql(s"""WITH $lmDocBitsSql
+                  SELECT doc_id, n_pairs, total_bits,
+                    round(CAST(total_bits AS DOUBLE) / n_pairs, 6) AS bits_per_pair
+                  FROM perdoc"""))),
 
     // TRUE BPE encoding (Sennrich et al. 2016 — public): apply an
     // ORDERED merge table to each token's character sequence, exactly

@@ -44,7 +44,8 @@ class SkewGuardSpec extends AnyFunSuite {
       "text_line_dedup", "text_bigram_lm", "pipeline_curate",
       "dedup_exact_substr", "mm_crossmodal_topk", "text_bpe_encode",
       "pipe_mixture_weights", "text_gopher_rules", "pipe_dsir_weights",
-      "sim_topk_ivfpq")
+      "sim_topk_ivfpq", "dedup_minhash_estimate", "pipe_token_budget",
+      "pipe_curriculum")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
