@@ -181,6 +181,35 @@ object SourceQueries {
                    CAST(sum(s_suppkey) AS BIGINT) AS key_sum
                   FROM supplier GROUP BY s_nationkey"""))),
 
+    // binaryFile source (the built-in whole-file binary reader — the
+    // ingest format for the multimodal pipelines, which otherwise read
+    // pre-packed parquet binary columns): stage one file per nation
+    // (content = the name bytes; 25 fixed rows, the bounded staging
+    // class of the stat rows), read the directory back as
+    // (path, length, content), and fingerprint each file. The oracle
+    // recomputes name lengths + md5 from the nation table itself.
+    Q("src_binary_files",
+      (s, d) => {
+        val path = tmp(d, "bin_files")
+        val dir = new java.io.File(path)
+        if (dir.exists()) Registry.rmTree(dir)
+        dir.mkdirs()
+        table(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+          .collect().foreach { r =>
+            val key = r.get(0).asInstanceOf[Number].longValue
+            java.nio.file.Files.write(
+              new java.io.File(dir, f"n_$key%03d.bin").toPath,
+              r.getString(1).getBytes("UTF-8")): Unit
+          }
+        s.read.format("binaryFile").load(path)
+          .select(element_at(split(col("path"), "/"), -1).as("fname"),
+            col("length"), md5(col("content")).as("content_md5"))
+      },
+      Some(sql("""SELECT concat('n_', lpad(CAST(n_nationkey AS VARCHAR), 3, '0'), '.bin') AS fname,
+                    CAST(length(n_name) AS BIGINT) AS length,
+                    md5(n_name) AS content_md5
+                  FROM nation"""))),
+
     // Sequence-file round-trip (SequenceFileRDDFunctions — the Hadoop
     // Writable sink of §2.1).
     Q("src_sequence_file",

@@ -217,6 +217,37 @@ object Sql8Queries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_wildcard_r,
                     CAST(sum(CASE WHEN nm LIKE 's%#_g%' ESCAPE '#'
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_s_then_g
-                  FROM (SELECT replace(p_name, ' ', '_') AS nm FROM part)""")))
+                  FROM (SELECT replace(p_name, ' ', '_') AS nm FROM part)"""))),
+
+    // GROUP BY / HAVING referencing a SELECT-list ALIAS (groupby_alias
+    // goldens; spark.sql.groupByAliases): the grouping key is the
+    // computed alias k, and HAVING filters on the aliased aggregate.
+    Q("sql_groupby_alias",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li8a")
+        s.sql("""SELECT concat(l_returnflag, l_linestatus) AS k,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                 FROM graft_li8a GROUP BY k HAVING n > 100""")
+      },
+      Some(sql("""SELECT concat(l_returnflag, l_linestatus) AS k,
+                    count(*) AS n,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY k HAVING n > 100"""))),
+
+    // ORDER BY an expression ABSENT from the SELECT list, under LIMIT
+    // (order* goldens): the sort key is derived, the projection drops
+    // it, and the plan must still be a top-k (TakeOrderedAndProject),
+    // not a global sort. Unique-key tiebreak keeps the cut exact.
+    Q("sql_orderby_expr",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust8o")
+        s.sql("""SELECT c_custkey, c_acctbal FROM graft_cust8o
+                 ORDER BY c_acctbal - CAST(c_custkey AS DOUBLE) DESC, c_custkey
+                 LIMIT 20""")
+      },
+      Some(sql("""SELECT c_custkey, c_acctbal FROM customer
+                  ORDER BY c_acctbal - CAST(c_custkey AS DOUBLE) DESC, c_custkey
+                  LIMIT 20""")))
   )
 }

@@ -378,6 +378,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ORDER BY a derived non-projected expression under LIMIT is still top-k") {
+    val p = plan("sql_orderby_expr")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("gopher rule census is a pure in-scan expression chain (zero exchanges)") {
     val p = plan("text_gopher_rules")
     assert(!p.contains("Exchange"), "per-row rule census must not shuffle:\n" + p)
