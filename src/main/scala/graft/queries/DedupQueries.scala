@@ -70,11 +70,34 @@ object DedupQueries {
     val bandSigs = (0 until Bands).map { b =>
       (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)").mkString(" || '_' || ")
     }.mkString("[", ", ", "]")
-    s"""docs AS (SELECT doc_id, ${Portable.shingleHashesSql(Portable.shingles3Sql("text"))} AS hs
+    // MATERIALIZED per the repo's multi-referenced-CTE oracle rule:
+    // bands feeds both sides of every candidate self-join and sigs both
+    // sides of the estimator's signature compare — plain CTEs would
+    // re-execute the md5+minhash chain once per reference.
+    s"""docs AS MATERIALIZED (SELECT doc_id, ${Portable.shingleHashesSql(Portable.shingles3Sql("text"))} AS hs
                  FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
-        sigs AS (SELECT doc_id, $mhs FROM docs),
-        bands AS (SELECT doc_id, unnest($bandIdx) AS band, unnest($bandSigs) AS sig FROM sigs)"""
+        sigs AS MATERIALIZED (SELECT doc_id, $mhs FROM docs),
+        bands AS MATERIALIZED (SELECT doc_id, unnest($bandIdx) AS band, unnest($bandSigs) AS sig FROM sigs)"""
   }
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct) — the Spark block
+    * shared by dedup_minhash_verified and dedup_minhash_estimate so the
+    * candidate definition cannot drift between the verifier and the
+    * calibration report (dedup_minhash_lsh keeps its own join: it
+    * exposes the per-pair band count the others discard). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = bandTable(s, d)
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** DuckDB twin of lshCandidates (appends to bandTableSql's chain). */
+  private val lshCandSql: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
 
   /** Exploded gram hashes ranked per document by GLOBAL RARITY: document
     * frequency ascending, hash ascending. Prefix filtering is exact under
@@ -152,13 +175,7 @@ object DedupQueries {
     // joins text back ONLY for candidate pairs).
     Q("dedup_minhash_verified",
       (s, d) => {
-        val cand = {
-          val bands = bandTable(s, d)
-          bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-              && col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-        }
+        val cand = lshCandidates(s, d)
         val sh = table(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), array_distinct(Portable.shingles3FromTokens(col("toks"))).as("shs"))
@@ -173,9 +190,7 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
       Some(sql(s"""WITH $bandTableSql,
-                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                            FROM bands a JOIN bands b
-                              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   $lshCandSql,
                    shset AS (SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
                              FROM documents)
                    SELECT doc_a, doc_b,
@@ -200,13 +215,7 @@ object DedupQueries {
           .select(col("doc_id"), array_distinct(col("sh")).as("shs"),
             Portable.shingleHashes(col("sh")).as("hs"))
           .select(col("doc_id"), col("shs"), expr("graft_minhash16(hs)").as("mh"))
-        val cand = {
-          val bands = bandTable(s, d)
-          bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-              && col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-        }
+        val cand = lshCandidates(s, d)
         cand
           .join(base.select(col("doc_id").as("doc_a"),
             col("shs").as("sh_a"), col("mh").as("mh_a")), Seq("doc_a"))
@@ -223,9 +232,7 @@ object DedupQueries {
             round(abs(col("n_match").cast("double") / 16.0 - col("j_raw")), 6).as("err"))
       },
       Some(sql(s"""WITH $bandTableSql,
-                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                            FROM bands a JOIN bands b
-                              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   $lshCandSql,
                    shset AS (SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
                              FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
                    m AS (SELECT doc_a, doc_b,
