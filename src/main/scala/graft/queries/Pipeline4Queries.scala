@@ -142,6 +142,63 @@ object Pipeline4Queries {
                     round(CAST(sum(bits_b) AS DOUBLE) / count(*), 6) AS bits_per_tok
                   FROM toks JOIN model USING (b) GROUP BY doc_id"""))),
 
+    // DATASET CARD — the per-source census a corpus release ships with,
+    // computed in ONE scan + one small per-source aggregation: volume
+    // (docs, tokens, chars), language mix, exact-duplicate mass inside
+    // the source (docs minus distinct content hashes), and the Gopher
+    // gate pass count (the same integer rules as text_gopher_rules,
+    // inlined per-row). Every output is exact integer arithmetic or an
+    // exact-ratio round.
+    Q("pipe_dataset_card",
+      (s, d) => {
+        val toks = T.tokens(col("text"))
+        val staged = table(s, d, "documents")
+          .select(col("source"), col("lang"),
+            size(toks).cast("long").as("n_tok"),
+            length(col("text")).cast("long").as("n_chars"),
+            aggregate(transform(toks, t => length(t).cast("long")),
+              lit(0L), (a, x) => a + x).as("sum_len"),
+            size(array_intersect(array_distinct(toks),
+              array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
+            Portable.stableHash64(lower(trim(col("text")))).as("ch"))
+          .withColumn("gpass",
+            (col("n_tok") >= 50 && col("n_tok") <= 100000 &&
+              col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10 &&
+              col("n_stop") >= 2).cast("long"))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            countDistinct(col("lang")).as("n_langs"),
+            (count(lit(1)) - countDistinct(col("ch"))).as("n_exact_dups"),
+            sum(col("gpass")).as("n_gopher_pass"),
+            round(sum(col("n_chars")).cast("double") / sum(col("n_tok")), 6)
+              .as("chars_per_tok"))
+      },
+      Some(sql(s"""SELECT source, count(*) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                    CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_exact_dups,
+                    CAST(sum(gpass) AS BIGINT) AS n_gopher_pass,
+                    round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_tok
+                  FROM (SELECT source, lang, n_tok, n_chars, ch,
+                      CASE WHEN n_tok >= 50 AND n_tok <= 100000
+                            AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10
+                            AND n_stop >= 2 THEN 1 ELSE 0 END AS gpass
+                    FROM (SELECT source, lang,
+                        CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_tok,
+                        CAST(length(text) AS BIGINT) AS n_chars,
+                        CAST(list_sum(list_transform(${T.tokensSql("text")},
+                          t -> length(t))) AS BIGINT) AS sum_len,
+                        CAST(len(list_intersect(list_distinct(${T.tokensSql("text")}),
+                          [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
+                        ${Portable.stableHash64Sql("lower(trim(text))")} AS ch
+                      FROM documents))
+                  GROUP BY source"""))),
+
     // TOKEN-BUDGET EPOCH PLAN — the step after mixture weighting: given
     // a total training budget, allocate tokens per source by the
     // temperature weights (the same milli-sqrt integer grid as
