@@ -34,6 +34,62 @@ object Pipeline4Queries {
     * conf-desync rule: a spark.graft.* conf would silently diverge). */
   private val TrainBudget = 1000000L
 
+  /** Stage the five Gopher rule signals in ONE tokenize pass, carrying
+    * `keep` columns (already projected on `df`, which must also carry
+    * `text`) through. Shared by text_gopher_rules and pipe_dataset_card
+    * so the signal definitions can never drift between the census and
+    * the card. */
+  private def gopherSignals(df: org.apache.spark.sql.DataFrame,
+                            keep: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(keep.map(col) :+ col("text") :+ T.tokens(col("text")).as("toks"): _*)
+      .select(keep.map(col) ++ Seq(
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+          .cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#…]", "")))
+          .cast("long").as("n_sym")): _*)
+
+  /** The five Gopher rules over the staged signals — ONE definition for
+    * both queries; thresholds live only here. */
+  private val gopherRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "r_wordcount" -> (col("n_tok") >= 50 && col("n_tok") <= 100000),
+    "r_meanlen" -> (col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10),
+    "r_symbol" -> (col("n_sym") * 10 <= col("n_tok")),
+    "r_alpha" -> (col("n_alpha") * 5 >= col("n_tok") * 4),
+    "r_stopwords" -> (col("n_stop") >= 2))
+
+  private def gopherPass: org.apache.spark.sql.Column =
+    gopherRules.map(_._2).reduce(_ && _)
+
+  /** DuckDB twin of gopherSignals: `inner` projects the carry-through
+    * expressions (text stays available), `outer` re-selects their
+    * aliases next to the five signals. */
+  private def gopherSignalsSql(inner: String, outer: String): String =
+    s"""SELECT $outer,
+        CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct(toks),
+          [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
+        CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS n_sym
+      FROM (SELECT $inner, text, ${T.tokensSql("text")} AS toks FROM documents)"""
+
+  /** DuckDB twins of gopherRules / gopherPass. */
+  private val gopherRulesSql: Seq[(String, String)] = Seq(
+    "r_wordcount" -> "n_tok >= 50 AND n_tok <= 100000",
+    "r_meanlen" -> "sum_len >= n_tok * 3 AND sum_len <= n_tok * 10",
+    "r_symbol" -> "n_sym * 10 <= n_tok",
+    "r_alpha" -> "n_alpha * 5 >= n_tok * 4",
+    "r_stopwords" -> "n_stop >= 2")
+
+  private val gopherPassSql: String =
+    gopherRulesSql.map { case (_, p) => s"($p)" }.mkString(" AND ")
+
   val all: Seq[Q] = Seq(
 
     // GOPHER RULE CENSUS (Rae et al. 2021, Table A1 — public): the five
@@ -51,51 +107,21 @@ object Pipeline4Queries {
     // team reads before picking thresholds.
     Q("text_gopher_rules",
       (s, d) => {
-        val staged = table(s, d, "documents")
-          .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tok"),
-            aggregate(transform(col("toks"), t => length(t).cast("long")),
-              lit(0L), (a, x) => a + x).as("sum_len"),
-            size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
-              .cast("long").as("n_alpha"),
-            size(array_intersect(array_distinct(col("toks")),
-              array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
-            (length(col("text")) -
-              length(regexp_replace(col("text"), "[#…]", "")))
-              .cast("long").as("n_sym"))
-        val rules = staged
-          .withColumn("r_wordcount", col("n_tok") >= 50 && col("n_tok") <= 100000)
-          .withColumn("r_meanlen",
-            col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10)
-          .withColumn("r_symbol", col("n_sym") * 10 <= col("n_tok"))
-          .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_tok") * 4)
-          .withColumn("r_stopwords", col("n_stop") >= 2)
-        rules.select(col("doc_id"), col("n_tok"),
-          col("r_wordcount"), col("r_meanlen"), col("r_symbol"),
-          col("r_alpha"), col("r_stopwords"),
-          (col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
-            col("r_alpha") && col("r_stopwords")).as("gopher_pass"))
+        val staged = gopherSignals(
+          table(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+        val rules = gopherRules.foldLeft(staged) {
+          case (df, (name, pred)) => df.withColumn(name, pred)
+        }
+        rules.select(col("doc_id") +: col("n_tok") +:
+          gopherRules.map { case (name, _) => col(name) } :+
+          gopherPass.as("gopher_pass"): _*)
       },
       Some(sql(s"""SELECT doc_id, n_tok,
-                    r_wordcount, r_meanlen, r_symbol, r_alpha, r_stopwords,
-                    r_wordcount AND r_meanlen AND r_symbol AND r_alpha
-                      AND r_stopwords AS gopher_pass
-                  FROM (SELECT doc_id, n_tok,
-                      n_tok >= 50 AND n_tok <= 100000 AS r_wordcount,
-                      sum_len >= n_tok * 3 AND sum_len <= n_tok * 10 AS r_meanlen,
-                      n_sym * 10 <= n_tok AS r_symbol,
-                      n_alpha * 5 >= n_tok * 4 AS r_alpha,
-                      n_stop >= 2 AS r_stopwords
-                    FROM (SELECT doc_id,
-                        CAST(len(toks) AS BIGINT) AS n_tok,
-                        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
-                        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-                        CAST(len(list_intersect(list_distinct(toks),
-                          [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
-                        CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS n_sym
-                      FROM (SELECT doc_id, text, ${T.tokensSql("text")} AS toks
-                            FROM documents)))"""))),
+                    ${gopherRulesSql.map(_._1).mkString(", ")},
+                    $gopherPassSql AS gopher_pass
+                  FROM (SELECT *,
+                      ${gopherRulesSql.map { case (n, p) => s"$p AS $n" }.mkString(",\n                      ")}
+                    FROM (${gopherSignalsSql("doc_id", "doc_id")}))"""))),
 
     // DSIR-SHAPE IMPORTANCE WEIGHTS (Xie et al. 2023 — public): score
     // every document by how target-like its hashed-unigram distribution
@@ -146,25 +172,20 @@ object Pipeline4Queries {
     // computed in ONE scan + one small per-source aggregation: volume
     // (docs, tokens, chars), language mix, exact-duplicate mass inside
     // the source (docs minus distinct content hashes), and the Gopher
-    // gate pass count (the same integer rules as text_gopher_rules,
-    // inlined per-row). Every output is exact integer arithmetic or an
-    // exact-ratio round.
+    // gate pass count — the FULL five-rule gate, shared with
+    // text_gopher_rules via gopherSignals/gopherPass so census and card
+    // can never disagree. Every output is exact integer arithmetic or
+    // an exact-ratio round.
     Q("pipe_dataset_card",
       (s, d) => {
-        val toks = T.tokens(col("text"))
-        val staged = table(s, d, "documents")
-          .select(col("source"), col("lang"),
-            size(toks).cast("long").as("n_tok"),
-            length(col("text")).cast("long").as("n_chars"),
-            aggregate(transform(toks, t => length(t).cast("long")),
-              lit(0L), (a, x) => a + x).as("sum_len"),
-            size(array_intersect(array_distinct(toks),
-              array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
-            Portable.stableHash64(lower(trim(col("text")))).as("ch"))
-          .withColumn("gpass",
-            (col("n_tok") >= 50 && col("n_tok") <= 100000 &&
-              col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10 &&
-              col("n_stop") >= 2).cast("long"))
+        val staged = gopherSignals(
+          table(s, d, "documents")
+            .select(col("source"), col("lang"),
+              length(col("text")).cast("long").as("n_chars"),
+              Portable.stableHash64(lower(trim(col("text")))).as("ch"),
+              col("text")),
+          Seq("source", "lang", "n_chars", "ch"))
+          .withColumn("gpass", gopherPass.cast("long"))
         staged.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("n_tokens"),
@@ -184,19 +205,12 @@ object Pipeline4Queries {
                     CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_exact_dups,
                     CAST(sum(gpass) AS BIGINT) AS n_gopher_pass,
                     round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_tok
-                  FROM (SELECT source, lang, n_tok, n_chars, ch,
-                      CASE WHEN n_tok >= 50 AND n_tok <= 100000
-                            AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10
-                            AND n_stop >= 2 THEN 1 ELSE 0 END AS gpass
-                    FROM (SELECT source, lang,
-                        CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_tok,
-                        CAST(length(text) AS BIGINT) AS n_chars,
-                        CAST(list_sum(list_transform(${T.tokensSql("text")},
-                          t -> length(t))) AS BIGINT) AS sum_len,
-                        CAST(len(list_intersect(list_distinct(${T.tokensSql("text")}),
-                          [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
-                        ${Portable.stableHash64Sql("lower(trim(text))")} AS ch
-                      FROM documents))
+                  FROM (SELECT *,
+                      CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS gpass
+                    FROM (${gopherSignalsSql(
+                      s"""source, lang, CAST(length(text) AS BIGINT) AS n_chars,
+                          ${Portable.stableHash64Sql("lower(trim(text))")} AS ch""",
+                      "source, lang, n_chars, ch")}))
                   GROUP BY source"""))),
 
     // TOKEN-BUDGET EPOCH PLAN — the step after mixture weighting: given
