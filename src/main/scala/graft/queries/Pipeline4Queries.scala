@@ -39,7 +39,7 @@ object Pipeline4Queries {
     * `text`) through. Shared by text_gopher_rules and pipe_dataset_card
     * so the signal definitions can never drift between the census and
     * the card. */
-  private def gopherSignals(df: org.apache.spark.sql.DataFrame,
+  private[queries] def gopherSignals(df: org.apache.spark.sql.DataFrame,
                             keep: Seq[String]): org.apache.spark.sql.DataFrame =
     df.select(keep.map(col) :+ col("text") :+ T.tokens(col("text")).as("toks"): _*)
       .select(keep.map(col) ++ Seq(
@@ -56,20 +56,20 @@ object Pipeline4Queries {
 
   /** The five Gopher rules over the staged signals — ONE definition for
     * both queries; thresholds live only here. */
-  private val gopherRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+  private[queries] val gopherRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "r_wordcount" -> (col("n_tok") >= 50 && col("n_tok") <= 100000),
     "r_meanlen" -> (col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10),
     "r_symbol" -> (col("n_sym") * 10 <= col("n_tok")),
     "r_alpha" -> (col("n_alpha") * 5 >= col("n_tok") * 4),
     "r_stopwords" -> (col("n_stop") >= 2))
 
-  private def gopherPass: org.apache.spark.sql.Column =
+  private[queries] def gopherPass: org.apache.spark.sql.Column =
     gopherRules.map(_._2).reduce(_ && _)
 
   /** DuckDB twin of gopherSignals: `inner` projects the carry-through
     * expressions (text stays available), `outer` re-selects their
     * aliases next to the five signals. */
-  private def gopherSignalsSql(inner: String, outer: String): String =
+  private[queries] def gopherSignalsSql(inner: String, outer: String): String =
     s"""SELECT $outer,
         CAST(len(toks) AS BIGINT) AS n_tok,
         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
@@ -80,14 +80,14 @@ object Pipeline4Queries {
       FROM (SELECT $inner, text, ${T.tokensSql("text")} AS toks FROM documents)"""
 
   /** DuckDB twins of gopherRules / gopherPass. */
-  private val gopherRulesSql: Seq[(String, String)] = Seq(
+  private[queries] val gopherRulesSql: Seq[(String, String)] = Seq(
     "r_wordcount" -> "n_tok >= 50 AND n_tok <= 100000",
     "r_meanlen" -> "sum_len >= n_tok * 3 AND sum_len <= n_tok * 10",
     "r_symbol" -> "n_sym * 10 <= n_tok",
     "r_alpha" -> "n_alpha * 5 >= n_tok * 4",
     "r_stopwords" -> "n_stop >= 2")
 
-  private val gopherPassSql: String =
+  private[queries] val gopherPassSql: String =
     gopherRulesSql.map { case (_, p) => s"($p)" }.mkString(" AND ")
 
   val all: Seq[Q] = Seq(

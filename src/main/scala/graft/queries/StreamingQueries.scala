@@ -541,6 +541,52 @@ object StreamingQueries {
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,
                     CAST(sum(event_id) AS BIGINT) AS sum_ids
-                  FROM events GROUP BY 1""")))
+                  FROM events GROUP BY 1"""))),
+
+    // STREAMING GOPHER GATE — the curation pipeline running
+    // INCREMENTALLY: the same five-rule quality gate as
+    // text_gopher_rules / pipe_dataset_card (one shared definition,
+    // Pipeline4Queries.gopherSignals/gopherPass — stream and batch
+    // cannot drift), applied to documents arriving as a file stream in
+    // four micro-batches (maxFilesPerTrigger=1), aggregated per source
+    // in complete mode. The streaming answer must equal the batch
+    // truth over the full corpus — the report a continuously-ingesting
+    // corpus build reads. Staging is per-invocation and cleaned up
+    // (the stream_ckpt_recovery convention).
+    Q("stream_gopher_gate",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.Engine.configure(s)
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/gopher_src_$stamp"
+        val ckpt = s"/tmp/graft_ckpt/gopher-$stamp"
+        graft.Engine.table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val agg = Pipeline4Queries.gopherSignals(
+          stream.select(col("source"), col("text")), Seq("source"))
+          .withColumn("gpass", Pipeline4Queries.gopherPass.cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("gpass")).as("n_pass"))
+        val q = agg.writeStream.format("memory").queryName(s"gopher_$stamp")
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("streaming gopher gate did not finish within 300s")
+        }
+        Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+        s.table(s"gopher_$stamp")
+      },
+      Some(sql(s"""SELECT source, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN ${Pipeline4Queries.gopherPassSql}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                  FROM (${Pipeline4Queries.gopherSignalsSql("source", "source")})
+                  GROUP BY source""")))
   )
 }
