@@ -248,6 +248,27 @@ object Sql8Queries {
       },
       Some(sql("""SELECT c_custkey, c_acctbal FROM customer
                   ORDER BY c_acctbal - CAST(c_custkey AS DOUBLE) DESC, c_custkey
-                  LIMIT 20""")))
+                  LIMIT 20"""))),
+
+    // stack() generator (the Hive-golden UDTF spelling of unpivot —
+    // sql_unpivot pins the ANSI UNPIVOT clause; this pins the
+    // generator form): each order emits two (metric, value) rows.
+    // DuckDB has no stack(), so the oracle states the same rows as a
+    // UNION ALL unpivot.
+    Q("sql_stack",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_stk")
+        s.sql("""SELECT o_orderkey, metric, round(v, 4) AS v
+                 FROM graft_ord_stk
+                 LATERAL VIEW stack(2,
+                   'price', o_totalprice,
+                   'key100', CAST(o_orderkey AS DOUBLE) / 100) t AS metric, v""")
+      },
+      Some(sql("""SELECT o_orderkey, 'price' AS metric, round(o_totalprice, 4) AS v
+                  FROM orders
+                  UNION ALL
+                  SELECT o_orderkey, 'key100' AS metric,
+                    round(CAST(o_orderkey AS DOUBLE) / 100, 4) AS v
+                  FROM orders""")))
   )
 }

@@ -183,6 +183,39 @@ object WindowQueries {
                     round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
                       PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS sum_1h
-                  FROM events""")))
+                  FROM events"""))),
+
+    // IGNORE NULLS value windows — LOCF gap-filling (carry the last
+    // non-null observation forward) and its forward-fill mirror, the
+    // standard time-series repair: deterministic nulls injected on a
+    // key pattern, last_value IGNORE NULLS over the running frame per
+    // customer. Spark spells it `last_value(x) IGNORE NULLS OVER`,
+    // DuckDB `last_value(x IGNORE NULLS) OVER` — same semantics.
+    Q("win_ignore_nulls",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_win_in")
+        s.sql("""SELECT o_custkey, o_orderkey, price,
+                   last_value(price) IGNORE NULLS OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+                   first_value(price) IGNORE NULLS OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen
+                 FROM (SELECT o_custkey, o_orderkey,
+                         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_totalprice END AS price
+                       FROM graft_ord_win_in)""")
+      },
+      Some(sql("""SELECT o_custkey, o_orderkey, price,
+                    last_value(price IGNORE NULLS) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+                    first_value(price IGNORE NULLS) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen
+                  FROM (SELECT o_custkey, o_orderkey,
+                          CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                               ELSE o_totalprice END AS price
+                        FROM orders)""")))
   )
 }
