@@ -269,6 +269,53 @@ object Sql8Queries {
                   UNION ALL
                   SELECT o_orderkey, 'key100' AS metric,
                     round(CAST(o_orderkey AS DOUBLE) / 100, 4) AS v
-                  FROM orders""")))
+                  FROM orders"""))),
+
+    // CACHE LAZY TABLE … AS SELECT (the CachedTableSuite surface —
+    // reference sql/.../CachedTableSuite.scala): the SQL spelling of
+    // dataset caching. LAZY keeps declaration job-free; the aggregate
+    // over the cached derivation must read the InMemoryRelation
+    // (PlanSpec pins InMemoryTableScan in this plan).
+    Q("sql_cache_table",
+      (s, d) => {
+        graft.Engine.configure(s)
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_cache")
+        s.sql("UNCACHE TABLE IF EXISTS graft_cached_li")
+        s.sql("DROP VIEW IF EXISTS graft_cached_li") // CACHE … AS SELECT creates a temp view
+        s.sql("""CACHE LAZY TABLE graft_cached_li AS
+                 SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS qty
+                 FROM graft_li_cache""")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty
+                 FROM graft_cached_li GROUP BY 1, 2""")
+      },
+      Some(sql("""SELECT l_returnflag, l_linestatus,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY 1, 2"""))),
+
+    // ANALYZE TABLE … COMPUTE STATISTICS (the StatisticsSuite surface):
+    // CTAS a managed copy, analyze it, and read the recorded catalog
+    // statistics back — rowCount must equal the table's true
+    // cardinality and a positive byte size must be recorded. Driver
+    // reads K=1 catalog rows (the documented stat-row exception
+    // class); the oracle restates the truth from the source table.
+    Q("sql_analyze_stats",
+      (s, d) => {
+        graft.Engine.configure(s)
+        Registry.dropManaged(s, "graft_stats_nation")
+        s.sql(sql(s"""CREATE TABLE graft_stats_nation AS
+                      SELECT * FROM parquet.`$d/nation.parquet`"""))
+        s.sql("ANALYZE TABLE graft_stats_nation COMPUTE STATISTICS")
+        val stats = s.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_stats_nation"))
+          .stats
+        import s.implicits._
+        Seq((stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L),
+          stats.exists(_.sizeInBytes > 0)))
+          .toDF("row_count", "has_size")
+      },
+      Some(sql("""SELECT CAST(count(*) AS BIGINT) AS row_count, true AS has_size
+                  FROM nation""")))
   )
 }

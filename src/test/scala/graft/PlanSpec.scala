@@ -378,6 +378,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("CACHE TABLE aggregate reads the in-memory relation") {
+    val p = plan("sql_cache_table")
+    assert(p.contains("InMemoryRelation") || p.contains("In-memory table")
+      || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("ORDER BY a derived non-projected expression under LIMIT is still top-k") {
     val p = plan("sql_orderby_expr")
     assert(p.contains("TakeOrderedAndProject"), p)
