@@ -316,6 +316,44 @@ object Sql8Queries {
           .toDF("row_count", "has_size")
       },
       Some(sql("""SELECT CAST(count(*) AS BIGINT) AS row_count, true AS has_size
-                  FROM nation""")))
+                  FROM nation"""))),
+
+    // JOIN STRATEGY HINTS beyond BROADCAST (Spark's join-hints golden
+    // family; join_broadcast pins the broadcast one): MERGE forces a
+    // sort-merge join, SHUFFLE_HASH a shuffled hash join,
+    // SHUFFLE_REPLICATE_NL a replicated nested-loop — all three on the
+    // same orders⋈customer equi-join, so the RESULTS are
+    // hint-invariant (the oracle states each count once) while the
+    // STRATEGIES differ (PlanSpec asserts all three operators appear).
+    Q("sql_join_hints",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_hint")
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_hint")
+        s.sql("""SELECT 'merge' AS hint, count(*) AS n FROM (
+                   SELECT /*+ MERGE(c) */ c.c_custkey
+                   FROM graft_ord_hint o JOIN graft_cust_hint c
+                     ON o.o_custkey = c.c_custkey WHERE c.c_acctbal > 0)
+                 UNION ALL
+                 SELECT 'shuffle_hash' AS hint, count(*) AS n FROM (
+                   SELECT /*+ SHUFFLE_HASH(c) */ c.c_custkey
+                   FROM graft_ord_hint o JOIN graft_cust_hint c
+                     ON o.o_custkey = c.c_custkey WHERE c.c_acctbal > 0)
+                 UNION ALL
+                 SELECT 'replicate_nl' AS hint, count(*) AS n FROM (
+                   SELECT /*+ SHUFFLE_REPLICATE_NL(c) */ c.c_custkey
+                   FROM graft_ord_hint o JOIN graft_cust_hint c
+                     ON o.o_custkey = c.c_custkey WHERE c.c_acctbal > 0)""")
+      },
+      Some(sql("""SELECT 'merge' AS hint, count(*) AS n
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  WHERE c.c_acctbal > 0
+                  UNION ALL
+                  SELECT 'shuffle_hash' AS hint, count(*) AS n
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  WHERE c.c_acctbal > 0
+                  UNION ALL
+                  SELECT 'replicate_nl' AS hint, count(*) AS n
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  WHERE c.c_acctbal > 0""")))
   )
 }

@@ -378,6 +378,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join strategy hints force merge, shuffled-hash, and replicated-NL operators") {
+    val p = plan("sql_join_hints")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("CACHE TABLE aggregate reads the in-memory relation") {
     val p = plan("sql_cache_table")
     assert(p.contains("InMemoryRelation") || p.contains("In-memory table")
