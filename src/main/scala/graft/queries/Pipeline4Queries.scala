@@ -68,8 +68,9 @@ object Pipeline4Queries {
 
   /** DuckDB twin of gopherSignals: `inner` projects the carry-through
     * expressions (text stays available), `outer` re-selects their
-    * aliases next to the five signals. */
-  private[queries] def gopherSignalsSql(inner: String, outer: String): String =
+    * aliases next to the five signals, `from` names the corpus table. */
+  private[queries] def gopherSignalsSql(inner: String, outer: String,
+                                        from: String = "documents"): String =
     s"""SELECT $outer,
         CAST(len(toks) AS BIGINT) AS n_tok,
         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
@@ -77,7 +78,7 @@ object Pipeline4Queries {
         CAST(len(list_intersect(list_distinct(toks),
           [${Stopwords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop,
         CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS n_sym
-      FROM (SELECT $inner, text, ${T.tokensSql("text")} AS toks FROM documents)"""
+      FROM (SELECT $inner, text, ${T.tokensSql("text")} AS toks FROM $from)"""
 
   /** DuckDB twins of gopherRules / gopherPass. */
   private[queries] val gopherRulesSql: Seq[(String, String)] = Seq(

@@ -280,14 +280,18 @@ object Sql8Queries {
       (s, d) => {
         graft.Engine.configure(s)
         table(s, d, "lineitem").createOrReplaceTempView("graft_li_cache")
+        // the cached projection stays resident for the session (dropped
+        // at the start of the NEXT invocation); the cached_qty alias
+        // keeps its subtree from sameResult-matching any other declared
+        // plan, so nothing else can silently read this cache
         s.sql("UNCACHE TABLE IF EXISTS graft_cached_li")
         s.sql("DROP VIEW IF EXISTS graft_cached_li") // CACHE … AS SELECT creates a temp view
         s.sql("""CACHE LAZY TABLE graft_cached_li AS
                  SELECT l_returnflag, l_linestatus,
-                   CAST(l_quantity AS BIGINT) AS qty
+                   CAST(l_quantity AS BIGINT) AS cached_qty
                  FROM graft_li_cache""")
         s.sql("""SELECT l_returnflag, l_linestatus,
-                   CAST(sum(qty) AS BIGINT) AS sum_qty
+                   CAST(sum(cached_qty) AS BIGINT) AS sum_qty
                  FROM graft_cached_li GROUP BY 1, 2""")
       },
       Some(sql("""SELECT l_returnflag, l_linestatus,

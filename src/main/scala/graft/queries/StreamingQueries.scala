@@ -560,9 +560,12 @@ object StreamingQueries {
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/gopher_src_$stamp"
         val ckpt = s"/tmp/graft_ckpt/gopher-$stamp"
+        // range partitioning guarantees four NON-EMPTY doc_id-contiguous
+        // files (hash of the residue classes collides two of them and
+        // leaves one partition empty — verified on this Spark build)
         graft.Engine.table(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"))
-          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .repartitionByRange(4, col("doc_id"))
           .write.mode("overwrite").parquet(srcDir)
         val schema = s.read.parquet(srcDir).schema
         val stream = s.readStream.schema(schema)
