@@ -246,6 +246,33 @@ object DedupQueries {
                    FROM m JOIN shset ga ON ga.doc_id = m.doc_a
                           JOIN shset gb ON gb.doc_id = m.doc_b"""))),
 
+    // EDIT-DISTANCE VERIFICATION of LSH candidates: levenshtein is the
+    // classic character-level near-dup measure, and both engines
+    // implement the same unit-cost definition, so the distance is an
+    // exact integer. Per candidate pair: the raw edit distance and the
+    // length-normalized similarity 1 − d/max(len). The two-stage shape
+    // keeps the O(len²) comparison confined to LSH candidates — never
+    // the corpus cross product.
+    Q("dedup_edit_distance",
+      (s, d) => {
+        val txt = table(s, d, "documents").select(col("doc_id"), col("text"))
+        lshCandidates(s, d)
+          .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")), Seq("doc_a"))
+          .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"),
+            round(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+              greatest(length(col("t_a")), length(col("t_b"))), 6).as("sim"))
+      },
+      Some(sql(s"""WITH $bandTableSql,
+                   $lshCandSql
+                   SELECT doc_a, doc_b,
+                     CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+                     round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+                       greatest(length(ta.text), length(tb.text)), 6) AS sim
+                   FROM cand JOIN documents ta ON ta.doc_id = doc_a
+                             JOIN documents tb ON tb.doc_id = doc_b"""))),
+
     // SimHash: 16-bit signature; equal signatures = near-dup cluster.
     // cluster_size via partial-aggregated groupBy + broadcast join back
     // (≤ 2^16 distinct signatures ⇒ the count table is broadcastable at
