@@ -378,6 +378,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("edit-distance verify joins only LSH candidates (no corpus cross product)") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("join strategy hints force merge, shuffled-hash, and replicated-NL operators") {
     val p = plan("sql_join_hints")
     assert(p.contains("SortMergeJoin"), p)

@@ -45,7 +45,8 @@ class SkewGuardSpec extends AnyFunSuite {
       "dedup_exact_substr", "mm_crossmodal_topk", "text_bpe_encode",
       "pipe_mixture_weights", "text_gopher_rules", "pipe_dsir_weights",
       "sim_topk_ivfpq", "dedup_minhash_estimate", "pipe_token_budget",
-      "pipe_curriculum", "pipe_dataset_card")
+      "pipe_curriculum", "pipe_dataset_card", "dedup_edit_distance",
+      "sql_cache_table")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
