@@ -358,6 +358,39 @@ object Sql8Queries {
                   UNION ALL
                   SELECT 'replicate_nl' AS hint, count(*) AS n
                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                  WHERE c.c_acctbal > 0""")))
+                  WHERE c.c_acctbal > 0"""))),
+
+    // STRUCT-STAR EXPANSION (nestedstar / semijoin goldens' projection
+    // half): st.* unpacks a nested struct's fields into top-level
+    // columns through a subquery boundary — resolution must expand the
+    // star against the struct schema, not the relation.
+    Q("sql_struct_star",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_ss")
+        s.sql("""SELECT st.*, extra FROM (
+                   SELECT named_struct('nk', n_nationkey, 'nm', n_name) AS st,
+                          n_regionkey AS extra
+                   FROM graft_nat_ss)""")
+      },
+      Some(sql("""SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS extra
+                  FROM nation"""))),
+
+    // ORDER BY + LIMIT inside a SUBQUERY feeding an outer aggregate
+    // (the subquery-limit goldens): the limit must apply to the SORTED
+    // inner result BEFORE the outer sum sees it — a dropped or
+    // reordered inner sort/limit changes the answer. Unique-key
+    // tiebreak keeps the cut exact.
+    Q("sql_subquery_limit",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_cust_sl")
+        s.sql("""SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+                   round(sum(c_acctbal), 4) AS bal_sum
+                 FROM (SELECT c_custkey, c_acctbal FROM graft_cust_sl
+                       ORDER BY c_acctbal DESC, c_custkey LIMIT 100)""")
+      },
+      Some(sql("""SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+                    round(sum(c_acctbal), 4) AS bal_sum
+                  FROM (SELECT c_custkey, c_acctbal FROM customer
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 100)""")))
   )
 }
