@@ -19,29 +19,42 @@ import org.apache.spark.storage.StorageLevel
   * swaps.
   *
   * ENFORCED contract: plan equivalence compares root PATHS, so a reuse
-  * hit additionally re-checks a filesystem fingerprint (mtime + length
-  * of each file-source root and EVERY descendant file, captured when
-  * the entry was persisted — recursive, so a rewrite nested inside
-  * partition subdirectories is caught even when the direct children's
-  * metadata is unchanged). A fixture regenerated in-process at a
-  * previously cached path therefore SWAPS — recompute, never stale data
-  * — instead of relying on specs remembering to use fresh paths
-  * (HotGramSpec does anyway). Driver-side fs metadata only; no job.
-  * Residual window: a same-millisecond, same-length in-place rewrite of
-  * a leaf file is indistinguishable by metadata (content hashing would
-  * need a job); no fixture-regeneration path does this.
+  * hit additionally re-checks a BOUNDED filesystem fingerprint: a
+  * breadth-first walk over the root's directory tree capped at
+  * [[MaxDirs]] listStatus calls, each visited directory contributing
+  * ONE aggregate line (own mtime + file-child count, total length, max
+  * file mtime). A fixture regenerated in-process at a previously cached
+  * path therefore SWAPS — recompute, never stale data — including
+  * rewrites nested inside partition subdirectories, which change their
+  * directory's aggregate. Driver-side fs metadata only; no job; the
+  * walk is O(directories), never O(part-files), and hard-capped so a
+  * petabyte table with millions of part files costs at most ~[[MaxDirs]]
+  * list calls per re-registration, not a full recursive listing.
+  * Residual windows (both outside every fixture-regeneration path):
+  * (a) a same-millisecond, same-length in-place rewrite of a leaf file
+  * is indistinguishable by metadata (content hashing would need a job);
+  * (b) a rewrite nested strictly below the [[MaxDirs]] BFS frontier —
+  * frontier directories are recorded by their own mtime only, which an
+  * ancestor of the rewritten dir need not change. Fixture trees are
+  * tiny (≪ 64 dirs), so in tests the walk is always exhaustive; the cap
+  * only engages at production scale, where tables are not silently
+  * regenerated under a live cache.
   */
 object CacheOnce {
   private val cached =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[String])]
 
-  /** One line per file-source root: path@mtime:len plus every
-    * DESCENDANT file (relative-path@mtime:len, depth-first). Overwriting
-    * a dataset rewrites its part files wherever they nest (partition
-    * subdirectories included), so any in-place regeneration changes the
-    * fingerprint. Fixture roots are small (test/bench staging), so the
-    * metadata walk stays driver-cheap. Non-file leaves contribute
-    * nothing and are covered by sameResult alone. */
+  /** Hard cap on listStatus calls per fingerprint — O(100) stats. */
+  private val MaxDirs = 64
+
+  /** One line per file-source root: `rootPath|dir-lines`, where each
+    * visited directory yields `relPath@dirMtime:nFiles:totalLen:maxMtime`
+    * over its DIRECT file children and each beyond-budget frontier
+    * directory yields `relPath@dirMtime:dir`. Relative paths come from
+    * URI paths on both sides, so scheme qualification differences
+    * between the analyzed root and the listed children cannot embed
+    * absolute paths. Non-file leaves contribute nothing and are covered
+    * by sameResult alone. */
   private def fingerprint(df: DataFrame): Seq[String] = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     df.queryExecution.analyzed.collect {
@@ -50,13 +63,34 @@ object CacheOnce {
           val fs = p.getFileSystem(conf)
           if (!fs.exists(p)) s"$p:absent"
           else {
-            val st = fs.getFileStatus(p)
-            def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
-              if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-              else Seq(s"${s.getPath.toString.stripPrefix(p.toString)}" +
-                s"@${s.getModificationTime}:${s.getLen}")
-            val kids = if (st.isDirectory) walk(st).sorted.mkString(",") else ""
-            s"$p@${st.getModificationTime}:${st.getLen}|$kids"
+            val root = fs.getFileStatus(p)
+            if (!root.isDirectory) s"$p@${root.getModificationTime}:${root.getLen}"
+            else {
+              val rootUri = fs.makeQualified(p).toUri.getPath
+              def rel(s: org.apache.hadoop.fs.FileStatus): String =
+                s.getPath.toUri.getPath.stripPrefix(rootUri)
+              val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+              val queue = scala.collection.mutable.Queue(root)
+              var visited = 0
+              while (queue.nonEmpty) {
+                val d = queue.dequeue()
+                if (visited >= MaxDirs)
+                  lines += s"${rel(d)}@${d.getModificationTime}:dir"
+                else {
+                  visited += 1
+                  var n = 0L; var len = 0L; var maxM = 0L
+                  fs.listStatus(d.getPath).foreach { k =>
+                    if (k.isDirectory) queue += k
+                    else {
+                      n += 1; len += k.getLen
+                      maxM = math.max(maxM, k.getModificationTime)
+                    }
+                  }
+                  lines += s"${rel(d)}@${d.getModificationTime}:$n:$len:$maxM"
+                }
+              }
+              s"$p|${lines.sorted.mkString(",")}"
+            }
           }
         }
         case _ => Seq.empty[String]

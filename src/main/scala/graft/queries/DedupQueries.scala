@@ -256,13 +256,19 @@ object DedupQueries {
     Q("dedup_edit_distance",
       (s, d) => {
         val txt = table(s, d, "documents").select(col("doc_id"), col("text"))
+        // the O(len²) distance is computed ONCE in an inner projection;
+        // edit_dist and sim both derive from that column rather than
+        // leaning on codegen subexpression elimination to dedup two
+        // levenshtein calls
         lshCandidates(s, d)
           .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")), Seq("doc_a"))
           .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"),
-            round(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
-              greatest(length(col("t_a")), length(col("t_b"))), 6).as("sim"))
+            greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
+          .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+            round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6)
+              .as("sim"))
       },
       Some(sql(s"""WITH $bandTableSql,
                    $lshCandSql

@@ -44,15 +44,21 @@ object Pipeline3Queries {
   /** Encoded corpus: (vec_id, j, code, dist) — nearest code per subspace.
     * Distance via the NATIVE graft_intl2 kernel (plans/IntL2.scala): the
     * aggregate(zip_with(…)) HOF form is interpreted and allocates two
-    * arrays per row; the fused loop stays in whole-stage codegen. */
+    * arrays per row; the fused loop stays in whole-stage codegen.
+    * The lexicographic argmin over (dist, code) is packed into ONE long
+    * (dist·4 + code — codes are 2 bits, dist is a non-negative integer
+    * sum of 8 squared milli-diffs, far below 2^61): min(struct(…)) has
+    * an immutable aggregation buffer and planned as SortAggregate with
+    * a Sort on BOTH sides of the exchange; min(long) is a plain
+    * HashAggregate with map-side combine, no sort anywhere. */
   private[queries] def pqChosen(s: SparkSession, d: String): DataFrame =
     pqSubs(s, d).join(broadcast(pqCodebook(s, d)), col("j") === col("cj"))
-      .select(col("vec_id"), col("j"), col("code"),
-        expr("graft_intl2(sub, csub)").as("dist"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("j"),
-        col("best.code").as("code"), col("best.dist").as("dist"))
+        (expr("graft_intl2(sub, csub)") * 4 + col("code")).as("packed"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(col("packed")).as("m"))
+      .select(col("vec_id"), col("j"),
+        (col("m") % 4).cast("int").as("code"), shiftright(col("m"), 2).as("dist"))
 
   /** DuckDB CTEs mirroring pqSubs/pqCodebook/pqChosen. */
   private[queries] val pqCtesSql: String =

@@ -107,6 +107,11 @@ object Sql6Queries {
     // Mixed-type equi-join keys: INT ⋈ DECIMAL(12,2) and STRING ⋈
     // BIGINT. Aggregated to (count, key-sum) per family so the oracle
     // pins the matched cardinality, not engine-specific row order.
+    // The Spark side exercises implicit PromoteStrings (STRING key cast
+    // to BIGINT); the ORACLE spells that cast explicitly — DuckDB's
+    // implicit VARCHAR↔integer coercion differs by context (see
+    // sql_string_num_filter: a VARCHAR column vs an int literal in a
+    // filter is a Binder Error), so the oracle never relies on it.
     Q("sql_join_coerce",
       (s, d) => {
         table(s, d, "customer").createOrReplaceTempView("graft_c6j")
@@ -133,6 +138,6 @@ object Sql6Queries {
         SELECT 'string_x_bigint', count(*), CAST(sum(o.o_orderkey) AS BIGINT)
         FROM (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer) c
         JOIN (SELECT o_custkey AS k, o_orderkey FROM orders) o
-          ON c.k = o.k""")))
+          ON CAST(c.k AS BIGINT) = o.k""")))
   )
 }

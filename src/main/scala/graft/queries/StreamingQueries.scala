@@ -528,15 +528,17 @@ object StreamingQueries {
             throw new IllegalStateException(s"recovery pass '$name' did not finish within 300s")
           }
         }
-        runPass(s"ckptrec_p1_$stamp") // phase 1: half the corpus
-        events.filter(col("event_id") % 2 === 1)
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        runPass(s"ckptrec_final_$stamp") // restart: resume offsets + state
         // the memory sink holds the complete-mode result in driver
         // memory once the query terminates, so the per-invocation
-        // staging + checkpoint dirs can go immediately — repeated
-        // Verify/Bench runs must not accumulate /tmp state
-        Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+        // staging + checkpoint dirs can go immediately — and in a
+        // finally, so a timed-out or failed pass cannot leak /tmp
+        // state across repeated Verify/Bench runs
+        try {
+          runPass(s"ckptrec_p1_$stamp") // phase 1: half the corpus
+          events.filter(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          runPass(s"ckptrec_final_$stamp") // restart: resume offsets + state
+        } finally Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
         s.table(s"ckptrec_final_$stamp")
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,
@@ -575,15 +577,19 @@ object StreamingQueries {
           .withColumn("gpass", Pipeline4Queries.gopherPass.cast("long"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("gpass")).as("n_pass"))
-        val q = agg.writeStream.format("memory").queryName(s"gopher_$stamp")
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException("streaming gopher gate did not finish within 300s")
-        }
-        Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+        // staging + checkpoint removal sits in finally: a timeout or
+        // query failure must not leak per-invocation /tmp dirs across
+        // repeated Verify/Bench runs
+        try {
+          val q = agg.writeStream.format("memory").queryName(s"gopher_$stamp")
+            .outputMode("complete").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("streaming gopher gate did not finish within 300s")
+          }
+        } finally Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
         s.table(s"gopher_$stamp")
       },
       Some(sql(s"""SELECT source, count(*) AS n_docs,

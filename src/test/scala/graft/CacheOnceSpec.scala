@@ -36,4 +36,25 @@ class CacheOnceSpec extends AnyFunSuite {
     assert(second.as[Long].collect().sorted.toSeq == Seq(10L, 20L),
       "regenerated fixture was served from the stale cache")
   }
+
+  test("regeneration nested inside a partition subdirectory is detected") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_cacheonce/nested_${System.nanoTime()}"
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("v", "part")
+      .write.partitionBy("part").parquet(dir)
+    val first = CacheOnce.swap("spec_cacheonce_nested",
+      spark.read.parquet(dir).select(col("v")))
+    assert(first.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // dynamic overwrite of ONE partition: the root dir's direct children
+    // (partition dirs) keep their names; only files nested inside
+    // part=a change — the hazard that motivated walking below the root
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq((10L, "a")).toDF("v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val second = CacheOnce.swap("spec_cacheonce_nested",
+      spark.read.parquet(dir).select(col("v")))
+    assert(second.as[Long].collect().sorted.toSeq == Seq(3L, 10L),
+      "nested partition regeneration was served from the stale cache")
+  }
 }
