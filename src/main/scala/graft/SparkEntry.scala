@@ -41,6 +41,7 @@ object SparkEntry {
       Sql6Queries.all ++
       Sql7Queries.all ++
       Sql8Queries.all ++
+      Sql9Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

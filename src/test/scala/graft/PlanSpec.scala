@@ -93,6 +93,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("EXISTS / IN rewrite to LeftSemi, NOT EXISTS to LeftAnti") {
+    // the semijoin.q golden family: predicate subqueries must plan as
+    // semi/anti joins — an inner-join + distinct restatement would
+    // re-shuffle and duplicate the probe side at 100 TB
+    val p = plan("sql_semijoin")
+    // three semi variants (EXISTS, IN, EXISTS + non-equi conjunct) and
+    // one anti (NOT EXISTS)
+    assert("LeftSemi".r.findAllIn(p).size >= 3, s"expected ≥3 LeftSemi joins:\n$p")
+    assert(p.contains("LeftAnti"), p)
+    // the exists_extra non-equi conjunct rides INSIDE the semi-join
+    // condition (a post-join Filter on a materialized inner join would
+    // break semi-join cardinality semantics)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim_topk is partial-aggregated per key, not a ≤Q-partition window") {
     for (name <- Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh")) {
       val p = plan(name)
