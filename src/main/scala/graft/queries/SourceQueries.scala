@@ -79,6 +79,61 @@ object SourceQueries {
           (4, NULL,   'true', 9,    4.0, NULL, NULL)
         ) AS t(id, a, b, c, d, s_p, s_q)"""))),
 
+    // JSON corrupt-record modes (reference json/JSONRelation.scala:121,
+    // JsonRDD.scala:40 columnNameOfCorruptRecords): a file mixing valid
+    // lines, a type-violating line, and non-JSON garbage, read under all
+    // three parser modes. PERMISSIVE pins the `_corrupt_record` contract
+    // (garbage → whole raw line, every data field null; a TYPE violation
+    // → the parsable fields keep their values, the violating field nulls,
+    // AND the raw line is preserved — Spark's partial-results semantics);
+    // DROPMALFORMED pins the survivor count — 3, NOT 2: a line that
+    // parses as JSON but violates the schema type is NOT "malformed"
+    // (its violating field nulls out and the record survives); only the
+    // non-JSON garbage line is dropped. FAILFAST pins that the read
+    // RAISES (travelling as a boolean row). The FAILFAST probe runs one
+    // count at declaration — documented exception to the zero-jobs
+    // contract (same class as the stat truth tables): an error contract
+    // can only be observed by executing.
+    Q("src_json_corrupt",
+      (s, d) => {
+        val path = tmp(d, "json_corrupt")
+        new java.io.File(path).mkdirs()
+        val w = new java.io.PrintWriter(s"$path/data.json")
+        try w.print(Seq(
+          """{"id": 1, "v": 10}""",
+          """garbage not json""",
+          """{"id": 2, "v": "abc"}""",
+          """{"id": 3, "v": 30}""").mkString("\n"))
+        finally w.close()
+        val perm = s.read.schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+          .json(path)
+          .select(lit("permissive").as("mode"), col("id"), col("v"),
+            col("_corrupt_record").as("corrupt"), lit(null).cast("long").as("n"))
+        val drop = s.read.schema("id BIGINT, v BIGINT")
+          .option("mode", "DROPMALFORMED").json(path)
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("dropmalformed").as("mode"), lit(null).cast("long").as("id"),
+            lit(null).cast("long").as("v"), lit(null).cast("string").as("corrupt"),
+            col("cnt").as("n"))
+        val raised = scala.util.Try(
+          s.read.schema("id BIGINT, v BIGINT").option("mode", "FAILFAST")
+            .json(path).count()).isFailure
+        val fail = s.range(1).select(lit("failfast").as("mode"),
+          lit(null).cast("long").as("id"), lit(null).cast("long").as("v"),
+          lit(if (raised) "raised" else "no_error").as("corrupt"),
+          lit(null).cast("long").as("n"))
+        perm.unionAll(drop).unionAll(fail)
+      },
+      Some(sql("""SELECT mode, CAST(id AS BIGINT) AS id, CAST(v AS BIGINT) AS v,
+            corrupt, CAST(n AS BIGINT) AS n FROM (VALUES
+          ('permissive', 1, 10,   NULL, NULL),
+          ('permissive', NULL, NULL, 'garbage not json', NULL),
+          ('permissive', 2, NULL, '{"id": 2, "v": "abc"}', NULL),
+          ('permissive', 3, 30,   NULL, NULL),
+          ('dropmalformed', NULL, NULL, NULL, 3),
+          ('failfast', NULL, NULL, 'raised', NULL)
+        ) AS t(mode, id, v, corrupt, n)"""))),
+
     // XML round-trip (Spark 4 merged the spark-xml data source into
     // sql/core — a source format the reference era never had): write
     // with an explicit rowTag, read back with schema inference, and

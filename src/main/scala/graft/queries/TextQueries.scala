@@ -347,6 +347,74 @@ object TextQueries {
                 WHERE len(list_filter(${T.tokensSql("text")}, t -> len(t) > 0)) > 0""")
       }),
 
+    // BPE DECODE ROUND-TRIP (closes the Sennrich 2016 tokenizer story
+    // into a usable encode/decode pair): encode maps each document to a
+    // TOKEN-ID sequence (symbol → 64-bit id, with an explicit separator
+    // symbol between tokens so boundaries survive flattening); decode
+    // inverts ids → symbols through the corpus vocabulary and
+    // re-concatenates. The declared result reports, per document, the
+    // id-sequence length and a matched flag comparing the decoded text
+    // against the tokenizer's normalized view of the original —
+    // mismatches would fail the oracle, which pins matched = 1 for every
+    // document and recomputes n_ids independently from the merge chain.
+    //
+    // Scale posture: encode is the same pure scan chain as
+    // text_bpe_encode; decode is one posexplode (rows ~ token count, the
+    // same order as every gram pipeline), a BROADCAST join against the
+    // bounded vocabulary (charset × merges), and a per-doc aggregation —
+    // no corpus window, no cartesian.
+    Q("text_bpe_roundtrip",
+      (s, d) => {
+        val chain = (t: org.apache.spark.sql.Column) =>
+          BpeMerges.foldLeft(
+            concat(lit(" "),
+              array_join(regexp_extract_all(lower(t), lit("."), lit(0)), " "),
+              lit(" "))) { case (c, (a, b)) =>
+            replace(c, lit(s" $a "), lit(s" $b "))
+          }
+        val toks = filter(T.tokens(col("text")), t => length(t) > 0)
+        // flatten per-token symbol arrays with a single-space separator
+        // symbol — decode recovers token boundaries from it
+        val syms = aggregate(
+          transform(toks, t => split(trim(chain(t)), " +")),
+          array().cast("array<string>"),
+          (acc, x) => concat(acc, array(lit(" ")), x))
+        val enc = graft.functions.CacheOnce.swap("bpe_rt_enc",
+          table(s, d, "documents")
+            .filter(size(toks) > 0)
+            .select(col("doc_id"), syms.as("syms"),
+              concat(lit(" "), array_join(transform(toks, t => lower(t)), " "))
+                .as("expected")))
+        val vocab = enc.select(explode(col("syms")).as("sym")).distinct()
+          .select(col("sym"), xxhash64(col("sym")).as("vid"))
+        val decoded = enc
+          .select(col("doc_id"),
+            posexplode(transform(col("syms"), x => xxhash64(x))).as(Seq("pos", "id")))
+          .join(broadcast(vocab), col("id") === col("vid"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ids"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("sym")))),
+              x => x.getField("sym")), "").as("decoded"))
+        decoded.join(enc.select(col("doc_id"), col("expected")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_ids"),
+            (col("decoded") === col("expected")).cast("int").as("matched"))
+      },
+      Some {
+        val chain = BpeMerges.foldLeft(
+          "' ' || array_to_string(regexp_extract_all(lower(t), '.'), ' ') || ' '") {
+          case (c, (a, b)) => s"replace($c, ' $a ', ' $b ')"
+        }
+        sql(s"""WITH toks AS (
+                  SELECT doc_id, list_filter(${T.tokensSql("text")}, t -> len(t) > 0) AS tk
+                  FROM documents)
+                SELECT doc_id,
+                  CAST(len(flatten(list_transform(tk,
+                    t -> list_concat([' '], regexp_split_to_array(trim($chain), ' +'))))) AS BIGINT) AS n_ids,
+                  CAST(1 AS INT) AS matched
+                FROM toks WHERE len(tk) > 0""")
+      }),
+
     // BPE TRAINING (the other half of text_bpe_encode — Sennrich et al.
     // 2016 learn-merges loop): iteratively find the most frequent
     // adjacent symbol pair in the corpus vocabulary and merge it,
