@@ -125,6 +125,53 @@ object DedupQueries {
     *
     * Input must carry (doc_id, `extra`…, hs); output rows are
     * (h, doc_id, extra…, n = doc gram count, df, rn = rarity rank). */
+  /** Stride-1 KSub-token window hashes, skew-guarded, with the per-hash
+    * first-occurrence rank — the shared candidate block of
+    * `dedup_exact_substr` (rk > 1 = duplicated windows) and
+    * `pipeline_dedup_provenance` (rk = 1 additionally names the
+    * corpus-first holder of each window). One explode; the rank is
+    * hash-partitioned on the corpus-growing 64-bit window hash. */
+  private def substrRanked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= KSub)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - KSub)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Portable.stableHash64(
+          concat_ws(" ", slice(col("w"), col("pos") + 1, lit(KSub)))).as("h"))
+    graft.functions.SkewGuard.dropHotBuckets(wins, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+  }
+
+  /** Per-vector nearest-centroid assignment (SemDeDup's cluster step),
+    * corpus-scaled K, skew-guarded and cache-shared — the block
+    * `dedup_semantic` and `pipeline_dedup_provenance` both prune
+    * within. Output: (vec_id, cluster, embedding). */
+  private def semanticAssigned(s: SparkSession, d: String): DataFrame = {
+    val nonZero = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x) > 0.0
+    val emb = table(s, d, "embeddings")
+      .filter(nonZero).select(col("vec_id"), col("embedding"))
+    val kRow = emb.agg(greatest(
+      ceil(count(lit(1)) / lit(SemClusterTarget.toDouble)), lit(8L)).as("k"))
+    val cents = emb.crossJoin(broadcast(kRow))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(T.cosineFast(col("embedding"), col("cvec")), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cluster"),
+        first(col("embedding")).as("embedding"))
+    graft.functions.SkewGuard.dropHotBuckets(
+      graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned),
+      Seq("cluster"))
+  }
+
   private def rarityRanked(g: DataFrame, extra: Seq[String]): DataFrame = {
     val hotDf = g.sparkSession.conf
       .get("spark.graft.dedup.hotDf", graft.functions.SkewGuard.DefaultMaxBucket.toString)
@@ -490,18 +537,7 @@ object DedupQueries {
     Q("dedup_exact_substr",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val wins = table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= KSub)
-          .select(col("doc_id"), col("w"),
-            explode(sequence(lit(0), size(col("w")) - KSub)).as("pos"))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            Portable.stableHash64(
-              concat_ws(" ", slice(col("w"), col("pos") + 1, lit(KSub)))).as("h"))
-        val guarded = graft.functions.SkewGuard.dropHotBuckets(wins, Seq("h"))
-        val dup = guarded
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+        val dup = substrRanked(s, d)
           .filter(col("rk") > 1)
           .select(col("doc_id"), col("pos"))
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -624,25 +660,7 @@ object DedupQueries {
     // (ml_kmeans_iterate shows that loop).
     Q("dedup_semantic",
       (s, d) => {
-        val nonZero = aggregate(
-          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x) > 0.0
-        val emb = table(s, d, "embeddings")
-          .filter(nonZero).select(col("vec_id"), col("embedding"))
-        val kRow = emb.agg(greatest(
-          ceil(count(lit(1)) / lit(SemClusterTarget.toDouble)), lit(8L)).as("k"))
-        val cents = emb.crossJoin(broadcast(kRow))
-          .filter(col("vec_id") < col("k"))
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            round(T.cosineFast(col("embedding"), col("cvec")), 6).as("cs"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cluster"),
-            first(col("embedding")).as("embedding"))
-        val av = graft.functions.SkewGuard.dropHotBuckets(
-          graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned),
-          Seq("cluster"))
+        val av = semanticAssigned(s, d)
         val dropped = av.as("x").join(av.as("y"),
             col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
           .filter(round(T.cosineFast(col("x.embedding"), col("y.embedding")), 6) >= 0.8)
@@ -668,6 +686,178 @@ object DedupQueries {
                      WHERE round(${T.cosineSql("x.embedding", "y.embedding")}, 6) >= 0.8)
                    SELECT v.vec_id, v.cluster,
                      v.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
-                   FROM av v""")))
+                   FROM av v"""))),
+
+    // COMPOSED DEDUP PROVENANCE — the report a curation team actually
+    // ships: every family exists above in isolation; this declares ONE
+    // decision per input document, layered in priority order
+    // exact > substring > MinHash > semantic. Per doc: kept (1/0),
+    // dropped_by ('exact'|'substring'|'minhash'|'semantic'|'none'),
+    // survivor_id (the doc it duplicates; NULL when kept, and NULL for
+    // a substring-dropped doc whose duplicated runs have no EXTERNAL
+    // first holder — pure internal repetition).
+    //
+    // Layer rules (each reusing the family's shared candidate block —
+    // the definitions cannot drift from the standalone queries):
+    // - exact: content-hash group, keep-first min doc_id (dedup_exact).
+    // - substring: substrRanked windows; a doc drops when its merged
+    //   duplicated runs cover ≥ half its tokens; survivor = earliest
+    //   corpus-first holder among its duplicated windows.
+    // - minhash: lshCandidates verified by exact shingle Jaccard ≥ 0.8
+    //   (dedup_minhash_verified's two-stage shape); doc_b of a verified
+    //   pair drops, survivor = min doc_a.
+    // - semantic: semanticAssigned clusters; a doc (vec_id and doc_id
+    //   share the 0..N-1 id space in the testdata) drops when a
+    //   lower-id same-cluster vector has cosine ≥ 0.8; survivor = min
+    //   such lower id (dedup_semantic's keep rule).
+    //
+    // Scale posture: every layer is aggregation- or candidate-join-
+    // shaped — no corpus window, no cartesian (PlanSpec); the final
+    // assembly is four LEFT joins on doc_id, each side already
+    // hash-partitioned on doc_id. Output rows == input docs by
+    // construction (the ScaleGrowthSpec fence).
+    Q("pipeline_dedup_provenance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        // exact layer
+        val exg = docs.select(col("doc_id"),
+          Portable.stableHash64(lower(trim(col("text")))).as("ch"))
+        val exdrop = exg
+          .join(exg.groupBy(col("ch")).agg(min(col("doc_id")).as("keeper")), Seq("ch"))
+          .filter(col("doc_id") > col("keeper"))
+          .select(col("doc_id"), col("keeper").as("ex_surv"))
+        // substring layer
+        val rk = substrRanked(s, d)
+        val firsts = rk.filter(col("rk") === 1)
+          .select(col("h"), col("doc_id").as("first_doc"))
+        val dups = rk.filter(col("rk") > 1).select(col("doc_id"), col("pos"), col("h"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val cov = dups
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(byDoc) <= KSub, 0).otherwise(1))
+          .withColumn("run_id", sum(col("brk")).over(byDoc))
+          .groupBy(col("doc_id"), col("run_id"))
+          .agg((max(col("pos")) + lit(KSub - 1) - min(col("pos")) + 1).as("dup_tokens"))
+          .groupBy(col("doc_id")).agg(sum(col("dup_tokens")).as("cov"))
+        val ntok = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val subsurv = dups.join(firsts, Seq("h"))
+          .filter(col("first_doc") =!= col("doc_id"))
+          .groupBy(col("doc_id")).agg(min(col("first_doc")).as("sub_surv"))
+        val subdrop = cov.join(ntok, Seq("doc_id"))
+          .filter(col("cov") * 2 >= col("n_tok"))
+          .join(subsurv, Seq("doc_id"), "left")
+          .select(col("doc_id"), lit(1).as("sub_hit"), col("sub_surv"))
+        // minhash layer
+        val sh = docs.select(col("doc_id"),
+          array_distinct(Portable.shingles3FromTokens(split(col("text"), " "))).as("shs"))
+        val mhdrop = lshCandidates(s, d)
+          .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+          .filter(T.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+          .groupBy(col("doc_b")).agg(min(col("doc_a")).as("mh_surv"))
+          .select(col("doc_b").as("doc_id"), col("mh_surv"))
+        // semantic layer
+        val av = semanticAssigned(s, d)
+        val semdrop = av.as("x").join(av.as("y"),
+            col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
+          .filter(round(T.cosineFast(col("x.embedding"), col("y.embedding")), 6) >= 0.8)
+          .groupBy(col("x.vec_id")).agg(min(col("y.vec_id")).as("sem_surv"))
+          .select(col("vec_id").as("doc_id"), col("sem_surv"))
+        // priority assembly
+        docs.select(col("doc_id"))
+          .join(exdrop, Seq("doc_id"), "left")
+          .join(subdrop, Seq("doc_id"), "left")
+          .join(mhdrop, Seq("doc_id"), "left")
+          .join(semdrop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex_surv").isNotNull, "exact")
+              .when(col("sub_hit").isNotNull, "substring")
+              .when(col("mh_surv").isNotNull, "minhash")
+              .when(col("sem_surv").isNotNull, "semantic")
+              .otherwise("none").as("dropped_by"),
+            when(col("ex_surv").isNotNull, col("ex_surv"))
+              .when(col("sub_hit").isNotNull, col("sub_surv"))
+              .when(col("mh_surv").isNotNull, col("mh_surv"))
+              .when(col("sem_surv").isNotNull, col("sem_surv"))
+              .otherwise(lit(null)).cast("long").as("survivor_id"))
+          .withColumn("kept", (col("dropped_by") === "none").cast("int"))
+      },
+      Some(sql(s"""WITH $bandTableSql,
+             $lshCandSql,
+             exg AS MATERIALIZED (SELECT doc_id,
+                 ${Portable.stableHash64Sql("lower(trim(text))")} AS ch FROM documents),
+             exdrop AS (SELECT g.doc_id, k.keeper AS ex_surv
+               FROM exg g JOIN (SELECT ch, min(doc_id) AS keeper FROM exg GROUP BY ch) k
+                 USING (ch)
+               WHERE g.doc_id > k.keeper),
+             sdocs AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE len(string_split(text, ' ')) >= $KSub),
+             wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 ${Portable.stableHash64Sql(s"array_to_string(w[(i+1):(i+$KSub)], ' ')")} AS h
+               FROM (SELECT doc_id, w, unnest(range(0, len(w) - $KSub + 1)) AS i FROM sdocs)),
+             wrk AS MATERIALIZED (SELECT doc_id, pos, h,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+               FROM wins),
+             firsts AS (SELECT h, doc_id AS first_doc FROM wrk WHERE rk = 1),
+             dups AS MATERIALIZED (SELECT doc_id, pos, h FROM wrk WHERE rk > 1),
+             cov AS (SELECT doc_id, CAST(sum(dup_tokens) AS BIGINT) AS cov FROM (
+                 SELECT doc_id, run_id,
+                   max(pos) + $KSub - 1 - min(pos) + 1 AS dup_tokens
+                 FROM (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+                   FROM (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $KSub
+                            THEN 0 ELSE 1 END AS brk
+                     FROM dups) b) r
+                 GROUP BY doc_id, run_id) runs GROUP BY doc_id),
+             subsurv AS (SELECT d.doc_id, min(f.first_doc) AS sub_surv
+               FROM dups d JOIN firsts f USING (h)
+               WHERE f.first_doc <> d.doc_id GROUP BY d.doc_id),
+             subdrop AS (SELECT c.doc_id, 1 AS sub_hit, sv.sub_surv
+               FROM cov c JOIN (SELECT doc_id, len(w) AS n_tok FROM sdocs) n USING (doc_id)
+                 LEFT JOIN subsurv sv ON sv.doc_id = c.doc_id
+               WHERE c.cov * 2 >= n.n_tok),
+             shset AS MATERIALIZED (SELECT doc_id,
+                 list_distinct(${Portable.shingles3Sql("text")}) AS shs FROM documents),
+             mhdrop AS (SELECT doc_b AS doc_id, min(doc_a) AS mh_surv
+               FROM cand JOIN shset sa ON sa.doc_id = doc_a
+                         JOIN shset sb ON sb.doc_id = doc_b
+               WHERE ${T.jaccardSql("sa.shs", "sb.shs")} >= 0.8
+               GROUP BY doc_b),
+             emb AS (SELECT vec_id, embedding FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+             cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb
+               WHERE vec_id < (SELECT greatest(CAST(ceil(count(*) / ${SemClusterTarget}.0) AS BIGINT), 8) FROM emb)),
+             scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                 round(${T.cosineSql("e.embedding", "c.cvec")}, 6) AS cs
+               FROM emb e CROSS JOIN cents c),
+             av AS MATERIALIZED (SELECT vec_id, cid AS cluster, embedding FROM (
+                 SELECT vec_id, cid, embedding,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+                 FROM scored) WHERE rk = 1),
+             semdrop AS (SELECT x.vec_id AS doc_id, min(y.vec_id) AS sem_surv
+               FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+               WHERE round(${T.cosineSql("x.embedding", "y.embedding")}, 6) >= 0.8
+               GROUP BY x.vec_id)
+           SELECT d.doc_id,
+             CASE WHEN e.ex_surv IS NOT NULL THEN 'exact'
+                  WHEN sb.sub_hit IS NOT NULL THEN 'substring'
+                  WHEN m.mh_surv IS NOT NULL THEN 'minhash'
+                  WHEN se.sem_surv IS NOT NULL THEN 'semantic'
+                  ELSE 'none' END AS dropped_by,
+             CAST(CASE WHEN e.ex_surv IS NOT NULL THEN e.ex_surv
+                  WHEN sb.sub_hit IS NOT NULL THEN sb.sub_surv
+                  WHEN m.mh_surv IS NOT NULL THEN m.mh_surv
+                  WHEN se.sem_surv IS NOT NULL THEN se.sem_surv
+                  ELSE NULL END AS BIGINT) AS survivor_id,
+             CAST(CASE WHEN e.ex_surv IS NULL AND sb.sub_hit IS NULL
+                        AND m.mh_surv IS NULL AND se.sem_surv IS NULL
+                       THEN 1 ELSE 0 END AS INT) AS kept
+           FROM documents d
+             LEFT JOIN exdrop e ON e.doc_id = d.doc_id
+             LEFT JOIN subdrop sb ON sb.doc_id = d.doc_id
+             LEFT JOIN mhdrop m ON m.doc_id = d.doc_id
+             LEFT JOIN semdrop se ON se.doc_id = d.doc_id""")))
   )
 }

@@ -93,6 +93,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup provenance is candidate-join shaped (no cartesian, no corpus window)") {
+    // four layers + assembly: every join is an equi-join on doc-level or
+    // candidate keys (the K-row centroid fan-out broadcasts; the 1-row
+    // corpus-count aggregate deriving K is the only single-partition
+    // stage, bounded by construction); a true cartesian would mark a
+    // corpus-wide quadratic step, and the substring rank must stay
+    // partitioned on the corpus-growing window hash
+    val p = plan("pipeline_dedup_provenance")
+    assert(!p.contains("CartesianProduct"), p)
+    // the substring layer's first-occurrence rank runs under
+    // hashpartitioning on the 64-bit window hash h
+    assert(p.matches("(?s).*hashpartitioning\\([^)]*\\bh#.*"),
+      s"substring rank not partitioned on window hash h:\n$p")
+  }
+
   test("EXISTS / IN rewrite to LeftSemi, NOT EXISTS to LeftAnti") {
     // the semijoin.q golden family: predicate subqueries must plan as
     // semi/anti joins — an inner-join + distinct restatement would

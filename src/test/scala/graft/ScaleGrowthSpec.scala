@@ -90,6 +90,44 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"duplicated-window volume grew superlinearly: sf0.001=$small → sf0.01=$big")
   }
 
+  test("edit-distance verification volume stays confined to LSH candidates") {
+    // dedup_edit_distance consumes lshCandidates then joins text back on
+    // BOTH sides — its largest equi-join output is the candidate×text
+    // volume the O(len²) levenshtein actually runs over. The fence is the
+    // same linear contract as the LSH generator itself: a regression that
+    // widened the candidate block (or joined text before candidates)
+    // would push this toward corpus².
+    val small = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.001")
+    val big = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.01")
+    info(s"dedup_edit_distance max equi-join rows: sf0.001=$small sf0.01=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"edit-distance volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+  }
+
+  test("IVF+PQ candidate volume grows ~linearly with the corpus") {
+    // the coarse-cell prune must cut the scored set BEFORE the ADC
+    // lookups: the largest equi-join (probe cell ⋈ encoded corpus) must
+    // track N, not N × K_cells. A broken prune (cell key collapsing, or
+    // scoring before pruning) pushes the metric superlinear.
+    val small = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.001")
+    val big = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.01")
+    info(s"sim_topk_ivfpq max equi-join rows: sf0.001=$small sf0.01=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"IVF+PQ candidate volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+  }
+
+  test("dedup provenance emits exactly one decision per document at every SF") {
+    // the composed report's cardinality contract: four layered LEFT
+    // joins may never duplicate or drop an input document — output rows
+    // == corpus size, at both scale factors
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+      val rows = SparkEntry.queries("pipeline_dedup_provenance")(spark, sf).count()
+      info(s"pipeline_dedup_provenance rows at $sf: $rows (docs=$docs)")
+      assert(rows == docs, s"$sf: $rows decisions for $docs documents")
+    }
+  }
+
   test("semantic-dedup pair volume tracks the corpus once K leaves the floor") {
     // The cosine threshold is FUSED into the pair join's condition, so
     // numOutputRows reports survivors (≈0), not candidates — measure the
