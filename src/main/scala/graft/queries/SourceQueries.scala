@@ -381,20 +381,27 @@ object SourceQueries {
                    CAST(sum((i*i) % 997) AS BIGINT) AS sv
                   FROM range(100, 600) t(i) GROUP BY 1"""))),
 
-    // Bucketed tables (the co-located-join scale technique): both sides
-    // bucketed+sorted on the join key → the sort-merge join needs NO
-    // exchange on either side (asserted in PlanSpec). At 100 TB this is
-    // the difference between re-shuffling the fact table per join and
-    // reading pre-clustered buckets.
+    // Bucketed tables (the co-located-join scale technique; the golden
+    // smb_mapjoin_1-25 sort-merge-bucket family): both sides bucketed +
+    // sorted on the join key → the sort-merge join needs NO exchange on
+    // either side, and with ONE FILE PER BUCKET (the repartition below
+    // aligns write tasks to buckets — repartition(8, key) and bucketBy
+    // both place a row by murmur3(key) pmod 8) the scan also exposes the
+    // sortBy order, so the SMJ needs NO per-side Sort either (both
+    // asserted in PlanSpec). At 100 TB this is the difference between
+    // re-shuffling + re-sorting the fact table per join and merging
+    // pre-clustered, pre-sorted buckets straight off the scan.
     Q("src_bucketed_join",
       (s, d) => {
         dropManaged(s, "graft_ord_bkt")
         dropManaged(s, "graft_cust_bkt")
         table(s, d, "orders")
+          .repartition(8, col("o_custkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable("graft_ord_bkt")
         table(s, d, "customer")
+          .repartition(8, col("c_custkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .saveAsTable("graft_cust_bkt")

@@ -90,6 +90,22 @@ class PlanSpec extends AnyFunSuite {
       val p = joined.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), p)
       assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+      // the full golden smb_mapjoin contract — no shuffle AND no sort:
+      // the writer laid out ONE file per bucket (repartition(8, key)
+      // aligns write tasks to buckets), and with the sorted-bucket scan
+      // enabled (opt-in since Spark 3: it forces single-file bucket
+      // reads) the SMJ consumes the sortBy order straight off the scan
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val sorted = spark.table("graft_ord_bkt")
+          .join(spark.table("graft_cust_bkt"), col("o_custkey") === col("c_custkey"))
+        val ps = sorted.queryExecution.executedPlan.toString
+        assert(!ps.contains("Exchange"), ps)
+        assert(ps.contains("SortMergeJoin"), ps)
+        assert(!ps.contains("Sort "), s"bucketed SMJ still sorts a side:\n$ps")
+      } finally
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
