@@ -34,6 +34,7 @@ object SparkEntry {
       Pipeline2Queries.all ++
       Pipeline3Queries.all ++
       Pipeline4Queries.all ++
+      Pipeline5Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++
@@ -42,6 +43,7 @@ object SparkEntry {
       Sql7Queries.all ++
       Sql8Queries.all ++
       Sql9Queries.all ++
+      Sql10Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

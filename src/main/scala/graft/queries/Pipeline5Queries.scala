@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.{Portable, TextFunctions => T}
+import Registry.sql
+
+/** LLM-data-pipeline wave 5 — the corpus-curation controls a training
+  * team turns AFTER the per-document filters and dedup layers exist:
+  * source-level balance, cluster-level balance, the deterministic
+  * training order, and tokenizer-efficiency telemetry.
+  *
+  * - per-domain cap (RefinedWeb, Penedo 2023 §3.3: bounding any single
+  *   domain's share of the corpus): keep at most CAP docs per source,
+  *   chosen by deterministic hash rank. The 100 TB shape is the point:
+  *   a row_number window partitioned by source funnels EVERY row of a
+  *   domain through one partition (a hot mega-domain = one straggler
+  *   task), so the cap rides the graft_topk bounded-heap aggregate —
+  *   O(CAP) state per (source, task), true partial/merge, no window.
+  *
+  * - cluster-balanced sampling (SemDeDup/DoReMi-adjacent: equalize
+  *   cluster mass before training): per-centroid keep rates inversely
+  *   proportional to cluster population, applied as a deterministic
+  *   hash predicate so the sample is reproducible and oracle-checkable.
+  *   Assignment reuses sim_kmeans_assign's broadcast-centroid scan —
+  *   the K-row centroid table broadcasts; the corpus never shuffles.
+  *
+  * - deterministic training shuffle (the "global shuffle" every data
+  *   loader needs): shard = hash(seed, doc) mod N_SHARDS, position =
+  *   rank of the hash within the shard. Partitioning by shard is the
+  *   scale story — shard count grows with the corpus (shards are sized
+  *   to a fixed token budget), so the rank window's parallelism grows
+  *   with the data; the order-sensitive checksum pins that BOTH engines
+  *   produce the identical permutation, not just the same membership.
+  *
+  * - tokenizer fertility (tokens-per-word / chars-per-token by
+  *   language): the telemetry that decides whether a tokenizer is
+  *   acceptable for a language mix. Ratio-of-sums per language — one
+  *   scan, a lang-keyed partial aggregate, nothing else.
+  */
+object Pipeline5Queries {
+
+  /** Max docs retained per source (RefinedWeb-style domain cap). */
+  private val DomainCap = 50
+
+  /** Per-cluster target sample size × 100 (rate_pct numerator). */
+  private val ClusterTarget = 30
+
+  /** Training-shuffle shard count (grows with corpus size in prod). */
+  private val NShards = 8L
+
+  val all: Seq[Q] = Seq(
+
+    // Per-domain cap: bounded-heap top-CAP by hash per source. The hash
+    // is reduced mod 2^50 so its double image in the topk score is
+    // EXACT (2^50 < 2^53) — the oracle ranks the same BIGINT, so the
+    // kept set must agree element-for-element (pinned by kept_sum).
+    Q("pipe_domain_cap",
+      (s, d) => {
+        table(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            (-pmod(Portable.stableHash64(col("doc_id")), lit(1L << 50))
+              .cast("double")).as("nh"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            expr(s"graft_topk(nh, doc_id, $DomainCap)").as("top"))
+          .select(col("source"), col("n_total"),
+            size(col("top")).cast("long").as("n_kept"),
+            aggregate(col("top"), lit(0L), (a, x) => a + x.getField("id"))
+              .as("kept_sum"))
+      },
+      Some(sql(s"""WITH h AS (SELECT source, doc_id,
+                       (${Portable.stableHash64Sql("doc_id")} % ${1L << 50}) AS hv
+                     FROM documents),
+                   r AS (SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY hv ASC, doc_id ASC) AS rk
+                     FROM h)
+                   SELECT source, count(*) AS n_total,
+                     CAST(sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN rk <= $DomainCap THEN doc_id ELSE 0 END) AS BIGINT) AS kept_sum
+                   FROM r GROUP BY source"""))),
+
+    // Cluster-balanced sampling: rate_pct = min(100, ceil(100·T/n)) per
+    // centroid cell, applied as the deterministic hash predicate. The
+    // per-cluster counts table is K rows — broadcast back onto the
+    // assignment, never a second corpus shuffle.
+    Q("pipe_cluster_sample",
+      (s, d) => {
+        val assigned = Pipeline2Queries.all.find(_.name == "sim_kmeans_assign")
+          .get.fn(s, d).select(col("vec_id"), col("cluster"))
+        val counts = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_total"))
+          .withColumn("rate_pct",
+            least(lit(100L),
+              ceil(lit(ClusterTarget * 100.0) / col("n_total"))))
+        assigned.join(broadcast(counts), Seq("cluster"))
+          .groupBy(col("cluster"), col("n_total"), col("rate_pct"))
+          .agg(sum(when(
+            pmod(Portable.stableHash64(col("vec_id")), lit(100L)) < col("rate_pct"),
+            1L).otherwise(0L)).as("n_kept"))
+          .select(col("cluster"), col("n_total"), col("rate_pct"), col("n_kept"))
+      },
+      Some(sql(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+                   cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id < 8),
+                   scored AS (SELECT e.vec_id, c.cid,
+                       round(${T.cosineSql("e.embedding", "c.cvec")}, 6) AS cos_sim
+                     FROM emb e CROSS JOIN cents c),
+                   assigned AS (SELECT vec_id, cid AS cluster FROM (
+                       SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rk
+                       FROM scored) WHERE rk = 1),
+                   counts AS (SELECT cluster, count(*) AS n_total,
+                       least(100, CAST(ceil(${ClusterTarget * 100}.0 / count(*)) AS BIGINT)) AS rate_pct
+                     FROM assigned GROUP BY cluster)
+                   SELECT a.cluster, c.n_total, c.rate_pct,
+                     CAST(sum(CASE WHEN (${Portable.stableHash64Sql("a.vec_id")} % 100) < c.rate_pct
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+                   FROM assigned a JOIN counts c ON a.cluster = c.cluster
+                   GROUP BY a.cluster, c.n_total, c.rate_pct"""))),
+
+    // Deterministic training shuffle: seeded hash → shard + in-shard
+    // rank. ord_checksum = Σ pos·doc_id is order-SENSITIVE — it differs
+    // if any two documents swap positions, so it pins the permutation
+    // itself, not just shard membership.
+    Q("pipe_shuffle_order",
+      (s, d) => {
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("hv").asc, col("doc_id").asc)
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            pmod(Portable.stableHash64(concat(lit("epoch1:"), col("doc_id").cast("string"))),
+              lit(1L << 50)).as("hv"))
+          .withColumn("shard", pmod(col("hv"), lit(NShards)))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pos") * col("doc_id")).as("ord_checksum"))
+      },
+      Some(sql(s"""WITH h AS (SELECT doc_id,
+                       (${Portable.stableHash64Sql("concat('epoch1:', CAST(doc_id AS VARCHAR))")}
+                        % ${1L << 50}) AS hv
+                     FROM documents),
+                   p AS (SELECT doc_id, hv, hv % $NShards AS shard FROM h),
+                   r AS (SELECT shard, doc_id,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY hv ASC, doc_id ASC) AS pos
+                     FROM p)
+                   SELECT shard, count(*) AS n_docs,
+                     CAST(sum(pos * doc_id) AS BIGINT) AS ord_checksum
+                   FROM r GROUP BY shard"""))),
+
+    // Tokenizer fertility by language: ratio-of-sums (not avg-of-
+    // ratios) so long documents weigh in proportionally — the corpus-
+    // level number a tokenizer review reads.
+    Q("text_token_fertility",
+      (s, d) => {
+        table(s, d, "documents")
+          .select(col("lang"),
+            size(T.tokens(col("text"))).cast("long").as("w"),
+            T.bpeTokenCount(col("text")).as("b"),
+            length(col("text")).cast("long").as("c"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("b")).cast("double") / sum(col("w")), 6).as("fertility"),
+            round(sum(col("c")).cast("double") / sum(col("b")), 6).as("chars_per_bpe"))
+      },
+      Some(sql(s"""SELECT lang, count(*) AS n_docs,
+                     round(CAST(sum(${T.bpeTokenCountSql("text")}) AS DOUBLE)
+                           / sum(len(${T.tokensSql("text")})), 6) AS fertility,
+                     round(CAST(sum(length(text)) AS DOUBLE)
+                           / sum(${T.bpeTokenCountSql("text")}), 6) AS chars_per_bpe
+                   FROM documents GROUP BY lang""")))
+  )
+}

@@ -498,6 +498,54 @@ object SourceQueries {
       },
       Some(sql("""SELECT c_mktsegment, count(*) AS n,
                     round(sum(c_acctbal), 4) AS total
-                  FROM customer GROUP BY c_mktsegment""")))
+                  FROM customer GROUP BY c_mktsegment"""))),
+
+    // STATE STORE as a batch SOURCE (Spark 4's statestore reader —
+    // sql/core datasources/v2/state/StateDataSource): run a stateful
+    // streaming aggregation to a checkpoint, then read the operator's
+    // state back as a DataFrame and verify it equals the batch truth.
+    // This is the debugging/repair surface every production streaming
+    // job eventually needs — inspect (or migrate) checkpointed state
+    // WITHOUT replaying the stream. The state rows are the aggregation
+    // buffers (count + sum per user_id); the oracle is the same
+    // aggregate computed batch-side. Staging + checkpoint are cleaned
+    // in finally AFTER the state read materializes (collect + re-
+    // parallelize), the one query where the checkpoint must outlive
+    // the streaming query itself.
+    Q("src_state_store",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.Engine.configure(s)
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/statesrc_$stamp"
+        val ckpt = s"/tmp/graft_ckpt/statesrc-$stamp"
+        graft.Engine.events(s, d).select(col("user_id"), col("event_id"))
+          .coalesce(1).write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        try {
+          val q = s.readStream.schema(schema).parquet(srcDir)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+            .writeStream.format("memory").queryName(s"statesrc_$stamp")
+            .outputMode("update").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("state-source stream did not finish within 300s")
+          }
+          // batch-read the checkpointed state: key struct = group key,
+          // value struct = the aggregation buffer (count, sum)
+          val state = s.read.format("statestore").load(ckpt)
+            .select(col("key.user_id"), col("value.*"))
+            .toDF("user_id", "n_events", "sum_ids")
+          // materialize BEFORE the checkpoint dir is deleted
+          val rows = state.collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), state.schema)
+        } finally Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                    CAST(sum(event_id) AS BIGINT) AS sum_ids
+                  FROM events GROUP BY 1""")))
   )
 }

@@ -595,4 +595,64 @@ class PlanSpec extends AnyFunSuite {
       c.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     }
   }
+
+  test("correlated scalar count decorrelates to ONE aggregate join (no re-scan per row)") {
+    // the COUNT-bug family: the subquery must become a left-outer
+    // aggregate join patched with the 0-for-empty coalesce — exactly one
+    // scan of orders, never a nested-loop re-execution per customer row
+    val p = plan("sql_count_bug")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"orders scanned more than once:\n$p")
+  }
+
+  test("identical CTE branches reuse one exchange (correlationoptimizer family)") {
+    // shared-scan correlation: agg ⋈ agg over the same CTE must scan +
+    // aggregate orders ONCE; the second branch is a ReusedExchange
+    val p = plan("sql_shared_scan")
+    assert(p.contains("ReusedExchange"), s"no exchange reuse:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"orders scanned more than once:\n$p")
+  }
+
+  test("null-rejecting WHERE on the outer side eliminates the outer join and pushes down") {
+    // ppd_outer_join family: branch 1 (status = 'F') must plan INNER
+    // with the filter pushed into the orders scan; branch 2
+    // (IS NULL probe) must STAY a left outer join
+    val p = plan("sql_ppd_outer_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
+      || p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed to scan:\n$p")
+    assert(p.contains("LeftOuter"), s"the IS NULL branch lost its outer join:\n$p")
+    // the eliminated branch: at least one of the two joins is inner
+    assert(p.contains("Inner"), s"no branch was converted to inner:\n$p")
+  }
+
+  test("LIMIT above UNION ALL plans a LocalLimit inside each branch") {
+    val p = plan("sql_limit_union")
+    assert("LocalLimit".r.findAllIn(p).size >= 2,
+      s"expected a LocalLimit per union branch:\n$p")
+  }
+
+  test("per-domain cap is a bounded-heap aggregate, never a per-source window") {
+    // a row_number window partitioned by source funnels each domain
+    // through ONE task (a hot mega-domain = one straggler); the cap must
+    // ride graft_topk's O(cap) partial/merge state instead
+    val p = plan("pipe_domain_cap")
+    assert(!p.contains("Window"), s"domain cap regressed to a window:\n$p")
+    assert(p.contains("partial_graft_topk"), s"no partial topk state:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("training-shuffle rank is partitioned by shard, cluster-sample broadcasts its counts") {
+    val shuffle = plan("pipe_shuffle_order")
+    assert(!shuffle.contains("SinglePartition"),
+      s"pipe_shuffle_order has a single-partition stage:\n$shuffle")
+    assert(shuffle.matches("(?s).*hashpartitioning\\(shard#.*"),
+      s"rank window not partitioned on shard:\n$shuffle")
+    // cluster-sample: the K-row counts table broadcasts back onto the
+    // assignment — a shuffle join here would re-shuffle the corpus
+    val cs = plan("pipe_cluster_sample")
+    assert(cs.contains("BroadcastExchange"), s"counts not broadcast:\n$cs")
+    assert(!cs.contains("SortMergeJoin"), s"corpus re-shuffled for counts join:\n$cs")
+  }
 }
