@@ -34,6 +34,11 @@ object Engine {
       // nanos timestamps in events.parquet: read as LONG then convert
       // explicitly where needed (legacy flag keeps the scan vectorized).
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are naive micros (no isAdjustedToUTC flag);
+      // read them as session-zone instants (TIMESTAMP, matching the
+      // DuckDB oracle's rendering under the UTC session zone) rather
+      // than TIMESTAMP_NTZ, which watermarks and unix_micros reject.
+      c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       graft.plans.Hamming64.register(spark)
       graft.plans.CosineSim.register(spark)
       graft.plans.TopKAgg.register(spark)

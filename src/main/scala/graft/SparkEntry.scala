@@ -20,6 +20,7 @@ object SparkEntry {
       TextQueries.all ++
       DedupQueries.all ++
       SimilarityQueries.all ++
+      RetrievalQueries.all ++
       SourceQueries.all ++
       JdbcQueries.all ++
       UdfQueries.all ++

@@ -44,12 +44,6 @@ import Registry.sql
   *   two sides of the join boundary — pre-join right-side filter vs
   *   post-join row filter; both cardinalities pinned in one result.
   *
-  * - GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB both adopted the
-  *   modern-SQL resolution): every non-aggregate SELECT item becomes a
-  *   group key, ORDER BY ALL orders by the whole select list left to
-  *   right — resolution against the select list, same family as the
-  *   ordinal golden (sql_ordinals) but name-free.
-  *
   * - listagg (Spark 4.0's ANSI ordered-set aggregate): string
   *   concatenation with an explicit WITHIN GROUP order — the
   *   deterministic spelling of Hive's collect_list+concat_ws golden
@@ -108,7 +102,7 @@ object Sql10Queries {
     // parquet scan (PlanSpec asserts both). A second, genuinely outer
     // branch (filter IS NULL on the right side) pins that elimination
     // does NOT fire when the predicate accepts NULL.
-    Q("sql_ppd_outer_join",
+    Q("sql_outer_join_elim",
       (s, d) => {
         table(s, d, "customer").createOrReplaceTempView("graft_c10p")
         table(s, d, "orders").createOrReplaceTempView("graft_o10p")
@@ -184,20 +178,6 @@ object Sql10Queries {
                   FROM customer c LEFT JOIN orders o
                     ON o.o_custkey = c.c_custkey
                   WHERE o.o_orderstatus = 'F'"""))),
-
-    // GROUP BY ALL + ORDER BY ALL: both grouping keys are inferred from
-    // the select list (the two non-aggregate items), and ORDER BY ALL
-    // sorts by the full select list left-to-right.
-    Q("sql_group_by_all",
-      (s, d) => {
-        table(s, d, "orders").createOrReplaceTempView("graft_o10g")
-        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_ck
-                 FROM graft_o10g GROUP BY ALL ORDER BY ALL""")
-      },
-      Some(sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                    CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_ck
-                  FROM orders GROUP BY ALL ORDER BY ALL"""))),
 
     // listagg WITHIN GROUP (ORDER BY ...): deterministic ordered string
     // aggregation per group — the ANSI spelling of the reference's

@@ -151,6 +151,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 filters postings by a broadcast term list before any shuffle") {
+    val p = plan("text_bm25_topk")
+    // the query-term and df joins broadcast (query side is tiny by
+    // definition); the per-doc stats join shuffles on doc_id only; the
+    // per-query cut is the bounded-heap aggregate, never a window
+    assert(p.contains("BroadcastHashJoin"), s"term join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25:\n$p")
+    assert(!p.contains("Window"), s"bm25 uses a window:\n$p")
+    assert(p.contains("partial_graft_topk"), s"bm25 lacks partial topk agg:\n$p")
+    assert(p.contains("partial_sum"), s"score agg not partial:\n$p")
+  }
+
+  test("hybrid RRF broadcasts the query side of both rankers") {
+    val p = plan("sim_hybrid_rrf")
+    // both rankers stream the corpus once against a broadcast 10-row
+    // query set (the =!= condition plans as BroadcastNestedLoopJoin —
+    // the intended orientation, NOT a shuffle cartesian), and all three
+    // top-k cuts ride the bounded-heap aggregate
+    assert(!p.contains("CartesianProduct"), s"cartesian in rrf:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("Window"), s"rrf uses a window:\n$p")
+    assert(p.contains("partial_graft_topk"), s"rrf lacks partial topk agg:\n$p")
+  }
+
   test("dedup LSH shuffles signatures, not documents (no cartesian)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
@@ -608,8 +632,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("identical CTE branches reuse one exchange (correlationoptimizer family)") {
     // shared-scan correlation: agg ⋈ agg over the same CTE must scan +
-    // aggregate orders ONCE; the second branch is a ReusedExchange
-    val p = plan("sql_shared_scan")
+    // aggregate orders ONCE; the second branch is a ReusedExchange.
+    // Under AQE exchange reuse is applied at RUNTIME, so the contract is
+    // read off the final adaptive plan, after execution.
+    val df = SparkEntry.queries("sql_shared_scan")(spark, TestSpark.Sf)
+    df.collect()
+    // the adaptive plan string appends the pre-AQE "Initial Plan" —
+    // assert over the executed Final Plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"), s"no exchange reuse:\n$p")
     assert("orders\\.parquet".r.findAllIn(p).size == 1,
       s"orders scanned more than once:\n$p")
@@ -619,7 +649,7 @@ class PlanSpec extends AnyFunSuite {
     // ppd_outer_join family: branch 1 (status = 'F') must plan INNER
     // with the filter pushed into the orders scan; branch 2
     // (IS NULL probe) must STAY a left outer join
-    val p = plan("sql_ppd_outer_join")
+    val p = plan("sql_outer_join_elim")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
       || p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed to scan:\n$p")
     assert(p.contains("LeftOuter"), s"the IS NULL branch lost its outer join:\n$p")
