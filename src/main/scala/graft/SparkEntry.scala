@@ -45,6 +45,7 @@ object SparkEntry {
       Sql8Queries.all ++
       Sql9Queries.all ++
       Sql10Queries.all ++
+      Sql11Queries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++

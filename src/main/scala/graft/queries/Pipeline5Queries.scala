@@ -51,6 +51,11 @@ object Pipeline5Queries {
   /** Training-shuffle shard count (grows with corpus size in prod). */
   private val NShards = 8L
 
+  /** Chunking window / stride (tokens) — sized so the test corpus's
+    * short docs still produce multi-chunk outputs; prod uses 2048/1024. */
+  private val ChunkW = 32
+  private val ChunkS = 16
+
   val all: Seq[Q] = Seq(
 
     // Per-domain cap: bounded-heap top-CAP by hash per source. The hash
@@ -173,6 +178,35 @@ object Pipeline5Queries {
                            / sum(len(${T.tokensSql("text")})), 6) AS fertility,
                      round(CAST(sum(length(text)) AS DOUBLE)
                            / sum(${T.bpeTokenCountSql("text")}), 6) AS chars_per_bpe
-                   FROM documents GROUP BY lang""")))
+                   FROM documents GROUP BY lang"""))),
+
+    // Sliding-window chunking with overlap (the training-window prep
+    // step between packing and the data loader): windows of ChunkW
+    // tokens at stride ChunkS, last window ragged. One explode over a
+    // per-doc arithmetic sequence — a pure scan-stage generator, no
+    // shuffle at all; chunk count scales with token count, not document
+    // count, which is exactly the property a 100 TB tokenize pass needs.
+    Q("pipe_chunk_overlap",
+      (s, d) => {
+        table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(0, size(toks) - 1, $ChunkS)")).as("s"))
+          .select(col("doc_id"),
+            (col("s") / ChunkS).cast("long").as("chunk_id"),
+            col("s").cast("long").as("tok_start"),
+            least(lit(ChunkW), size(col("toks")) - col("s")).cast("long").as("n_tok"),
+            array_join(slice(col("toks"), col("s") + 1, lit(ChunkW)), " ").as("chunk"))
+      },
+      Some(sql(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                              FROM documents WHERE len(string_split(text, ' ')) > 0),
+                   c AS (SELECT doc_id, toks,
+                           unnest(range(0, len(toks), $ChunkS)) AS s FROM t)
+                   SELECT doc_id, CAST(s // $ChunkS AS BIGINT) AS chunk_id,
+                     CAST(s AS BIGINT) AS tok_start,
+                     CAST(least($ChunkW, len(toks) - s) AS BIGINT) AS n_tok,
+                     array_to_string(list_slice(toks, s + 1, s + $ChunkW), ' ') AS chunk
+                   FROM c""")))
   )
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** Golden-corpus semantics, wave 12 — defining aggregate/expression
+  * contracts from the reference's golden corpus plus the modern
+  * bitmap-distinct surface:
+  *
+  * - empty-input aggregation (golden `groupby_neg_float`, `having2`,
+  *   the classic SQL contract): a GLOBAL aggregate over zero rows
+  *   returns exactly ONE row (count = 0, sum/max = NULL), while a
+  *   GROUPED aggregate over zero rows returns ZERO rows. The reference
+  *   pins this split in Aggregate's empty-partition handling
+  *   (sql/core/.../Aggregate.scala:126 — the groupingExpressions.isEmpty
+  *   branch emitting EmptyGeneratedRow); engines that get one side
+  *   wrong corrupt every downstream COALESCE.
+  *
+  * - bitmap-based distinct counting (Spark 3.5's bitmap_* family):
+  *   count(DISTINCT key) restated as a two-level MERGEABLE aggregate —
+  *   per (group, bucket) bitmaps OR-merged then popcounted. At 100 TB
+  *   this is the scalable spelling of exact distinct: bitmap partials
+  *   combine map-side and never carry raw keys through the shuffle,
+  *   unlike the Expand-based DISTINCT rewrite whose per-group key sets
+  *   grow with the corpus. Oracled against plain count(DISTINCT).
+  *
+  * - URL component extraction (Hive golden `udf_parse_url`; the
+  *   reference routes it through HiveGenericUdf — Spark 4 has native
+  *   ParseUrl): HOST / PATH / PROTOCOL / QUERY and a single query
+  *   parameter, over URLs built deterministically from `documents`
+  *   columns. The oracle rebuilds the components from the same columns
+  *   directly, so the crossing proves parse_url actually inverts the
+  *   construction — the first operation every web-corpus curation
+  *   pipeline runs.
+  */
+object Sql11Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // Empty-input aggregation: one row for the global aggregate (count 0,
+    // NULL sum/max), zero rows for the grouped aggregate (pinned via an
+    // outer count). Both branches share the same impossible predicate.
+    Q("sql_empty_agg",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11e")
+        s.sql(sql("""
+          SELECT 'global' AS tag, count(*) AS n,
+                 CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+                 CAST(max(o_totalprice) AS DOUBLE) AS max_price
+          FROM graft_o11e WHERE o_orderkey < 0
+          UNION ALL
+          SELECT 'grouped_rowcount', count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM (SELECT o_custkey FROM graft_o11e
+                WHERE o_orderkey < 0 GROUP BY o_custkey)"""))
+      },
+      Some(sql("""
+        SELECT 'global' AS tag, count(*) AS n,
+               CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders WHERE o_orderkey < 0
+        UNION ALL
+        SELECT 'grouped_rowcount', count(*), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM (SELECT o_custkey FROM orders
+              WHERE o_orderkey < 0 GROUP BY o_custkey)"""))),
+
+    // Bitmap distinct: per-status distinct customers via
+    // bucket-partitioned bitmaps. Inner aggregate keys on
+    // (status, bitmap bucket) — bounded 4KB bitmap state per bucket,
+    // partial-merged map-side; outer aggregate sums the popcounts.
+    // The oracle is the semantic contract: plain count(DISTINCT).
+    Q("sql_bitmap_distinct",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11b")
+        s.sql(sql("""
+          SELECT o_orderstatus, CAST(sum(cnt) AS BIGINT) AS n_distinct
+          FROM (SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bkt,
+                  bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+                FROM graft_o11b GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey))
+          GROUP BY o_orderstatus"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders GROUP BY o_orderstatus"""))),
+
+    // parse_url component extraction over deterministically built URLs;
+    // the oracle reconstructs each component from the source columns, so
+    // agreement proves parse_url inverts the construction exactly.
+    Q("expr_url_funcs",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_d11u")
+        s.sql(sql("""
+          SELECT doc_id,
+                 parse_url(url, 'PROTOCOL') AS proto,
+                 parse_url(url, 'HOST') AS host,
+                 parse_url(url, 'PATH') AS path,
+                 parse_url(url, 'QUERY') AS query,
+                 parse_url(url, 'QUERY', 'lang') AS lang_param
+          FROM (SELECT doc_id,
+                  concat('https://', source, '.example.com/docs/', doc_id,
+                         '?lang=', lang, '&n=', n_chars) AS url
+                FROM graft_d11u)"""))
+      },
+      Some(sql("""
+        SELECT doc_id, 'https' AS proto,
+               source || '.example.com' AS host,
+               '/docs/' || doc_id AS path,
+               'lang=' || lang || '&n=' || n_chars AS query,
+               lang AS lang_param
+        FROM documents""")))
+  )
+}

@@ -151,6 +151,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap distinct is a mergeable two-level aggregate, not an Expand rewrite") {
+    val p = plan("sql_bitmap_distinct")
+    // the whole point of the bitmap spelling: bounded bitmap partials
+    // merge map-side; no Expand duplication, no raw keys in the shuffle
+    assert(p.contains("partial_bitmap_construct_agg"), s"bitmap agg not partial:\n$p")
+    assert(!p.contains("Expand"), s"distinct fell back to the Expand rewrite:\n$p")
+  }
+
+  test("chunking with overlap is a pure scan-stage generator (zero exchanges)") {
+    val p = plan("pipe_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking shuffles:\n$p")
+    assert(p.contains("Generate"), s"no generator in chunking plan:\n$p")
+  }
+
   test("bm25 filters postings by a broadcast term list before any shuffle") {
     val p = plan("text_bm25_topk")
     // the query-term and df joins broadcast (query side is tiny by
