@@ -134,6 +134,64 @@ object SourceQueries {
           ('failfast', NULL, NULL, 'raised', NULL)
         ) AS t(mode, id, v, corrupt, n)"""))),
 
+    // CSV malformed-record modes — the CSV sibling of src_json_corrupt,
+    // pinning where the two sources DISAGREE about what "malformed"
+    // means: in CSV a type-violating field marks the whole record
+    // malformed (dropped by DROPMALFORMED), whereas JSON keeps it as a
+    // partial result; SHORT and over-long rows are malformed too —
+    // PERMISSIVE still salvages the parsable prefix (partial values
+    // with _corrupt_record set). PERMISSIVE pins per-row
+    // partial values + _corrupt_record, DROPMALFORMED the survivor
+    // count, FAILFAST the raised error (same declaration-time probe
+    // exception as src_json_corrupt).
+    Q("src_csv_corrupt",
+      (s, d) => {
+        val path = tmp(d, "csv_corrupt")
+        new java.io.File(path).mkdirs()
+        val w = new java.io.PrintWriter(s"$path/data.csv")
+        try w.print(Seq(
+          "1,10",
+          "2,abc",
+          "3",
+          "4,40,99",
+          "5,50").mkString("\n"))
+        finally w.close()
+        val perm = s.read.schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+          .csv(path)
+          .select(lit("permissive").as("mode"), col("id"), col("v"),
+            col("_corrupt_record").as("corrupt"), lit(null).cast("long").as("n"))
+        // CSV parses only the REFERENCED columns (parser column pruning),
+        // so a bare count() observes no malformed fields at all — the
+        // drop/failfast probes must reference every schema column to pin
+        // the documented semantics. The survivor checksum sum(id+v)
+        // rides in `corrupt` to also pin WHICH rows survived.
+        val drop = s.read.schema("id BIGINT, v BIGINT")
+          .option("mode", "DROPMALFORMED").csv(path)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("id") + col("v")).cast("string").as("chk"))
+          .select(lit("dropmalformed").as("mode"), lit(null).cast("long").as("id"),
+            lit(null).cast("long").as("v"), col("chk").as("corrupt"),
+            col("cnt").as("n"))
+        val raised = scala.util.Try(
+          s.read.schema("id BIGINT, v BIGINT").option("mode", "FAILFAST")
+            .csv(path).selectExpr("sum(id + v)").collect()).isFailure
+        val fail = s.range(1).select(lit("failfast").as("mode"),
+          lit(null).cast("long").as("id"), lit(null).cast("long").as("v"),
+          lit(if (raised) "raised" else "no_error").as("corrupt"),
+          lit(null).cast("long").as("n"))
+        perm.unionAll(drop).unionAll(fail)
+      },
+      Some(sql("""SELECT mode, CAST(id AS BIGINT) AS id, CAST(v AS BIGINT) AS v,
+            corrupt, CAST(n AS BIGINT) AS n FROM (VALUES
+          ('permissive', 1, 10,   NULL, NULL),
+          ('permissive', 2, NULL, '2,abc', NULL),
+          ('permissive', 3, NULL, '3', NULL),
+          ('permissive', 4, 40,   '4,40,99', NULL),
+          ('permissive', 5, 50,   NULL, NULL),
+          ('dropmalformed', NULL, NULL, '66', 2),
+          ('failfast', NULL, NULL, 'raised', NULL)
+        ) AS t(mode, id, v, corrupt, n)"""))),
+
     // XML round-trip (Spark 4 merged the spark-xml data source into
     // sql/core — a source format the reference era never had): write
     // with an explicit rowTag, read back with schema inference, and

@@ -42,19 +42,27 @@ class ScaleGrowthSpec extends AnyFunSuite {
       .flatten.map(_.value).foldLeft(0L)(math.max)
   }
 
-  test("containment candidate volume grows ~linearly over a 10× corpus") {
-    // The positional filter is fused into the candidate join's
-    // condition, so its numOutputRows IS the verify-stage candidate
-    // volume. 10× documents: linear candidate growth lands near 10×
-    // (measured ~1×: gram vocabulary growth spreads the buckets), a
-    // corpus-independent blocking key near 100×. Bound 30× (the
-    // log-scale midpoint, slack for constant factors); the floor keeps
-    // a near-empty sf0.001 candidate set from dividing into noise.
-    val small = maxJoinRows("dedup_containment", "/root/testdata/sf0.001")
-    val big = maxJoinRows("dedup_containment", "/root/testdata/sf0.01")
-    info(s"dedup_containment max equi-join rows: sf0.001=$small sf0.01=$big")
-    assert(big <= 30L * math.max(small, 50L),
-      s"containment candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
+  test("containment candidate volume tracks the answer, not the corpus squared") {
+    // No blocking scheme can emit fewer candidates than TRUE results,
+    // and on this regenerated corpus the answer itself is quadratic:
+    // the 31-word vocabulary saturates the gram space (~1000 distinct
+    // 4-grams at every SF), so most same-source pairs genuinely contain
+    // each other (measured 4.5k → 471k qualifying pairs over 10× docs).
+    // The meaningful scale contract is therefore candidate volume =
+    // O(answer + corpus) with a bounded overhead factor — on gram-
+    // diverse corpora (the 100 TB web case) the same bound collapses to
+    // linear candidates, which is what the pre-regeneration corpus
+    // measured (~1× over 10× docs). Measured overhead here: ~35× at
+    // BOTH SFs (constant factor, i.e. the blocking tracks the answer);
+    // bound 80×.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val cand = maxJoinRows("dedup_containment", sf)
+      val answer = SparkEntry.queries("dedup_containment")(spark, sf).count()
+      val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+      info(s"dedup_containment at $sf: candidates=$cand answer=$answer docs=$docs")
+      assert(cand <= 80L * math.max(answer, docs),
+        s"$sf: candidate volume $cand not O(answer=$answer + corpus=$docs)")
+    }
   }
 
   test("minhash-LSH banding candidate volume grows ~linearly over a 10× corpus") {
@@ -63,11 +71,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // so bucket sizes stay bounded and candidates track N. A band/sig
     // scheme collapsing to few buckets (the corpus-independent-key bug
     // class) would push growth toward the ratio squared.
-    val small = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.001")
-    val big = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.01")
-    info(s"dedup_minhash_lsh max equi-join rows: sf0.001=$small sf0.01=$big")
+    val small = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.01")
+    val big = maxJoinRows("dedup_minhash_lsh", "/root/testdata/sf0.1")
+    info(s"dedup_minhash_lsh max equi-join rows: sf0.01=$small sf0.1=$big")
     assert(big <= 30L * math.max(small, 50L),
-      s"LSH candidates grew superlinearly: sf0.001=$small → sf0.01=$big")
+      s"LSH candidates grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
 
   test("exact-substring duplicated-window volume grows ~linearly over a 10× corpus") {
@@ -83,11 +91,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.sum("n_windows"),
           org.apache.spark.sql.functions.lit(0L)))
         .collect()(0).getLong(0)
-    val small = dupWindows("/root/testdata/sf0.001")
-    val big = dupWindows("/root/testdata/sf0.01")
-    info(s"dedup_exact_substr duplicated windows: sf0.001=$small sf0.01=$big")
+    val small = dupWindows("/root/testdata/sf0.01")
+    val big = dupWindows("/root/testdata/sf0.1")
+    info(s"dedup_exact_substr duplicated windows: sf0.01=$small sf0.1=$big")
     assert(big <= 30L * math.max(small, 50L),
-      s"duplicated-window volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+      s"duplicated-window volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
 
   test("edit-distance verification volume stays confined to LSH candidates") {
@@ -97,11 +105,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // same linear contract as the LSH generator itself: a regression that
     // widened the candidate block (or joined text before candidates)
     // would push this toward corpus².
-    val small = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.001")
-    val big = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.01")
-    info(s"dedup_edit_distance max equi-join rows: sf0.001=$small sf0.01=$big")
+    val small = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.01")
+    val big = maxJoinRows("dedup_edit_distance", "/root/testdata/sf0.1")
+    info(s"dedup_edit_distance max equi-join rows: sf0.01=$small sf0.1=$big")
     assert(big <= 30L * math.max(small, 50L),
-      s"edit-distance volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+      s"edit-distance volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
 
   test("IVF+PQ candidate volume grows ~linearly with the corpus") {
@@ -109,11 +117,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // lookups: the largest equi-join (probe cell ⋈ encoded corpus) must
     // track N, not N × K_cells. A broken prune (cell key collapsing, or
     // scoring before pruning) pushes the metric superlinear.
-    val small = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.001")
-    val big = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.01")
-    info(s"sim_topk_ivfpq max equi-join rows: sf0.001=$small sf0.01=$big")
+    // embeddings grow 500 → 2000 over sf0.01 → sf0.1 (the only span
+    // where the regenerated testdata scales the vector corpus)
+    val small = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.01")
+    val big = maxJoinRows("sim_topk_ivfpq", "/root/testdata/sf0.1")
+    info(s"sim_topk_ivfpq max equi-join rows: sf0.01=$small sf0.1=$big")
     assert(big <= 30L * math.max(small, 50L),
-      s"IVF+PQ candidate volume grew superlinearly: sf0.001=$small → sf0.01=$big")
+      s"IVF+PQ candidate volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
 
   test("dedup provenance emits exactly one decision per document at every SF") {
@@ -126,6 +136,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
       info(s"pipeline_dedup_provenance rows at $sf: $rows (docs=$docs)")
       assert(rows == docs, s"$sf: $rows decisions for $docs documents")
     }
+  }
+
+  test("bm25 posting volume tracks the corpus, not corpus × vocabulary") {
+    // the posting join (tf ⋈ broadcast terms, then ⋈ df / dl) must
+    // output rows proportional to matching postings — linear in the
+    // corpus for a fixed query set. A regression that joined postings
+    // before the term filter (or keyed on something corpus-independent)
+    // would push the largest join toward corpus × vocabulary.
+    val small = maxJoinRows("text_bm25_topk", "/root/testdata/sf0.01")
+    val big = maxJoinRows("text_bm25_topk", "/root/testdata/sf0.1")
+    info(s"text_bm25_topk max equi-join rows: sf0.01=$small sf0.1=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"bm25 posting volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
 
   test("semantic-dedup pair volume tracks the corpus once K leaves the floor") {
