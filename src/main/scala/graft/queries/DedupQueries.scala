@@ -189,6 +189,43 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
 
+    // URL-canonical dedup — the FIRST dedup layer of every web-corpus
+    // pipeline (cheaper than any content hash: the same page fetched
+    // twice under cosmetically different URLs). Noisy URLs are built
+    // deterministically from document columns (mixed-case scheme/host,
+    // optional trailing slash, utm_*/ref tracking params), then
+    // canonicalized with the real surface a pipeline uses — parse_url
+    // components, lowercased host, trailing-slash strip, tracking-param
+    // filter — and deduplicated by hash-groupBy on the canonical form.
+    // The oracle REBUILDS each canonical URL directly from the source
+    // columns, so agreement proves the canonicalizer inverts every
+    // noise axis. Scale: one scan + one shuffle of (canonical, doc_id).
+    Q("dedup_url_canonical",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_durl")
+        s.sql(Registry.sql("""
+          WITH raw AS (SELECT doc_id,
+                 concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+                        CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                        '.Example.COM/docs/', doc_id % 50,
+                        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                        '?utm_source=feed&ref=', doc_id, '&page=', doc_id % 4) AS url
+               FROM graft_durl),
+          canon AS (SELECT doc_id,
+                 concat('https://', lower(parse_url(url, 'HOST')),
+                        regexp_replace(parse_url(url, 'PATH'), '/$', ''),
+                        '?', array_join(filter(split(parse_url(url, 'QUERY'), '&'),
+                               p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%')), '&'))
+                   AS canonical
+               FROM raw)
+          SELECT canonical, min(doc_id) AS keeper, count(*) AS n_dups
+          FROM canon GROUP BY canonical"""))
+      },
+      Some(sql("""SELECT 'https://' || source || '.example.com/docs/' ||
+                    (doc_id % 50) || '?page=' || (doc_id % 4) AS canonical,
+                  min(doc_id) AS keeper, count(*) AS n_dups
+                  FROM documents GROUP BY 1"""))),
+
     // Exact dedup: hash-groupBy on normalized content; keeper = min doc_id.
     // At scale this is one shuffle of (hash, doc_id) pairs — never text.
     Q("dedup_exact",

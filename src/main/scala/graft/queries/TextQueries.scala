@@ -147,6 +147,43 @@ object TextQueries {
                      s -> ${Portable.stableHash64Sql("s")})) AS min_shingle_hash
                   FROM documents"""))),
 
+    // Winnowing fingerprints (Schleimer 2003, the MOSS scheme): the min
+    // token-hash of every w=4 consecutive positions, deduplicated per
+    // document. The winnowing guarantee — any shared run of w+? tokens
+    // yields a shared fingerprint — is what plagiarism/overlap detectors
+    // index instead of every shingle (density ≈ 2/(w+1) of positions).
+    // Per-doc output: window count, selected-fingerprint count, and the
+    // order-independent XOR checksum of the distinct fingerprint set —
+    // exact integers, so both engines must select the IDENTICAL set.
+    // Pure scan-stage expression chain: one pass, zero exchanges.
+    Q("text_winnowing",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          transform(split(col("text"), " "), x => Portable.stableHash64(x)).as("hs"))
+        .filter(size(col("hs")) >= 4)
+        .select(col("doc_id"),
+          (size(col("hs")) - 3).cast("long").as("n_windows"),
+          array_distinct(expr(
+            "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
+            .as("fps"))
+        .select(col("doc_id"), col("n_windows"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor")),
+      Some(sql(s"""WITH t AS (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                         x -> ${Portable.stableHash64Sql("x")}) AS hs
+                     FROM documents),
+                   w AS (SELECT doc_id, len(hs) AS n,
+                       list_transform(range(0, len(hs) - 3),
+                         i -> list_min(list_slice(hs, i + 1, i + 4))) AS wins
+                     FROM t WHERE len(hs) >= 4),
+                   f AS (SELECT doc_id, CAST(n - 3 AS BIGINT) AS n_windows,
+                       list_distinct(wins) AS fps FROM w)
+                   SELECT doc_id, n_windows,
+                     CAST(len(fps) AS BIGINT) AS n_fps,
+                     CAST(list_reduce(fps, (a, x) -> xor(a, x)) AS BIGINT) AS fp_xor
+                   FROM f"""))),
+
     // Unigram surprisal scoring (the LM-perplexity proxy of corpus
     // filtering) in EXACT integer arithmetic: a token occurring tf times
     // in an N-token corpus contributes floor(log2 N) − floor(log2 tf)

@@ -151,6 +151,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing is a pure scan-stage expression chain (zero exchanges)") {
+    val p = plan("text_winnowing")
+    assert(!p.contains("Exchange"), s"winnowing shuffles:\n$p")
+  }
+
+  test("url-canonical dedup is one scan plus one partial-aggregated shuffle") {
+    val p = plan("dedup_url_canonical")
+    // exactly the dedup_exact shape: canonical strings aggregate with a
+    // map-side partial before the single hash exchange — never text
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_min"), s"keeper agg not partial:\n$p")
+  }
+
   test("bitmap distinct is a mergeable two-level aggregate, not an Expand rewrite") {
     val p = plan("sql_bitmap_distinct")
     // the whole point of the bitmap spelling: bounded bitmap partials
