@@ -134,6 +134,30 @@ object SourceQueries {
           ('failfast', NULL, NULL, 'raised', NULL)
         ) AS t(mode, id, v, corrupt, n)"""))),
 
+    // Nested-schema pruning: a parquet file of deeply nested structs
+    // read back with only two LEAVES referenced — the scan must read
+    // struct<meta:struct<lang,n_chars>> and nothing else (no text, no
+    // payload struct), the columnar contract that decides whether a
+    // 100 TB nested-event corpus reads 2 columns or 200. PlanSpec
+    // asserts the pruned ReadSchema; the result oracles against the
+    // flat source table.
+    Q("src_nested_pruning",
+      (s, d) => {
+        val path = tmp(d, "docs_nested")
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            struct(struct(col("lang"), col("n_chars")).as("meta"),
+              col("source").as("origin")).as("info"),
+            struct(col("text"), length(col("text")).as("len")).as("payload"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        s.read.parquet(path)
+          .filter(col("info.meta.n_chars") > 200)
+          .groupBy(col("info.meta.lang").as("lang"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(sql("""SELECT lang, count(*) AS n FROM documents
+                  WHERE n_chars > 200 GROUP BY lang"""))),
+
     // CSV malformed-record modes — the CSV sibling of src_json_corrupt,
     // pinning where the two sources DISAGREE about what "malformed"
     // means: in CSV a type-violating field marks the whole record

@@ -82,6 +82,51 @@ object Sql11Queries {
         SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))),
 
+    // Scalar bitwise family (golden udf_bitwise_and/or/xor/not + shift
+    // golden rows): &, |, ^(xor), ~, shifts, and popcount over BIGINT
+    // keys. Spark spells shifts shiftleft/shiftright, DuckDB << / >> —
+    // same two's-complement semantics pinned value-for-value.
+    Q("expr_bitwise_scalar",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11w")
+        s.sql(sql("""
+          SELECT o_orderkey AS k,
+                 o_orderkey & 255 AS b_and, o_orderkey | 16 AS b_or,
+                 o_orderkey ^ 85 AS b_xor, ~o_orderkey AS b_not,
+                 shiftleft(o_orderkey, 3) AS b_shl,
+                 shiftright(o_orderkey, 2) AS b_shr,
+                 CAST(bit_count(o_orderkey) AS INT) AS b_pop
+          FROM graft_o11w WHERE o_orderkey <= 64"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey AS k,
+               o_orderkey & 255 AS b_and, o_orderkey | 16 AS b_or,
+               xor(o_orderkey, 85) AS b_xor, ~o_orderkey AS b_not,
+               o_orderkey << 3 AS b_shl, o_orderkey >> 2 AS b_shr,
+               CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        FROM orders WHERE o_orderkey <= 64"""))),
+
+    // CTE shadowing (golden cte_2/with semantics): a WITH name that
+    // collides with an existing relation must win INSIDE the WITH scope
+    // while the relation stays reachable outside it — both resolutions
+    // pinned in one output.
+    Q("sql_cte_shadow",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_c11s")
+        s.sql(sql("""
+          SELECT 'shadowed' AS scope, count(*) AS n, max(x) AS mx
+          FROM (WITH graft_c11s AS (SELECT 1 AS x) SELECT x FROM graft_c11s)
+          UNION ALL
+          SELECT 'unshadowed', count(*), CAST(NULL AS INT)
+          FROM graft_c11s"""))
+      },
+      Some(sql("""
+        SELECT 'shadowed' AS scope, count(*) AS n, max(x) AS mx
+        FROM (WITH customer AS (SELECT 1 AS x) SELECT x FROM customer)
+        UNION ALL
+        SELECT 'unshadowed', count(*), CAST(NULL AS INT)
+        FROM customer"""))),
+
     // parse_url component extraction over deterministically built URLs;
     // the oracle reconstructs each component from the source columns, so
     // agreement proves parse_url inverts the construction exactly.

@@ -151,6 +151,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("nested-schema pruning reads only the referenced struct leaves") {
+    val p = plan("src_nested_pruning")
+    // the scan schema must be the two meta leaves — neither the text
+    // payload struct nor the sibling origin field may survive pruning
+    assert(p.contains("ReadSchema: struct<info:struct<meta:struct<lang:string,n_chars:bigint>>>"),
+      s"nested schema not pruned to the referenced leaves:\n$p")
+    assert(!p.contains("payload"), s"payload struct not pruned:\n$p")
+  }
+
   test("winnowing is a pure scan-stage expression chain (zero exchanges)") {
     val p = plan("text_winnowing")
     assert(!p.contains("Exchange"), s"winnowing shuffles:\n$p")
