@@ -242,6 +242,54 @@ object StreamingQueries {
                    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
                   GROUP BY p.user_id"""))),
 
+    // Stream-stream LEFT OUTER join — the semantics the inner join row
+    // cannot pin: an unmatched purchase must be emitted NULL-EXTENDED,
+    // but only once the watermark proves no click can still arrive.
+    // Rows near the stream's end are never finalized (the watermark
+    // stops at max_ts - delay when the input is exhausted), so BOTH
+    // engines aggregate only the STABLE region p_ts ≤ max_ts - 3h —
+    // strictly inside the final watermark (max_ts - 2h), making the
+    // comparison independent of eviction-boundary tie behavior. Inside
+    // that region the contract is exact: every purchase appears exactly
+    // once, matched or null-extended.
+    Q("stream_outer_join",
+      (s, d) => {
+        val purchases = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+            && col("c_ts") <= col("p_ts"),
+          "left_outer")
+        val mx = Engine.table(s, d, "events").agg(max(col("ts")).as("m"))
+        StreamRunner.runToTable(s, joined, s"sojoin_${math.abs(d.hashCode)}", "append")
+          .crossJoin(broadcast(mx))
+          .filter(col("p_ts") <= col("m") - expr("INTERVAL 3 HOUR"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"), count(col("c_user")).as("n_matched"),
+            round(sum(col("p_value")), 4).as("sum_value"))
+      },
+      Some(sql("""WITH mx AS (SELECT max(ts) AS m FROM events),
+                  p AS (SELECT user_id, ts AS p_ts, value FROM events
+                        WHERE event_type = 'purchase'),
+                  c AS (SELECT user_id AS c_user, ts AS c_ts FROM events
+                        WHERE event_type = 'click')
+                  SELECT p.user_id, count(*) AS n_rows,
+                    count(c.c_user) AS n_matched,
+                    round(sum(p.value), 4) AS sum_value
+                  FROM p CROSS JOIN mx LEFT JOIN c
+                    ON c.c_user = p.user_id
+                   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+                   AND c.c_ts <= p.p_ts
+                  WHERE p.p_ts <= mx.m - INTERVAL 3 HOUR
+                  GROUP BY p.user_id"""))),
+
     // Streaming union + exactly-once dedup (DStream union + the
     // dropDuplicates state operator): two copies of the stream unioned,
     // deduped on event_id, so the sink holds each event exactly once.
