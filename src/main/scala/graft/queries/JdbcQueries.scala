@@ -69,6 +69,29 @@ object JdbcQueries {
       },
       Some(sql("""SELECT s_suppkey, s_nationkey, round(s_acctbal, 4) AS bal
                   FROM supplier
-                  WHERE s_acctbal > 1000.0 AND s_nationkey < 13""")))
+                  WHERE s_acctbal > 1000.0 AND s_nationkey < 13"""))),
+
+    // AGGREGATE pushdown through the JDBC V2 catalog: the whole
+    // GROUP BY + COUNT/SUM evaluates inside Derby — Spark receives one
+    // pre-aggregated row per group (PlanSpec asserts PushedAggregates +
+    // PushedGroupByExpressions on the scan). The modern deepening of
+    // JDBCRDD.compileFilter's WHERE pushdown: at scale the database
+    // ships group summaries, not rows.
+    Q("src_jdbc_agg_pushdown",
+      (s, d) => {
+        stage(s, d)
+        s.conf.set("spark.sql.catalog.graftjdbc",
+          "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+        s.conf.set("spark.sql.catalog.graftjdbc.url", Url)
+        s.conf.set("spark.sql.catalog.graftjdbc.driver",
+          "org.apache.derby.jdbc.EmbeddedDriver")
+        s.conf.set("spark.sql.catalog.graftjdbc.pushDownAggregate", "true")
+        s.table("graftjdbc.GRAFT_SUPPLIER")
+          .groupBy(col("S_NATIONKEY").as("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("S_ACCTBAL")), 4).as("bal"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                   round(sum(s_acctbal), 4) AS bal
+                  FROM supplier GROUP BY s_nationkey""")))
   )
 }

@@ -290,6 +290,45 @@ object StreamingQueries {
                   WHERE p.p_ts <= mx.m - INTERVAL 3 HOUR
                   GROUP BY p.user_id"""))),
 
+    // Stream-stream LEFT SEMI join (supported since 3.1): purchases
+    // with at least one click in the preceding hour, emitted AT MOST
+    // ONCE on first match — never duplicated by additional matches,
+    // never null-extended. Unlike the outer join, matched rows emit as
+    // soon as the match arrives (no watermark wait) and the staged
+    // replay is in event-time order, so EVERY qualifying purchase is in
+    // the sink at termination — the batch EXISTS oracle needs no
+    // stable-region cutoff.
+    Q("stream_semi_join",
+      (s, d) => {
+        val purchases = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+            && col("c_ts") <= col("p_ts"),
+          "left_semi")
+        StreamRunner.runToTable(s, joined, s"ssemi_${math.abs(d.hashCode)}", "append")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("p_value")), 4).as("sum_value"))
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_purchases,
+                    round(sum(value), 4) AS sum_value
+                  FROM events p
+                  WHERE event_type = 'purchase'
+                    AND EXISTS (SELECT 1 FROM events c
+                                WHERE c.event_type = 'click'
+                                  AND c.user_id = p.user_id
+                                  AND c.ts >= p.ts - INTERVAL 1 HOUR
+                                  AND c.ts <= p.ts)
+                  GROUP BY user_id"""))),
+
     // Streaming union + exactly-once dedup (DStream union + the
     // dropDuplicates state operator): two copies of the stream unioned,
     // deduped on event_id, so the sink holds each event exactly once.

@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("jdbc v2 catalog pushes the whole aggregation into the database") {
+    val p = plan("src_jdbc_agg_pushdown")
+    assert(p.contains("PushedAggregates: [COUNT(*), SUM(s_acctbal)]"),
+      s"aggregate not pushed to Derby:\n$p")
+    assert(p.contains("PushedGroupByExpressions: [s_nationkey]"),
+      s"group-by not pushed to Derby:\n$p")
+  }
+
   test("nested-schema pruning reads only the referenced struct leaves") {
     val p = plan("src_nested_pruning")
     // the scan schema must be the two meta leaves — neither the text
