@@ -146,6 +146,34 @@ object Expr2Queries {
                         ELSE CAST(9223372036854775807 AS BIGINT) END AS overflow_add,
                    TRY_CAST(n_name AS INT) AS bad_cast,
                    string_split(n_name, ' ')[99] AS oob_elem
-                  FROM nation""")))
+                  FROM nation"""))),
+
+    // Modern string surface (Spark 3.3+ additions a reference user hits
+    // first when porting): split_part, startswith/endswith/contains as
+    // boolean columns, reverse, repeat, and printf-style formatting.
+    Q("expr_strings3",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_d11x")
+        s.sql(sql("""
+          SELECT doc_id,
+                 split_part(text, ' ', 2) AS second_word,
+                 CAST(startswith(text, 'the') AS INT) AS starts_the,
+                 CAST(endswith(source, '1') AS INT) AS src_ends_1,
+                 CAST(contains(text, 'join') AS INT) AS has_join,
+                 reverse(lang) AS rev_lang,
+                 repeat(lang, 3) AS rep_lang,
+                 format_string('%s-%d', lang, doc_id) AS tagged
+          FROM graft_d11x WHERE doc_id < 50"""))
+      },
+      Some(sql("""
+        SELECT doc_id,
+               split_part(text, ' ', 2) AS second_word,
+               CAST(starts_with(text, 'the') AS INT) AS starts_the,
+               CAST(ends_with(source, '1') AS INT) AS src_ends_1,
+               CAST(contains(text, 'join') AS INT) AS has_join,
+               reverse(lang) AS rev_lang,
+               repeat(lang, 3) AS rep_lang,
+               printf('%s-%d', lang, doc_id) AS tagged
+        FROM documents WHERE doc_id < 50""")))
   )
 }

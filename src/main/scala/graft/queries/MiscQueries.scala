@@ -406,6 +406,63 @@ object MiscQueries {
       Some(sql("""SELECT o_orderstatus, count(*) AS n,
                     round(sum(o_totalprice), 4) AS total
                   FROM orders WHERE o_totalprice > 150000.0
-                  GROUP BY o_orderstatus""")))
+                  GROUP BY o_orderstatus"""))),
+
+    // Z-order (Morton) layout math — the multi-dimensional clustering
+    // key behind file-skipping layouts (Delta OPTIMIZE ZORDER, Hudi
+    // space curves): interleave the bits of two 8-bit dimensions with
+    // the magic-number spread (v|v<<4 &0x0F0F, ...&0x3333, ...&0x5555),
+    // then measure LOCALITY for an aligned 32×32 query box: it must hit
+    // exactly 16 of ~1024 possible 64-wide z-buckets, and its z-range
+    // must be ONE contiguous 1024-run (z_max − z_min < 1024) — the
+    // property that turns a 2-D box predicate into a tight file-skip
+    // range at 100 TB. Exact integer arithmetic in both engines; a
+    // row-major layout would smear the same box across ~256 buckets.
+    Q("layout_zorder",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_z")
+        def spread(v: String): String = {
+          val s1 = s"(($v | shiftleft($v, 4)) & 3855)"
+          val s2 = s"(($s1 | shiftleft($s1, 2)) & 13107)"
+          s"(($s2 | shiftleft($s2, 1)) & 21845)"
+        }
+        s.sql(sql(s"""
+          WITH pts AS (SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y
+                       FROM graft_li_z),
+          z AS (SELECT x, y, (${spread("x")} | shiftleft(${spread("y")}, 1)) AS z
+                FROM pts)
+          SELECT CAST(count(DISTINCT z div 64) AS BIGINT) AS total_buckets,
+            CAST(count(DISTINCT CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z div 64 END) AS BIGINT) AS hit_buckets,
+            CAST(count(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN 1 END) AS BIGINT) AS rows_in_box,
+            CAST(min(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z END) AS BIGINT) AS z_min,
+            CAST(max(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z END) AS BIGINT) AS z_max
+          FROM z"""))
+      },
+      Some {
+        def spread(v: String): String = {
+          val s1 = s"(($v | ($v << 4)) & 3855)"
+          val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+          s"(($s2 | ($s2 << 1)) & 21845)"
+        }
+        sql(s"""
+          WITH pts AS (SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y
+                       FROM lineitem),
+          z AS (SELECT x, y, (${spread("x")} | (${spread("y")} << 1)) AS z
+                FROM pts)
+          SELECT CAST(count(DISTINCT z // 64) AS BIGINT) AS total_buckets,
+            CAST(count(DISTINCT CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z // 64 END) AS BIGINT) AS hit_buckets,
+            CAST(count(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN 1 END) AS BIGINT) AS rows_in_box,
+            CAST(min(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z END) AS BIGINT) AS z_min,
+            CAST(max(CASE WHEN x >= 32 AND x < 64
+                 AND y >= 96 AND y < 128 THEN z END) AS BIGINT) AS z_max
+          FROM z""")
+      })
   )
 }

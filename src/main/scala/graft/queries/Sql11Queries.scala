@@ -82,6 +82,41 @@ object Sql11Queries {
         SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))),
 
+    // LIMIT ... OFFSET (Spark 3.4's OFFSET surface; DuckDB native):
+    // a deterministic page — unique-key ORDER BY, rows 21-30.
+    Q("sql_offset",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11o")
+        s.sql(sql("""
+          SELECT o_orderkey, round(o_totalprice, 4) AS price
+          FROM graft_o11o ORDER BY o_orderkey LIMIT 10 OFFSET 20"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey, round(o_totalprice, 4) AS price
+        FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20"""))),
+
+    // Table-valued function as a relation: range() standalone (strided
+    // arithmetic sum) and joined to a real table on its generated id —
+    // the generator participates in join planning like any relation.
+    Q("sql_tvf_range",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_n11t")
+        s.sql(sql("""
+          SELECT 'strided_sum' AS tag, CAST(sum(id) AS BIGINT) AS v,
+                 count(*) AS n
+          FROM range(0, 100000, 7)
+          UNION ALL
+          SELECT 'joined_to_dim', CAST(sum(id * n_regionkey) AS BIGINT), count(*)
+          FROM range(0, 25) r JOIN graft_n11t ON r.id = n_nationkey"""))
+      },
+      Some(sql("""
+        SELECT 'strided_sum' AS tag, CAST(sum(range) AS BIGINT) AS v,
+               count(*) AS n
+        FROM range(0, 100000, 7)
+        UNION ALL
+        SELECT 'joined_to_dim', CAST(sum(range * n_regionkey) AS BIGINT), count(*)
+        FROM range(0, 25) r JOIN nation ON r.range = n_nationkey"""))),
+
     // Scalar bitwise family (golden udf_bitwise_and/or/xor/not + shift
     // golden rows): &, |, ^(xor), ~, shifts, and popcount over BIGINT
     // keys. Spark spells shifts shiftleft/shiftright, DuckDB << / >> —
