@@ -36,8 +36,8 @@ object RetrievalQueries {
     //   score      = Σ_terms idf * tf_part             (fits a BIGINT/double)
     // The tf table is the SAME CacheOnce signature table text_tfidf
     // builds — one tokenize pass serves both scorers.
-    Q("text_bm25_topk",
-      (s, d) => {
+    Q("text_bm25_topk", bench = true,
+      fn = (s, d) => {
         import s.implicits._
         val docs = table(s, d, "documents")
         val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -69,7 +69,7 @@ object RetrievalQueries {
             col("col.score").cast("long").as("score"),
             (col("pos") + 1).cast("long").as("rk"))
       },
-      Some(sql("""WITH qt(q_id, term) AS (VALUES
+      oracle = Some(sql("""WITH qt(q_id, term) AS (VALUES
                     ('q1','stream'),('q1','join'),('q1','window'),
                     ('q2','hash'),('q2','merge'),('q2','sort'),
                     ('q3','customer'),('q3','filter'),('q3','scan')),

@@ -82,6 +82,68 @@ object Sql11Queries {
         SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))),
 
+    // ROWS vs RANGE with duplicate order keys (golden windowing_rows/
+    // windowing_range): RANGE frames include ALL peers of the current
+    // key, ROWS frames cut mid-peer-group. Counting (value-free) frames
+    // keep the pin deterministic under tie permutation: each peer group
+    // of size k yields the row-count multiset {base+1..base+k} in ANY
+    // order, while the range count is base+k for every peer.
+    Q("sql_rows_vs_range_ties",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11r")
+        s.sql(sql("""
+          SELECT o_orderstatus, o_orderdate,
+                 CAST(count(*) OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_orderdate
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS rows_cnt,
+                 CAST(count(*) OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS range_cnt
+          FROM graft_o11r WHERE o_orderkey <= 500"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus, o_orderdate,
+               CAST(count(*) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderdate
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS rows_cnt,
+               CAST(count(*) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderdate
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS range_cnt
+        FROM orders WHERE o_orderkey <= 500"""))),
+
+    // NATURAL JOIN + JOIN USING (golden join_nulls/natural family):
+    // NATURAL resolves the shared column set implicitly, USING
+    // coalesces the key into ONE output column — both pinned via the
+    // same aggregate so a resolution difference changes the result.
+    Q("sql_natural_join",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_n11n")
+        table(s, d, "region")
+          .withColumnRenamed("r_regionkey", "n_regionkey")
+          .createOrReplaceTempView("graft_r11n")
+        s.sql(sql("""
+          SELECT 'natural' AS variant, n_regionkey, count(*) AS n
+          FROM (SELECT * FROM graft_n11n NATURAL JOIN graft_r11n)
+          GROUP BY n_regionkey
+          UNION ALL
+          SELECT 'using', n_regionkey, count(*)
+          FROM (SELECT n_regionkey FROM graft_n11n JOIN graft_r11n USING (n_regionkey))
+          GROUP BY n_regionkey"""))
+      },
+      Some(sql("""
+        WITH r2 AS (SELECT r_regionkey AS n_regionkey, r_name FROM region)
+        SELECT 'natural' AS variant, n_regionkey, count(*) AS n
+        FROM (SELECT * FROM nation NATURAL JOIN r2)
+        GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'using', n_regionkey, count(*)
+        FROM (SELECT n_regionkey FROM nation JOIN r2 USING (n_regionkey))
+        GROUP BY n_regionkey"""))),
+
     // LIMIT ... OFFSET (Spark 3.4's OFFSET surface; DuckDB native):
     // a deterministic page — unique-key ORDER BY, rows 21-30.
     Q("sql_offset",
