@@ -93,6 +93,55 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
   }
 
+  /** Calibration pair table: every LSH candidate pair with its
+    * signature-match count, ĵ = n_match/16 estimate, exact shingle
+    * Jaccard, and absolute error — shared by dedup_minhash_estimate and
+    * dedup_minhash_sweep. */
+  private def estimatePairs(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), Portable.shingles3FromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shs"),
+        Portable.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), col("shs"), expr("graft_minhash16(hs)").as("mh"))
+    lshCandidates(s, d)
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("shs").as("sh_b"), col("mh").as("mh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+          .as("n_match"),
+        T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match").cast("double") / 16.0, 6).as("est_j"),
+        round(col("j_raw"), 6).as("jaccard"),
+        round(abs(col("n_match").cast("double") / 16.0 - col("j_raw")), 6).as("err"))
+  }
+
+  /** CTE chain + select of the calibration pair table — shared by
+    * dedup_minhash_estimate (raw report) and dedup_minhash_sweep
+    * (threshold-sweep aggregate over the same pairs). */
+  private def estimateCtesSql: String =
+    s"""$bandTableSql,
+        $lshCandSql,
+        shset AS (SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
+                  FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
+        m AS (SELECT doc_a, doc_b,
+            CAST(${(0 until Hashes).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match
+          FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+                    JOIN sigs sb ON sb.doc_id = doc_b)"""
+
+  private def estimateSelectSql: String =
+    s"""SELECT m.doc_a, m.doc_b, n_match,
+         round(CAST(n_match AS DOUBLE) / 16, 6) AS est_j,
+         round(${T.jaccardSql("ga.shs", "gb.shs")}, 6) AS jaccard,
+         round(abs(CAST(n_match AS DOUBLE) / 16 - ${T.jaccardSql("ga.shs", "gb.shs")}), 6) AS err
+       FROM m JOIN shset ga ON ga.doc_id = m.doc_a
+              JOIN shset gb ON gb.doc_id = m.doc_b"""
+
   /** DuckDB twin of lshCandidates (appends to bandTableSql's chain). */
   private val lshCandSql: String =
     """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -291,44 +340,41 @@ object DedupQueries {
     // Jaccard joins text-derived shingle sets only for candidates (the
     // two-stage shape of dedup_minhash_verified, unthresholded).
     Q("dedup_minhash_estimate",
+      (s, d) => estimatePairs(s, d),
+      Some(sql(s"WITH $estimateCtesSql $estimateSelectSql"))),
+
+    // THRESHOLD SWEEP over the same calibration pairs: at matching
+    // (signature, exact-Jaccard) cutoffs — n_match ≥ 4/8/12 vs
+    // jaccard ≥ 0.25/0.5/0.75 — how many candidate pairs does the
+    // sketch accept, how many does exact verification accept, and how
+    // large is the agreement set? The three rows are the
+    // precision/recall table a pipeline owner reads to pick the LSH
+    // acceptance threshold. Integer n_match cutoffs avoid float
+    // boundaries on the estimate side; the exact side thresholds the
+    // same 6-decimal rounding both engines already agree on.
+    Q("dedup_minhash_sweep",
       (s, d) => {
-        val base = table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), Portable.shingles3FromTokens(col("toks")).as("sh"))
-          .select(col("doc_id"), array_distinct(col("sh")).as("shs"),
-            Portable.shingleHashes(col("sh")).as("hs"))
-          .select(col("doc_id"), col("shs"), expr("graft_minhash16(hs)").as("mh"))
-        val cand = lshCandidates(s, d)
-        cand
-          .join(base.select(col("doc_id").as("doc_a"),
-            col("shs").as("sh_a"), col("mh").as("mh_a")), Seq("doc_a"))
-          .join(base.select(col("doc_id").as("doc_b"),
-            col("shs").as("sh_b"), col("mh").as("mh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            aggregate(zip_with(col("mh_a"), col("mh_b"),
-              (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
-              .as("n_match"),
-            T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
-          .select(col("doc_a"), col("doc_b"), col("n_match"),
-            round(col("n_match").cast("double") / 16.0, 6).as("est_j"),
-            round(col("j_raw"), 6).as("jaccard"),
-            round(abs(col("n_match").cast("double") / 16.0 - col("j_raw")), 6).as("err"))
+        import s.implicits._
+        val thr = Seq(("t25", 4L, 0.25), ("t50", 8L, 0.5), ("t75", 12L, 0.75))
+          .toDF("tname", "tm", "tj")
+        estimatePairs(s, d).crossJoin(broadcast(thr))
+          .groupBy(col("tname"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("n_match") >= col("tm"), 1L).otherwise(0L)).as("n_est"),
+            sum(when(col("jaccard") >= col("tj"), 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("n_match") >= col("tm") && col("jaccard") >= col("tj"), 1L)
+              .otherwise(0L)).as("n_both"))
       },
-      Some(sql(s"""WITH $bandTableSql,
-                   $lshCandSql,
-                   shset AS (SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
-                             FROM documents WHERE len(${T.tokensSql("text")}) >= 3),
-                   m AS (SELECT doc_a, doc_b,
-                       CAST(${(0 until Hashes).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match
-                     FROM cand JOIN sigs sa ON sa.doc_id = doc_a
-                               JOIN sigs sb ON sb.doc_id = doc_b)
-                   SELECT m.doc_a, m.doc_b, n_match,
-                     round(CAST(n_match AS DOUBLE) / 16, 6) AS est_j,
-                     round(${T.jaccardSql("ga.shs", "gb.shs")}, 6) AS jaccard,
-                     round(abs(CAST(n_match AS DOUBLE) / 16 - ${T.jaccardSql("ga.shs", "gb.shs")}), 6) AS err
-                   FROM m JOIN shset ga ON ga.doc_id = m.doc_a
-                          JOIN shset gb ON gb.doc_id = m.doc_b"""))),
+      Some(sql(s"""WITH $estimateCtesSql,
+                   est AS ($estimateSelectSql),
+                   thr(tname, tm, tj) AS (VALUES
+                     ('t25', 4, 0.25), ('t50', 8, 0.5), ('t75', 12, 0.75))
+                   SELECT tname, count(*) AS n_pairs,
+                     CAST(sum(CASE WHEN n_match >= tm THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+                     CAST(sum(CASE WHEN jaccard >= tj THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                     CAST(sum(CASE WHEN n_match >= tm AND jaccard >= tj
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                   FROM est CROSS JOIN thr GROUP BY tname"""))),
 
     // EDIT-DISTANCE VERIFICATION of LSH candidates: levenshtein is the
     // classic character-level near-dup measure, and both engines

@@ -92,6 +92,14 @@ object JdbcQueries {
       },
       Some(sql("""SELECT s_nationkey, count(*) AS n,
                    round(sum(s_acctbal), 4) AS bal
-                  FROM supplier GROUP BY s_nationkey""")))
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // NOTE: TopN/limit pushdown (pushDownLimit) was probed and is NOT
+    // declarable against Derby: the scan advertises `PushedTopN: ORDER
+    // BY [s_suppkey] LIMIT 5` and Spark plans no fallback limit, yet
+    // the database returns the FULL table — the Derby dialect compiles
+    // a LIMIT clause Derby ignores (Derby wants FETCH FIRST). Aggregate
+    // pushdown (above) works and is verified; limit pushdown would
+    // silently return wrong row counts, so it stays undeclared.
   )
 }

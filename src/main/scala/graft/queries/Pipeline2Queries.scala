@@ -71,6 +71,37 @@ object Pipeline2Queries {
     // each. The corpus is synthetic word-soup with no natural PII, so the
     // query deterministically enriches each row from its own key first —
     // the operator under test is the count+redact expression chain.
+    // mask() — Spark 3.4's built-in character-class redaction (upper→X,
+    // lower→x, digit→n), the structure-preserving sibling of the regex
+    // scrub below: length and punctuation survive, content doesn't.
+    // Default masking plus a custom-replacement variant (otherChar '-')
+    // pinned side by side; the oracle reproduces the per-class
+    // substitution with three regexp_replace passes.
+    Q("pipe_pii_mask",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_dmask")
+        s.sql(Registry.sql("""
+          SELECT doc_id,
+                 mask(payload) AS masked,
+                 mask(payload, 'Q', 'q', '9', '-') AS masked_custom
+          FROM (SELECT doc_id,
+                  concat('User ', upper(lang), ' id', CAST(doc_id AS STRING),
+                         ' key 12-', CAST(doc_id % 100 AS STRING)) AS payload
+                FROM graft_dmask)"""))
+      },
+      Some(sql("""
+        WITH p AS (SELECT doc_id,
+               'User ' || upper(lang) || ' id' || CAST(doc_id AS VARCHAR)
+                 || ' key 12-' || CAST(doc_id % 100 AS VARCHAR) AS payload
+             FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(payload,
+            '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+            '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'), '[0-9]', '9', 'g'),
+            '[^A-Za-z0-9Qq9]', '-', 'g') AS masked_custom
+        FROM p"""))),
+
     Q("pipe_pii_scrub",
       (s, d) => {
         val id = col("doc_id")
