@@ -200,6 +200,31 @@ object AggQueries {
 
     // Beyond-reference statistical aggregates (1.3 exposed these only on
     // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
+    // width_bucket equi-width histogram (Spark 3.1's ANSI function):
+    // 12 buckets over [0, 600k) plus the underflow (0) / overflow (13)
+    // buckets. DuckDB has no width_bucket, so the oracle restates the
+    // DEFINITION with floor arithmetic — bucket width 600000/12 = 50000
+    // is exactly representable and no order price sits on a boundary
+    // multiple (checked at every SF), so the floors agree bit-for-bit.
+    Q("agg_width_bucket",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_wb")
+        s.sql(sql("""
+          SELECT CAST(width_bucket(o_totalprice, 0, 600000, 12) AS BIGINT) AS bkt,
+                 count(*) AS n,
+                 round(min(o_totalprice), 4) AS lo,
+                 round(max(o_totalprice), 4) AS hi
+          FROM graft_o_wb GROUP BY 1"""))
+      },
+      Some(sql("""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 13
+                         ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bkt,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM orders GROUP BY 1"""))),
+
     Q("agg_stats",
       (s, d) => table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -185,6 +185,33 @@ object StreamingQueries {
                               FROM events))
                   GROUP BY session_id, user_id"""))),
 
+    // Session windows with a DYNAMIC per-event gap (Spark 3.2): clicks
+    // extend a session by only 10 minutes, every other event by 30 —
+    // the per-row gap expression each real sessionizer eventually
+    // needs. Windows merge while they overlap, so a session's end is
+    // the RUNNING MAX of (ts + gap); the oracle restates that as
+    // gaps-and-islands over the running-max end.
+    Q("stream_session_dynamic",
+      (s, d) => Engine.events(s, d)
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "click", "10 minutes")
+            .otherwise("30 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"), col("user_id"), col("n")),
+      Some(sql("""SELECT min(ts) AS session_start, user_id, count(*) AS n
+                  FROM (SELECT user_id, ts,
+                          sum(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                                   THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                        FROM (SELECT user_id, event_id, ts,
+                                max(ts + INTERVAL (CASE WHEN event_type = 'click'
+                                     THEN 10 ELSE 30 END) MINUTE)
+                                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                                  AS prev_max_end
+                              FROM events))
+                  GROUP BY session_id, user_id"""))),
+
     // mapGroupsWithState (updateStateByKey's arbitrary-state superset):
     // per-user event count + max inter-event gap, computed in the typed
     // stateful API (runs identically in batch and streaming).
