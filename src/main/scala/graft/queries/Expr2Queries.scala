@@ -148,6 +148,54 @@ object Expr2Queries {
                    string_split(n_name, ' ')[99] AS oob_elem
                   FROM nation"""))),
 
+    // Datetime convention grid (golden date_udf / udf_weekofyear
+    // family): week truncation (both engines truncate to MONDAY),
+    // quarter, day-of-week (Spark 1=Sunday vs DuckDB 0=Sunday — the
+    // oracle shifts by one, pinning the exact convention difference),
+    // month-end, and day arithmetic against a fixed epoch.
+    Q("expr_datetime3",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_dt3")
+        s.sql(sql("""
+          SELECT o_orderkey,
+                 trunc(o_orderdate, 'week') AS week_start,
+                 CAST(quarter(o_orderdate) AS INT) AS qtr,
+                 CAST(dayofweek(o_orderdate) AS INT) AS dow,
+                 last_day(o_orderdate) AS month_end,
+                 CAST(datediff(o_orderdate, DATE '2020-01-01') AS INT) AS days_since
+          FROM graft_o_dt3 WHERE o_orderkey <= 200"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey,
+               date_trunc('week', o_orderdate) AS week_start,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               last_day(o_orderdate) AS month_end,
+               CAST(datediff('day', DATE '2020-01-01', o_orderdate) AS INT) AS days_since
+        FROM orders WHERE o_orderkey <= 200"""))),
+
+    // Negative-operand division/modulo semantics: both engines truncate
+    // integer division toward zero and give % the DIVIDEND's sign;
+    // pmod (always-positive modulo) exists only in Spark, so the oracle
+    // restates it as ((a % b) + b) % b — the exact rewrite a porting
+    // user needs.
+    Q("expr_mod_semantics",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_mod")
+        s.sql(sql("""
+          SELECT o_orderkey,
+                 (o_orderkey - 50) % 7 AS m,
+                 pmod(o_orderkey - 50, 7) AS pm,
+                 (o_orderkey - 50) div 7 AS dv
+          FROM graft_o_mod WHERE o_orderkey <= 100"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey,
+               (o_orderkey - 50) % 7 AS m,
+               (((o_orderkey - 50) % 7) + 7) % 7 AS pm,
+               (o_orderkey - 50) // 7 AS dv
+        FROM orders WHERE o_orderkey <= 100"""))),
+
     // Modern string surface (Spark 3.3+ additions a reference user hits
     // first when porting): split_part, startswith/endswith/contains as
     // boolean columns, reverse, repeat, and printf-style formatting.
