@@ -91,6 +91,59 @@ object MultimodalQueries {
                       i -> ${Portable.stableHash64Sql("substr(text, CAST(i * 64 + 1 AS INTEGER), 64)")})) AS frame_hash
                    FROM documents WHERE doc_id < 100"""))),
 
+    // Resize/thumbnail plumbing: per image, aspect-preserving target
+    // dimensions (max side 128) in EXACT integer arithmetic, plus a
+    // deterministic stand-in for the pixel resample — every k-th
+    // character of the decoded payload (k = the integer downscale
+    // factor), hashed. The mapPartitions stage is the mapInPandas-class
+    // batch shape: metadata + payload in, small thumb rows out; the
+    // binary never shuffles. Source dims derive deterministically from
+    // the doc key (the codec that would read them is stubbed).
+    Q("mm_resize_thumbs",
+      (s, d) => {
+        import s.implicits._
+        val src = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            (lit(640L) + (col("doc_id") % 4) * 160L).as("w"),
+            (lit(360L) + (col("doc_id") % 3) * 120L).as("h"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+            Encoders.scalaLong, Encoders.scalaLong))
+        src.mapPartitions { it =>
+          it.map { case (id, text, w, h) =>
+            val side = math.max(w, h)
+            val (dw, dh) = (w * 128L / side, h * 128L / side)
+            val k = (side / 128L).toInt
+            val sb = new StringBuilder
+            var i = 0
+            while (i < text.length) { sb.append(text.charAt(i)); i += k }
+            val thumb = sb.toString
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(thumb.getBytes("UTF-8"))
+            val hash = java.lang.Long.parseLong(
+              md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+            (id, w, h, dw, dh, thumb.length.toLong, hash)
+          }
+        }.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "thumb_len", "thumb_hash")
+      },
+      Some(sql(s"""WITH dims AS (SELECT doc_id, text,
+                       640 + (doc_id % 4) * 160 AS w,
+                       360 + (doc_id % 3) * 120 AS h
+                     FROM documents),
+                   t AS (SELECT doc_id, w, h,
+                       w * 128 // greatest(w, h) AS dst_w,
+                       h * 128 // greatest(w, h) AS dst_h,
+                       array_to_string(list_transform(
+                         range(1, length(text) + 1,
+                               CAST(greatest(w, h) // 128 AS BIGINT)),
+                         i -> substr(text, CAST(i AS INTEGER), 1)), '') AS thumb
+                     FROM dims)
+                   SELECT doc_id, CAST(w AS BIGINT) AS src_w,
+                     CAST(h AS BIGINT) AS src_h,
+                     CAST(dst_w AS BIGINT) AS dst_w, CAST(dst_h AS BIGINT) AS dst_h,
+                     CAST(length(thumb) AS BIGINT) AS thumb_len,
+                     ${Portable.stableHash64Sql("thumb")} AS thumb_hash
+                   FROM t"""))),
+
     // Typed multimodal metadata: binary payload + struct metadata column,
     // filtered and projected on struct fields (the catalog shape for
     // mixed media datasets).
