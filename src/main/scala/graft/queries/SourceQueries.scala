@@ -134,6 +134,32 @@ object SourceQueries {
           ('failfast', NULL, NULL, 'raised', NULL)
         ) AS t(mode, id, v, corrupt, n)"""))),
 
+    // Row-level DELETE through the DSv2 SPI (SupportsDeleteV2 +
+    // TableCatalog, sources/MemTableSource.scala): SQL `DELETE FROM`
+    // resolves the mem table via the graftmem catalog, the engine
+    // translates the WHERE into connector Predicates, and the SOURCE
+    // filters its own storage — the row-level-operation half of the
+    // data-source SPI that InsertableRelation-era interfaces never had.
+    // canDeleteWhere rejects untranslatable predicates loudly, so a
+    // wrong-rows delete is an analysis error, never silent.
+    Q("src_dsv2_delete",
+      (s, d) => {
+        table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.format("graft.sources.MemTableSource")
+          .option("name", "graft_delmem").mode(SaveMode.Overwrite).save()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DELETE FROM graftmem.graft_delmem WHERE s_suppkey < 50")
+        s.read.format("graft.sources.MemTableSource")
+          .option("name", "graft_delmem").load()
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 4).as("bal"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                    round(sum(s_acctbal), 4) AS bal
+                  FROM supplier WHERE s_suppkey >= 50
+                  GROUP BY s_nationkey"""))),
+
     // Nested-schema pruning: a parquet file of deeply nested structs
     // read back with only two LEAVES referenced — the scan must read
     // struct<meta:struct<lang,n_chars>> and nothing else (no text, no

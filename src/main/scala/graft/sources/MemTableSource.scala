@@ -5,9 +5,11 @@ import java.util
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
@@ -61,16 +63,133 @@ object MemTableStore {
       val cur = tables.get(name).map(_._2).getOrElse(Vector.empty)
       tables.put(name, (schema, cur ++ rows)): Unit
     }
+
+  def deleteWhere(name: String, pred: Seq[Any] => Boolean): Unit =
+    tables.synchronized {
+      tables.get(name).foreach { case (schema, rows) =>
+        tables.put(name, (schema, rows.filterNot(pred))): Unit
+      }
+    }
+
+  def names: Seq[String] = tables.keys.toSeq.sorted
+
+  def drop(name: String): Boolean = tables.remove(name).isDefined
+}
+
+/** Driver-side evaluator for the connector Predicates a DELETE WHERE
+  * clause translates to — comparisons between one column and one
+  * literal, plus AND/OR/NOT over them. Anything else is rejected by
+  * canDeleteWhere, making unsupported deletes an analysis-time error
+  * rather than a wrong result. */
+object MemPredicates {
+  private def colIndex(p: Predicate, schema: StructType): Option[Int] =
+    p.children().collectFirst { case f: NamedReference =>
+      schema.fieldIndex(f.fieldNames().last)
+    }
+  private def literal(p: Predicate): Option[Any] =
+    p.children().collectFirst { case l: Literal[_] => l.value() }
+
+  private def asDouble(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  def evaluable(p: Predicate, schema: StructType): Boolean = p.name() match {
+    case "AND" | "OR" => p.children().forall {
+      case c: Predicate => evaluable(c, schema); case _ => false
+    }
+    case "NOT" => p.children().forall {
+      case c: Predicate => evaluable(c, schema); case _ => false
+    }
+    case "=" | "<" | "<=" | ">" | ">=" | "<>" =>
+      colIndex(p, schema).isDefined && literal(p).isDefined &&
+        // comparisons are evaluated numerically or as strings
+        p.children().length == 2 &&
+        p.children()(0).isInstanceOf[NamedReference] // column op literal order
+    case "IS_NULL" | "IS_NOT_NULL" => colIndex(p, schema).isDefined
+    case _ => false
+  }
+
+  def eval(p: Predicate, schema: StructType, row: Seq[Any]): Boolean = p.name() match {
+    case "AND" => p.children().forall { case c: Predicate => eval(c, schema, row) }
+    case "OR" => p.children().exists { case c: Predicate => eval(c, schema, row) }
+    case "NOT" => !p.children().forall { case c: Predicate => eval(c, schema, row) }
+    case "IS_NULL" => row(colIndex(p, schema).get) == null
+    case "IS_NOT_NULL" => row(colIndex(p, schema).get) != null
+    case op =>
+      val v = row(colIndex(p, schema).get)
+      val lit = literal(p).get
+      val cmp: Option[Int] = (asDouble(v), asDouble(lit)) match {
+        case (Some(a), Some(b)) => Some(java.lang.Double.compare(a, b))
+        case _ => (v, lit) match {
+          case (a: String, b: UTF8String) => Some(a.compareTo(b.toString))
+          case (a: String, b: String) => Some(a.compareTo(b))
+          case _ => None
+        }
+      }
+      cmp match {
+        case None => false
+        case Some(c) => op match {
+          case "=" => c == 0
+          case "<>" => c != 0
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+          case _ => false
+        }
+      }
+  }
+}
+
+/** Minimal V2 TableCatalog over MemTableStore — just enough surface to
+  * address mem tables from SQL DML (`DELETE FROM graftmem.t WHERE …`).
+  * Tables are created by the format-API write path; the catalog only
+  * resolves them. */
+class MemCatalog extends TableCatalog {
+  private var cname: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    cname = name
+  override def name(): String = cname
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    MemTableStore.names.map(n => Identifier.of(Array.empty[String], n)).toArray
+  override def loadTable(ident: Identifier): Table = {
+    val n = ident.name()
+    if (!MemTableStore.names.contains(n)) throw new NoSuchTableException(ident)
+    new MemTable(n, MemTableStore.schemaOf(n))
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "mem tables are created by the format-API write path")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER not supported")
+  override def dropTable(ident: Identifier): Boolean = MemTableStore.drop(ident.name())
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+  override def tableExists(ident: Identifier): Boolean =
+    MemTableStore.names.contains(ident.name())
 }
 
 final class MemTable(tname: String, tschema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   require(tname != null && tname.nonEmpty, "option 'name' is required")
   override def name(): String = s"memtable:$tname"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  // ---- row-level DELETE (SupportsDeleteV2): the engine translates the
+  // SQL WHERE into connector Predicates; the source filters its own
+  // storage. canDeleteWhere rejects anything the evaluator can't prove,
+  // so an untranslatable predicate fails loudly instead of deleting the
+  // wrong rows.
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => MemPredicates.evaluable(p, tschema))
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    MemTableStore.deleteWhere(tname, row =>
+      predicates.forall(p => MemPredicates.eval(p, tschema, row)))
 
   // ---- read side: one partition per committed chunk is pointless — a
   // single partition of the (small, driver-held) buffer; a real source

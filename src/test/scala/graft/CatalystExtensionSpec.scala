@@ -28,6 +28,27 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(back === Array((1L, "a,b", 10L), (2L, "c", 20L), (3L, "d,e,f", 30L)))
   }
 
+  test("DSv2 DELETE filters source storage; untranslatable predicates fail loudly") {
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "tag")
+      .write.format("graft.sources.MemTableSource")
+      .option("name", "graft_del_spec").mode("overwrite").save()
+    spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+    // compound translatable predicate: comparison AND equality
+    spark.sql("DELETE FROM graftmem.graft_del_spec WHERE id >= 3 AND tag = 'a'")
+    val left = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "graft_del_spec").load()
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(left.toSeq === Seq((1L, "a"), (2L, "b"), (4L, "c")))
+    // an expression the evaluator can't prove (id % 2 = 0) must be
+    // REJECTED — wrong-rows deletion would be silent corruption
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graftmem.graft_del_spec WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot translate"), e.getMessage)
+    assert(spark.read.format("graft.sources.MemTableSource")
+      .option("name", "graft_del_spec").load().count() === 3)
+  }
+
   test("graft_hamming64 computes popcount of xor") {
     Engine.configure(spark)
     val rows = Seq((255L, 240L), (0L, 0L), (1L, -1L)).toDF("a", "b")
