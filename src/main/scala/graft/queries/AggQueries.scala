@@ -200,6 +200,31 @@ object AggQueries {
 
     // Beyond-reference statistical aggregates (1.3 exposed these only on
     // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
+    // Linear-regression aggregate family (Spark 3.3's ANSI regr_*;
+    // DuckDB ships the same set): slope, intercept, r², count, and
+    // mean-of-x per return flag — the one-pass sufficient-statistics
+    // aggregates an analyst reaches for before any ML library.
+    Q("agg_regr",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li_rg")
+        s.sql(sql("""
+          SELECT l_returnflag,
+                 round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                 round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+                 round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+                 CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+                 round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx
+          FROM graft_li_rg GROUP BY l_returnflag"""))
+      },
+      Some(sql("""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx
+        FROM lineitem GROUP BY l_returnflag"""))),
+
     // width_bucket equi-width histogram (Spark 3.1's ANSI function):
     // 12 buckets over [0, 600k) plus the underflow (0) / overflow (13)
     // buckets. DuckDB has no width_bucket, so the oracle restates the

@@ -148,6 +148,53 @@ object Expr2Queries {
                    string_split(n_name, ' ')[99] AS oob_elem
                   FROM nation"""))),
 
+    // Base conversion (golden udf_conv/udf_hex): decimal→hex via conv /
+    // hex and hex→decimal back, plus binary. Spark's conv emits
+    // uppercase and DuckDB's printf('%x') lowercase — the lower() pins
+    // the case convention; the round-trip pins correctness.
+    Q("expr_conv",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_cv")
+        s.sql(sql("""
+          SELECT o_orderkey,
+                 lower(conv(CAST(o_orderkey AS STRING), 10, 16)) AS hex_str,
+                 CAST(conv(conv(CAST(o_orderkey AS STRING), 10, 16), 16, 10)
+                      AS BIGINT) AS roundtrip,
+                 conv(CAST(o_orderkey % 16 AS STRING), 10, 2) AS bin4
+          FROM graft_o_cv WHERE o_orderkey <= 300"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey,
+               printf('%x', o_orderkey) AS hex_str,
+               CAST(concat('0x', printf('%x', o_orderkey)) AS BIGINT) AS roundtrip,
+               bin(o_orderkey % 16) AS bin4
+        FROM orders WHERE o_orderkey <= 300"""))),
+
+    // xpath extraction (Hive golden udf_xpath family; the reference
+    // routes these through HiveGenericUdf, Spark 4 has them native):
+    // scalar string/int extraction and the node-list variant flattened
+    // to one string, over XML built deterministically from columns. The
+    // oracle inverts with regexp extraction.
+    Q("expr_xpath",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_n_xp")
+        s.sql(sql("""
+          SELECT n_nationkey,
+                 xpath_string(xml, '/doc/name') AS xname,
+                 CAST(xpath_int(xml, '/doc/region') AS INT) AS xregion,
+                 array_join(xpath(xml, '/doc/tags/t/text()'), '|') AS xtags
+          FROM (SELECT n_nationkey,
+                  concat('<doc><name>', n_name, '</name><region>', n_regionkey,
+                         '</region><tags><t>a', n_nationkey % 3, '</t><t>b',
+                         n_nationkey % 2, '</t></tags></doc>') AS xml
+                FROM graft_n_xp)"""))
+      },
+      Some(sql("""
+        SELECT n_nationkey, n_name AS xname,
+               CAST(n_regionkey AS INT) AS xregion,
+               'a' || (n_nationkey % 3) || '|' || 'b' || (n_nationkey % 2) AS xtags
+        FROM nation"""))),
+
     // Datetime convention grid (golden date_udf / udf_weekofyear
     // family): week truncation (both engines truncate to MONDAY),
     // quarter, day-of-week (Spark 1=Sunday vs DuckDB 0=Sunday — the
