@@ -200,6 +200,33 @@ object AggQueries {
 
     // Beyond-reference statistical aggregates (1.3 exposed these only on
     // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
+    // FILTER (WHERE …) clause on aggregates (ANSI; Spark 3.0): three
+    // differently-filtered aggregates in ONE grouped pass — the
+    // pivot-free spelling of conditional aggregation (vs the CASE WHEN
+    // golden idiom, which sql_stress_pivot already crosses).
+    Q("agg_filter_clause",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_fc")
+        s.sql(sql("""
+          SELECT o_orderstatus,
+                 count(*) AS n_all,
+                 count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                 round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                   AS urgent_total,
+                 CAST(max(o_custkey) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+                   AS max_even_cust
+          FROM graft_o_fc GROUP BY o_orderstatus"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                 AS urgent_total,
+               CAST(max(o_custkey) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+                 AS max_even_cust
+        FROM orders GROUP BY o_orderstatus"""))),
+
     // Linear-regression aggregate family (Spark 3.3's ANSI regr_*;
     // DuckDB ships the same set): slope, intercept, r², count, and
     // mean-of-x per return flag — the one-pass sufficient-statistics

@@ -148,6 +148,39 @@ object Expr2Queries {
                    string_split(n_name, ' ')[99] AS oob_elem
                   FROM nation"""))),
 
+    // Cryptographic digests (golden udf_md5/udf_sha2): md5 and sha2-256
+    // hex digests agree across engines; crc32 is Spark-side and pinned
+    // against DuckDB's bit-identical polynomial only via round-trip
+    // stability — omitted here, the digest pair is the portable core.
+    Q("expr_hash_digests",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_d_hd")
+        s.sql(sql("""
+          SELECT doc_id, md5(text) AS h_md5, sha2(text, 256) AS h_sha256
+          FROM graft_d_hd WHERE doc_id < 100"""))
+      },
+      Some(sql("""
+        SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        FROM documents WHERE doc_id < 100"""))),
+
+    // AES round-trip (Spark 3.3 aes_encrypt/aes_decrypt): DuckDB has no
+    // AES, so the oracle pins the ALGEBRAIC contract — decrypting the
+    // ciphertext yields the plaintext byte-for-byte (ECB keeps the
+    // ciphertext deterministic; GCM's random IV would not even
+    // round-trip stably across runs of the hash compare).
+    Q("expr_aes_roundtrip",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_d_aes")
+        s.sql(sql("""
+          SELECT doc_id,
+                 CAST(aes_decrypt(aes_encrypt(text, '0000111122223333', 'ECB'),
+                      '0000111122223333', 'ECB') AS STRING) AS roundtrip
+          FROM graft_d_aes WHERE doc_id < 100"""))
+      },
+      Some(sql("""
+        SELECT doc_id, text AS roundtrip
+        FROM documents WHERE doc_id < 100"""))),
+
     // Base conversion (golden udf_conv/udf_hex): decimal→hex via conv /
     // hex and hex→decimal back, plus binary. Spark's conv emits
     // uppercase and DuckDB's printf('%x') lowercase — the lower() pins

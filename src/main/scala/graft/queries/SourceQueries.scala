@@ -149,7 +149,7 @@ object SourceQueries {
           .write.format("graft.sources.MemTableSource")
           .option("name", "graft_delmem").mode(SaveMode.Overwrite).save()
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
-        s.sql("DELETE FROM graftmem.graft_delmem WHERE s_suppkey < 50")
+        s.sql("DELETE FROM graftmem.graft_delmem WHERE s_suppkey < 3")
         s.read.format("graft.sources.MemTableSource")
           .option("name", "graft_delmem").load()
           .groupBy(col("s_nationkey"))
@@ -157,7 +157,7 @@ object SourceQueries {
       },
       Some(sql("""SELECT s_nationkey, count(*) AS n,
                     round(sum(s_acctbal), 4) AS bal
-                  FROM supplier WHERE s_suppkey >= 50
+                  FROM supplier WHERE s_suppkey >= 3
                   GROUP BY s_nationkey"""))),
 
     // Nested-schema pruning: a parquet file of deeply nested structs
