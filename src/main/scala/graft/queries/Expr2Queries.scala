@@ -148,6 +148,36 @@ object Expr2Queries {
                    string_split(n_name, ' ')[99] AS oob_elem
                   FROM nation"""))),
 
+    // IEEE special values in GROUP BY / comparison (the NaN golden
+    // contract): NaN equals NaN for grouping, -0.0 normalizes into the
+    // 0.0 group, and NaN compares GREATER than +Infinity — the
+    // total-order the reference pinned in its double-aggregation rows.
+    // Renderings differ ('NaN' vs 'nan'), so the oracle maps DuckDB's
+    // spellings onto Spark's.
+    Q("expr_double_special",
+      (s, d) => {
+        s.sql(sql("""
+          SELECT CAST(x AS STRING) AS xs, count(*) AS n,
+                 CAST(sum(CASE WHEN x > CAST('Infinity' AS DOUBLE)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS gt_inf
+          FROM VALUES (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
+                      (CAST('-Infinity' AS DOUBLE)), (1.5D),
+                      (CAST('NaN' AS DOUBLE)), (0.0D), (-0.0D) AS t(x)
+          GROUP BY x"""))
+      },
+      Some(sql("""
+        SELECT CASE WHEN isnan(x) THEN 'NaN'
+                    WHEN x = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
+                    WHEN x = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
+                    ELSE CAST(x AS VARCHAR) END AS xs,
+               count(*) AS n,
+               CAST(sum(CASE WHEN x > CAST('Infinity' AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS gt_inf
+        FROM (VALUES (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
+                     (CAST('-Infinity' AS DOUBLE)), (1.5),
+                     (CAST('NaN' AS DOUBLE)), (0.0), (-0.0)) AS t(x)
+        GROUP BY xs"""))),
+
     // Cryptographic digests (golden udf_md5/udf_sha2): md5 and sha2-256
     // hex digests agree across engines; crc32 is Spark-side and pinned
     // against DuckDB's bit-identical polynomial only via round-trip
