@@ -82,6 +82,54 @@ object Sql11Queries {
         SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))),
 
+    // Scalar subquery in HAVING (golden having subqueries): groups kept
+    // only when their aggregate beats a GLOBAL aggregate computed by an
+    // uncorrelated scalar subquery — the subquery must evaluate once
+    // and broadcast into the having filter, never per group.
+    Q("sql_subquery_having",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11h")
+        s.sql(sql("""
+          SELECT o_custkey, count(*) AS n,
+                 round(sum(o_totalprice), 4) AS total
+          FROM graft_o11h
+          GROUP BY o_custkey
+          HAVING sum(o_totalprice) >
+            (SELECT 3 * avg(o_totalprice) FROM graft_o11h)"""))
+      },
+      Some(sql("""
+        SELECT o_custkey, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING sum(o_totalprice) > (SELECT 3 * avg(o_totalprice) FROM orders)"""))),
+
+    // nth_value / first_value / last_value over a full frame (golden
+    // windowing_navfn): the three navigation functions with an explicit
+    // UNBOUNDED frame (last_value over the default frame is the classic
+    // running-value trap — the full frame pins the intended semantics),
+    // ordered by a unique key for determinism.
+    Q("win_nth_value",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11v")
+        s.sql(sql("""
+          SELECT o_orderkey, o_orderstatus,
+                 round(first_value(o_totalprice) OVER w, 4) AS first_price,
+                 round(last_value(o_totalprice) OVER w, 4) AS last_price,
+                 round(nth_value(o_totalprice, 3) OVER w, 4) AS third_price
+          FROM graft_o11v WHERE o_orderkey <= 300
+          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey, o_orderstatus,
+               round(first_value(o_totalprice) OVER w, 4) AS first_price,
+               round(last_value(o_totalprice) OVER w, 4) AS last_price,
+               round(nth_value(o_totalprice, 3) OVER w, 4) AS third_price
+        FROM orders WHERE o_orderkey <= 300
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))),
+
     // ROWS vs RANGE with duplicate order keys (golden windowing_rows/
     // windowing_range): RANGE frames include ALL peers of the current
     // key, ROWS frames cut mid-peer-group. Counting (value-free) frames
