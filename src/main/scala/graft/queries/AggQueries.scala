@@ -200,6 +200,32 @@ object AggQueries {
 
     // Beyond-reference statistical aggregates (1.3 exposed these only on
     // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
+    // ANSI ordered-set percentiles (Spark 3.4's percentile_cont /
+    // percentile_disc WITHIN GROUP) next to the Hive-style exact
+    // percentile() agg_percentile already pins: CONT interpolates
+    // linearly between adjacent order statistics, DISC returns the
+    // first value at-or-above the cumulative fraction. DuckDB twins:
+    // quantile_cont / quantile_disc.
+    Q("agg_percentile_cont",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_pc")
+        s.sql(sql("""
+          SELECT o_orderstatus,
+                 round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                   AS p50_cont,
+                 round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                   AS p90_cont,
+                 round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                   AS p50_disc
+          FROM graft_o_pc GROUP BY o_orderstatus"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_cont,
+               round(quantile_disc(o_totalprice, 0.5), 4) AS p50_disc
+        FROM orders GROUP BY o_orderstatus"""))),
+
     // FILTER (WHERE …) clause on aggregates (ANSI; Spark 3.0): three
     // differently-filtered aggregates in ONE grouped pass — the
     // pivot-free spelling of conditional aggregation (vs the CASE WHEN

@@ -148,6 +148,30 @@ object Expr2Queries {
                    string_split(n_name, ' ')[99] AS oob_elem
                   FROM nation"""))),
 
+    // Temporal sequence generator: four month-starts from each order's
+    // month — sequence(DATE, DATE, INTERVAL MONTH) flattened to a
+    // string. Month-start anchors (day 1) sidestep the end-of-month
+    // clamping divergence between stepped and multiplied interval
+    // addition, pinning the shared core semantics.
+    Q("expr_sequence_dates",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_sq")
+        s.sql(sql("""
+          SELECT o_orderkey,
+                 array_join(transform(
+                   sequence(m, add_months(m, 3), INTERVAL 1 MONTH),
+                   x -> CAST(x AS STRING)), '|') AS months
+          FROM (SELECT o_orderkey, trunc(o_orderdate, 'MM') AS m
+                FROM graft_o_sq WHERE o_orderkey <= 100)"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey,
+               array_to_string(list_transform(
+                 generate_series(m, m + INTERVAL 3 MONTH, INTERVAL 1 MONTH),
+                 x -> CAST(CAST(x AS DATE) AS VARCHAR)), '|') AS months
+        FROM (SELECT o_orderkey, date_trunc('month', o_orderdate) AS m
+              FROM orders WHERE o_orderkey <= 100)"""))),
+
     // IEEE special values in GROUP BY / comparison (the NaN golden
     // contract): NaN equals NaN for grouping, -0.0 normalizes into the
     // 0.0 group, and NaN compares GREATER than +Infinity — the

@@ -408,6 +408,20 @@ object MiscQueries {
                   FROM orders WHERE o_totalprice > 150000.0
                   GROUP BY o_orderstatus"""))),
 
+    // Positional (?) parameter binding — the JDBC-style sibling of the
+    // named form above; arguments bind left to right.
+    Q("sql_params_positional",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_ord_pp")
+        s.sql(
+          "SELECT o_orderpriority, count(*) AS n FROM graft_ord_pp " +
+            "WHERE o_totalprice BETWEEN ? AND ? GROUP BY o_orderpriority",
+          Array(100000.0, 250000.0))
+      },
+      Some(sql("""SELECT o_orderpriority, count(*) AS n FROM orders
+                  WHERE o_totalprice BETWEEN 100000.0 AND 250000.0
+                  GROUP BY o_orderpriority"""))),
+
     // Z-order (Morton) layout math — the multi-dimensional clustering
     // key behind file-skipping layouts (Delta OPTIMIZE ZORDER, Hudi
     // space curves): interleave the bits of two 8-bit dimensions with
