@@ -46,10 +46,11 @@ class PlanSpec extends AnyFunSuite {
     // sort_global / sort_nulls_last rank via distributed zipWithIndex —
     // they must never regress to a global row_number window
     for (name <- Seq("win_rank", "win_running_sum", "win_lag_lead",
+        "win_nth_value", "sql_rows_vs_range_ties",
         "sort_global", "sort_nulls_last")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"), s"$name has a single-partition stage:\n$p")
-      assert(!p.contains("Window") || name.startsWith("win_"),
+      assert(!p.contains("Window") || !name.startsWith("sort"),
         s"$name should not use a window:\n$p")
     }
   }
