@@ -82,6 +82,61 @@ object Sql11Queries {
         SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))),
 
+    // Multi-VALUE-column UNPIVOT (Spark 3.4): two measure columns per
+    // metric group collapse together — (qty_o, price_o) and
+    // (qty_f, price_f) each become one (metric, q, p) row. The oracle
+    // is the UNION ALL expansion the clause abbreviates.
+    Q("sql_unpivot_multi",
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_li11m")
+        s.sql(sql("""
+          SELECT flag, metric, q, p FROM (
+            SELECT l_returnflag AS flag,
+              CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o,
+              CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END) AS DOUBLE) AS price_o,
+              CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f,
+              CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) AS DOUBLE) AS price_f
+            FROM graft_li11m GROUP BY l_returnflag
+          ) UNPIVOT INCLUDE NULLS
+            ((q, p) FOR metric IN ((qty_o, price_o) AS open_st,
+                                   (qty_f, price_f) AS filled_st))"""))
+      },
+      Some(sql("""
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+            CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o,
+            CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END) AS DOUBLE) AS price_o,
+            CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f,
+            CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) AS DOUBLE) AS price_f
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT flag, 'open_st' AS metric, qty_o AS q, price_o AS p FROM base
+        UNION ALL
+        SELECT flag, 'filled_st', qty_f, price_f FROM base"""))),
+
+    // Multi-AGGREGATE PIVOT: two aggregates per pivot value produce the
+    // suffixed column grid (urgent_n/urgent_total/high_n/high_total);
+    // the oracle restates it as FILTER-based conditional aggregation
+    // with the same aliases.
+    Q("sql_pivot_multi_agg",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o11pm")
+        s.sql(sql("""
+          SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority, o_totalprice
+            FROM graft_o11pm)
+          PIVOT (count(*) AS n, round(sum(o_totalprice), 4) AS total
+                 FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high))"""))
+      },
+      Some(sql("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_n,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                 AS urgent_total,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high_n,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 4)
+                 AS high_total
+        FROM orders GROUP BY o_orderstatus"""))),
+
     // Scalar subquery in HAVING (golden having subqueries): groups kept
     // only when their aggregate beats a GLOBAL aggregate computed by an
     // uncorrelated scalar subquery — the subquery must evaluate once
