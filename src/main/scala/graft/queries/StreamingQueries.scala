@@ -317,6 +317,59 @@ object StreamingQueries {
                   WHERE p.p_ts <= mx.m - INTERVAL 3 HOUR
                   GROUP BY p.user_id"""))),
 
+    // Stream-stream FULL OUTER join — completes the join family
+    // (inner / left outer / left semi / full outer): BOTH sides
+    // null-extend after watermark finalization. The stable region cuts
+    // on EACH row's own event time via coalesce(p_ts, c_ts), and cuts
+    // DEEPER than the left-outer row (4h, not 3h): an unmatched click's
+    // emission needs wm > c_ts + 1h (its match window extends 1h into
+    // the future), so a 3h cut leaves zero watermark-lag tolerance —
+    // measured: near-boundary clicks (~3h03m before end) were still
+    // unflushed at termination. The 4h cut restores the same 1h
+    // tolerance the purchase side has.
+    Q("stream_full_outer_join",
+      (s, d) => {
+        val purchases = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = StreamRunner.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+            && col("c_ts") <= col("p_ts"),
+          "full_outer")
+        val mx = Engine.table(s, d, "events").agg(max(col("ts")).as("m"))
+        StreamRunner.runToTable(s, joined, s"sfoj_${math.abs(d.hashCode)}", "append")
+          .crossJoin(broadcast(mx))
+          .filter(coalesce(col("p_ts"), col("c_ts")) < col("m") - expr("INTERVAL 4 HOUR"))
+          .groupBy(coalesce(col("p_user"), col("c_user")).as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_ts")).as("n_left"), count(col("c_ts")).as("n_right"),
+            round(sum(col("p_value")), 4).as("sum_value"))
+      },
+      Some(sql("""WITH mx AS (SELECT max(ts) AS m FROM events),
+                  p AS (SELECT user_id AS p_user, ts AS p_ts, value FROM events
+                        WHERE event_type = 'purchase'),
+                  c AS (SELECT user_id AS c_user, ts AS c_ts FROM events
+                        WHERE event_type = 'click'),
+                  j AS (SELECT p_user, p_ts, value, c_user, c_ts
+                        FROM p FULL JOIN c
+                          ON c.c_user = p.p_user
+                         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+                         AND c.c_ts <= p.p_ts)
+                  SELECT coalesce(p_user, c_user) AS user_id,
+                    count(*) AS n_rows,
+                    count(p_ts) AS n_left, count(c_ts) AS n_right,
+                    round(sum(value), 4) AS sum_value
+                  FROM j CROSS JOIN mx
+                  WHERE coalesce(p_ts, c_ts) < mx.m - INTERVAL 4 HOUR
+                  GROUP BY coalesce(p_user, c_user)"""))),
+
     // Stream-stream LEFT SEMI join (supported since 3.1): purchases
     // with at least one click in the preceding hour, emitted AT MOST
     // ONCE on first match — never duplicated by additional matches,
