@@ -22,6 +22,7 @@ object SparkEntry {
       SimilarityQueries.all ++
       RetrievalQueries.all ++
       SourceQueries.all ++
+      Source2Queries.all ++
       JdbcQueries.all ++
       UdfQueries.all ++
       RddQueries.all ++

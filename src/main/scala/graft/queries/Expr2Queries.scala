@@ -356,6 +356,53 @@ object Expr2Queries {
                reverse(lang) AS rev_lang,
                repeat(lang, 3) AS rep_lang,
                printf('%s-%d', lang, doc_id) AS tagged
-        FROM documents WHERE doc_id < 50""")))
+        FROM documents WHERE doc_id < 50"""))),
+
+    // Map higher-order functions (transform_keys / transform_values /
+    // map_filter / map_zip_with / map_concat / map_entries round-trip) —
+    // the map half of the lambda surface expr_arrays covers for arrays.
+    // Maps are constructed FROM base columns, so the DuckDB oracle
+    // restates each transformed map directly from those columns; map
+    // outputs travel as ','-joined sorted 'k=v' strings (map iteration
+    // order is not a cross-engine contract, sorted rendering is).
+    Q("expr_map_hof",
+      (s, d) => {
+        val m1 = map(lit("size"), col("p_size").cast("long"),
+          lit("bucket"), pmod(col("p_partkey"), lit(7)))
+        val m2 = map(lit("size"), (col("p_size") * 10).cast("long"),
+          lit("extra"), lit(1L))
+        def render(m: org.apache.spark.sql.Column) =
+          array_join(sort_array(transform(map_entries(m),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))), ",")
+        table(s, d, "part").filter(col("p_partkey") <= 200).select(
+          col("p_partkey"),
+          element_at(m1, lit("size")).as("get_size"),
+          render(transform_keys(m1, (k, _) => upper(k))).as("tk"),
+          render(transform_values(m1, (_, v) => v + 100)).as("tv"),
+          render(map_filter(m1, (_, v) => v % 2 === 0)).as("mf"),
+          render(map_zip_with(m1, m2,
+            (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))).as("mz"),
+          render(map_concat(m1, map(lit("extra"), lit(1L)))).as("mc"),
+          size(map_entries(map_from_entries(map_entries(m1)))).as("ne"))
+      },
+      Some(sql("""
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) AS get_size,
+               'BUCKET=' || CAST(p_partkey % 7 AS VARCHAR)
+                 || ',SIZE=' || CAST(p_size AS VARCHAR) AS tk,
+               'bucket=' || CAST(p_partkey % 7 + 100 AS VARCHAR)
+                 || ',size=' || CAST(p_size + 100 AS VARCHAR) AS tv,
+               concat_ws(',',
+                 CASE WHEN p_partkey % 7 % 2 = 0
+                      THEN 'bucket=' || CAST(p_partkey % 7 AS VARCHAR) END,
+                 CASE WHEN p_size % 2 = 0
+                      THEN 'size=' || CAST(p_size AS VARCHAR) END) AS mf,
+               'bucket=' || CAST(p_partkey % 7 AS VARCHAR)
+                 || ',extra=1,size=' || CAST(p_size * 11 AS VARCHAR) AS mz,
+               'bucket=' || CAST(p_partkey % 7 AS VARCHAR)
+                 || ',extra=1,size=' || CAST(p_size AS VARCHAR) AS mc,
+               CAST(2 AS INTEGER) AS ne
+        FROM part WHERE p_partkey <= 200""")))
   )
 }

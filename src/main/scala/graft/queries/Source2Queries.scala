@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** §2.1 continued — the two scan-time pruning/locality contracts that
+  * decide fact-table cost at 100 TB and exist only in the modern engine
+  * (the reference's ParquetRelation2 prunes on STATIC filters only, and
+  * its data-source SPI — sources/interfaces.scala — cannot report a
+  * layout at all):
+  *
+  *  - dynamic partition pruning: a runtime filter derived from the dim
+  *    side of a join reaches the fact scan's PartitionFilters, so the
+  *    fact table lists only the partitions the dim rows name;
+  *  - storage-partitioned join: a DSv2 connector reports its key layout
+  *    (sources/KeyedSource.scala) and a fact⋈dim join on that key moves
+  *    ZERO bytes over the network.
+  *
+  * Both are PlanSpec-asserted (the result alone cannot distinguish a
+  * pruned scan from a full one).
+  */
+object Source2Queries {
+
+  private def tmp(d: String, name: String) =
+    s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  val all: Seq[Q] = Seq(
+
+    // Dynamic partition pruning: orders written partitioned by
+    // o_orderstatus; the dim table (one row per status, with a
+    // NON-partition attribute) is filtered, broadcast for the join, and
+    // its surviving keys are replayed into the FACT SCAN as a
+    // dynamicpruningexpression — the fact side lists 1 of 3 partition
+    // directories at runtime without the query ever naming 'F'. At
+    // 100 TB (date-partitioned facts ⋈ filtered date dims) this is the
+    // canonical lake-join accelerator. PlanSpec asserts the pruning
+    // subquery reached PartitionFilters; the oracle restates the
+    // surviving-partition aggregate.
+    Q("src_dpp",
+      (s, d) => {
+        val fact = tmp(d, "dpp_fact")
+        val dim = tmp(d, "dpp_dim")
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.partitionBy("o_orderstatus").mode(SaveMode.Overwrite).parquet(fact)
+        // the dim filter must be a COMPARISON (cls = 'final'): the DPP
+        // rule gates on isLikelySelective, and a bare boolean attribute
+        // (what `is_final = true` simplifies to) does not qualify
+        table(s, d, "orders").select(col("o_orderstatus")).distinct()
+          .withColumn("cls",
+            when(col("o_orderstatus") === lit("F"), lit("final")).otherwise(lit("open")))
+          .write.mode(SaveMode.Overwrite).parquet(dim)
+        val f = s.read.parquet(fact)
+        val dm = s.read.parquet(dim).filter(col("cls") === lit("final"))
+        f.join(dm, Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                    round(sum(o_totalprice), 4) AS total
+                  FROM orders WHERE o_orderstatus = 'F'
+                  GROUP BY o_orderstatus"""))),
+
+    // Storage-partitioned join (DSv2 SupportsReportPartitioning +
+    // HasPartitionKey, sources/KeyedSource.scala): both sides of the
+    // join come from a connector that DECLARES KeyGroupedPartitioning
+    // on k, so with v2 bucketing enabled EnsureRequirements plans the
+    // sort-merge join with NO exchange on either side, and the
+    // downstream per-key aggregate rides the same layout. The data is
+    // formula-generated per key, so the oracle regenerates it with
+    // generate_series — fact: (k, k*31+i) for i in 0..k+2; dim:
+    // (k, 'key_'||k). PlanSpec asserts zero Exchange.
+    Q("src_dsv2_spj",
+      (s, d) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val f = s.read.format("graft.sources.KeyedSource")
+          .option("side", "fact").load()
+        val dm = s.read.format("graft.sources.KeyedSource")
+          .option("side", "dim").load()
+        f.hint("merge").join(dm, Seq("k"))
+          .groupBy(col("k"))
+          .agg(max(col("label")).as("label"),
+            count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .select(col("k").cast("long").as("k"), col("label"), col("n"), col("sv"))
+      },
+      Some(sql("""WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+                    f AS (SELECT k, k*31 + unnest(generate_series(0, k+2)) AS v FROM ks)
+                  SELECT k, 'key_' || CAST(k AS VARCHAR) AS label,
+                    count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+                  FROM f GROUP BY k""")))
+  )
+}

@@ -110,6 +110,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning reaches the fact scan's PartitionFilters") {
+    // the dim-side runtime filter must replay into the partitioned fact
+    // scan — at 100 TB this decides whether a date-filtered star join
+    // lists one partition directory or the whole lake
+    val p = plan("src_dpp")
+    assert(p.contains("dynamicpruning"), s"no DPP subquery in fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("storage-partitioned join plans zero exchanges (DSv2 KeyGroupedPartitioning)") {
+    // both BatchScans report KeyGroupedPartitioning(k); with v2 bucketing
+    // enabled the SMJ and the downstream per-key aggregate must ride the
+    // reported layout — no shuffle anywhere in the plan
+    val p = plan("src_dsv2_spj")
+    assert(!p.contains("Exchange"), s"SPJ shuffled:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("BatchScan keyed:fact") && p.contains("BatchScan keyed:dim"), p)
+  }
+
   test("dedup provenance is candidate-join shaped (no cartesian, no corpus window)") {
     // four layers + assembly: every join is an equi-join on doc-level or
     // candidate keys (the K-row centroid fan-out broadcasts; the 1-row
