@@ -89,6 +89,89 @@ object Source2Queries {
                     f AS (SELECT k, k*31 + unnest(generate_series(0, k+2)) AS v FROM ks)
                   SELECT k, 'key_' || CAST(k AS VARCHAR) AS label,
                     count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
-                  FROM f GROUP BY k""")))
+                  FROM f GROUP BY k"""))),
+
+    // MERGE INTO through the DSv2 row-level-operation SPI
+    // (SupportsRowLevelOperations on sources/MemTableSource.scala):
+    // all THREE clause families in one statement — conditional
+    // MATCHED UPDATE with MATCHED DELETE fallback, NOT MATCHED INSERT *,
+    // and NOT MATCHED BY SOURCE conditional DELETE. The table is
+    // group-based (no SupportsDelta), so Spark plans the copy-on-write
+    // rewrite: scan ⟗ source, per-row clause resolution, replacement
+    // write. The oracle restates the post-merge table with set algebra.
+    // Source keys are constructed disjoint (suppkey+1000 inserts vs
+    // suppkey%3 updates), so the ON-clause cardinality contract holds.
+    Q("src_dsv2_merge",
+      (s, d) => {
+        table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.format("graft.sources.MemTableSource")
+          .option("name", "graft_mrgmem").mode(SaveMode.Overwrite).save()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        table(s, d, "supplier").filter(col("s_suppkey") < 8)
+          .select((col("s_suppkey") + lit(1000)).cast("long").as("s_suppkey"),
+            col("s_nationkey"), (col("s_acctbal") + lit(50.0)).as("s_acctbal"))
+          .unionAll(table(s, d, "supplier").filter(col("s_suppkey") % 3 === 0)
+            .select(col("s_suppkey").cast("long").as("s_suppkey"),
+              col("s_nationkey"), (col("s_acctbal") * 2).as("s_acctbal")))
+          .createOrReplaceTempView("graft_mrg_src")
+        s.sql(sql("""MERGE INTO graftmem.graft_mrgmem t
+                     USING graft_mrg_src s ON t.s_suppkey = s.s_suppkey
+                     WHEN MATCHED AND s.s_acctbal > 0
+                       THEN UPDATE SET s_acctbal = s.s_acctbal
+                     WHEN MATCHED THEN DELETE
+                     WHEN NOT MATCHED THEN INSERT *
+                     WHEN NOT MATCHED BY SOURCE AND t.s_acctbal < 0
+                       THEN DELETE"""))
+        s.read.format("graft.sources.MemTableSource")
+          .option("name", "graft_mrgmem").load()
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 4).as("bal"))
+      },
+      Some(sql("""WITH src AS (
+                    SELECT s_suppkey + 1000 AS k, s_nationkey AS nk,
+                           s_acctbal + 50.0 AS bal
+                    FROM supplier WHERE s_suppkey < 8
+                    UNION ALL
+                    SELECT s_suppkey, s_nationkey, s_acctbal * 2
+                    FROM supplier WHERE s_suppkey % 3 = 0),
+                  finaltab AS (
+                    SELECT t.s_nationkey AS nk, s.bal
+                    FROM supplier t JOIN src s ON t.s_suppkey = s.k
+                    WHERE s.bal > 0
+                    UNION ALL
+                    SELECT t.s_nationkey, t.s_acctbal
+                    FROM supplier t
+                    WHERE t.s_suppkey NOT IN (SELECT k FROM src)
+                      AND t.s_acctbal >= 0
+                    UNION ALL
+                    SELECT s.nk, s.bal FROM src s
+                    WHERE s.k NOT IN (SELECT s_suppkey FROM supplier))
+                  SELECT nk AS s_nationkey, count(*) AS n,
+                         round(sum(bal), 4) AS bal
+                  FROM finaltab GROUP BY nk"""))),
+
+    // UPDATE through the same row-level SPI: the RewriteUpdateTable
+    // path — untouched rows union updated rows, one replacement write.
+    Q("src_dsv2_update",
+      (s, d) => {
+        table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.format("graft.sources.MemTableSource")
+          .option("name", "graft_updmem").mode(SaveMode.Overwrite).save()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql(sql("""UPDATE graftmem.graft_updmem
+                     SET s_acctbal = s_acctbal + 100.0
+                     WHERE s_nationkey < 10"""))
+        s.read.format("graft.sources.MemTableSource")
+          .option("name", "graft_updmem").load()
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 4).as("bal"))
+      },
+      Some(sql("""SELECT s_nationkey, count(*) AS n,
+                    round(sum(CASE WHEN s_nationkey < 10
+                                   THEN s_acctbal + 100.0
+                                   ELSE s_acctbal END), 4) AS bal
+                  FROM supplier GROUP BY s_nationkey""")))
   )
 }

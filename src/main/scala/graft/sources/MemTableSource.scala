@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -172,7 +172,8 @@ class MemCatalog extends TableCatalog {
 }
 
 final class MemTable(tname: String, tschema: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
   require(tname != null && tname.nonEmpty, "option 'name' is required")
   override def name(): String = s"memtable:$tname"
   override def schema(): StructType = tschema
@@ -190,6 +191,44 @@ final class MemTable(tname: String, tschema: StructType)
   override def deleteWhere(predicates: Array[Predicate]): Unit =
     MemTableStore.deleteWhere(tname, row =>
       predicates.forall(p => MemPredicates.eval(p, tschema, row)))
+
+  // ---- row-level MERGE / UPDATE (SupportsRowLevelOperations): the
+  // GROUP-BASED (copy-on-write) protocol — Spark rewrites MERGE/UPDATE
+  // into a join of this operation's scan against the source, computes
+  // every row the affected groups should contain afterwards, and hands
+  // them to this operation's write, which REPLACES the groups. This
+  // table's replacement granularity is the whole table (one group), so
+  // the commit is truncate + append-all — the same contract an
+  // Iceberg-style lake table implements per-file. No SupportsDelta, so
+  // Spark must (and does) route through the group-based rewrite.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // scan of the existing data = the one replacement group
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          MemTable.this.newScanBuilder(options)
+        // replacement write: commit atomically swaps the table contents
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pinfo: PhysicalWriteInfo): DataWriterFactory =
+                  new MemWriterFactory(winfo.schema())
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  MemTableStore.truncate(tname, winfo.schema())
+                  messages.foreach { case m: MemCommitMessage =>
+                    MemTableStore.append(tname, winfo.schema(), m.rows)
+                  }
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
+      }
+    }
 
   // ---- read side: one partition per committed chunk is pointless — a
   // single partition of the (small, driver-held) buffer; a real source
@@ -239,9 +278,16 @@ final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Seq[Any]]
-      override def write(record: InternalRow): Unit =
+      override def write(record: InternalRow): Unit = {
+        // Group-based row-level writes (ReplaceDataExec) prefix each row
+        // with the __row_operation marker (RowDeltaUtils.OPERATION_COLUMN)
+        // when the operation requested no metadata columns — Spark only
+        // strips it via the data projection on the metadata path. Every
+        // row handed to a replace-data write is a keep row, so the marker
+        // is skipped, not interpreted.
+        val off = record.numFields - schema.fields.length
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
-          val v = record.get(i, f.dataType)
+          val v = record.get(i + off, f.dataType)
           // Spark REUSES the incoming UnsafeRow across write() calls, and
           // get() returns VIEWS into its buffer for string/array/map/struct
           // values — buffering a view would silently alias every row to the
@@ -255,6 +301,7 @@ final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
             case other => other
           }
         }.toSeq
+      }
       override def commit(): WriterCommitMessage = MemCommitMessage(buf.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
