@@ -172,6 +172,67 @@ object Source2Queries {
                     round(sum(CASE WHEN s_nationkey < 10
                                    THEN s_acctbal + 100.0
                                    ELSE s_acctbal END), 4) AS bal
-                  FROM supplier GROUP BY s_nationkey""")))
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // Limit / top-N / offset pushdown through the V2 paging SPI
+    // (sources/RangeSource.scala SupportsPushDownLimit/TopN/Offset):
+    // three probes against the 10k-row generated table — a DESC top-7
+    // (the scan generates only [9993,10000)), an ASC page LIMIT 5
+    // OFFSET 9990 (Spark pushes topN(9995) then the offset → the scan
+    // generates exactly [9990,9995)), and a bare LIMIT 5 counted. At
+    // 100 TB this is "show me the latest 20 events" NOT reading the
+    // table. PlanSpec asserts the narrowed ranges in the scan text.
+    Q("src_dsv2_topn",
+      (s, _) => {
+        def base = s.read.format("graft.sources.RangeSource")
+          .option("n", "10000").load()
+        val topn = base.orderBy(col("id").desc).limit(7)
+          .select(lit("topn_desc").as("probe"), col("id"))
+        val page = base.orderBy(col("id")).offset(9990).limit(5)
+          .select(lit("page").as("probe"), col("id"))
+        val lim = base.limit(5)
+          .agg(count(lit(1)).as("c"))
+          .select(lit("limit_count").as("probe"), col("c").as("id"))
+        // unsorted OFFSET pushes alone (after a partially-pushed top-N
+        // Spark correctly refuses it — the authoritative sort+cut is
+        // still Spark's); any 9995 rows may be skipped, so the count is
+        // the only deterministic observable
+        val off = base.offset(9995)
+          .agg(count(lit(1)).as("c"))
+          .select(lit("offset_count").as("probe"), col("c").as("id"))
+        topn.unionAll(page).unionAll(lim).unionAll(off)
+      },
+      Some(sql("""SELECT 'topn_desc' AS probe, CAST(x AS BIGINT) AS id
+                  FROM (SELECT unnest(generate_series(9993, 9999)) AS x)
+                  UNION ALL
+                  SELECT 'page', CAST(x AS BIGINT)
+                  FROM (SELECT unnest(generate_series(9990, 9994)) AS x)
+                  UNION ALL
+                  SELECT 'limit_count', 5
+                  UNION ALL
+                  SELECT 'offset_count', 5"""))),
+
+    // Runtime V2 filtering (SupportsRuntimeV2Filtering on the range
+    // scan): the connector-side twin of src_dpp — after the 2-row
+    // broadcast dim materializes, Spark replays its join keys into the
+    // fact scan as an IN predicate and the scan narrows its generated
+    // range BEFORE planning splits. The query never names the surviving
+    // ids; only the runtime filter carries them. PlanSpec asserts the
+    // dynamicpruning expression lands in the BatchScan's RuntimeFilters.
+    Q("src_dsv2_runtime_filter",
+      (s, d) => {
+        val dim = tmp(d, "rtf_dim")
+        val sq = s; import sq.implicits._
+        Seq((7L, "skip"), (4242L, "pick"), (77777L, "pick")).toDF("id", "cls")
+          .write.mode(SaveMode.Overwrite).parquet(dim)
+        val fact = s.read.format("graft.sources.RangeSource")
+          .option("n", "100000").option("partitions", "8").load()
+        val dm = s.read.parquet(dim)
+          .filter(col("cls") === lit("pick")).select(col("id"))
+        fact.join(dm, Seq("id")).select(col("id"), col("val"))
+      },
+      Some(sql("""SELECT CAST(x AS BIGINT) AS id,
+                    (CAST(x AS BIGINT) * CAST(x AS BIGINT)) % 997 AS val
+                  FROM (VALUES (4242), (77777)) t(x)""")))
   )
 }

@@ -4,7 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -58,12 +60,15 @@ private[sources] class GraftRangeTable(n: Long, parts: Int) extends Table with S
 }
 
 private[sources] class GraftRangeScanBuilder(n: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var lo = 0L
   private var hi = n
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.Schema
+  private var pagingNote = "" // what limit/topN/offset narrowing accepted
+  private var descTopN = false
 
   private def idBound(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -92,21 +97,87 @@ private[sources] class GraftRangeScanBuilder(n: Long, parts: Int) extends ScanBu
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new GraftRangeScan(lo, math.max(lo, hi), parts, required, accepted)
+  // ---- limit / top-N / offset pushdown (the V2 paging SPI): the source
+  // narrows the GENERATED id range instead of materializing-then-cutting.
+  // All three report partial pushdown (the default), so Spark keeps its
+  // own cut on top — the source result only has to be a superset laid out
+  // to make that cut cheap, which keeps every acceptance sound:
+  //  - LIMIT: any `limit` rows are a legal answer → keep the lowest ids;
+  //  - ORDER BY id ASC/DESC LIMIT k: the top-k ids are exactly the
+  //    lowest/highest k of the surviving range;
+  //  - OFFSET: dropping the lowest `offset` ids is legal both unordered
+  //    (any rows may be dropped) and under ORDER BY id ASC (Spark pushes
+  //    the offset only after pushing the matching top-N). Rejected after
+  //    a DESC top-N, where dropped-lowest would be the wrong end.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    pagingNote += s" limit=$limit"
+    true
+  }
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onId = orders.length == 1 && (orders(0).expression() match {
+      case r: NamedReference => r.fieldNames().sameElements(Array("id"))
+      case _ => false
+    })
+    if (!onId) return false
+    if (orders(0).direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + limit)
+    else { lo = math.max(lo, hi - limit); descTopN = true }
+    pagingNote += s" topN=${orders(0).direction()}:$limit"
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushOffset(offset: Int): Boolean = {
+    if (descTopN) return false
+    lo = math.min(hi, lo + offset)
+    pagingNote += s" offset=$offset"
+    true
+  }
+
+  override def build(): Scan =
+    new GraftRangeScan(lo, math.max(lo, hi), parts, required, accepted, pagingNote)
 }
 
-private[sources] class GraftRangeScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+private[sources] class GraftRangeScan(lo0: Long, hi0: Long, parts: Int,
+    required: StructType, pushed: Array[Filter], pagingNote: String = "")
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  private var lo = lo0
+  private var hi = hi0
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // the narrowed bounds in the plan text are the pushdown PROOF PlanSpec
-  // asserts on — if pushdown regressed, the full [0,n) range would print
+  // asserts on — if pushdown regressed, the full [0,n) range would print.
+  // NOTE: description() renders at plan time, BEFORE runtime filters
+  // re-narrow the bounds; the runtime proof is the RuntimeFilters line.
   override def description(): String =
-    s"GraftRange range=[$lo,$hi) pushed=[${pushed.mkString(", ")}]"
+    s"GraftRange range=[$lo,$hi) pushed=[${pushed.mkString(", ")}]$pagingNote"
+
+  // ---- runtime filtering (SupportsRuntimeV2Filtering): the V2 analog of
+  // dynamic partition pruning — after the broadcast side of a join
+  // materializes, Spark replays its join-key values into this scan as an
+  // IN predicate, and the scan narrows the generated range BEFORE
+  // planning splits. Narrowing to [min,max] of the IN-set is coarse but
+  // sound: a runtime filter is best-effort, the join re-filters.
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val vals = p.children().collect { case l: V2Literal[_] => l.value() }.collect {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }
+        if (vals.nonEmpty) {
+          lo = math.max(lo, vals.min)
+          hi = math.min(hi, vals.max + 1)
+        }
+      }
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = hi - lo
-    val k = math.max(1, math.min(parts.toLong, total)).toInt
+    val total = math.max(0L, hi - lo)
+    val k = math.max(1, math.min(parts.toLong, math.max(total, 1L))).toInt
     (0 until k).map { i =>
       GraftRangePartition(lo + i * total / k, lo + (i + 1) * total / k): InputPartition
     }.toArray

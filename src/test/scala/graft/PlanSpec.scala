@@ -129,6 +129,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BatchScan keyed:fact") && p.contains("BatchScan keyed:dim"), p)
   }
 
+  test("V2 paging pushdown narrows the generated range (limit / top-N / offset)") {
+    val p = plan("src_dsv2_topn")
+    // DESC top-7 over 10k rows: the scan generates only the last 7 ids
+    assert(p.contains("range=[9993,10000)") && p.contains("topN=DESC:7"), p)
+    // ASC page: the matching top-N (offset+limit) is pushed; the offset
+    // itself is correctly NOT pushed after a partial top-N
+    assert(p.contains("topN=ASC:9995"), p)
+    assert(p.contains("limit=5"), p)
+    // bare OFFSET pushes alone: the scan skips 9995 generated ids
+    assert(p.contains("offset=9995"), p)
+  }
+
+  test("runtime V2 filtering injects a dynamicpruning IN-filter into the scan") {
+    val p = plan("src_dsv2_runtime_filter")
+    assert(p.contains("dynamicpruning"), s"no runtime filter on the V2 scan:\n$p")
+  }
+
   test("dedup provenance is candidate-join shaped (no cartesian, no corpus window)") {
     // four layers + assembly: every join is an equi-join on doc-level or
     // candidate keys (the K-row centroid fan-out broadcasts; the 1-row
