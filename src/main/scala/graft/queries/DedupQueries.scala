@@ -941,6 +941,79 @@ object DedupQueries {
              LEFT JOIN exdrop e ON e.doc_id = d.doc_id
              LEFT JOIN subdrop sb ON sb.doc_id = d.doc_id
              LEFT JOIN mhdrop m ON m.doc_id = d.doc_id
-             LEFT JOIN semdrop se ON se.doc_id = d.doc_id""")))
+             LEFT JOIN semdrop se ON se.doc_id = d.doc_id"""))),
+
+    // INCREMENTAL INGESTION DEDUP — the production shape every batch
+    // pipeline above skips: a NEW batch (doc_id % 3 = 0) arrives against
+    // an EXISTING deduplicated corpus (the rest), and every comparison
+    // crosses the boundary — batch-vs-corpus only, never batch-vs-batch
+    // or corpus-vs-corpus. Layer 1: exact content-hash equi-join against
+    // the corpus hash index. Layer 2: the SHARED LSH band table filtered
+    // to each side, candidates verified by exact shingle Jaccard. One
+    // decision row per batch doc (exact > near > new) with the surviving
+    // corpus doc. At 100 TB the corpus side of both joins is a standing
+    // index (hash + band tables) the ingest job probes — re-banding only
+    // the batch, never re-scanning the corpus text.
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val corpusHash = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id").as("c_id"),
+            Portable.stableHash64(lower(trim(col("text")))).as("h"))
+        val exact = batch
+          .select(col("doc_id"), Portable.stableHash64(lower(trim(col("text")))).as("h"))
+          .join(corpusHash, Seq("h"))
+          .groupBy(col("doc_id")).agg(min(col("c_id")).as("e_dup"))
+        val bands = bandTable(s, d)
+        val cand = bands.filter(col("doc_id") % 3 === 0).as("a")
+          .join(bands.filter(col("doc_id") % 3 =!= 0)
+            .withColumnRenamed("doc_id", "c_id").as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+          .select(col("a.doc_id").as("doc_id"), col("c_id")).distinct()
+        val sh = docs.select(col("doc_id"),
+          array_distinct(Portable.shingles3FromTokens(split(col("text"), " "))).as("shs"))
+        val near = cand
+          .join(sh.withColumnRenamed("shs", "sh_a"), Seq("doc_id"))
+          .join(sh.withColumnRenamed("doc_id", "c_id")
+            .withColumnRenamed("shs", "sh_b"), Seq("c_id"))
+          .filter(T.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .groupBy(col("doc_id")).agg(min(col("c_id")).as("m_dup"))
+        batch.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("e_dup").isNotNull, lit("exact"))
+              .when(col("m_dup").isNotNull, lit("near"))
+              .otherwise(lit("new")).as("decision"),
+            coalesce(col("e_dup"), col("m_dup")).as("dup_of"))
+      },
+      Some(sql(s"""WITH $bandTableSql,
+             batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+             corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             ex AS (SELECT b.doc_id, min(c.doc_id) AS e_dup
+               FROM batch b JOIN corp c
+                 ON ${Portable.stableHash64Sql("lower(trim(b.text))")} =
+                    ${Portable.stableHash64Sql("lower(trim(c.text))")}
+               GROUP BY 1),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS c_id
+               FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+               WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+             shset AS MATERIALIZED (
+               SELECT doc_id, list_distinct(${Portable.shingles3Sql("text")}) AS shs
+               FROM documents),
+             nr AS (SELECT cand.doc_id, min(cand.c_id) AS m_dup
+               FROM cand JOIN shset sa ON sa.doc_id = cand.doc_id
+                         JOIN shset sb ON sb.doc_id = cand.c_id
+               WHERE ${T.jaccardSql("sa.shs", "sb.shs")} >= 0.5
+               GROUP BY 1)
+           SELECT b.doc_id,
+             CASE WHEN e.e_dup IS NOT NULL THEN 'exact'
+                  WHEN n.m_dup IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS decision,
+             coalesce(e.e_dup, n.m_dup) AS dup_of
+           FROM batch b
+             LEFT JOIN ex e ON e.doc_id = b.doc_id
+             LEFT JOIN nr n ON n.doc_id = b.doc_id""")))
   )
 }

@@ -120,6 +120,47 @@ object StreamingQueries {
     }
   }
 
+  /** StatefulProcessor for `stream_tws_timers`: EVENT-TIME TIMER
+    * sessionization — each input batch extends the per-user session
+    * state and re-arms one timer at last_ts + gap (deleting any older
+    * timer); when the watermark passes the armed expiry,
+    * handleExpiredTimer emits the finalized session ONCE and clears the
+    * state. Emission happens ONLY on timer expiry (append mode), the
+    * contract processing-time APIs cannot express. */
+  private class SessionFinalizer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long, Long, Long)] {
+    private val GapMs = 60L * 60 * 1000
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      val (n0, s0, l0) = if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      var n = n0; var sum = s0; var last = l0
+      rows.foreach { r => n += 1; sum += r._2; last = math.max(last, r._3) }
+      st.update((n, sum, last))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + GapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Long, Long, Long)] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val (n, sum, last) = st.get()
+        st.clear()
+        Iterator.single((key, n, sum, last))
+      }
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // window()/reduceByKeyAndWindow analog: REAL stream, event-time
@@ -763,6 +804,69 @@ object StreamingQueries {
                     CAST(sum(CASE WHEN ${Pipeline4Queries.gopherPassSql}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
                   FROM (${Pipeline4Queries.gopherSignalsSql("source", "source")})
-                  GROUP BY source""")))
+                  GROUP BY source"""))),
+
+    // EVENT-TIME TIMERS (transformWithState + TimeMode.EventTime):
+    // timer-driven sessionization over a HAND-STAGED 4-batch timeline
+    // (one file per micro-batch, mtime-ordered), chosen so every
+    // fired-timer outcome is identical whether the engine checks timers
+    // against the batch's input watermark or its output watermark —
+    // each user has ONE session, and no batch both carries a user's
+    // events and expires that user's timer. Watermark delay 30 min,
+    // session gap 1 h: A(2 events) and B finalize once the 12:00 batch
+    // advances the watermark, C after the 14:00 batch, D on the final
+    // watermark-flush batch, and E (18:00, expiry 19:00 > final
+    // watermark 17:30) must NEVER emit — the unfinalized-tail contract.
+    // The oracle is the timeline's finalized sessions as literals.
+    Q("stream_tws_timers",
+      (s, d) => withRocksDBStateStore(s) {
+        graft.Engine.configure(s)
+        val sq = s; import sq.implicits._
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/twstimer_src_$stamp"
+        new java.io.File(srcDir).mkdirs()
+        val batches = Seq(
+          Seq(("A", 1L, "2024-03-01 10:00:00"), ("A", 2L, "2024-03-01 10:05:00"),
+            ("B", 3L, "2024-03-01 10:00:00")),
+          Seq(("C", 4L, "2024-03-01 12:00:00")),
+          Seq(("D", 5L, "2024-03-01 14:00:00")),
+          Seq(("E", 6L, "2024-03-01 18:00:00")))
+        try {
+          batches.zipWithIndex.foreach { case (rs, i) =>
+            val tmp = s"$srcDir/_tmp$i"
+            rs.toDF("user", "event_id", "ts_s")
+              .select(col("user"), col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            val dst = new java.io.File(s"$srcDir/batch$i.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            Registry.rmTree(new java.io.File(tmp))
+            dst.setLastModified(1700000000000L + i * 60000): Unit
+          }
+          val ev = s.readStream.schema("user STRING, event_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .withWatermark("ts", "30 minutes")
+            .select(col("user"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+            .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new SessionFinalizer,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user", "n_events", "sum_ids", "last_ts_ms")
+          StreamRunner.runToTable(s, out, s"twst_$stamp", "append")
+            .select(col("user"), col("n_events"), col("sum_ids"),
+              (col("last_ts_ms") / lit(1000)).cast("long").as("last_ts_s"))
+        } finally Registry.rmTree(new java.io.File(srcDir))
+      },
+      Some(sql("""SELECT usr AS user, CAST(n AS BIGINT) AS n_events,
+                    CAST(sm AS BIGINT) AS sum_ids,
+                    CAST(epoch(CAST(lt AS TIMESTAMP)) AS BIGINT) AS last_ts_s
+                  FROM (VALUES
+                    ('A', 2, 3, '2024-03-01 10:05:00'),
+                    ('B', 1, 3, '2024-03-01 10:00:00'),
+                    ('C', 1, 4, '2024-03-01 12:00:00'),
+                    ('D', 1, 5, '2024-03-01 14:00:00')
+                  ) AS t(usr, n, sm, lt)""")))
   )
 }
