@@ -140,8 +140,10 @@ object SourceQueries {
     // translates the WHERE into connector Predicates, and the SOURCE
     // filters its own storage — the row-level-operation half of the
     // data-source SPI that InsertableRelation-era interfaces never had.
-    // canDeleteWhere rejects untranslatable predicates loudly, so a
-    // wrong-rows delete is an analysis error, never silent.
+    // canDeleteWhere accepts only predicates the metadata evaluator can
+    // prove; anything else falls back to the group-based row-level
+    // rewrite (scan, filter, replace — src_dsv2_merge's machinery), so
+    // an untranslatable delete is slower, never wrong.
     Q("src_dsv2_delete",
       (s, d) => {
         table(s, d, "supplier")

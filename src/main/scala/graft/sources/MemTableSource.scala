@@ -183,9 +183,10 @@ final class MemTable(tname: String, tschema: StructType)
 
   // ---- row-level DELETE (SupportsDeleteV2): the engine translates the
   // SQL WHERE into connector Predicates; the source filters its own
-  // storage. canDeleteWhere rejects anything the evaluator can't prove,
-  // so an untranslatable predicate fails loudly instead of deleting the
-  // wrong rows.
+  // storage. canDeleteWhere rejects anything the evaluator can't prove;
+  // with SupportsRowLevelOperations also present (below), the engine
+  // then falls back to the group-based rewrite instead of erroring —
+  // metadata-only delete when provable, copy-on-write otherwise.
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => MemPredicates.evaluable(p, tschema))
   override def deleteWhere(predicates: Array[Predicate]): Unit =

@@ -28,7 +28,7 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(back === Array((1L, "a,b", 10L), (2L, "c", 20L), (3L, "d,e,f", 30L)))
   }
 
-  test("DSv2 DELETE filters source storage; untranslatable predicates fail loudly") {
+  test("DSv2 DELETE filters source storage; untranslatable predicates take the row-level fallback") {
     Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "tag")
       .write.format("graft.sources.MemTableSource")
       .option("name", "graft_del_spec").mode("overwrite").save()
@@ -39,14 +39,16 @@ class CatalystExtensionSpec extends AnyFunSuite {
       .option("name", "graft_del_spec").load()
       .as[(Long, String)].collect().sortBy(_._1)
     assert(left.toSeq === Seq((1L, "a"), (2L, "b"), (4L, "c")))
-    // an expression the evaluator can't prove (id % 2 = 0) must be
-    // REJECTED — wrong-rows deletion would be silent corruption
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graftmem.graft_del_spec WHERE id % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("cannot translate"), e.getMessage)
-    assert(spark.read.format("graft.sources.MemTableSource")
-      .option("name", "graft_del_spec").load().count() === 3)
+    // an expression the metadata evaluator can't prove (id % 2 = 0) no
+    // longer errors: since the table implements SupportsRowLevelOperations
+    // the engine falls back to the GROUP-BASED rewrite (scan, filter,
+    // replace) — slower but exact, the Iceberg-style contract. The
+    // remaining rows prove the fallback deleted exactly the even ids.
+    spark.sql("DELETE FROM graftmem.graft_del_spec WHERE id % 2 = 0")
+    val after = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "graft_del_spec").load()
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq === Seq((1L, "a")))
   }
 
   test("graft_hamming64 computes popcount of xor") {
