@@ -403,6 +403,29 @@ object Expr2Queries {
                'bucket=' || CAST(p_partkey % 7 AS VARCHAR)
                  || ',extra=1,size=' || CAST(p_size AS VARCHAR) AS mc,
                CAST(2 AS INTEGER) AS ne
-        FROM part WHERE p_partkey <= 200""")))
+        FROM part WHERE p_partkey <= 200"""))),
+
+    // timestampadd / timestampdiff (the ANSI dateadd surface): interval
+    // addition with calendar-month clamping, and COMPLETE-unit diffs
+    // from a fixed anchor. The diff oracle uses epoch_us integer
+    // arithmetic (integral floor-div, positive spans) — double-seconds
+    // epoch() would wobble at exact unit boundaries.
+    Q("expr_ts_arith",
+      (s, d) => graft.Engine.events(s, d)
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          expr("timestampadd(HOUR, 5, ts)").as("plus5h"),
+          expr("timestampadd(MONTH, 1, ts)").as("plus1mo"),
+          expr("timestampdiff(DAY, TIMESTAMP '2024-01-01 00:00:00', ts)").as("days_since"),
+          expr("timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts)").as("mins_since"),
+          expr("timestampdiff(HOUR, ts, timestampadd(HOUR, 5, ts))").as("inv5")),
+      Some(sql("""
+        SELECT event_id,
+               ts + INTERVAL 5 HOUR AS plus5h,
+               ts + INTERVAL 1 MONTH AS plus1mo,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 86400000000 AS days_since,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 60000000 AS mins_since,
+               CAST(5 AS BIGINT) AS inv5
+        FROM events WHERE event_id <= 300""")))
   )
 }

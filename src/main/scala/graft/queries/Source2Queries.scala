@@ -233,6 +233,116 @@ object Source2Queries {
       },
       Some(sql("""SELECT CAST(x AS BIGINT) AS id,
                     (CAST(x AS BIGINT) * CAST(x AS BIGINT)) % 997 AS val
-                  FROM (VALUES (4242), (77777)) t(x)""")))
+                  FROM (VALUES (4242), (77777)) t(x)"""))),
+
+    // MSCK REPAIR TABLE (partition recovery): data arrives on storage
+    // BYPASSING the catalog (the distcp/backfill shape — two st=…
+    // directories written directly), an external partitioned table is
+    // declared over the location, and MSCK REPAIR discovers the
+    // partitions from the directory layout. SHOW PARTITIONS pins the
+    // recovered count; the post-repair per-partition row counts pin
+    // that pruning works against recovered metadata. The operational
+    // contract every 100 TB lake hits weekly.
+    Q("sql_repair_table",
+      (s, d) => {
+        val loc = tmp(d, "repair_tbl")
+        Registry.rmTree(new java.io.File(loc))
+        table(s, d, "orders").filter(col("o_orderstatus") === lit("F"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$loc/st=F")
+        table(s, d, "orders").filter(col("o_orderstatus") === lit("O"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$loc/st=O")
+        Registry.dropManaged(s, "graft_repair")
+        s.sql(sql(s"""CREATE TABLE graft_repair
+                      (o_orderkey BIGINT, o_totalprice DOUBLE, st STRING)
+                      USING parquet PARTITIONED BY (st) LOCATION '$loc'"""))
+        s.sql("MSCK REPAIR TABLE graft_repair")
+        s.sql("SHOW PARTITIONS graft_repair")
+          .agg(count(lit(1)).as("n")).select(lit("partitions").as("probe"), col("n"))
+          .unionAll(s.sql(sql("""SELECT 'rows_total' AS probe, count(*) AS n
+                                 FROM graft_repair""")))
+          .unionAll(s.sql(sql("""SELECT 'rows_F' AS probe, count(*) AS n
+                                 FROM graft_repair WHERE st = 'F'""")))
+      },
+      Some(sql("""SELECT 'partitions' AS probe, 2 AS n
+                  UNION ALL
+                  SELECT 'rows_total', count(*) FROM orders
+                  WHERE o_orderstatus IN ('F', 'O')
+                  UNION ALL
+                  SELECT 'rows_F', count(*) FROM orders
+                  WHERE o_orderstatus = 'F'"""))),
+
+    // Hidden file-metadata columns (_metadata.file_name / row_index):
+    // per-file provenance without a provenance column — the contract a
+    // 100 TB curation pipeline uses to trace any row back to its source
+    // object. Two hand-named parquet files; the grouped row_index range
+    // pins the 0-based per-file numbering.
+    Q("src_file_metadata",
+      (s, _) => {
+        val dir = "/tmp/graft_io/meta_files"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val sq = s; import sq.implicits._
+        Seq(Seq(1L, 2L, 3L), Seq(10L, 20L)).zipWithIndex.foreach { case (vs, i) =>
+          val tmpd = s"$dir/_tmp$i"
+          vs.toDF("v").coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(s"$dir/f$i.parquet").toPath): Unit
+          Registry.rmTree(new java.io.File(tmpd))
+        }
+        s.read.parquet(dir)
+          .select(col("v"), col("_metadata.file_name").as("fname"),
+            col("_metadata.row_index").as("ri"))
+          .groupBy(col("fname"))
+          .agg(count(lit(1)).as("n"), min(col("ri")).as("ri_min"),
+            max(col("ri")).as("ri_max"), sum(col("v")).as("sv"))
+      },
+      Some(sql("""SELECT fname, CAST(n AS BIGINT) AS n,
+                    CAST(ri_min AS BIGINT) AS ri_min,
+                    CAST(ri_max AS BIGINT) AS ri_max,
+                    CAST(sv AS BIGINT) AS sv
+                  FROM (VALUES
+                    ('f0.parquet', 3, 0, 2, 6),
+                    ('f1.parquet', 2, 0, 1, 30)
+                  ) AS t(fname, n, ri_min, ri_max, sv)"""))),
+
+    // File-reader options (recursiveFileLookup + pathGlobFilter): a
+    // nested layout with a stray non-parquet file — the recursive read
+    // must find both subdirectory datasets, the glob must exclude the
+    // stray, and a plain subdirectory read scopes to one dataset. The
+    // ingest-surface knobs for lakes that are not laid out as neat
+    // partition trees.
+    Q("src_file_options",
+      (s, d) => {
+        val root = tmp(d, "opt_files")
+        Registry.rmTree(new java.io.File(root))
+        table(s, d, "nation").filter(col("n_regionkey") < 2)
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/a")
+        table(s, d, "nation").filter(col("n_regionkey") >= 2)
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/b")
+        val stray = new java.io.PrintWriter(s"$root/notes.txt")
+        try stray.print("not parquet") finally stray.close()
+        val rec = s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(root)
+        rec.agg(count(lit(1)).as("n"))
+          .select(lit("recursive_rows").as("probe"), col("n"))
+          .unionAll(rec.select(col("_metadata.file_name")).distinct()
+            .agg(count(lit(1)).as("n"))
+            .select(lit("recursive_files").as("probe"), col("n")))
+          .unionAll(s.read.parquet(s"$root/a")
+            .agg(count(lit(1)).as("n"))
+            .select(lit("subdir_a_rows").as("probe"), col("n")))
+      },
+      Some(sql("""SELECT 'recursive_rows' AS probe, count(*) AS n FROM nation
+                  UNION ALL SELECT 'recursive_files', 2
+                  UNION ALL SELECT 'subdir_a_rows', count(*) FROM nation
+                  WHERE n_regionkey < 2""")))
   )
 }

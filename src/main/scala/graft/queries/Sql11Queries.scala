@@ -351,6 +351,28 @@ object Sql11Queries {
                '/docs/' || doc_id AS path,
                'lang=' || lang || '&n=' || n_chars AS query,
                lang AS lang_param
-        FROM documents""")))
+        FROM documents"""))),
+
+    // Lateral column aliases (Spark 3.4+): a SELECT-list alias is
+    // referenceable by LATER items in the same list, including chained
+    // alias-of-alias — the spreadsheet-style derivation every analyst
+    // writes first. DuckDB supports the identical surface, so the
+    // oracle is the same query text.
+    Q("sql_lateral_alias",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_lca")
+        s.sql(sql("""
+          SELECT o_orderkey,
+                 round(o_totalprice * 0.1, 4) AS tax,
+                 round(tax * 2, 4) AS tax2,
+                 round(tax + tax2, 4) AS tax3
+          FROM graft_o_lca WHERE o_orderkey <= 200"""))
+      },
+      Some(sql("""
+        SELECT o_orderkey,
+               round(o_totalprice * 0.1, 4) AS tax,
+               round(tax * 2, 4) AS tax2,
+               round(tax + tax2, 4) AS tax3
+        FROM orders WHERE o_orderkey <= 200""")))
   )
 }

@@ -867,6 +867,55 @@ object StreamingQueries {
                     ('B', 1, 3, '2024-03-01 10:00:00'),
                     ('C', 1, 4, '2024-03-01 12:00:00'),
                     ('D', 1, 5, '2024-03-01 14:00:00')
-                  ) AS t(usr, n, sm, lt)""")))
+                  ) AS t(usr, n, sm, lt)"""))),
+
+    // STREAMING UPSERT (foreachBatch + MERGE INTO): the
+    // streaming-lakehouse pattern — each micro-batch aggregates its
+    // events and MERGEs the deltas into a catalog table through the
+    // row-level-operation SPI (src_dsv2_merge's machinery), so the
+    // table always holds exact running per-user totals. The target is
+    // seeded with zero rows per user, so every batch exercises the
+    // MATCHED-UPDATE arithmetic; the final table equals the batch
+    // aggregate over the whole corpus. At scale the increment-MERGE
+    // needs a batch-id idempotency guard against foreachBatch retries
+    // (Delta/Iceberg txn metadata); the memory table demonstrates the
+    // plan shape, not the transactional guard.
+    Q("stream_merge_upsert",
+      (s, d) => {
+        graft.Engine.configure(s)
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        Engine.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"), lit(0L).as("n_events"), lit(0L).as("sum_ids"))
+          .write.format("graft.sources.MemTableSource")
+          .option("name", "graft_upsert")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+        val q = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), col("event_id"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+              .createOrReplaceTempView("graft_upsert_batch")
+            batch.sparkSession.sql(sql("""
+              MERGE INTO graftmem.graft_upsert t
+              USING graft_upsert_batch s ON t.user_id = s.user_id
+              WHEN MATCHED THEN UPDATE SET
+                n_events = t.n_events + s.n_events,
+                sum_ids = t.sum_ids + s.sum_ids
+              WHEN NOT MATCHED THEN INSERT *""")): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"/tmp/graft_ckpt/upsert-${System.nanoTime()}")
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("stream_merge_upsert did not finish within 300s")
+        }
+        s.read.format("graft.sources.MemTableSource")
+          .option("name", "graft_upsert").load()
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                    CAST(sum(event_id) AS BIGINT) AS sum_ids
+                  FROM events GROUP BY user_id""")))
   )
 }
