@@ -477,6 +477,39 @@ object MiscQueries {
             CAST(max(CASE WHEN x >= 32 AND x < 64
                  AND y >= 96 AND y < 128 THEN z END) AS BIGINT) AS z_max
           FROM z""")
-      })
+      }),
+
+    // Observation API (df.observe): named aggregate metrics collected as
+    // a SIDE EFFECT of whatever action runs the frame — the pipeline
+    // telemetry surface (row counts, checksums, null rates) that costs
+    // no extra pass at 100 TB because it piggybacks on the job already
+    // running. The declaration-time count() is the documented exception
+    // class: observation metrics exist only after an execution.
+    Q("misc_observe",
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation(s"graft_obs_${System.nanoTime()}")
+        val df = table(s, d, "orders")
+          .filter(col("o_totalprice") > 100000.0)
+          .observe(obs,
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 4).as("total"),
+            max(col("o_orderkey")).as("max_key"))
+        df.count(): Unit
+        val m = obs.get
+        val sq = s; import sq.implicits._
+        Seq(
+          ("n", m("n").asInstanceOf[Long].toDouble),
+          ("total", m("total").asInstanceOf[Double]),
+          ("max_key", m("max_key").asInstanceOf[Long].toDouble))
+          .toDF("metric", "value")
+      },
+      Some(sql("""SELECT 'n' AS metric, CAST(count(*) AS DOUBLE) AS value
+                  FROM orders WHERE o_totalprice > 100000.0
+                  UNION ALL
+                  SELECT 'total', round(sum(o_totalprice), 4)
+                  FROM orders WHERE o_totalprice > 100000.0
+                  UNION ALL
+                  SELECT 'max_key', CAST(max(o_orderkey) AS DOUBLE)
+                  FROM orders WHERE o_totalprice > 100000.0""")))
   )
 }

@@ -261,6 +261,34 @@ object RddQueries {
       },
       Some(sql("""SELECT o_orderstatus,
                    CAST(ceil(0.25 * count(*)) AS BIGINT) AS n_sampled
-                  FROM orders GROUP BY 1""")))
+                  FROM orders GROUP BY 1"""))),
+
+    // BARRIER EXECUTION MODE (RDDBarrier): all tasks of the stage launch
+    // together and rendezvous at ctx.barrier() — the gang-scheduling
+    // contract distributed training frameworks (Horovod/allreduce-style
+    // steps) need from Spark, which ordinary stages cannot promise. Each
+    // task reports its partition id, the gang size it observed via
+    // getTaskInfos, and its row count; the deterministic parallelize
+    // split makes the whole result a literal.
+    Q("rdd_barrier_stage",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        s.sparkContext.parallelize(0 until 8, 4)
+          .barrier()
+          .mapPartitions { it =>
+            val ctx = org.apache.spark.BarrierTaskContext.get()
+            val gang = ctx.getTaskInfos().length
+            ctx.barrier()
+            Iterator.single((ctx.partitionId(), gang, it.size))
+          }
+          // shuffle boundary: the encoder map toDF appends must live in a
+          // NORMAL stage — barrier stages reject appended transformations
+          .repartition(2)
+          .toDF("pid", "n_tasks", "n_rows")
+      },
+      Some(sql("""SELECT CAST(pid AS INTEGER) AS pid,
+                    CAST(4 AS INTEGER) AS n_tasks,
+                    CAST(2 AS INTEGER) AS n_rows
+                  FROM (SELECT unnest(generate_series(0, 3)) AS pid)""")))
   )
 }

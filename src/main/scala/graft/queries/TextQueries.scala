@@ -530,6 +530,113 @@ object TextQueries {
                         GROUP BY tok) vc),
                 $chain
                 $rows""")
-      })
+      }),
+
+    // TRIGRAM LM WITH STUPID BACKOFF (Brants 2007, the KenLM-adjacent
+    // scorer CCNet-style quality filters use): the model is trained on a
+    // corpus SPLIT (doc_id % 3 <> 0) and scores HELD-OUT docs, so the
+    // bigram/unigram backoff tiers genuinely fire on unseen trigrams.
+    // S(w3|w1w2) = c123/c12, else 0.4·c23/c2, else 0.4²·c3/N, else 0.
+    // Per-trigram scores travel as floor(1e6·S) integers (both engines
+    // compute the identical IEEE division, so the floor is bit-stable;
+    // integer sums are then exact). Scale posture: every model table is
+    // bounded by vocab^k, so all five joins broadcast onto the one
+    // held-out trigram pass; only the per-doc aggregation shuffles.
+    Q("text_trigram_backoff",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+        val corp = docs.filter(col("doc_id") % 3 =!= 0)
+        val scd = docs.filter(col("doc_id") % 3 === 0)
+        val triExpr = expr("""transform(sequence(1, size(l) - 2),
+          i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2,
+                      element_at(l, i + 2) AS w3))""")
+        val ctri = corp.filter(size(col("l")) >= 3)
+          .select(explode(triExpr).as("t"))
+          .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        val cbig = corp.filter(size(col("l")) >= 2)
+          .select(explode(expr("""transform(sequence(1, size(l) - 1),
+            i -> struct(element_at(l, i) AS b1, element_at(l, i + 1) AS b2))""")).as("b"))
+          .select(col("b.b1").as("b1"), col("b.b2").as("b2"))
+          .groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+        val cuni = corp.select(explode(col("l")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val tot = cuni.agg(sum(col("cu")).as("ntot"))
+        scd.filter(size(col("l")) >= 3)
+          .select(col("doc_id"), explode(triExpr).as("t"))
+          .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+            col("t.w3").as("w3"))
+          .join(ctri, Seq("w1", "w2", "w3"), "left")
+          .join(cbig.select(col("b1").as("w1"), col("b2").as("w2"),
+            col("cb").as("c12")), Seq("w1", "w2"), "left")
+          .join(cbig.select(col("b1").as("w2"), col("b2").as("w3"),
+            col("cb").as("c23")), Seq("w2", "w3"), "left")
+          .join(cuni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
+          .join(cuni.select(col("w").as("w3"), col("cu").as("c3")), Seq("w3"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            when(col("c123").isNotNull, lit(0))
+              .when(col("c23").isNotNull, lit(1))
+              .when(col("c3").isNotNull, lit(2)).otherwise(lit(3)).as("lvl"),
+            when(col("c123").isNotNull,
+                floor(lit(1000000.0) * col("c123") / col("c12")))
+              .when(col("c23").isNotNull,
+                floor(lit(400000.0) * col("c23") / col("c2")))
+              .when(col("c3").isNotNull,
+                floor(lit(160000.0) * col("c3") / col("ntot")))
+              .otherwise(lit(0L)).as("sm"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tri"), sum(col("sm")).as("sum_micro"),
+            sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_seen"),
+            sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bo1"),
+            sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bo2"),
+            sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_oov"))
+      },
+      Some(sql("""
+        WITH corpw AS MATERIALIZED (
+          SELECT string_split(text, ' ') AS l FROM documents WHERE doc_id % 3 <> 0),
+        ctri AS MATERIALIZED (
+          SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3, count(*) AS c123
+          FROM (SELECT l, unnest(range(1, len(l) - 1)) AS i FROM corpw WHERE len(l) >= 3)
+          GROUP BY 1, 2, 3),
+        cbig AS MATERIALIZED (
+          SELECT l[i] AS b1, l[i+1] AS b2, count(*) AS cb
+          FROM (SELECT l, unnest(range(1, len(l))) AS i FROM corpw WHERE len(l) >= 2)
+          GROUP BY 1, 2),
+        cuni AS MATERIALIZED (
+          SELECT w, count(*) AS cu
+          FROM (SELECT unnest(l) AS w FROM corpw) GROUP BY 1),
+        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS ntot FROM cuni),
+        stri AS (
+          SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+          FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents WHERE doc_id % 3 = 0)
+                WHERE len(l) >= 3)),
+        j AS (SELECT s.doc_id,
+            CASE WHEN t.c123 IS NOT NULL THEN 0
+                 WHEN b23.cb IS NOT NULL THEN 1
+                 WHEN u3.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+            CASE WHEN t.c123 IS NOT NULL
+                   THEN CAST(floor(1000000.0 * t.c123 / b12.cb) AS BIGINT)
+                 WHEN b23.cb IS NOT NULL
+                   THEN CAST(floor(400000.0 * b23.cb / u2.cu) AS BIGINT)
+                 WHEN u3.cu IS NOT NULL
+                   THEN CAST(floor(160000.0 * u3.cu / tot.ntot) AS BIGINT)
+                 ELSE 0 END AS sm
+          FROM stri s
+          LEFT JOIN ctri t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+          LEFT JOIN cbig b12 ON b12.b1 = s.w1 AND b12.b2 = s.w2
+          LEFT JOIN cbig b23 ON b23.b1 = s.w2 AND b23.b2 = s.w3
+          LEFT JOIN cuni u2 ON u2.w = s.w2
+          LEFT JOIN cuni u3 ON u3.w = s.w3
+          CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tri, CAST(sum(sm) AS BIGINT) AS sum_micro,
+          CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+          CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+          CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+          CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM j GROUP BY doc_id""")))
   )
 }
