@@ -128,6 +128,34 @@ object Sql4Queries {
                     + (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
                     + (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)
                     AS BIGINT) AS n_above_cum,
-                    CAST(800000.0 AS DOUBLE) AS final_thr""")))
+                    CAST(800000.0 AS DOUBLE) AS final_thr"""))),
+
+    // SQL scripting FOR loop: a cursor over an ordered query with the
+    // row variable referenced field-wise — the row-by-row procedural
+    // surface next to sql_scripting_while's counter loop. The oracle
+    // restates the fold with an ordered string_agg.
+    Q("sql_scripting_for",
+      (s, d) => {
+        table(s, d, "region").createOrReplaceTempView("graft_region_script")
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        try s.sql(sql("""BEGIN
+                           DECLARE total BIGINT DEFAULT 0;
+                           DECLARE names STRING DEFAULT '';
+                           FOR r AS SELECT r_regionkey AS k, r_name AS nm
+                                    FROM graft_region_script ORDER BY r_regionkey DO
+                             SET total = total + r.k;
+                             SET names = concat(names, '|', r.nm);
+                           END FOR;
+                           SELECT total AS key_sum, names AS name_chain;
+                         END"""))
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.scripting.enabled", p)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      },
+      Some(sql("""SELECT CAST(sum(r_regionkey) AS BIGINT) AS key_sum,
+                    '|' || string_agg(r_name, '|' ORDER BY r_regionkey) AS name_chain
+                  FROM region""")))
   )
 }

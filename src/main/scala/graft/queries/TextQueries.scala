@@ -637,6 +637,43 @@ object TextQueries {
           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-        FROM j GROUP BY doc_id""")))
+        FROM j GROUP BY doc_id"""))),
+
+    // FLESCH-KINCAID READABILITY (a standard curation quality signal):
+    // words, vowel-group syllable estimate, sentence count (≥1), and
+    // grade = 0.39·w/s + 11.8·syll/w − 15.59 carried as floor(1e6·g) —
+    // both engines evaluate the identical IEEE expression, so the floor
+    // is bit-stable (the oracle CASTs every constant AS DOUBLE: DuckDB
+    // types bare decimal literals as DECIMAL, whose fixed-point chain
+    // lands one ulp off the IEEE one). Pure in-scan chain, zero
+    // exchanges.
+    Q("text_readability",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"),
+          greatest(lit(1L),
+            expr("CAST(regexp_count(text, '[.!?]') AS BIGINT)")).as("n_sent"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+          expr("""CAST(aggregate(transform(w, x -> regexp_count(x, '[aeiouy]+')),
+                  0, (a, x) -> a + x) AS BIGINT)""").as("n_syll"),
+          col("n_sent"))
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
+          floor(lit(1000000.0) *
+            (lit(0.39) * col("n_words") / col("n_sent")
+              + lit(11.8) * col("n_syll") / col("n_words")
+              - lit(15.59))).as("fk_micro")),
+      Some(sql("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+            greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS n_sent
+          FROM documents),
+        u AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(w,
+              x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS n_syll,
+            CAST(n_sent AS BIGINT) AS n_sent
+          FROM t WHERE len(w) >= 1)
+        SELECT doc_id, n_words, n_syll, n_sent,
+          CAST(floor(CAST(1000000.0 AS DOUBLE) * (CAST(0.39 AS DOUBLE) * n_words / n_sent
+            + CAST(11.8 AS DOUBLE) * n_syll / n_words - CAST(15.59 AS DOUBLE))) AS BIGINT) AS fk_micro
+        FROM u""")))
   )
 }

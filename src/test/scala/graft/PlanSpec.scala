@@ -146,6 +146,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), s"no runtime filter on the V2 scan:\n$p")
   }
 
+  test("incremental dedup is candidate-join shaped; trigram LM broadcasts its model") {
+    val inc = plan("dedup_incremental")
+    assert(!inc.contains("CartesianProduct"), inc)
+    val tri = plan("text_trigram_backoff")
+    assert(!tri.contains("CartesianProduct"), tri)
+    // the vocab^k-bounded model tables must broadcast onto the held-out
+    // trigram pass — a shuffle join here re-shuffles the corpus 5×
+    assert(tri.contains("BroadcastHashJoin"), tri)
+  }
+
   test("dedup provenance is candidate-join shaped (no cartesian, no corpus window)") {
     // four layers + assembly: every join is an equi-join on doc-level or
     // candidate keys (the K-row centroid fan-out broadcasts; the 1-row

@@ -171,4 +171,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(big <= 8L * math.max(small, 50L),
       s"semantic pair volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
+
+  test("incremental-dedup cross-boundary candidate volume grows ~linearly") {
+    // batch-vs-corpus band candidates ride the same content-derived
+    // (band, sig) keys as the full LSH fence; a corpus-independent key
+    // would push the cross join toward |batch|×|corpus|
+    val small = maxJoinRows("dedup_incremental", "/root/testdata/sf0.01")
+    val big = maxJoinRows("dedup_incremental", "/root/testdata/sf0.1")
+    info(s"dedup_incremental max equi-join rows: sf0.01=$small sf0.1=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"incremental candidates grew superlinearly: sf0.01=$small → sf0.1=$big")
+  }
 }
