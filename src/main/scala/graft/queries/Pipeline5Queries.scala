@@ -207,6 +207,74 @@ object Pipeline5Queries {
                      CAST(s AS BIGINT) AS tok_start,
                      CAST(least($ChunkW, len(toks) - s) AS BIGINT) AS n_tok,
                      array_to_string(list_slice(toks, s + 1, s + $ChunkW), ' ') AS chunk
-                   FROM c""")))
+                   FROM c"""))),
+
+    // FILE-COMPACTION BIN-PACKING (the OPTIMIZE/rewrite-small-files
+    // planner every lakehouse runs): per-month partition row counts are
+    // packed into sequential compaction bins by a running-total budget —
+    // bin = (cumsum − n) div budget, the split-by-running-total window.
+    // The global-window stage runs over MANIFEST rows (one per month
+    // partition), not data rows — at 100 TB this is thousands of rows on
+    // one task while the actual rewrite fans out per bin.
+    Q("layout_compaction_bins",
+      (s, d) => {
+        val parts = table(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("pmonth"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("pmonth"))
+        parts
+          .select(col("pmonth"), col("n"),
+            floor((sum(col("n")).over(w) - col("n")) / lit(5000)).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("rows_"),
+            min(col("pmonth")).as("first_month"), max(col("pmonth")).as("last_month"))
+      },
+      Some(sql("""WITH parts AS (
+                    SELECT strftime(o_orderdate, '%Y-%m') AS pmonth, count(*) AS n
+                    FROM orders GROUP BY 1),
+                  binned AS (
+                    SELECT pmonth, n,
+                      CAST(floor((sum(n) OVER (ORDER BY pmonth) - n) / 5000) AS BIGINT) AS bin
+                    FROM parts)
+                  SELECT bin, count(*) AS n_parts, CAST(sum(n) AS BIGINT) AS rows_,
+                    min(pmonth) AS first_month, max(pmonth) AS last_month
+                  FROM binned GROUP BY bin"""))),
+
+    // DATA-CONTRACT CHECKS (the dbt-test / expectation-suite shape): a
+    // battery of declarative column contracts evaluated in ONE grouped
+    // pass over the table — null guard, range guard, enum membership,
+    // regex format, key uniqueness — each reported as a violation count
+    // plus a pass flag. At 100 TB this is the write-audit-publish gate
+    // that runs between producing a dataset and registering it.
+    Q("pipe_data_contract",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val checks = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpos_price"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("bad_priority"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"))
+        checks.select(explode(expr(
+          """map('null_custkey', null_custkey, 'nonpos_price', nonpos_price,
+                 'bad_status', bad_status, 'bad_priority', bad_priority,
+                 'dup_keys', dup_keys)""")).as(Seq("check", "n_violations")))
+          .select(col("check"), col("n_violations"),
+            (col("n_violations") === 0L).cast("int").as("pass"))
+      },
+      Some(sql("""WITH c AS (SELECT
+                    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+                    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+                    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+                    CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+                    count(*) - count(DISTINCT o_orderkey) AS dup_keys
+                  FROM orders)
+                  SELECT chk AS "check", v AS n_violations,
+                    CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+                  FROM (SELECT unnest(['null_custkey', 'nonpos_price', 'bad_status',
+                                       'bad_priority', 'dup_keys']) AS chk,
+                               unnest([null_custkey, nonpos_price, bad_status,
+                                       bad_priority, dup_keys]) AS v
+                        FROM c)""")))
   )
 }
