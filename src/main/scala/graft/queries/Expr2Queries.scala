@@ -426,6 +426,45 @@ object Expr2Queries {
                (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 86400000000 AS days_since,
                (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 60000000 AS mins_since,
                CAST(5 AS BIGINT) AS inv5
-        FROM events WHERE event_id <= 300""")))
+        FROM events WHERE event_id <= 300"""))),
+
+    // Array mutation + set algebra (array_insert/append/position/remove/
+    // union/intersect/except/arrays_overlap): arrays are BUILT from
+    // p_size, so the oracle states each result directly from the base
+    // column with CASE arms for the p_size∈{6,7} collision branches —
+    // no cross-engine list-function parity assumed. Order-preserving
+    // dedup semantics (first occurrence wins) are part of the pin.
+    Q("expr_arrays2",
+      (s, d) => {
+        val a1 = array(col("p_size"), col("p_size") + 1, lit(7))
+        val a2 = array(lit(7), col("p_size"))
+        table(s, d, "part").filter(col("p_partkey") <= 300).select(
+          col("p_partkey"), col("p_size"),
+          Registry.arrStr(array_insert(a1, lit(2), lit(99))).as("ins"),
+          Registry.arrStr(array_append(a2, lit(5))).as("app"),
+          array_position(a1, lit(7)).as("pos7"),
+          Registry.arrStr(array_remove(a1, lit(7))).as("rm7"),
+          Registry.arrStr(array_union(a1, a2)).as("un"),
+          Registry.arrStr(array_intersect(a1, a2)).as("inter"),
+          Registry.arrStr(array_except(a1, a2)).as("exc"),
+          arrays_overlap(a1, a2).as("ovl"))
+      },
+      Some(sql("""
+        SELECT p_partkey, p_size,
+               p_size || '|99|' || (p_size + 1) || '|7' AS ins,
+               '7|' || p_size || '|5' AS app,
+               CAST(CASE WHEN p_size = 7 THEN 1
+                         WHEN p_size = 6 THEN 2 ELSE 3 END AS BIGINT) AS pos7,
+               CASE WHEN p_size = 7 THEN '8'
+                    WHEN p_size = 6 THEN '6' ELSE p_size || '|' || (p_size + 1) END AS rm7,
+               CASE WHEN p_size = 7 THEN '7|8'
+                    WHEN p_size = 6 THEN '6|7'
+                    ELSE p_size || '|' || (p_size + 1) || '|7' END AS un,
+               CASE WHEN p_size = 7 THEN '7'
+                    ELSE p_size || '|7' END AS inter,
+               CASE WHEN p_size = 7 THEN '8'
+                    WHEN p_size = 6 THEN '' ELSE CAST(p_size + 1 AS VARCHAR) END AS exc,
+               true AS ovl
+        FROM part WHERE p_partkey <= 300""")))
   )
 }

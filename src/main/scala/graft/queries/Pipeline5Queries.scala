@@ -275,6 +275,43 @@ object Pipeline5Queries {
                                        'bad_priority', 'dup_keys']) AS chk,
                                unnest([null_custkey, nonpos_price, bad_status,
                                        bad_priority, dup_keys]) AS v
-                        FROM c)""")))
+                        FROM c)"""))),
+
+    // CONTENT-ADDRESSED DATASET FINGERPRINT: bit_xor of per-row content
+    // hashes + row count — order- and layout-insensitive, so a physical
+    // rewrite (repartition/compaction) preserves it while any single-row
+    // mutation flips it. The "did OPTIMIZE change my data?" audit that
+    // pairs with layout_compaction_bins; one scan per variant, partial
+    // bit_xor before the 1-row final.
+    Q("pipe_dataset_fingerprint",
+      (s, d) => {
+        def rowHash = Portable.stableHash64(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")))
+        def fp(df: org.apache.spark.sql.DataFrame) =
+          df.agg(bit_xor(rowHash).as("fp"), count(lit(1)).as("n"))
+        val base = table(s, d, "orders")
+        val f0 = fp(base)
+        val f1 = fp(base.repartition(13)) // physical rewrite, same content
+        val f2 = fp(base.withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))) // one-in-97 mutation
+        f0.select(lit("base").as("variant"), col("fp"), col("n"))
+          .unionAll(f1.select(lit("rewritten").as("variant"), col("fp"), col("n")))
+          .unionAll(f2.select(lit("mutated").as("variant"), col("fp"), col("n")))
+      },
+      Some(sql(s"""WITH h AS (SELECT
+               ${Portable.stableHash64Sql(
+                 "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)")} AS rh,
+               ${Portable.stableHash64Sql(
+                 """concat_ws('|', o_orderkey, o_custkey,
+                    CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END,
+                    o_orderpriority)""")} AS rm
+             FROM orders)
+           SELECT 'base' AS variant, bit_xor(rh) AS fp, count(*) AS n FROM h
+           UNION ALL
+           SELECT 'rewritten', bit_xor(rh), count(*) FROM h
+           UNION ALL
+           SELECT 'mutated', bit_xor(rm), count(*) FROM h""")))
   )
 }

@@ -373,6 +373,17 @@ object Sql11Queries {
                round(o_totalprice * 0.1, 4) AS tax,
                round(tax * 2, 4) AS tax2,
                round(tax + tax2, 4) AS tax3
-        FROM orders WHERE o_orderkey <= 200""")))
+        FROM orders WHERE o_orderkey <= 200"""))),
+
+    // SELECT * EXCEPT (Spark 4 star-modifier): project everything but
+    // the named columns — DuckDB spells the same modifier EXCLUDE.
+    Q("sql_star_except",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_sx")
+        s.sql(sql("""SELECT * EXCEPT (o_totalprice, o_orderdate)
+                     FROM graft_o_sx WHERE o_orderkey <= 100"""))
+      },
+      Some(sql("""SELECT * EXCLUDE (o_totalprice, o_orderdate)
+                  FROM orders WHERE o_orderkey <= 100""")))
   )
 }

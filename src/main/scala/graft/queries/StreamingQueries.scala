@@ -916,6 +916,58 @@ object StreamingQueries {
       },
       Some(sql("""SELECT user_id, count(*) AS n_events,
                     CAST(sum(event_id) AS BIGINT) AS sum_ids
-                  FROM events GROUP BY user_id""")))
+                  FROM events GROUP BY user_id"""))),
+
+    // LATE-DATA EXCLUSION: the watermark's defining drop contract,
+    // pinned end to end — a row for the 10:00 window arrives in batch 4,
+    // two watermark advances after the window closed (the watermark
+    // incorporates batch 2's 12:10 by then under ANY update-lag
+    // convention), so the tumbling-window aggregate must NOT count it:
+    // the finalized 10:00 window holds n=2, not 3, and no second 10:00
+    // row may appear. The 15:00 tail window stays unfinalized (final
+    // watermark 14:30) and must never emit. Oracle = the finalized
+    // windows as literals.
+    Q("stream_late_data",
+      (s, d) => {
+        graft.Engine.configure(s)
+        val sq = s; import sq.implicits._
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/late_src_$stamp"
+        new java.io.File(srcDir).mkdirs()
+        val batches = Seq(
+          Seq((1L, "2024-03-01 10:05:00"), (2L, "2024-03-01 10:20:00")),
+          Seq((3L, "2024-03-01 12:10:00")),
+          Seq((6L, "2024-03-01 13:10:00")),
+          // LATE: by now the watermark is ≥ 11:40 under every
+          // lag convention (it incorporates batch 2's 12:10)
+          Seq((4L, "2024-03-01 10:40:00"),
+            (5L, "2024-03-01 15:00:00")))
+        try {
+          batches.zipWithIndex.foreach { case (rs, i) =>
+            val tmp = s"$srcDir/_tmp$i"
+            rs.toDF("event_id", "ts_s")
+              .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            val dst = new java.io.File(s"$srcDir/batch$i.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+            Registry.rmTree(new java.io.File(tmp))
+            dst.setLastModified(1700000000000L + i * 60000): Unit
+          }
+          val agg = s.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+            .select(date_format(col("window.start"), "HH:mm").as("win_start"),
+              col("n"), col("sum_ids"))
+          StreamRunner.runToTable(s, agg, s"late_$stamp", "append")
+        } finally Registry.rmTree(new java.io.File(srcDir))
+      },
+      Some(sql("""SELECT ws AS win_start, CAST(n AS BIGINT) AS n,
+                    CAST(sm AS BIGINT) AS sum_ids
+                  FROM (VALUES ('10:00', 2, 3), ('12:00', 1, 3),
+                               ('13:00', 1, 6)) AS t(ws, n, sm)""")))
   )
 }
