@@ -510,6 +510,26 @@ object MiscQueries {
                   FROM orders WHERE o_totalprice > 100000.0
                   UNION ALL
                   SELECT 'max_key', CAST(max(o_orderkey) AS DOUBLE)
-                  FROM orders WHERE o_totalprice > 100000.0""")))
+                  FROM orders WHERE o_totalprice > 100000.0"""))),
+
+    // Dataset.checkpoint (reliable, lineage-truncating): the iterative-
+    // algorithm survival tool — after checkpointing, the plan reads the
+    // materialized RDD instead of re-deriving a lineage that grows each
+    // iteration (rdd_checkpoint covers the RDD-level analog). LAZY
+    // checkpoint keeps declaration job-free; materialization happens at
+    // the first action over the returned frame.
+    Q("misc_df_checkpoint",
+      (s, d) => {
+        s.sparkContext.setCheckpointDir("/tmp/graft_ckpt/dfck")
+        table(s, d, "orders").filter(col("o_totalprice") > 150000.0)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .checkpoint(eager = false)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                    round(sum(o_totalprice), 4) AS total
+                  FROM orders WHERE o_totalprice > 150000.0
+                  GROUP BY o_orderstatus""")))
   )
 }

@@ -185,6 +185,86 @@ object SimilarityQueries {
                    SELECT q_id, c_id, cos_full,
                      CAST(row_number() OVER (PARTITION BY q_id
                        ORDER BY cos_full DESC, c_id) AS BIGINT) AS rk
-                   FROM rr""")))
+                   FROM rr"""))),
+
+    // NDCG@10 RETRIEVAL EVALUATION: the approximate ranker (int8-
+    // quantized dot product, the compressed-index ranking) is scored
+    // against exact-cosine top-10 truth per query — the evaluation loop
+    // that justifies shipping a quantized index at 100 TB. Per-position
+    // gains travel as floor(1e6 / log2(pos+1)) integers (log2 of small
+    // ints is bit-identical in both engines and the quotients sit far
+    // from integer boundaries), so DCG/IDCG/NDCG sums are exact. Both
+    // rankings use the scale-safe graft_topk heap, never a corpus-wide
+    // rank window.
+    Q("sim_ndcg",
+      (s, d) => {
+        val e = table(s, d, "embeddings")
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          .join(broadcast(q), col("q_id") =!= col("c_id"))
+        val truth = topK(cands.select(col("q_id"), col("c_id"),
+            round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos")), 10)
+          .select(col("q_id"), col("c_id"))
+        val approx = topK(cands.select(col("q_id"), col("c_id"),
+          expr("""CAST(aggregate(zip_with(
+                    transform(q_vec, x -> CAST(round(x * 127) AS BIGINT)),
+                    transform(c_vec, x -> CAST(round(x * 127) AS BIGINT)),
+                    (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE)""").as("cos")), 10)
+        approx
+          .join(truth.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rk"), coalesce(col("hit"), lit(0)).as("hit"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("hit")).cast("long").as("n_hits"),
+            sum(when(col("hit") === 1,
+              expr("CAST(floor(1000000.0 / log2(rk + 1)) AS BIGINT)"))
+              .otherwise(lit(0L))).as("dcg_micro"))
+          .withColumn("idcg_micro", expr(
+            """CASE WHEN n_hits > 0 THEN aggregate(sequence(1L, n_hits), 0L,
+                 (a, i) -> a + CAST(floor(1000000.0 / log2(i + 1)) AS BIGINT))
+               ELSE 0L END"""))
+          .withColumn("ndcg_micro", expr(
+            """CASE WHEN idcg_micro > 0
+               THEN CAST(floor(1000000.0 * dcg_micro / idcg_micro) AS BIGINT)
+               ELSE 0L END"""))
+      },
+      Some(sql(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        cands AS MATERIALIZED (
+          SELECT q.q_id, c.vec_id AS c_id, q.q_vec, c.embedding AS c_vec
+          FROM q JOIN embeddings c ON q.q_id <> c.vec_id),
+        truth AS (SELECT q_id, c_id FROM (
+            SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY round(${T.cosineSql("q_vec", "c_vec")}, 6) DESC, c_id) AS rk
+            FROM cands) WHERE rk <= 10),
+        ap AS (SELECT q_id, c_id, rk FROM (
+            SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dot DESC, c_id) AS rk
+            FROM (SELECT q_id, c_id,
+                    list_dot_product(
+                      list_transform(q_vec, x -> CAST(round(x * 127) AS DOUBLE)),
+                      list_transform(c_vec, x -> CAST(round(x * 127) AS DOUBLE))) AS dot
+                  FROM cands)) WHERE rk <= 10),
+        j AS (SELECT ap.q_id, ap.rk,
+                CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM ap LEFT JOIN truth t ON t.q_id = ap.q_id AND t.c_id = ap.c_id),
+        g AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+                CAST(sum(CASE WHEN hit = 1
+                  THEN CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(rk + 1)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS dcg_micro
+              FROM j GROUP BY q_id),
+        g2 AS (SELECT q_id, n_hits, dcg_micro,
+                CASE WHEN n_hits > 0
+                  THEN CAST(list_sum(list_transform(range(1, n_hits + 1),
+                    i -> CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(i + 1)) AS BIGINT)))
+                    AS BIGINT)
+                  ELSE 0 END AS idcg_micro
+               FROM g)
+        SELECT q_id, n_hits, dcg_micro, idcg_micro,
+          CASE WHEN idcg_micro > 0
+            THEN CAST(floor(CAST(1000000.0 AS DOUBLE) * dcg_micro / idcg_micro) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ndcg_micro
+        FROM g2""")))
   )
 }

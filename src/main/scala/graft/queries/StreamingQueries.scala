@@ -161,6 +161,37 @@ object StreamingQueries {
     }
   }
 
+  /** StatefulProcessor for `stream_tws_initial_state`: the WARM-START
+    * contract — per-user totals are SEEDED from a batch snapshot via
+    * handleInitialState before any stream batch runs, then extended by
+    * the stream exactly like RunningTotals. The migration surface a
+    * production job needs when a stateful query is (re)deployed against
+    * an existing accumulated history. */
+  private class RunningTotalsWithInit
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long, Long), (Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: (Long, Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update((initialState._2, initialState._3, 0L))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val (n0, s0, rev0) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      var n = n0
+      var sum = s0
+      rows.foreach { r => n += 1; sum += r._2 }
+      val rev = rev0 + 1
+      st.update((n, sum, rev))
+      Iterator.single((key, n, sum, rev))
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // window()/reduceByKeyAndWindow analog: REAL stream, event-time
@@ -968,6 +999,47 @@ object StreamingQueries {
       Some(sql("""SELECT ws AS win_start, CAST(n AS BIGINT) AS n,
                     CAST(sm AS BIGINT) AS sum_ids
                   FROM (VALUES ('10:00', 2, 3), ('12:00', 1, 3),
-                               ('13:00', 1, 6)) AS t(ws, n, sm)""")))
+                               ('13:00', 1, 6)) AS t(ws, n, sm)"""))),
+
+    // transformWithState WITH INITIAL STATE (warm start): the per-user
+    // totals are SEEDED from a batch snapshot (even event_ids — the
+    // "yesterday" history) through handleInitialState, and only the odd
+    // half streams. The final totals must equal the batch aggregate
+    // over BOTH halves — restricted to users the stream touches, since
+    // emission rides input rows (the oracle applies the same EXISTS).
+    Q("stream_tws_initial_state",
+      (s, d) => withRocksDBStateStore(s) {
+        import s.implicits._
+        val snapshot = Engine.events(s, d)
+          .filter(col("event_id") % 2 === 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+          .select(col("user_id"), col("n"), col("sum_ids"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+          .groupByKey(_._1)
+        val ev = StreamRunner.eventsStream(s, d)
+          .filter(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("event_id"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new RunningTotalsWithInit,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            snapshot,
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+              Encoders.scalaLong, Encoders.scalaLong),
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+          .toDF("user_id", "n_events", "sum_ids", "rev")
+        StreamRunner.runToTable(s, out, s"twsi_${math.abs(d.hashCode)}", "update")
+          .groupBy(col("user_id"))
+          .agg(max_by(col("n_events"), col("rev")).as("n_events"),
+            max_by(col("sum_ids"), col("rev")).as("sum_ids"))
+      },
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                    CAST(sum(event_id) AS BIGINT) AS sum_ids
+                  FROM events e
+                  WHERE EXISTS (SELECT 1 FROM events o
+                                WHERE o.user_id = e.user_id AND o.event_id % 2 = 1)
+                  GROUP BY user_id""")))
   )
 }
