@@ -343,6 +343,85 @@ object Source2Queries {
       Some(sql("""SELECT 'recursive_rows' AS probe, count(*) AS n FROM nation
                   UNION ALL SELECT 'recursive_files', 2
                   UNION ALL SELECT 'subdir_a_rows', count(*) FROM nation
-                  WHERE n_regionkey < 2""")))
+                  WHERE n_regionkey < 2"""))),
+
+    // INSERT OVERWRITE DIRECTORY (the Hive-era export statement, modern
+    // USING-format spelling): a query result lands in a RAW directory —
+    // no table, no catalog entry — and reads back as plain files. The
+    // extract-to-share shape that predates every lakehouse export API.
+    Q("sql_insert_overwrite_dir",
+      (s, d) => {
+        val out = tmp(d, "iod_out")
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_iod")
+        s.sql(sql(s"""INSERT OVERWRITE DIRECTORY '$out' USING parquet
+                      SELECT n_nationkey, n_name, n_regionkey
+                      FROM graft_nat_iod WHERE n_regionkey < 3"""))
+        s.read.parquet(out)
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      },
+      Some(sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                  FROM nation WHERE n_regionkey < 3 GROUP BY n_regionkey"""))),
+
+    // Column-level ANALYZE (CBO statistics): ANALYZE TABLE … COMPUTE
+    // STATISTICS FOR COLUMNS computes ndv/min/max/null-count per column
+    // and DESCRIBE EXTENDED <table> <column> reads them back — the
+    // statistics the cost-based optimizer's join reorder feeds on. The
+    // read-back values travel as data (exact at every SF: distinct
+    // counts of a catalog-backed CTAS).
+    Q("sql_analyze_columns",
+      (s, d) => {
+        Registry.dropManaged(s, "graft_stats_nat")
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_st")
+        s.sql(sql("""CREATE TABLE graft_stats_nat USING parquet AS
+                     SELECT n_nationkey, n_regionkey FROM graft_nat_st"""))
+        s.sql(sql("""ANALYZE TABLE graft_stats_nat COMPUTE STATISTICS
+                     FOR COLUMNS n_nationkey, n_regionkey"""))
+        val desc = s.sql("DESCRIBE EXTENDED graft_stats_nat n_regionkey")
+        desc.filter(col("info_name").isin(
+            "distinct_count", "min", "max", "num_nulls"))
+          .select(col("info_name"), col("info_value"))
+      },
+      Some(sql("""SELECT info_name, info_value FROM (
+                    SELECT 'distinct_count' AS info_name,
+                      CAST(count(DISTINCT n_regionkey) AS VARCHAR) AS info_value
+                    FROM nation
+                    UNION ALL
+                    SELECT 'min', CAST(min(n_regionkey) AS VARCHAR) FROM nation
+                    UNION ALL
+                    SELECT 'max', CAST(max(n_regionkey) AS VARCHAR) FROM nation
+                    UNION ALL
+                    SELECT 'num_nulls',
+                      CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                           AS VARCHAR) FROM nation)"""))),
+
+    // MERGE WITH SCHEMA EVOLUTION (Spark 4 syntax): the source carries a
+    // column the target lacks (s_rank); the engine ALTERs the target
+    // through the catalog (TableChange.AddColumn → MemTableStore pads
+    // existing rows with null) BEFORE running the merge, so matched rows
+    // take the new column via UPDATE SET * and unmatched target rows
+    // hold null. The evolve-on-write contract lake tables live by.
+    Q("src_dsv2_merge_evolve",
+      (s, d) => {
+        table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .write.format("graft.sources.MemTableSource")
+          .option("name", "graft_evomem").mode(SaveMode.Overwrite).save()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        table(s, d, "nation").filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey"), col("n_regionkey"),
+            (col("n_nationkey") * 100).as("s_rank"))
+          .createOrReplaceTempView("graft_evo_src")
+        s.sql(sql("""MERGE WITH SCHEMA EVOLUTION INTO graftmem.graft_evomem t
+                     USING graft_evo_src s ON t.n_nationkey = s.n_nationkey
+                     WHEN MATCHED THEN UPDATE SET *
+                     WHEN NOT MATCHED THEN INSERT *"""))
+        s.read.format("graft.sources.MemTableSource")
+          .option("name", "graft_evomem").load()
+      },
+      Some(sql("""SELECT n_nationkey, n_regionkey,
+                    CASE WHEN n_nationkey < 10 THEN n_nationkey * 100
+                         ELSE NULL END AS s_rank
+                  FROM nation""")))
   )
 }

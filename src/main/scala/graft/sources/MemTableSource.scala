@@ -74,6 +74,16 @@ object MemTableStore {
   def names: Seq[String] = tables.keys.toSeq.sorted
 
   def drop(name: String): Boolean = tables.remove(name).isDefined
+
+  /** Schema evolution: append a column, padding existing rows with null
+    * (the add-column contract MERGE WITH SCHEMA EVOLUTION relies on). */
+  def addColumn(name: String, field: StructField): Unit =
+    tables.synchronized {
+      tables.get(name).foreach { case (schema, rows) =>
+        if (!schema.fieldNames.contains(field.name))
+          tables.put(name, (schema.add(field), rows.map(_ :+ null))): Unit
+      }
+    }
 }
 
 /** Driver-side evaluator for the connector Predicates a DELETE WHERE
@@ -162,8 +172,18 @@ class MemCatalog extends TableCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "mem tables are created by the format-API write path")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER not supported")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // AddColumn is the one change schema evolution needs; everything
+    // else stays loudly unsupported
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        MemTableStore.addColumn(ident.name(),
+          StructField(add.fieldNames().head, add.dataType(), nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change not supported: $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = MemTableStore.drop(ident.name())
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
@@ -179,7 +199,10 @@ final class MemTable(tname: String, tschema: StructType)
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // opt-in for MERGE WITH SCHEMA EVOLUTION: the engine may ALTER
+      // this table (AddColumn via MemCatalog) to absorb source columns
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // ---- row-level DELETE (SupportsDeleteV2): the engine translates the
   // SQL WHERE into connector Predicates; the source filters its own
