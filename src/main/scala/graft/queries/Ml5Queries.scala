@@ -211,6 +211,40 @@ object Ml5Queries {
                 stp AS (SELECT coalesce(min(iter), $MaxIter) AS j FROM ds WHERE delta < $Eps)
                 SELECT iter, k, m, c, delta, converged
                 FROM ($rows) t WHERE iter <= (SELECT j FROM stp)""")
-      })
+      }),
+
+    // CLASSIFIER EVALUATION: the confusion matrix and the derived
+    // precision / recall / F1 for a threshold classifier (predict F when
+    // o_totalprice > 200k vs the true flag) — the report every model
+    // card needs next to ml_auc's ranking metric. Ratios travel as
+    // floor(1e6·r) integers over exact tp/fp/fn/tn counts.
+    Q("ml_prf_metrics",
+      (s, d) => table(s, d, "orders")
+        .select((col("o_totalprice") > 200000.0).cast("int").as("pred"),
+          (col("o_orderstatus") === lit("F")).cast("int").as("truth"))
+        .agg(
+          sum(when(col("pred") === 1 && col("truth") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("truth") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0 && col("truth") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0 && col("truth") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("CAST(floor(1000000.0 * tp / (tp + fp)) AS BIGINT)").as("prec_micro"),
+          expr("CAST(floor(1000000.0 * tp / (tp + fn)) AS BIGINT)").as("rec_micro"),
+          expr("CAST(floor(2000000.0 * tp / (2 * tp + fp + fn)) AS BIGINT)").as("f1_micro")),
+      Some(sql("""WITH c AS (SELECT
+               CAST(sum(CASE WHEN o_totalprice > 200000.0 AND o_orderstatus = 'F'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN o_totalprice > 200000.0 AND o_orderstatus <> 'F'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN o_totalprice <= 200000.0 AND o_orderstatus = 'F'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN o_totalprice <= 200000.0 AND o_orderstatus <> 'F'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             FROM orders)
+           SELECT tp, fp, fn, tn,
+             CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / (tp + fp)) AS BIGINT) AS prec_micro,
+             CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / (tp + fn)) AS BIGINT) AS rec_micro,
+             CAST(floor(CAST(2000000.0 AS DOUBLE) * tp / (2 * tp + fp + fn)) AS BIGINT) AS f1_micro
+           FROM c""")))
   )
 }

@@ -312,6 +312,44 @@ object Pipeline5Queries {
            UNION ALL
            SELECT 'rewritten', bit_xor(rh), count(*) FROM h
            UNION ALL
-           SELECT 'mutated', bit_xor(rm), count(*) FROM h""")))
+           SELECT 'mutated', bit_xor(rm), count(*) FROM h"""))),
+
+    // CONTENT-DEFINED CHUNKING (rsync/restic-style): a chunk boundary
+    // opens wherever a token's content hash lands in a 1/16 residue
+    // class, so chunk boundaries survive insertions and deletions —
+    // unlike fixed-stride chunking (pipe_chunk_overlap), an edit only
+    // reflows chunks up to the next content boundary, which is what
+    // makes chunk-level dedup stable across document revisions. The
+    // running boundary count per doc (a doc-partitioned window) is the
+    // chunk id.
+    Q("pipe_cdc_chunks",
+      (s, d) => {
+        table(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("bnd",
+            (Portable.stableHash64(col("tok")) % 16 === 0).cast("long"))
+          .withColumn("chunk", sum(col("bnd")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("chunk"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"), max(col("n")).as("max_len"),
+            sum(col("n")).as("n_toks_total"))
+      },
+      Some(sql(s"""WITH toks AS (
+             SELECT doc_id, i - 1 AS pos, l[i] AS tok
+             FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS l
+                         FROM documents))),
+           ch AS (SELECT doc_id, pos,
+               sum(CASE WHEN ${Portable.stableHash64Sql("tok")} % 16 = 0
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+             FROM toks),
+           g AS (SELECT doc_id, chunk, count(*) AS n FROM ch GROUP BY 1, 2)
+           SELECT doc_id, count(*) AS n_chunks, CAST(max(n) AS BIGINT) AS max_len,
+             CAST(sum(n) AS BIGINT) AS n_toks_total
+           FROM g GROUP BY doc_id""")))
   )
 }

@@ -384,6 +384,25 @@ object Sql11Queries {
                      FROM graft_o_sx WHERE o_orderkey <= 100"""))
       },
       Some(sql("""SELECT * EXCLUDE (o_totalprice, o_orderdate)
-                  FROM orders WHERE o_orderkey <= 100""")))
+                  FROM orders WHERE o_orderkey <= 100"""))),
+
+    // SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR): a
+    // scalar-subquery-assigned variable referenced from a later query —
+    // the parameterize-without-string-splicing surface. The threshold is
+    // max/2 (exact double arithmetic), so the boundary count is
+    // bit-deterministic in both engines.
+    Q("sql_session_variable",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_var")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_thr DOUBLE DEFAULT 0.0")
+        s.sql(sql("""SET VAR graft_thr =
+                     (SELECT max(o_totalprice) / 2 FROM graft_o_var)"""))
+        s.sql(sql("""SELECT count(*) AS n_above, round(graft_thr, 4) AS thr
+                     FROM graft_o_var WHERE o_totalprice > graft_thr"""))
+      },
+      Some(sql("""SELECT count(*) AS n_above,
+                    round((SELECT max(o_totalprice) / 2 FROM orders), 4) AS thr
+                  FROM orders
+                  WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)""")))
   )
 }
