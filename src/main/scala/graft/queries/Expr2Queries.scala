@@ -465,6 +465,30 @@ object Expr2Queries {
                CASE WHEN p_size = 7 THEN '8'
                     WHEN p_size = 6 THEN '' ELSE CAST(p_size + 1 AS VARCHAR) END AS exc,
                true AS ovl
-        FROM part WHERE p_partkey <= 300""")))
+        FROM part WHERE p_partkey <= 300"""))),
+
+    // Byte-level and surgical string functions: octet/bit/char length,
+    // ascii/chr round-trip, overlay (restated in DuckDB as substr
+    // surgery — it has no OVERLAY), and btrim with a custom char set.
+    Q("expr_strings4",
+      (s, d) => table(s, d, "part").filter(col("p_partkey") <= 200).select(
+        col("p_partkey"),
+        octet_length(col("p_name")).as("olen"),
+        bit_length(col("p_name")).as("blen"),
+        char_length(col("p_name")).as("clen"),
+        ascii(col("p_brand")).as("first_code"),
+        chr(ascii(col("p_brand")) + lit(1)).as("next_char"),
+        overlay(col("p_brand"), lit("__"), lit(2)).as("ov"),
+        expr("btrim(p_brand, 'B#153')").as("bt")),
+      Some(sql("""
+        SELECT p_partkey,
+               CAST(strlen(p_name) AS INTEGER) AS olen,
+               CAST(bit_length(p_name) AS INTEGER) AS blen,
+               CAST(length(p_name) AS INTEGER) AS clen,
+               CAST(ascii(p_brand) AS INTEGER) AS first_code,
+               chr(ascii(p_brand) + 1) AS next_char,
+               substr(p_brand, 1, 1) || '__' || substr(p_brand, 4) AS ov,
+               trim(p_brand, 'B#153') AS bt
+        FROM part WHERE p_partkey <= 200""")))
   )
 }

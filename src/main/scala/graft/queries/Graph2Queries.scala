@@ -179,6 +179,53 @@ object Graph2Queries {
                     UNION ALL
                     SELECT DISTINCT CAST(1000 + n_regionkey AS BIGINT) AS vid FROM nation)
                   SELECT vid, TRUE AS v4_ok, round(um.u, 6) AS u_mean
-                  FROM verts CROSS JOIN um""")))
+                  FROM verts CROSS JOIN um"""))),
+
+    // HITS hubs & authorities (Kleinberg 1999) — 2 UNNORMALIZED
+    // iterations over the directed region-clique graph, so every score
+    // is an exact integer the oracle unrolls as SQL joins. Kleinberg's
+    // update order: authorities from hubs first, then hubs from the
+    // UPDATED authorities, per iteration — two aggregateMessages rounds
+    // per step, never a collect.
+    Q("graph_hits",
+      (s, d) => {
+        import s.implicits._
+        val edges = GraphQueries.nationEdges(s, d).as[(Long, Long)].rdd
+          .map { case (a, b) => Edge(a, b, 1) }
+        var g: Graph[(Long, Long), Int] = Graph.fromEdges(edges, (1L, 1L))
+        for (_ <- 1 to 2) {
+          val aMsg = g.aggregateMessages[Long](t => t.sendToDst(t.srcAttr._2), _ + _)
+          g = g.outerJoinVertices(aMsg)((_, attr, m) => (m.getOrElse(0L), attr._2))
+          val hMsg = g.aggregateMessages[Long](t => t.sendToSrc(t.dstAttr._1), _ + _)
+          g = g.outerJoinVertices(hMsg)((_, attr, m) => (attr._1, m.getOrElse(0L)))
+        }
+        g.vertices.map { case (id, (a, h)) => (id, a, h) }
+          .toDF("n_nationkey", "authority", "hub")
+      },
+      Some(sql("""WITH e AS (
+             SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+                    CAST(b.n_nationkey AS BIGINT) AS dst
+             FROM nation a JOIN nation b
+               ON a.n_regionkey = b.n_regionkey
+              AND a.n_nationkey < b.n_nationkey),
+           v AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM e UNION SELECT dst FROM e)),
+           a1 AS (SELECT v.k, CAST(coalesce(t.c, 0) AS BIGINT) AS a
+             FROM v LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY 1) t
+               ON t.dst = v.k),
+           h1 AS (SELECT v.k, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+             FROM v LEFT JOIN (SELECT e.src, sum(a1.a) AS s
+                               FROM e JOIN a1 ON a1.k = e.dst GROUP BY 1) t
+               ON t.src = v.k),
+           a2 AS (SELECT v.k, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+             FROM v LEFT JOIN (SELECT e.dst, sum(h1.h) AS s
+                               FROM e JOIN h1 ON h1.k = e.src GROUP BY 1) t
+               ON t.dst = v.k),
+           h2 AS (SELECT v.k, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+             FROM v LEFT JOIN (SELECT e.src, sum(a2.a) AS s
+                               FROM e JOIN a2 ON a2.k = e.dst GROUP BY 1) t
+               ON t.src = v.k)
+           SELECT v.k AS n_nationkey, a2.a AS authority, h2.h AS hub
+           FROM v JOIN a2 ON a2.k = v.k JOIN h2 ON h2.k = v.k""")))
   )
 }
