@@ -422,6 +422,51 @@ object Source2Queries {
       Some(sql("""SELECT n_nationkey, n_regionkey,
                     CASE WHEN n_nationkey < 10 THEN n_nationkey * 100
                          ELSE NULL END AS s_rank
-                  FROM nation""")))
+                  FROM nation"""))),
+
+    // Multiline CSV (quoted embedded newlines): without multiLine=true a
+    // CSV parser splits records at every newline and a quoted field
+    // containing one silently corrupts the table — the first dirty
+    // export every ingestion pipeline meets. The staged file holds a
+    // record whose quoted field spans two lines; the read must yield 3
+    // records, not 4, with the newline preserved inside the field
+    // (travelling as its char count).
+    Q("src_csv_multiline",
+      (s, _) => {
+        val dir = "/tmp/graft_io/csv_multiline"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val w = new java.io.PrintWriter(s"$dir/data.csv")
+        try w.print("id,note\n1,\"line one\nline two\"\n2,plain\n3,\"also plain\"\n")
+        finally w.close()
+        s.read.option("header", "true").option("multiLine", "true")
+          .schema("id BIGINT, note STRING").csv(dir)
+          .select(col("id"), length(col("note")).as("note_len"),
+            (instr(col("note"), "\n") > 0).cast("int").as("has_newline"))
+      },
+      Some(sql("""SELECT CAST(id AS BIGINT) AS id,
+                    CAST(nl AS INTEGER) AS note_len,
+                    CAST(hn AS INTEGER) AS has_newline
+                  FROM (VALUES (1, 17, 1), (2, 5, 0), (3, 10, 0)) AS t(id, nl, hn)"""))),
+
+    // wholetext: one row per FILE (the document-ingest shape for corpora
+    // stored file-per-doc) — the text-source counterpart of the
+    // binaryFile row.
+    Q("src_text_wholetext",
+      (s, _) => {
+        val dir = "/tmp/graft_io/wholetext"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        Seq(("a.txt", "alpha\nbeta\ngamma"), ("b.txt", "delta")).foreach {
+          case (n, body) =>
+            val w = new java.io.PrintWriter(s"$dir/$n")
+            try w.print(body) finally w.close()
+        }
+        s.read.option("wholetext", "true").text(dir)
+          .select(length(col("value")).as("n_chars"),
+            (size(split(col("value"), "\n"))).as("n_lines"))
+      },
+      Some(sql("""SELECT CAST(c AS INTEGER) AS n_chars, CAST(l AS INTEGER) AS n_lines
+                  FROM (VALUES (16, 3), (5, 1)) AS t(c, l)""")))
   )
 }

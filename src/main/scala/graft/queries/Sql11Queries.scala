@@ -403,6 +403,33 @@ object Sql11Queries {
       Some(sql("""SELECT count(*) AS n_above,
                     round((SELECT max(o_totalprice) / 2 FROM orders), 4) AS thr
                   FROM orders
-                  WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)""")))
+                  WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)"""))),
+
+    // SQL TABLE FUNCTION (CREATE FUNCTION … RETURNS TABLE … RETURN
+    // SELECT): a declarative UDTF defined entirely in SQL, invoked both
+    // standalone and LATERALLY per outer row — the reusable-subquery
+    // surface that replaces the Hive UDTF bridge for SQL-expressible
+    // generators. The oracle restates the body inline.
+    Q("sql_table_function",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_tf")
+        s.sql(sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_region_nations(r INT)
+                     RETURNS TABLE (n_nationkey BIGINT, n_name STRING)
+                     RETURN SELECT n_nationkey, n_name
+                            FROM graft_nat_tf WHERE n_regionkey = r"""))
+        s.sql(sql("""SELECT 'standalone' AS mode, n_nationkey, n_name
+                     FROM graft_region_nations(2)
+                     UNION ALL
+                     SELECT 'lateral', t.n_nationkey, t.n_name
+                     FROM (SELECT DISTINCT n_regionkey FROM graft_nat_tf
+                           WHERE n_regionkey < 2) r,
+                          LATERAL graft_region_nations(r.n_regionkey) t"""))
+      },
+      Some(sql("""SELECT 'standalone' AS mode,
+                    CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+                  FROM nation WHERE n_regionkey = 2
+                  UNION ALL
+                  SELECT 'lateral', CAST(n_nationkey AS BIGINT), n_name
+                  FROM nation WHERE n_regionkey < 2""")))
   )
 }
