@@ -350,6 +350,99 @@ object Pipeline5Queries {
            g AS (SELECT doc_id, chunk, count(*) AS n FROM ch GROUP BY 1, 2)
            SELECT doc_id, count(*) AS n_chunks, CAST(max(n) AS BIGINT) AS max_len,
              CAST(sum(n) AS BIGINT) AS n_toks_total
-           FROM g GROUP BY doc_id""")))
+           FROM g GROUP BY doc_id"""))),
+
+    // PREFERENCE-PAIR CONSTRUCTION (the RLHF/DPO data-prep shape): per
+    // source, the top-i quality doc is paired against the bottom-i doc
+    // (i ≤ 3) with a strict positive margin — chosen/rejected pairs
+    // built from a ranking signal, the step between curation and
+    // preference-tuning. Both rankings are per-source windows with
+    // mirror-consistent tiebreaks.
+    Q("pipe_preference_pairs",
+      (s, d) => {
+        val ranked = table(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk_top", row_number().over(Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("rk_bot", row_number().over(Window.partitionBy("source")
+            .orderBy(col("n_chars").asc, col("doc_id").desc)))
+        val top = ranked.filter(col("rk_top") <= 3)
+          .select(col("source"), col("rk_top").as("pair_id"),
+            col("doc_id").as("chosen_id"), col("n_chars").as("cs"))
+        val bot = ranked.filter(col("rk_bot") <= 3)
+          .select(col("source"), col("rk_bot").as("pair_id"),
+            col("doc_id").as("rejected_id"), col("n_chars").as("rs"))
+        top.join(bot, Seq("source", "pair_id"))
+          .filter(col("cs") > col("rs"))
+          .select(col("source"), col("pair_id").cast("long").as("pair_id"),
+            col("chosen_id"), col("rejected_id"), (col("cs") - col("rs")).as("margin"))
+      },
+      Some(sql("""WITH ranked AS (
+             SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rk_top,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars ASC, doc_id DESC) AS rk_bot
+             FROM documents)
+           SELECT t.source, CAST(t.rk_top AS BIGINT) AS pair_id,
+             t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+             t.n_chars - b.n_chars AS margin
+           FROM ranked t JOIN ranked b
+             ON t.source = b.source AND t.rk_top = b.rk_bot
+           WHERE t.rk_top <= 3 AND b.rk_bot <= 3 AND t.n_chars > b.n_chars"""))),
+
+    // CLUSTER PURITY (external clustering evaluation): the kmeans-style
+    // assignment (broadcast 8-centroid argmax, sim_kmeans_assign's
+    // shape) scored against the embeddings' label column — per-cluster
+    // majority label and floor(1e6·purity), the report that says
+    // whether the coarse quantizer respects the taxonomy.
+    Q("sim_cluster_purity",
+      (s, d) => {
+        val nonZero = aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) > 0.0
+        val emb = table(s, d, "embeddings").filter(nonZero)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("cid"),
+            round(T.cosineFast(col("embedding"), col("cvec")), 6).as("cs"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cluster"))
+        val cl = assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+        cl.withColumn("rk", row_number().over(Window.partitionBy("cluster")
+            .orderBy(col("cnt").desc, col("label"))))
+          .filter(col("rk") === 1)
+          .join(cl.groupBy(col("cluster")).agg(sum(col("cnt")).as("n")), Seq("cluster"))
+          .select(col("cluster"), col("n"), col("label").as("top_label"),
+            col("cnt").as("top_n"),
+            floor(lit(1000000.0) * col("cnt") / col("n")).as("purity_micro"))
+      },
+      Some(sql(s"""WITH emb AS (
+             SELECT vec_id, embedding, label FROM embeddings
+             WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
+           cents AS (SELECT vec_id AS cid, embedding AS cvec FROM emb
+                     WHERE vec_id < 8),
+           assigned AS (SELECT vec_id, label, cid AS cluster FROM (
+               SELECT e.vec_id, e.label, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(${graft.functions.TextFunctions.cosineSql("e.embedding", "c.cvec")}, 6) DESC,
+                            c.cid ASC) AS rk
+               FROM emb e CROSS JOIN cents c) WHERE rk = 1),
+           cl AS (SELECT cluster, label, count(*) AS cnt
+                  FROM assigned GROUP BY 1, 2),
+           tot AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n
+                   FROM cl GROUP BY 1),
+           top AS (SELECT cluster, label, cnt FROM (
+               SELECT cluster, label, cnt,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY cnt DESC, label) AS rk FROM cl) WHERE rk = 1)
+           SELECT t.cluster, tot.n, t.label AS top_label,
+             CAST(t.cnt AS BIGINT) AS top_n,
+             CAST(floor(CAST(1000000.0 AS DOUBLE) * t.cnt / tot.n) AS BIGINT)
+               AS purity_micro
+           FROM top t JOIN tot ON tot.cluster = t.cluster""")))
   )
 }
