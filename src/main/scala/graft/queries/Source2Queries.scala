@@ -467,6 +467,42 @@ object Source2Queries {
             (size(split(col("value"), "\n"))).as("n_lines"))
       },
       Some(sql("""SELECT CAST(c AS INTEGER) AS n_chars, CAST(l AS INTEGER) AS n_lines
-                  FROM (VALUES (16, 3), (5, 1)) AS t(c, l)""")))
+                  FROM (VALUES (16, 3), (5, 1)) AS t(c, l)"""))),
+
+    // Parquet compression codecs: the same slice written under zstd /
+    // gzip / snappy / lz4, each read back with identical contents and
+    // the codec PROVEN from the part-file suffix via _metadata.file_name
+    // — the storage knob that decides lake cost (zstd) vs scan CPU
+    // (snappy/lz4) at 100 TB.
+    Q("src_parquet_codecs",
+      (s, d) => {
+        val base = tmp(d, "codecs")
+        val codecs = Seq("zstd", "gzip", "snappy", "lz4")
+        val src = table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+        codecs.foreach { c =>
+          src.coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("compression", c).parquet(s"$base/$c")
+        }
+        // parquet's on-disk extension differs from the option value for
+        // gzip (.gz) and lz4 (.lz4hadoop — Spark's "lz4" is the Hadoop
+        // LZ4 framing); the suffix probe uses the real extensions
+        val ext = Map("zstd" -> "zstd", "gzip" -> "gz",
+          "snappy" -> "snappy", "lz4" -> "lz4hadoop")
+        codecs.map { c =>
+          s.read.parquet(s"$base/$c")
+            .select(lit(c).as("codec"), col("n_nationkey"),
+              col("_metadata.file_name").endsWith(s".${ext(c)}.parquet")
+                .cast("int").as("suffix_ok"))
+        }.reduce(_ unionAll _)
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_nationkey")).as("key_sum"),
+            min(col("suffix_ok")).as("suffix_ok"))
+      },
+      Some(sql("""SELECT codec, (SELECT count(*) FROM nation) AS n,
+                    (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS key_sum,
+                    CAST(1 AS INTEGER) AS suffix_ok
+                  FROM (VALUES ('zstd'), ('gzip'), ('snappy'), ('lz4')) AS t(codec)""")))
   )
 }

@@ -146,6 +146,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), s"no runtime filter on the V2 scan:\n$p")
   }
 
+  test("NDCG evaluation uses the bounded-heap top-k, never a corpus rank window") {
+    // both rankings must ride graft_topk partial aggregation; a Window
+    // operator here would shuffle every scored pair into ≤Q partitions
+    val p = plan("sim_ndcg")
+    assert(!p.contains("Window"), s"sim_ndcg ranks via a window:\n$p")
+    assert(p.contains("graft_topk"), p)
+  }
+
+  test("new pipeline windows are partitioned (chunking, preference pairs)") {
+    for (name <- Seq("pipe_cdc_chunks", "pipe_preference_pairs")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"), s"$name has a single-partition stage:\n$p")
+    }
+  }
+
   test("incremental dedup is candidate-join shaped; trigram LM broadcasts its model") {
     val inc = plan("dedup_incremental")
     assert(!inc.contains("CartesianProduct"), inc)
