@@ -430,6 +430,44 @@ object Sql11Queries {
                   FROM nation WHERE n_regionkey = 2
                   UNION ALL
                   SELECT 'lateral', CAST(n_nationkey AS BIGINT), n_name
-                  FROM nation WHERE n_regionkey < 2""")))
+                  FROM nation WHERE n_regionkey < 2"""))),
+
+    // ANSI-MODE DIALECT PROBE: the engine pins ANSI OFF for the
+    // reference's 1.3 null-not-error semantics (Engine.scala); this row
+    // makes that contract EXECUTABLE — the same four expressions run
+    // under both modes and the outcome grid (null vs raised) travels as
+    // data. Each ANSI-on probe runs a tiny collect at declaration —
+    // the error-contract documented-exception class. The mode is
+    // restored in a finally so a failure cannot leak ANSI-on into the
+    // session.
+    Q("sql_ansi_mode_probe",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val exprs = Seq(
+          ("div_zero", "1 / 0"),
+          ("bad_cast", "CAST('abc' AS INT)"),
+          ("arr_oob", "array(1, 2)[5]"),
+          ("int_overflow", "CAST(2147483647 AS INT) + CAST(1 AS INT)"))
+        def outcome(e: String): String =
+          scala.util.Try(s.sql(s"SELECT $e").collect()(0)) match {
+            case scala.util.Success(r) => if (r.isNullAt(0)) "null" else "value"
+            case scala.util.Failure(_) => "raised"
+          }
+        val prev = s.conf.get("spark.sql.ansi.enabled")
+        val rows = try {
+          s.conf.set("spark.sql.ansi.enabled", "false")
+          val off = exprs.map { case (n, e) => n -> outcome(e) }.toMap
+          s.conf.set("spark.sql.ansi.enabled", "true")
+          val on = exprs.map { case (n, e) => n -> outcome(e) }.toMap
+          exprs.map { case (n, _) => (n, off(n), on(n)) }
+        } finally s.conf.set("spark.sql.ansi.enabled", prev)
+        rows.toDF("probe", "ansi_off", "ansi_on")
+      },
+      Some(sql("""SELECT probe, ansi_off, ansi_on FROM (VALUES
+                    ('div_zero',     'null',  'raised'),
+                    ('bad_cast',     'null',  'raised'),
+                    ('arr_oob',      'null',  'raised'),
+                    ('int_overflow', 'value', 'raised')
+                  ) AS t(probe, ansi_off, ansi_on)""")))
   )
 }

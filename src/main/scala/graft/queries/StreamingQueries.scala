@@ -1040,6 +1040,58 @@ object StreamingQueries {
                   FROM events e
                   WHERE EXISTS (SELECT 1 FROM events o
                                 WHERE o.user_id = e.user_id AND o.event_id % 2 = 1)
-                  GROUP BY user_id""")))
+                  GROUP BY user_id"""))),
+
+    // ADMISSION CONTROL under Trigger.AvailableNow: maxFilesPerTrigger
+    // must hold even when the whole backlog is available at start — the
+    // 4 staged files must arrive as FOUR micro-batches (ids 0-3), each
+    // carrying exactly its file's rows, not one catch-up batch that
+    // would blow executor memory on a 100 TB backlog. foreachBatch
+    // records (batch_id, rows); the per-batch ledger IS the result.
+    Q("stream_avail_now_batches",
+      (s, _) => {
+        graft.Engine.configure(s)
+        val sq = s; import sq.implicits._
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/adm_src_$stamp"
+        new java.io.File(srcDir).mkdirs()
+        try {
+          (0 until 4).foreach { i =>
+            val tmp = s"$srcDir/_tmp$i"
+            (0 until (i + 1)).map(j => (i.toLong, (i * 10 + j).toLong))
+              .toDF("file_id", "v")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            java.nio.file.Files.move(part.toPath,
+              new java.io.File(s"$srcDir/batch$i.parquet").toPath): Unit
+            Registry.rmTree(new java.io.File(tmp))
+            new java.io.File(s"$srcDir/batch$i.parquet")
+              .setLastModified(1700000000000L + i * 60000): Unit
+          }
+          val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val q = s.readStream.schema("file_id BIGINT, v BIGINT")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              val agg = batch.agg(count(lit(1)), sum(col("v"))).collect()(0)
+              ledger.synchronized {
+                ledger += ((id, agg.getLong(0), agg.getLong(1))): Unit
+              }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"/tmp/graft_ckpt/adm-$stamp")
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("admission probe did not finish within 300s")
+          }
+          ledger.toSeq.toDF("batch_id", "n_rows", "sum_v")
+        } finally Registry.rmTree(new java.io.File(srcDir))
+      },
+      Some(sql("""SELECT CAST(b AS BIGINT) AS batch_id, CAST(n AS BIGINT) AS n_rows,
+                    CAST(sv AS BIGINT) AS sum_v
+                  FROM (VALUES (0, 1, 0), (1, 2, 21), (2, 3, 63), (3, 4, 126))
+                    AS t(b, n, sv)""")))
   )
 }
