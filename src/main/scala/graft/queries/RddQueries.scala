@@ -289,6 +289,34 @@ object RddQueries {
       Some(sql("""SELECT CAST(pid AS INTEGER) AS pid,
                     CAST(4 AS INTEGER) AS n_tasks,
                     CAST(2 AS INTEGER) AS n_rows
-                  FROM (SELECT unnest(generate_series(0, 3)) AS pid)""")))
+                  FROM (SELECT unnest(generate_series(0, 3)) AS pid)"""))),
+
+    // CUSTOM PARTITIONER (the RDD-era layout control DataFrames spell as
+    // repartition(expr)): a user Partitioner routing each key to
+    // key % numPartitions, verified from INSIDE the partitions — every
+    // element of partition p must satisfy key % 6 = p, and the per-
+    // partition counts/sums must match the residue-class arithmetic.
+    Q("rdd_custom_partitioner",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val part = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = 6
+          override def getPartition(key: Any): Int =
+            (key.asInstanceOf[Long] % 6).toInt
+        }
+        s.sparkContext.parallelize(0L until 600L, 8)
+          .map(k => (k, k * k % 97))
+          .partitionBy(part)
+          .mapPartitionsWithIndex { (pid, it) =>
+            val rows = it.toSeq
+            val ok = rows.forall { case (k, _) => k % 6 == pid }
+            Iterator.single((pid, rows.size.toLong, rows.map(_._2).sum, ok))
+          }
+          .toDF("pid", "n", "sum_v", "residue_ok")
+      },
+      Some(sql("""SELECT CAST(k % 6 AS INTEGER) AS pid, count(*) AS n,
+                    CAST(sum(k * k % 97) AS BIGINT) AS sum_v, true AS residue_ok
+                  FROM (SELECT unnest(generate_series(0, 599)) AS k)
+                  GROUP BY 1""")))
   )
 }

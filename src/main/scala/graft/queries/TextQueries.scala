@@ -674,6 +674,42 @@ object TextQueries {
         SELECT doc_id, n_words, n_syll, n_sent,
           CAST(floor(CAST(1000000.0 AS DOUBLE) * (CAST(0.39 AS DOUBLE) * n_words / n_sent
             + CAST(11.8 AS DOUBLE) * n_syll / n_words - CAST(15.59 AS DOUBLE))) AS BIGINT) AS fk_micro
-        FROM u""")))
+        FROM u"""))),
+
+    // CHARACTER ENTROPY (gibberish/encoded-blob detection): Shannon
+    // entropy over the per-doc character distribution. Each (doc, char)
+    // term travels as floor(1e6 · c/N · log2(N/c)) BEFORE the per-doc
+    // sum, so the aggregation is an exact integer sum in both engines —
+    // summing raw doubles would be partial-order-dependent. Low entropy
+    // = repeated filler, high ≈ log2(alphabet) = random noise; both
+    // tails are what the filter drops.
+    Q("text_char_entropy",
+      (s, d) => {
+        val chars = table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        val tot = chars.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("nd"))
+        chars.join(tot, Seq("doc_id"))
+          .select(col("doc_id"), col("n"), col("nd"),
+            expr("""CAST(floor(CAST(1000000.0 AS DOUBLE) * c
+                    * log2(CAST(n AS DOUBLE) / c) / n) AS BIGINT)""").as("tm"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_chars"), max(col("nd")).as("n_distinct"),
+            sum(col("tm")).as("entropy_micro"))
+      },
+      Some(sql("""
+        WITH chars AS (SELECT doc_id, substr(text, i, 1) AS ch
+          FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+                FROM documents)),
+        cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                  count(*) AS nd FROM cc GROUP BY 1)
+        SELECT cc.doc_id, tot.n AS n_chars, tot.nd AS n_distinct,
+          CAST(sum(CAST(floor(CAST(1000000.0 AS DOUBLE) * c
+            * log2(CAST(n AS DOUBLE) / c) / n) AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM cc JOIN tot USING (doc_id)
+        GROUP BY cc.doc_id, tot.n, tot.nd""")))
   )
 }
