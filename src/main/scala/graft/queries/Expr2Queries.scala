@@ -489,6 +489,31 @@ object Expr2Queries {
                chr(ascii(p_brand) + 1) AS next_char,
                substr(p_brand, 1, 1) || '__' || substr(p_brand, 4) AS ov,
                trim(p_brand, 'B#153') AS bt
-        FROM part WHERE p_partkey <= 200""")))
+        FROM part WHERE p_partkey <= 200"""))),
+
+    // date_format pattern grid vs strftime: month/day-name
+    // abbreviations, day-of-year, AM/PM, and 12-hour clock — the
+    // report-formatting surface where Java patterns (MMM, EEE, DDD, a,
+    // hh) and C patterns (%b, %a, %j, %p, %I) must agree under the
+    // default locale. Day-of-year is zero-padded on the C side, so the
+    // Java pattern is padded DDD.
+    Q("expr_datetime4",
+      (s, d) => graft.Engine.events(s, d)
+        .filter(col("event_id") <= 200)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"),
+          date_format(col("ts"), "MMM").as("mon"),
+          date_format(col("ts"), "EEE").as("dow"),
+          date_format(col("ts"), "DDD").as("doy"),
+          date_format(col("ts"), "a").as("ampm"),
+          date_format(col("ts"), "hh").as("h12")),
+      Some(sql("""SELECT event_id,
+                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+                    strftime(ts, '%b') AS mon,
+                    strftime(ts, '%a') AS dow,
+                    strftime(ts, '%j') AS doy,
+                    strftime(ts, '%p') AS ampm,
+                    strftime(ts, '%I') AS h12
+                  FROM events WHERE event_id <= 200""")))
   )
 }

@@ -317,6 +317,24 @@ object RddQueries {
       Some(sql("""SELECT CAST(k % 6 AS INTEGER) AS pid, count(*) AS n,
                     CAST(sum(k * k % 97) AS BIGINT) AS sum_v, true AS residue_ok
                   FROM (SELECT unnest(generate_series(0, 599)) AS k)
-                  GROUP BY 1""")))
+                  GROUP BY 1"""))),
+
+    // zipPartitions: align two co-partitioned RDDs element-wise WITHOUT
+    // a shuffle — the RDD-era merge for datasets produced by the same
+    // partitioner (a model's features and labels materialized by the
+    // same job). Identical parallelize splits guarantee alignment; each
+    // partition zips its iterators locally.
+    Q("rdd_zip_partitions",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val a = s.sparkContext.parallelize(0L until 400L, 8).map(k => k * 3)
+        val b = s.sparkContext.parallelize(0L until 400L, 8).map(k => k * k % 101)
+        a.zipPartitions(b) { (ia, ib) => ia.zip(ib).map { case (x, y) => (x, y, x + y) } }
+          .toDF("a3", "sq101", "tot")
+      },
+      Some(sql("""SELECT CAST(k * 3 AS BIGINT) AS a3,
+                    CAST(k * k % 101 AS BIGINT) AS sq101,
+                    CAST(k * 3 + k * k % 101 AS BIGINT) AS tot
+                  FROM (SELECT unnest(generate_series(0, 399)) AS k)""")))
   )
 }

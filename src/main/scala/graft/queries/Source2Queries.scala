@@ -503,6 +503,29 @@ object Source2Queries {
       Some(sql("""SELECT codec, (SELECT count(*) FROM nation) AS n,
                     (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS key_sum,
                     CAST(1 AS INTEGER) AS suffix_ok
-                  FROM (VALUES ('zstd'), ('gzip'), ('snappy'), ('lz4')) AS t(codec)""")))
+                  FROM (VALUES ('zstd'), ('gzip'), ('snappy'), ('lz4')) AS t(codec)"""))),
+
+    // multiLine JSON: a file whose whole content is ONE top-level JSON
+    // ARRAY (the REST-API-dump shape) — without multiLine=true the
+    // line-oriented reader sees corrupt records; with it the array
+    // explodes into rows, including a nested struct field.
+    Q("src_json_multiline",
+      (s, _) => {
+        val dir = "/tmp/graft_io/json_multiline"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val w = new java.io.PrintWriter(s"$dir/dump.json")
+        try w.print("""[
+          {"id": 1, "tag": "a", "meta": {"score": 10}},
+          {"id": 2, "tag": "b", "meta": {"score": 20}},
+          {"id": 3, "tag": "a", "meta": {"score": 30}}
+        ]""")
+        finally w.close()
+        s.read.option("multiLine", "true").json(dir)
+          .select(col("id"), col("tag"), col("meta.score").as("score"))
+      },
+      Some(sql("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(sc AS BIGINT) AS score
+                  FROM (VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30))
+                    AS t(id, tag, sc)""")))
   )
 }
