@@ -514,6 +514,20 @@ object Expr2Queries {
                     strftime(ts, '%j') AS doy,
                     strftime(ts, '%p') AS ampm,
                     strftime(ts, '%I') AS h12
-                  FROM events WHERE event_id <= 200""")))
+                  FROM events WHERE event_id <= 200"""))),
+
+    // format_number (thousands-grouped report rendering) against
+    // DuckDB's Python-style format('{:,.2f}') — o_totalprice already
+    // carries exactly 2 decimals, so no rounding-mode divergence can
+    // enter the comparison.
+    Q("expr_format_number",
+      (s, d) => table(s, d, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          format_number(col("o_totalprice"), 2).as("pretty")),
+      Some(sql("""SELECT o_orderkey,
+                    format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+                    lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                         AS VARCHAR), 2, '0') AS pretty
+                  FROM orders WHERE o_orderkey <= 300""")))
   )
 }

@@ -468,6 +468,36 @@ object Sql11Queries {
                     ('bad_cast',     'null',  'raised'),
                     ('arr_oob',      'null',  'raised'),
                     ('int_overflow', 'value', 'raised')
-                  ) AS t(probe, ansi_off, ansi_on)""")))
+                  ) AS t(probe, ansi_off, ansi_on)"""))),
+
+    // SET-OPERATION PRECEDENCE: INTERSECT binds tighter than
+    // UNION/EXCEPT, so a UNION b INTERSECT c ≡ a UNION (b ∩ c) — the
+    // dialect rule that silently reshapes un-parenthesized set chains.
+    // Both the bare chain and the explicit grouping run; they must be
+    // identical, and DIFFERENT from the left-to-right reading.
+    Q("sql_setop_precedence",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_nat_sp")
+        s.sql(sql("""
+          SELECT 'bare' AS variant, n_nationkey
+          FROM (SELECT n_nationkey FROM graft_nat_sp WHERE n_regionkey = 0
+                UNION
+                SELECT n_nationkey FROM graft_nat_sp WHERE n_nationkey < 12
+                INTERSECT
+                SELECT n_nationkey FROM graft_nat_sp WHERE n_nationkey >= 6)
+          UNION ALL
+          SELECT 'grouped', n_nationkey
+          FROM (SELECT n_nationkey FROM graft_nat_sp WHERE n_regionkey = 0
+                UNION
+                (SELECT n_nationkey FROM graft_nat_sp WHERE n_nationkey < 12
+                 INTERSECT
+                 SELECT n_nationkey FROM graft_nat_sp WHERE n_nationkey >= 6))"""))
+      },
+      Some(sql("""SELECT v AS variant, CAST(n_nationkey AS BIGINT) AS n_nationkey
+                  FROM (VALUES ('bare'), ('grouped')) AS t(v),
+                    (SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+                     UNION
+                     SELECT n_nationkey FROM nation
+                     WHERE n_nationkey < 12 AND n_nationkey >= 6) u""")))
   )
 }
