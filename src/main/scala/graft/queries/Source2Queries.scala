@@ -526,6 +526,74 @@ object Source2Queries {
       },
       Some(sql("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(sc AS BIGINT) AS score
                   FROM (VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30))
-                    AS t(id, tag, sc)""")))
+                    AS t(id, tag, sc)"""))),
+
+    // TRUNCATE TABLE: the fast whole-table clear (delete the data, keep
+    // the catalog entry + schema) — probed by re-inserting after the
+    // truncate so the result pins both the wipe and that the table
+    // remains writable.
+    Q("sql_truncate_table",
+      (s, d) => {
+        Registry.dropManaged(s, "graft_trunc")
+        table(s, d, "region").createOrReplaceTempView("graft_reg_tr")
+        s.sql(sql("""CREATE TABLE graft_trunc USING parquet AS
+                     SELECT r_regionkey, r_name FROM graft_reg_tr"""))
+        // the probes are EAGER collects (DDL-lifecycle exception class):
+        // a lazy count plan would execute only after the later
+        // mutations and observe the final table state three times
+        def n(): Long = s.sql("SELECT count(*) FROM graft_trunc").collect()(0).getLong(0)
+        val before = n()
+        s.sql("TRUNCATE TABLE graft_trunc")
+        val after = n()
+        s.sql(sql("""INSERT INTO graft_trunc
+                     SELECT r_regionkey, r_name FROM graft_reg_tr
+                     WHERE r_regionkey < 2"""))
+        val refill = n()
+        val sq = s; import sq.implicits._
+        Seq(("before", before), ("after_truncate", after), ("refilled", refill))
+          .toDF("stage", "n")
+      },
+      Some(sql("""SELECT 'before' AS stage, count(*) AS n FROM region
+                  UNION ALL SELECT 'after_truncate', 0
+                  UNION ALL SELECT 'refilled', count(*) FROM region
+                  WHERE r_regionkey < 2"""))),
+
+    // Explicit partition DDL (ALTER TABLE ADD / DROP PARTITION): the
+    // surgical counterpart of MSCK REPAIR — one partition registered by
+    // hand, queried, then DROPPED from the catalog while the other
+    // survives. SHOW PARTITIONS pins the catalog state after each step.
+    Q("sql_alter_partitions",
+      (s, d) => {
+        val loc = tmp(d, "alterpart")
+        Registry.rmTree(new java.io.File(loc))
+        table(s, d, "orders").filter(col("o_orderstatus") === lit("F"))
+          .select(col("o_orderkey")).write.mode(SaveMode.Overwrite)
+          .parquet(s"$loc/st=F")
+        table(s, d, "orders").filter(col("o_orderstatus") === lit("O"))
+          .select(col("o_orderkey")).write.mode(SaveMode.Overwrite)
+          .parquet(s"$loc/st=O")
+        Registry.dropManaged(s, "graft_alterpart")
+        s.sql(sql(s"""CREATE TABLE graft_alterpart (o_orderkey BIGINT, st STRING)
+                      USING parquet PARTITIONED BY (st) LOCATION '$loc'"""))
+        s.sql(s"ALTER TABLE graft_alterpart ADD PARTITION (st='F') LOCATION '$loc/st=F'")
+        s.sql(s"ALTER TABLE graft_alterpart ADD PARTITION (st='O') LOCATION '$loc/st=O'")
+        // eager probes (DDL-lifecycle exception class): lazy counts would
+        // all observe the post-DROP state
+        def rows(): Long =
+          s.sql("SELECT count(*) FROM graft_alterpart").collect()(0).getLong(0)
+        def parts(): Long = s.sql("SHOW PARTITIONS graft_alterpart").count()
+        val (p0, r0) = (parts(), rows())
+        s.sql("ALTER TABLE graft_alterpart DROP PARTITION (st='O')")
+        val (p1, r1) = (parts(), rows())
+        val sq = s; import sq.implicits._
+        Seq(("parts_added", p0), ("rows_both", r0),
+          ("parts_after_drop", p1), ("rows_after_drop", r1)).toDF("probe", "n")
+      },
+      Some(sql("""SELECT 'parts_added' AS probe, 2 AS n
+                  UNION ALL SELECT 'rows_both', count(*) FROM orders
+                  WHERE o_orderstatus IN ('F', 'O')
+                  UNION ALL SELECT 'parts_after_drop', 1
+                  UNION ALL SELECT 'rows_after_drop', count(*) FROM orders
+                  WHERE o_orderstatus = 'F'""")))
   )
 }
