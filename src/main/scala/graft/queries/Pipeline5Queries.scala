@@ -443,6 +443,68 @@ object Pipeline5Queries {
              CAST(t.cnt AS BIGINT) AS top_n,
              CAST(floor(CAST(1000000.0 AS DOUBLE) * t.cnt / tot.n) AS BIGINT)
                AS purity_micro
-           FROM top t JOIN tot ON tot.cluster = t.cluster""")))
+           FROM top t JOIN tot ON tot.cluster = t.cluster"""))),
+
+    // STRATIFIED TRAIN/VAL/TEST SPLIT: deterministic hash-bucket
+    // assignment (80/10/10) reported PER (source, split) — the split is
+    // reproducible across runs and machines (content hash, no seed
+    // state), strata keep their proportions, and the counts prove
+    // disjoint-and-complete coverage (per-source split sums equal the
+    // source totals by construction of the CASE).
+    Q("pipe_stratified_split",
+      (s, d) => {
+        val bucket = pmod(Portable.stableHash64(col("doc_id")), lit(10))
+        table(s, d, "documents")
+          .select(col("source"),
+            when(bucket < 8, lit("train"))
+              .when(bucket < 9, lit("val")).otherwise(lit("test")).as("split"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(sql(s"""SELECT source,
+             CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n
+           FROM (SELECT source,
+                   ((${Portable.stableHash64Sql("doc_id")} % 10) + 10) % 10 AS b
+                 FROM documents)
+           GROUP BY 1, 2"""))),
+
+    // DATASET DIFF (data versioning): two versions of a table compared
+    // by key — rows added, removed, changed (same key, different content
+    // hash), unchanged — via ONE full outer join, the audit that pairs
+    // with pipe_dataset_fingerprint when the fingerprints disagree.
+    Q("pipe_dataset_diff",
+      (s, d) => {
+        def rowHash(st: org.apache.spark.sql.Column) =
+          Portable.stableHash64(concat_ws("|", col("o_custkey"), st))
+        val v1 = table(s, d, "orders")
+          .select(col("o_orderkey"), rowHash(col("o_orderstatus")).as("h1"))
+        val v2 = table(s, d, "orders")
+          .filter(col("o_orderkey") % 101 =!= 0) // removed rows
+          .select(
+            col("o_orderkey"),
+            rowHash(when(col("o_orderkey") % 97 === 0, lit("X"))
+              .otherwise(col("o_orderstatus"))).as("h2")) // changed rows
+          .unionAll(table(s, d, "orders").filter(col("o_orderkey") <= 5)
+            .select((col("o_orderkey") + 9000000).as("o_orderkey"),
+              rowHash(col("o_orderstatus")).as("h2"))) // added rows
+        v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .select(when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") === col("h2"), lit("unchanged"))
+            .otherwise(lit("changed")).as("kind"))
+          .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      },
+      Some(sql("""SELECT 'added' AS kind, count(*) AS n FROM orders
+                  WHERE o_orderkey <= 5
+                  UNION ALL
+                  SELECT 'removed', count(*) FROM orders WHERE o_orderkey % 101 = 0
+                  UNION ALL
+                  SELECT 'changed', count(*) FROM orders
+                  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 = 0
+                  UNION ALL
+                  SELECT 'unchanged', count(*) FROM orders
+                  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 <> 0""")))
   )
 }
