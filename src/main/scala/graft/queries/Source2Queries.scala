@@ -594,6 +594,64 @@ object Source2Queries {
                   WHERE o_orderstatus IN ('F', 'O')
                   UNION ALL SELECT 'parts_after_drop', 1
                   UNION ALL SELECT 'rows_after_drop', count(*) FROM orders
-                  WHERE o_orderstatus = 'F'""")))
+                  WHERE o_orderstatus = 'F'"""))),
+
+    // SaveMode semantics grid: Ignore must leave existing data untouched
+    // (a silent no-op), ErrorIfExists must RAISE, and Append must
+    // accumulate — the writer contract that decides whether a re-run
+    // job duplicates, destroys, or skips. Eager probes per step; the
+    // ErrorIfExists raise travels as a string row.
+    Q("src_save_modes",
+      (s, d) => {
+        val path = tmp(d, "savemodes")
+        Registry.rmTree(new java.io.File(path))
+        val src = table(s, d, "region").select(col("r_regionkey"))
+        src.write.mode(SaveMode.Overwrite).parquet(path)
+        src.filter(col("r_regionkey") < 2).write.mode(SaveMode.Ignore).parquet(path)
+        val afterIgnore = s.read.parquet(path).count()
+        val raised = scala.util.Try(
+          src.write.mode(SaveMode.ErrorIfExists).parquet(path)).isFailure
+        src.filter(col("r_regionkey") < 2).write.mode(SaveMode.Append).parquet(path)
+        val afterAppend = s.read.parquet(path).count()
+        val sq = s; import sq.implicits._
+        Seq(("after_ignore", afterIgnore, ""),
+          ("error_if_exists", -1L, if (raised) "raised" else "no_error"),
+          ("after_append", afterAppend, ""))
+          .toDF("probe", "n", "note")
+      },
+      Some(sql("""SELECT 'after_ignore' AS probe, count(*) AS n, '' AS note FROM region
+                  UNION ALL SELECT 'error_if_exists', -1, 'raised'
+                  UNION ALL
+                  SELECT 'after_append',
+                    count(*) + (SELECT count(*) FROM region WHERE r_regionkey < 2),
+                    '' FROM region"""))),
+
+    // CREATE TABLE LIKE: clone the SCHEMA of an existing table into an
+    // empty one — the scaffold for staging tables; pinned by the cloned
+    // column signature plus the empty-then-insert counts.
+    Q("sql_create_table_like",
+      (s, d) => {
+        Registry.dropManaged(s, "graft_like_src")
+        Registry.dropManaged(s, "graft_like_dst")
+        table(s, d, "region").createOrReplaceTempView("graft_reg_like")
+        s.sql(sql("""CREATE TABLE graft_like_src USING parquet AS
+                     SELECT r_regionkey, r_name FROM graft_reg_like"""))
+        s.sql("CREATE TABLE graft_like_dst LIKE graft_like_src USING parquet")
+        val empty = s.sql("SELECT count(*) FROM graft_like_dst").collect()(0).getLong(0)
+        s.sql(sql("""INSERT INTO graft_like_dst
+                     SELECT r_regionkey, r_name FROM graft_reg_like
+                     WHERE r_regionkey >= 3"""))
+        val filled = s.sql("SELECT count(*) FROM graft_like_dst").collect()(0).getLong(0)
+        val schemaSig = s.table("graft_like_dst").schema.simpleString
+        val sq = s; import sq.implicits._
+        Seq(("empty_clone", empty, schemaSig), ("after_insert", filled, schemaSig))
+          .toDF("stage", "n", "schema_sig")
+      },
+      Some(sql("""SELECT 'empty_clone' AS stage, 0 AS n,
+                    'struct<r_regionkey:int,r_name:string>' AS schema_sig
+                  UNION ALL
+                  SELECT 'after_insert', count(*),
+                    'struct<r_regionkey:int,r_name:string>'
+                  FROM region WHERE r_regionkey >= 3""")))
   )
 }
