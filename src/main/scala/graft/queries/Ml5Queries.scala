@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine.table
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Registry.sql
 
@@ -245,6 +246,47 @@ object Ml5Queries {
              CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / (tp + fp)) AS BIGINT) AS prec_micro,
              CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / (tp + fn)) AS BIGINT) AS rec_micro,
              CAST(floor(CAST(2000000.0 AS DOUBLE) * tp / (2 * tp + fp + fn)) AS BIGINT) AS f1_micro
-           FROM c""")))
+           FROM c"""))),
+
+    // ROC CURVE POINTS: cumulative TP/FP per score threshold (predict
+    // positive when the price bucket ≥ t), descending over the bucket
+    // grid — the curve ml_auc summarizes. The window runs over the
+    // ~dozen DISTINCT bucket rows (score-grid metadata, not data rows);
+    // rates travel as floor(1e6·r) integers over exact counts.
+    Q("ml_roc_points",
+      (s, d) => {
+        val bucketed = table(s, d, "orders")
+          .select(floor(col("o_totalprice") / 100000.0).cast("long").as("b"),
+            (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
+          .groupBy(col("b"))
+          .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("np"))
+        val w = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed
+          .select(col("b").as("threshold"),
+            sum(col("p")).over(w).as("tp"), sum(col("np")).over(w).as("fp"))
+          .crossJoin(broadcast(table(s, d, "orders").agg(
+            sum(when(col("o_orderstatus") === lit("F"), 1L).otherwise(0L)).as("tot_p"),
+            sum(when(col("o_orderstatus") =!= lit("F"), 1L).otherwise(0L)).as("tot_n"))))
+          .select(col("threshold"), col("tp"), col("fp"),
+            expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT)").as("tpr_micro"),
+            expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * fp / tot_n) AS BIGINT)").as("fpr_micro"))
+      },
+      Some(sql("""WITH b AS (SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS b,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                  FROM orders),
+                g AS (SELECT b, CAST(sum(pos) AS BIGINT) AS p,
+                        count(*) - CAST(sum(pos) AS BIGINT) AS np
+                      FROM b GROUP BY b),
+                c AS (SELECT b AS threshold,
+                        CAST(sum(p) OVER (ORDER BY b DESC) AS BIGINT) AS tp,
+                        CAST(sum(np) OVER (ORDER BY b DESC) AS BIGINT) AS fp
+                      FROM g),
+                tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_p,
+                          count(*) - CAST(sum(pos) AS BIGINT) AS tot_n FROM b)
+                SELECT threshold, tp, fp,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT) AS tpr_micro,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * fp / tot_n) AS BIGINT) AS fpr_micro
+                FROM c CROSS JOIN tot""")))
   )
 }

@@ -216,6 +216,36 @@ object WindowQueries {
                   FROM (SELECT o_custkey, o_orderkey,
                           CASE WHEN o_orderkey % 7 = 0 THEN NULL
                                ELSE o_totalprice END AS price
-                        FROM orders)""")))
+                        FROM orders)"""))),
+
+    // RUNNING DISTINCT COUNT (the audience-growth metric): per event
+    // type, cumulative distinct users by hour — COUNT(DISTINCT) has no
+    // window form, so the running set rides size(collect_set() OVER).
+    // Scale note: the window state is bounded by the per-type user
+    // cardinality (the metric's own output magnitude), not the row
+    // count; the oracle restates it with an hour×history expansion.
+    Q("win_distinct_users",
+      (s, d) => {
+        val hourly = events(s, d)
+          .select(col("event_type"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd-HH").as("h"))
+          .distinct()
+        hourly
+          .withColumn("cum_users", size(collect_set(col("user_id")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("h"))
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))).cast("long"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(max(col("cum_users")).as("cum_users"))
+      },
+      Some(sql("""WITH hourly AS (
+             SELECT DISTINCT event_type, user_id,
+               strftime(ts, '%Y-%m-%d-%H') AS h
+             FROM events),
+           hours AS (SELECT DISTINCT event_type, h FROM hourly)
+           SELECT hs.event_type, hs.h,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS cum_users
+           FROM hours hs JOIN hourly e
+             ON e.event_type = hs.event_type AND e.h <= hs.h
+           GROUP BY hs.event_type, hs.h""")))
   )
 }
