@@ -505,6 +505,71 @@ object Pipeline5Queries {
                   WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 = 0
                   UNION ALL
                   SELECT 'unchanged', count(*) FROM orders
-                  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 <> 0""")))
+                  WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 <> 0"""))),
+
+    // EVENT-SEQUENCE DIAGNOSTICS (the telemetry-quality report behind
+    // every sessionization job): per user, ordered by (ts, event_id),
+    // the inter-event gaps — count, the largest gap, and how many gaps
+    // exceed one hour. A per-user lag window; gap arithmetic in exact
+    // microseconds.
+    Q("pipe_sequence_gaps",
+      (s, d) => {
+        graft.Engine.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("gap_us")).as("max_gap_us"),
+            sum(when(col("gap_us") > 3600L * 1000000, 1L).otherwise(0L)).as("n_gaps_1h"))
+      },
+      Some(sql("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+                  g AS (SELECT user_id,
+                          us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap_us
+                        FROM e)
+                  SELECT user_id, count(*) AS n_events,
+                    CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                    CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_gaps_1h
+                  FROM g GROUP BY user_id"""))),
+
+    // GAINS / LIFT DECILES (the targeting report next to ROC): rows
+    // ranked by score into 10 equal-count deciles (unique-key tiebreak
+    // keeps ntile deterministic), cumulative positives per decile, and
+    // integer-scaled cumulative capture rate.
+    Q("ml_gains_deciles",
+      (s, d) => {
+        val scored = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
+          // the global ntile is inherent to exact decile ranking; the
+          // 100 TB form replaces it with approx-quantile cut points
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        val byDecile = scored.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        byDecile
+          .withColumn("cum_p", sum(col("p")).over(Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(scored.agg(sum(col("pos")).as("tot_p"))))
+          .select(col("decile"), col("n"), col("p"), col("cum_p"),
+            expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * cum_p / tot_p) AS BIGINT)")
+              .as("capture_micro"))
+      },
+      Some(sql("""WITH scored AS (SELECT o_orderkey,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                    ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+                  FROM orders),
+                g AS (SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS p
+                      FROM scored GROUP BY decile),
+                c AS (SELECT decile, n, p,
+                        CAST(sum(p) OVER (ORDER BY decile) AS BIGINT) AS cum_p
+                      FROM g),
+                tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_p FROM scored)
+                SELECT decile, n, p, cum_p,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * cum_p / tot_p) AS BIGINT)
+                    AS capture_micro
+                FROM c CROSS JOIN tot""")))
   )
 }
