@@ -528,6 +528,33 @@ object Expr2Queries {
                     format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
                     lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
                          AS VARCHAR), 2, '0') AS pretty
-                  FROM orders WHERE o_orderkey <= 300""")))
+                  FROM orders WHERE o_orderkey <= 300"""))),
+
+    // arrays_zip: positional struct-zip of parallel arrays (the
+    // columns-to-records pivot for co-indexed sequences), including the
+    // ragged case where the shorter side null-pads. Rendered as
+    // '|'-joined 'a:b' pairs; the oracle rebuilds the pairs from the
+    // generating formulas.
+    Q("expr_arrays_zip",
+      (s, d) => {
+        val a1 = sequence(lit(1), col("p_size") % 4 + 2)     // 2..5 elements
+        val a2 = transform(sequence(lit(1), lit(3)), x => x * 10)
+        table(s, d, "part").filter(col("p_partkey") <= 200).select(
+          col("p_partkey"), (col("p_size") % 4 + 2).as("len1"),
+          Registry.arrStr(transform(arrays_zip(a1, a2),
+            e => concat_ws(":",
+              coalesce(e.getField("0").cast("string"), lit("null")),
+              coalesce(e.getField("1").cast("string"), lit("null"))))).as("zipped"))
+      },
+      Some(sql("""WITH t AS (SELECT p_partkey,
+                    p_size % 4 + 2 AS len1 FROM part WHERE p_partkey <= 200)
+                  SELECT p_partkey, CAST(len1 AS INTEGER) AS len1,
+                    array_to_string(list_transform(
+                      range(1, greatest(len1, 3) + 1),
+                      i -> (CASE WHEN i <= len1 THEN CAST(i AS VARCHAR)
+                                 ELSE 'null' END) || ':' ||
+                           (CASE WHEN i <= 3 THEN CAST(i * 10 AS VARCHAR)
+                                 ELSE 'null' END)), '|') AS zipped
+                  FROM t""")))
   )
 }

@@ -652,6 +652,30 @@ object Source2Queries {
                   UNION ALL
                   SELECT 'after_insert', count(*),
                     'struct<r_regionkey:int,r_name:string>'
-                  FROM region WHERE r_regionkey >= 3""")))
+                  FROM region WHERE r_regionkey >= 3"""))),
+
+    // TYPED PARTITION-VALUE INFERENCE: a fact partitioned by an INTEGER
+    // column — partition discovery must type the directory values back
+    // to INT (not string), comparisons must prune directories
+    // numerically, and the inferred type travels as a schema signature.
+    // The classic gotcha: '9' < '10' is false as strings.
+    Q("src_partition_typed",
+      (s, d) => {
+        val path = tmp(d, "part_typed")
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_custkey"), lit(12)).cast("int").as("pmod12"))
+          .write.partitionBy("pmod12").mode(SaveMode.Overwrite).parquet(path)
+        val back = s.read.parquet(path)
+        back.filter(col("pmod12") < 10) // numeric pruning: keeps 0..9
+          .groupBy(col("pmod12"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+          .withColumn("ptype", lit(back.schema("pmod12").dataType.simpleString))
+      },
+      Some(sql("""SELECT CAST(o_custkey % 12 AS INTEGER) AS pmod12,
+                    count(*) AS n, round(sum(o_totalprice), 4) AS total,
+                    'int' AS ptype
+                  FROM orders WHERE o_custkey % 12 < 10
+                  GROUP BY 1""")))
   )
 }
