@@ -555,6 +555,30 @@ object Expr2Queries {
                                  ELSE 'null' END) || ':' ||
                            (CASE WHEN i <= 3 THEN CAST(i * 10 AS VARCHAR)
                                  ELSE 'null' END)), '|') AS zipped
-                  FROM t""")))
+                  FROM t"""))),
+
+    // Nested-struct surgery (Column.withField / dropFields): add a
+    // field, replace a field in place, and drop one — WITHOUT
+    // rebuilding the struct by hand, the ergonomics that make deep
+    // event-schema evolution writable. The surgered struct travels as
+    // its field values.
+    Q("expr_struct_surgery",
+      (s, d) => {
+        val base = struct(col("n_nationkey").as("k"), col("n_regionkey").as("r"),
+          col("n_name").as("nm"))
+        table(s, d, "nation").select(
+          col("n_nationkey"),
+          base.withField("dbl", col("n_nationkey") * 2)      // add
+            .withField("r", col("n_regionkey") + 100)        // replace
+            .dropFields("nm")                                // drop
+            .as("st"))
+          .select(col("n_nationkey"), col("st.k").as("k"), col("st.r").as("r"),
+            col("st.dbl").as("dbl"),
+            size(expr("array(st.*)")).cast("int").as("n_fields"))
+      },
+      Some(sql("""SELECT n_nationkey, n_nationkey AS k,
+                    n_regionkey + 100 AS r, n_nationkey * 2 AS dbl,
+                    CAST(3 AS INTEGER) AS n_fields
+                  FROM nation""")))
   )
 }

@@ -676,6 +676,44 @@ object Source2Queries {
                     count(*) AS n, round(sum(o_totalprice), 4) AS total,
                     'int' AS ptype
                   FROM orders WHERE o_custkey % 12 < 10
-                  GROUP BY 1""")))
+                  GROUP BY 1"""))),
+
+    // ignoreCorruptFiles: a directory mixing healthy parquet with a
+    // truncated-garbage file — the default read RAISES (no silent data
+    // loss), and with spark.sql.files.ignoreCorruptFiles=true the scan
+    // survives on the healthy files. Both halves of the resilience
+    // contract as data; the flag is restored in a finally.
+    Q("src_ignore_corrupt_files",
+      (s, d) => {
+        val dir = "/tmp/graft_io/corrupt_files"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val sq = s; import sq.implicits._
+        (0 until 20).map(_.toLong).toDF("v").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_tmp")
+        val part = new java.io.File(s"$dir/_tmp").listFiles()
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$dir/good.parquet").toPath): Unit
+        Registry.rmTree(new java.io.File(s"$dir/_tmp"))
+        val w = new java.io.FileOutputStream(s"$dir/broken.parquet")
+        try w.write("PAR1garbage-not-a-footer".getBytes) finally w.close()
+        val raised = scala.util.Try(
+          s.read.schema("v BIGINT").parquet(dir).count()).isFailure
+        val prev = s.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+        val survived = try {
+          s.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+          s.read.schema("v BIGINT").parquet(dir)
+            .agg(count(lit(1)), sum(col("v"))).collect()(0)
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.files.ignoreCorruptFiles", p)
+          case None => s.conf.unset("spark.sql.files.ignoreCorruptFiles")
+        }
+        Seq((if (raised) "raised" else "no_error",
+          survived.getLong(0), survived.getLong(1)))
+          .toDF("default_read", "n_survived", "sum_survived")
+      },
+      Some(sql("""SELECT 'raised' AS default_read, CAST(20 AS BIGINT) AS n_survived,
+                    CAST(190 AS BIGINT) AS sum_survived""")))
   )
 }
