@@ -791,4 +791,30 @@ class PlanSpec extends AnyFunSuite {
     assert(cs.contains("BroadcastExchange"), s"counts not broadcast:\n$cs")
     assert(!cs.contains("SortMergeJoin"), s"corpus re-shuffled for counts join:\n$cs")
   }
+
+  test("salted skew join: shuffle join keyed on (key, salt), no broadcast dodge") {
+    // the whole point of salting is spreading ONE hot reduce key over S
+    // reducers — the plan must be a shuffle join whose keys include both
+    // the natural key and the salt column on each side
+    val p = plan("join_salted_skew")
+    assert(p.contains("SortMergeJoin"), s"salted join is not a shuffle join:\n$p")
+    assert(p.contains("f_salt") && p.contains("d_salt"),
+      s"salt columns missing from the join:\n$p")
+    assert("SortMergeJoin \\[k#\\d+L, f_salt#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"join keys are not (k, salt):\n$p")
+  }
+
+  test("AQE coalesces the over-partitioned post-shuffle stage at runtime") {
+    // 32 static shuffle partitions over a 25-row aggregate: the final
+    // adaptive plan must read the shuffle coalesced instead of running
+    // 32 near-empty reducers — the small-stage half of AQE's runtime
+    // re-plan (the skew half is pinned by join_skew_aqe's own oracle)
+    import org.apache.spark.sql.functions._
+    val df = graft.Engine.table(spark, TestSpark.Sf, "nation")
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"post-shuffle partitions not coalesced:\n$p")
+  }
 }
