@@ -421,6 +421,58 @@ object AggQueries {
       Some(sql("""SELECT s_nationkey,
                    array_to_string(list_sort(list(s_name)), '|') AS names,
                    array_to_string(list_sort(list(DISTINCT s_suppkey)), '|') AS keys
-                  FROM supplier GROUP BY s_nationkey""")))
+                  FROM supplier GROUP BY s_nationkey"""))),
+
+    // beyond-ref: histogram_numeric — the streaming one-pass equi-depth
+    // histogram (Greenwald/Khanna-style bin merging). Bin BOUNDARIES
+    // depend on merge order, so the oracle pins the order-independent
+    // contract instead: exactly nBins bins, bin counts sum to the row
+    // count, centroids sorted and inside [min, max]. At 100 TB this is
+    // THE distribution profile you can afford: one scan, O(nBins) state
+    // per partition, partial/merge aggregation.
+    Q("agg_histogram_numeric",
+      (s, d) => table(s, d, "orders")
+        .agg(expr("histogram_numeric(o_totalprice, 10)").as("h"),
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        .select(
+          size(col("h")).as("n_bins"),
+          round(expr("aggregate(h, 0D, (acc, b) -> acc + b.y)")).cast("long")
+            .as("total_y"),
+          expr("forall(h, b -> b.x >= mn AND b.x <= mx)").as("x_within_bounds"),
+          (transform(col("h"), b => b.getField("x")) ===
+            array_sort(transform(col("h"), b => b.getField("x")))).as("x_sorted")),
+      Some(sql("""SELECT CAST(10 AS INT) AS n_bins, count(*) AS total_y,
+                   TRUE AS x_within_bounds, TRUE AS x_sorted
+                  FROM orders"""))),
+
+    // beyond-ref: count_min_sketch — the mergeable heavy-hitter
+    // frequency sketch (Cormode/Muthukrishnan). One scan builds a
+    // w×d integer grid (eps 0.001 → 2000×5 cells, ~80 KB) that answers
+    // point-frequency queries with one-sided error: est ≥ true, and
+    // est ≤ true + eps·N with probability ≥ confidence. The sketch row
+    // broadcasts onto the probe keys; the UDF deserializes per probe
+    // row (5 rows — not a hot path). Seeded, so the estimates replay.
+    Q("agg_count_min",
+      (s, d) => {
+        val est = udf((bytes: Array[Byte], key: Long) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key))
+        val sk = table(s, d, "orders")
+          .agg(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("sk"),
+            count(lit(1)).as("total"))
+        table(s, d, "orders")
+          .filter(col("o_custkey") <= 5)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(sk))
+          .select(col("o_custkey"), col("n_exact"),
+            (est(col("sk"), col("o_custkey")) >= col("n_exact")).as("est_ge_exact"),
+            (est(col("sk"), col("o_custkey")) <=
+              col("n_exact") + ceil(col("total") * 0.001).cast("long"))
+              .as("est_le_bound"))
+      },
+      Some(sql("""SELECT o_custkey, count(*) AS n_exact,
+                   TRUE AS est_ge_exact, TRUE AS est_le_bound
+                  FROM orders WHERE o_custkey <= 5 GROUP BY o_custkey""")))
   )
 }
