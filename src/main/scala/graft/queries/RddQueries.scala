@@ -336,5 +336,50 @@ object RddQueries {
                     CAST(k * k % 101 AS BIGINT) AS sq101,
                     CAST(k * 3 + k * k % 101 AS BIGINT) AS tot
                   FROM (SELECT unnest(generate_series(0, 399)) AS k)""")))
+  ,
+
+    // SECONDARY SORT (reference core/.../rdd/OrderedRDDFunctions.scala
+    // repartitionAndSortWithinPartitions): ONE shuffle routes by the
+    // grouping key while the shuffle's sort delivers each group's rows
+    // already ordered by the secondary key — the scale answer to
+    // "groupByKey then sortBy" (which would buffer whole groups in
+    // memory). The contract is verified from INSIDE the partitions:
+    // routing residue, global (u, ts) sort order, and a per-user
+    // POSITIONAL checksum sum(rank·v) that only matches the oracle's
+    // row_number() if the stream really arrived time-ordered.
+    Q("rdd_secondary_sort",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val P = 8
+        val part = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = P
+          override def getPartition(key: Any): Int =
+            (key.asInstanceOf[(Long, Long)]._1 % P).toInt
+        }
+        implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+        s.sparkContext.parallelize(0L until 1000L, 8)
+          .map(k => ((k % 37, k), k * 7 % 53))
+          .repartitionAndSortWithinPartitions(part)
+          .mapPartitionsWithIndex { (pid, it) =>
+            val rows = it.toVector
+            val sortedOk = rows.map(_._1).sliding(2)
+              .forall(w => w.sizeIs < 2 || ord.lteq(w(0), w(1)))
+            val pidOk = rows.forall { case ((u, _), _) => u % P == pid }
+            val byUser = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+            rows.foreach { case ((u, _), v) =>
+              val (n, c) = byUser.getOrElse(u, (0L, 0L))
+              byUser(u) = (n + 1, c + (n + 1) * v)
+            }
+            byUser.iterator.map { case (u, (n, c)) => (u, n, c, sortedOk && pidOk) }
+          }
+          .toDF("u", "n", "ord_checksum", "layout_ok")
+      },
+      Some(sql("""WITH t AS (SELECT k % 37 AS u, k * 7 % 53 AS v,
+                    row_number() OVER (PARTITION BY k % 37 ORDER BY k) AS rn
+                  FROM (SELECT unnest(generate_series(0, 999)) AS k))
+                  SELECT CAST(u AS BIGINT) AS u, count(*) AS n,
+                    CAST(sum(rn * v) AS BIGINT) AS ord_checksum,
+                    true AS layout_ok
+                  FROM t GROUP BY u""")))
   )
 }
