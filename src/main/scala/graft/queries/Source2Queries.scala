@@ -714,6 +714,56 @@ object Source2Queries {
           .toDF("default_read", "n_survived", "sum_survived")
       },
       Some(sql("""SELECT 'raised' AS default_read, CAST(20 AS BIGINT) AS n_survived,
-                    CAST(190 AS BIGINT) AS sum_survived""")))
+                    CAST(190 AS BIGINT) AS sum_survived"""))),
+
+    // PARQUET BLOOM FILTERS (beyond-ref; parquet-format SBBF): the
+    // point-lookup skip index for high-cardinality columns that min/max
+    // row-group stats can't serve (random keys span every range). At
+    // 100 TB a `WHERE key = x` probe skips every row group whose bloom
+    // says "definitely absent" — written here per column via the
+    // `parquet.bloom.filter.enabled#col` writer option, and proven
+    // on-disk by reading the footer's bloom-filter offset back through
+    // parquet-hadoop (bounded: ONE file, driver-side — the documented
+    // declaration-time exception pattern). The lookup itself and the
+    // full round-trip are oracled on data.
+    Q("src_parquet_bloom",
+      (s, d) => {
+        val base = tmp(d, "bloom")
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_custkey", "2000")
+          // parquet DROPS the bloom when a chunk ends up fully
+          // dictionary-encoded (the dictionary already answers exact
+          // membership); a 1.5k-distinct test column dict-encodes, so
+          // turn the dictionary off for JUST this column to exercise
+          // the bloom path the way a 100 TB high-cardinality key would
+          .option("parquet.enable.dictionary#o_custkey", "false")
+          .parquet(base)
+        val file = new java.io.File(base).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        val bloomWritten = try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.forall(
+            _.getColumns.asScala.exists(c =>
+              c.getPath.toDotString == "o_custkey" && c.getBloomFilterOffset >= 0))
+        } finally reader.close()
+        s.read.parquet(base)
+          .groupBy()
+          .agg(count(lit(1)).as("roundtrip_n"),
+            sum(when(col("o_custkey") === 7, 1L).otherwise(0L)).as("lookup_n"))
+          .select(col("roundtrip_n"), col("lookup_n"),
+            lit(bloomWritten).as("bloom_written"))
+      },
+      Some(sql("""SELECT count(*) AS roundtrip_n,
+                    CAST(sum(CASE WHEN o_custkey = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS lookup_n,
+                    TRUE AS bloom_written
+                  FROM orders""")))
   )
 }
