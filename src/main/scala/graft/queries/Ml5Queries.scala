@@ -287,6 +287,95 @@ object Ml5Queries {
                 SELECT threshold, tp, fp,
                   CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT) AS tpr_micro,
                   CAST(floor(CAST(1000000.0 AS DOUBLE) * fp / tot_n) AS BIGINT) AS fpr_micro
-                FROM c CROSS JOIN tot""")))
+                FROM c CROSS JOIN tot"""))),
+
+    // CALIBRATION / RELIABILITY DIAGRAM: per predicted-probability
+    // decile, mean predicted probability vs observed positive rate and
+    // the gap between them — the diagnostic that tells whether a
+    // classifier's scores can be read as probabilities. The "model
+    // score" is a deterministic hash-derived milli-probability so the
+    // query replays bit-identically; everything is integer-scaled
+    // micro-units (float means would be partial-order-dependent).
+    Q("ml_calibration_bins",
+      (s, d) => table(s, d, "orders")
+        .select((col("o_orderkey") * 2654435761L % 1000L).as("score_milli"),
+          (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
+        .groupBy(floor(col("score_milli") / 100L).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score_milli")).as("sp"), sum(col("pos")).as("np"))
+        .select(col("bin"), col("n"),
+          expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * sp / (1000.0 * n)) AS BIGINT)")
+            .as("mean_pred_micro"),
+          expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * np / n) AS BIGINT)")
+            .as("obs_rate_micro"))
+        .withColumn("gap_micro",
+          abs(col("mean_pred_micro") - col("obs_rate_micro"))),
+      Some(sql("""WITH t AS (SELECT o_orderkey * 2654435761 % 1000 AS score_milli,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                  FROM orders),
+                g AS (SELECT CAST(floor(score_milli / 100) AS BIGINT) AS bin,
+                        count(*) AS n,
+                        CAST(sum(score_milli) AS BIGINT) AS sp,
+                        CAST(sum(pos) AS BIGINT) AS np
+                      FROM t GROUP BY 1)
+                SELECT bin, n,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * sp / (1000.0 * n)) AS BIGINT)
+                    AS mean_pred_micro,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * np / n) AS BIGINT)
+                    AS obs_rate_micro,
+                  abs(CAST(floor(CAST(1000000.0 AS DOUBLE) * sp / (1000.0 * n)) AS BIGINT)
+                    - CAST(floor(CAST(1000000.0 AS DOUBLE) * np / n) AS BIGINT))
+                    AS gap_micro
+                FROM g"""))),
+
+    // KOLMOGOROV-SMIRNOV separation statistic: max over score
+    // thresholds of |CDF_pos − CDF_neg| — the one-number answer to "do
+    // positives and negatives live on different score ranges", the
+    // companion of ml_auc/ml_roc_points. Same bounded bucket grid as
+    // the ROC row (a global window over ~50 buckets, not the corpus);
+    // integer-scaled, argmax tie-broken to the smallest threshold.
+    Q("ml_ks_stat",
+      (s, d) => {
+        val g = table(s, d, "orders")
+          .select(floor(col("o_totalprice") / 10000.0).cast("long").as("t"),
+            (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
+          .groupBy(col("t"))
+          .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("np"))
+        val w = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = g.select(col("t"),
+            sum(col("p")).over(w).as("cp"), sum(col("np")).over(w).as("cn"))
+          .crossJoin(broadcast(table(s, d, "orders").agg(
+            sum(when(col("o_orderstatus") === lit("F"), 1L).otherwise(0L)).as("tot_p"),
+            sum(when(col("o_orderstatus") =!= lit("F"), 1L).otherwise(0L)).as("tot_n"))))
+          .select(col("t"),
+            abs(expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * cp / tot_p) AS BIGINT)")
+              - expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * cn / tot_n) AS BIGINT)"))
+              .as("diff_micro"))
+        c.agg(max(col("diff_micro")).as("ks_micro"),
+          min_by(col("t"), struct(-col("diff_micro"), col("t"))).as("at_threshold"))
+      },
+      Some(sql("""WITH b AS (SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS t,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                  FROM orders),
+                g AS (SELECT t, CAST(sum(pos) AS BIGINT) AS p,
+                        count(*) - CAST(sum(pos) AS BIGINT) AS np
+                      FROM b GROUP BY t),
+                c AS (SELECT t,
+                        CAST(sum(p) OVER (ORDER BY t) AS BIGINT) AS cp,
+                        CAST(sum(np) OVER (ORDER BY t) AS BIGINT) AS cn
+                      FROM g),
+                tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_p,
+                          count(*) - CAST(sum(pos) AS BIGINT) AS tot_n FROM b),
+                diffs AS (SELECT t,
+                    abs(CAST(floor(CAST(1000000.0 AS DOUBLE) * cp / tot_p) AS BIGINT)
+                      - CAST(floor(CAST(1000000.0 AS DOUBLE) * cn / tot_n) AS BIGINT))
+                      AS diff_micro
+                  FROM c CROSS JOIN tot)
+                SELECT max(diff_micro) AS ks_micro,
+                  (SELECT min(t) FROM diffs
+                   WHERE diff_micro = (SELECT max(diff_micro) FROM diffs))
+                    AS at_threshold
+                FROM diffs""")))
   )
 }

@@ -710,6 +710,37 @@ object TextQueries {
           CAST(sum(CAST(floor(CAST(1000000.0 AS DOUBLE) * c
             * log2(CAST(n AS DOUBLE) / c) / n) AS BIGINT)) AS BIGINT) AS entropy_micro
         FROM cc JOIN tot USING (doc_id)
-        GROUP BY cc.doc_id, tot.n, tot.nd""")))
+        GROUP BY cc.doc_id, tot.n, tot.nd"""))),
+
+    // ZIPF SLOPE — the log-log rank-frequency regression over the
+    // corpus vocabulary, the one-number "does this look like natural
+    // language" diagnostic (natural text ≈ −1; templated/generated
+    // corpora flatten toward 0). One tokenize scan + a vocab-bounded
+    // aggregate; the rank window runs over the VOCABULARY (tiny vs the
+    // corpus — same bound as the bigram-LM rows), never the documents.
+    // regr_slope over ≤50 well-conditioned ln() points agrees across
+    // engines well inside the 6-significant-digit float protocol.
+    Q("text_zipf_slope",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = table(s, d, "documents")
+          .select(explode(T.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        freq
+          .select(col("f"),
+            row_number().over(Window.orderBy(col("f").desc, col("w"))).as("r"))
+          .filter(col("r") <= 50)
+          .agg(round(regr_slope(log(col("f")), log(col("r"))), 6).as("zipf_slope"),
+            count(lit(1)).as("n_ranks"), sum(col("f")).as("mass"))
+      },
+      Some(sql(s"""WITH w AS (SELECT unnest(${T.tokensSql("text")}) AS w
+                              FROM documents),
+                    f AS (SELECT w, count(*) AS f FROM w GROUP BY w),
+                    r AS (SELECT w, f,
+                            row_number() OVER (ORDER BY f DESC, w) AS r
+                          FROM f)
+                  SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+                    count(*) AS n_ranks, CAST(sum(f) AS BIGINT) AS mass
+                  FROM r WHERE r <= 50""")))
   )
 }
