@@ -100,6 +100,34 @@ object MiscQueries {
                         FROM orders GROUP BY o_custkey) o
                   FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"""))),
 
+    // Typed per-group imperative fold (KeyValueGroupedDataset.mapGroups
+    // — the "arbitrary Scala over each group" escape hatch; the batch
+    // sibling of mapGroupsWithState). The fold is ORDER-INSENSITIVE
+    // (count / integer-cent sum / max) because the group iterator's
+    // order is shuffle-dependent; cents are rounded before casting so
+    // no double truncation can wobble.
+    Q("typed_map_groups",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "events")
+          .select(col("user_id").as("_1"), col("event_id").as("_2"),
+            round(col("value") * 100.0).cast("long").as("_3"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (u, it) =>
+            var n = 0L; var cents = 0L; var maxId = Long.MinValue
+            it.foreach { case (_, eid, c) =>
+              n += 1; cents += c; maxId = math.max(maxId, eid)
+            }
+            (u, n, cents, maxId)
+          }
+          .toDF("user_id", "n", "cents_sum", "max_event")
+      },
+      Some(sql("""SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents_sum,
+                   max(event_id) AS max_event
+                  FROM events GROUP BY user_id"""))),
+
     // Columnar in-memory cache (§2.1/§4.3: InMemoryColumnarTableScan →
     // df.cache): cached re-aggregation must equal the uncached oracle.
     Q("cache_columnar",

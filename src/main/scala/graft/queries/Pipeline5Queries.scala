@@ -570,6 +570,44 @@ object Pipeline5Queries {
                 SELECT decile, n, p, cum_p,
                   CAST(floor(CAST(1000000.0 AS DOUBLE) * cum_p / tot_p) AS BIGINT)
                     AS capture_micro
-                FROM c CROSS JOIN tot""")))
+                FROM c CROSS JOIN tot"""))),
+
+    // BATCH SESSIONIZATION — the gaps-and-islands assignment behind
+    // every behavioural funnel: a new session starts at the first event
+    // or after a >30-minute silence; session ids are the running count
+    // of session starts per user. One shuffle (partition by user), all
+    // arithmetic in exact microseconds; the streaming siblings are
+    // stream_session / stream_session_dynamic, this is the
+    // backfill-over-history form.
+    Q("pipe_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        table(s, d, "events")
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(w).isNull
+              || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+      },
+      Some(sql("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                  m AS (SELECT user_id, us,
+                          CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                 OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                    > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                        FROM e),
+                  x AS (SELECT user_id, us,
+                          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT)
+                            AS session_seq
+                        FROM m)
+                  SELECT user_id, session_seq, count(*) AS n_events,
+                    max(us) - min(us) AS dur_us
+                  FROM x GROUP BY user_id, session_seq""")))
   )
 }
