@@ -579,6 +579,32 @@ object Expr2Queries {
       Some(sql("""SELECT n_nationkey, n_nationkey AS k,
                     n_regionkey + 100 AS r, n_nationkey * 2 AS dbl,
                     CAST(3 AS INTEGER) AS n_fields
-                  FROM nation""")))
+                  FROM nation"""))),
+
+    // sentences(): locale-aware sentence + word segmentation (the
+    // BreakIterator bridge) — the pre-tokenization split a text
+    // pipeline needs before sentence-level dedup or chunking. Pinned on
+    // fixed rows (LocalTableScan) because the test corpus is
+    // punctuation-free word soup; the oracle enumerates the expected
+    // (doc, sentence index, words) grid.
+    Q("expr_sentences",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        Seq((1L, "Spark is fast. It scales well!"),
+            (2L, "Hello world? Yes. Ok"),
+            (3L, "One sentence only"))
+          .toDF("id", "t")
+          .select(col("id"), posexplode(sentences(col("t"))))
+          .select(col("id"), col("pos").cast("long").as("sent_idx"),
+            array_join(col("col"), " ").as("words"))
+      },
+      Some(sql("""SELECT id, sent_idx, words FROM (VALUES
+                    (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'Spark is fast'),
+                    (1, 1, 'It scales well'),
+                    (2, 0, 'Hello world'),
+                    (2, 1, 'Yes'),
+                    (2, 2, 'Ok'),
+                    (3, 0, 'One sentence only')
+                  ) AS t(id, sent_idx, words)""")))
   )
 }

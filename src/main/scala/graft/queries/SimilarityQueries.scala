@@ -265,6 +265,52 @@ object SimilarityQueries {
           CASE WHEN idcg_micro > 0
             THEN CAST(floor(CAST(1000000.0 AS DOUBLE) * dcg_micro / idcg_micro) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS ndcg_micro
-        FROM g2""")))
+        FROM g2"""))),
+
+    // MIPS → COSINE REDUCTION (Bachrach 2014 / Shrivastava-Li
+    // asymmetric transform): maximum-inner-product search over
+    // un-normalized vectors is what recommendation scoring actually
+    // needs, but every ANN index above speaks cosine. Augment each
+    // candidate with sqrt(M² − ‖x‖²) (M = corpus max norm) and the
+    // query with 0: the augmented norm is the CONSTANT M, so augmented
+    // cosine = dot/(‖q‖·M) — a per-query monotone transform of the
+    // inner product, and any cosine index now answers MIPS. The ranking
+    // here runs entirely on the augmented score (graft_topk heap, same
+    // shape as the other sim rows); the oracle ranks by the identical
+    // augmented expression, so row equality pins the reduction. M²
+    // travels as a broadcast 1-row aggregate, never a driver value.
+    Q("sim_mips_transform",
+      (s, d) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        val e = table(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val m = e.agg(max(dot(col("embedding"), col("embedding"))).as("m2"))
+        val scored = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          .join(broadcast(q), col("q_id") =!= col("c_id"))
+          .crossJoin(broadcast(m))
+          .select(col("q_id"), col("c_id"),
+            (dot(col("q_vec"), col("c_vec"))
+              / (sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(col("m2")))).as("cos"))
+        topK(scored, K).withColumn("cos", round(col("cos"), 6))
+      },
+      Some(sql(s"""WITH q AS (SELECT vec_id AS q_id,
+                        CAST(embedding AS DOUBLE[]) AS qd
+                      FROM embeddings WHERE vec_id < 10),
+                   m AS (SELECT max(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[]))) AS m2
+                         FROM embeddings),
+                   scored AS (SELECT q_id, c.vec_id AS c_id,
+                       list_dot_product(qd, CAST(c.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(qd, qd)) * sqrt(m2)) AS cos
+                     FROM q JOIN embeddings c ON q_id <> c.vec_id CROSS JOIN m)
+                   SELECT q_id, c_id, round(cos, 6) AS cos, rk
+                   FROM (SELECT q_id, c_id, cos,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+                     FROM scored)
+                   WHERE rk <= $K""")))
   )
 }
