@@ -47,6 +47,7 @@ object SparkEntry {
       Sql9Queries.all ++
       Sql10Queries.all ++
       Sql11Queries.all ++
+      Sql12Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
