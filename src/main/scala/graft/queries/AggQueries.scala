@@ -473,6 +473,36 @@ object AggQueries {
       },
       Some(sql("""SELECT o_custkey, count(*) AS n_exact,
                    TRUE AS est_ge_exact, TRUE AS est_le_bound
-                  FROM orders WHERE o_custkey <= 5 GROUP BY o_custkey""")))
+                  FROM orders WHERE o_custkey <= 5 GROUP BY o_custkey"""))),
+
+    // beyond-ref: higher central moments — skewness (population g1 =
+    // √n·M3/M2^1.5) and EXCESS kurtosis (n·M4/M2² − 3), the
+    // distribution-shape pair on top of agg_stats' mean/var. Spark
+    // computes them by streaming moment updates; the oracle rebuilds
+    // the same population definitions from exact integer power sums
+    // (quantities are integral, Σx⁴ < 2^53), agreeing well inside the
+    // 6-decimal float protocol.
+    Q("agg_skew_kurt",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(skewness(col("l_quantity")), 6).as("skew"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt")),
+      Some(sql("""WITH s AS (SELECT l_returnflag, count(*) AS n,
+                    sum(l_quantity) AS s1,
+                    sum(l_quantity * l_quantity) AS s2,
+                    sum(l_quantity * l_quantity * l_quantity) AS s3,
+                    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+                  FROM lineitem GROUP BY l_returnflag),
+                m AS (SELECT l_returnflag, n,
+                        s2 - s1 * s1 / n AS m2,
+                        s3 - 3 * (s1 / n) * s2 + 2 * n * power(s1 / n, 3) AS m3,
+                        s4 - 4 * (s1 / n) * s3 + 6 * power(s1 / n, 2) * s2
+                          - 3 * n * power(s1 / n, 4) AS m4
+                      FROM s)
+                SELECT l_returnflag, n,
+                  round(sqrt(CAST(n AS DOUBLE)) * m3 / power(m2, 1.5), 6) AS skew,
+                  round(n * m4 / (m2 * m2) - 3, 6) AS kurt
+                FROM m""")))
   )
 }

@@ -148,6 +148,37 @@ object RddQueries {
                   FROM customer JOIN nation ON c_nationkey = n_nationkey
                   GROUP BY n_regionkey"""))),
 
+    // CUSTOM AccumulatorV2 (the user-defined merge half of the
+    // accumulator API; rdd_broadcast_acc covers the built-in long
+    // counter): a per-event-type count map whose add/merge the user
+    // writes — bounded by event-type cardinality, merged associatively
+    // across tasks. Registered via sc.register; populated by a foreach
+    // ACTION (accumulators only settle after an action — the documented
+    // declaration-time exception pattern, output bounded at the
+    // event-type domain), then the accumulated map IS the result and
+    // the oracle recomputes it as a plain GROUP BY.
+    Q("rdd_custom_accumulator",
+      (s, d) => {
+        import s.implicits._
+        class MapAcc extends org.apache.spark.util.AccumulatorV2[String, Map[String, Long]] {
+          private var m = Map.empty[String, Long]
+          def isZero: Boolean = m.isEmpty
+          def copy(): MapAcc = { val a = new MapAcc; a.m = m; a }
+          def reset(): Unit = m = Map.empty
+          def add(v: String): Unit = m = m.updated(v, m.getOrElse(v, 0L) + 1L)
+          def merge(o: org.apache.spark.util.AccumulatorV2[String, Map[String, Long]]): Unit =
+            o.value.foreach { case (k, n) => m = m.updated(k, m.getOrElse(k, 0L) + n) }
+          def value: Map[String, Long] = m
+        }
+        val acc = new MapAcc
+        s.sparkContext.register(acc, "graft_type_counts")
+        table(s, d, "events").select(col("event_type")).as[String]
+          .foreach(t => acc.add(t))
+        acc.value.toSeq.sortBy(_._1).toDF("event_type", "n")
+      },
+      Some(sql("""SELECT event_type, count(*) AS n
+                  FROM events GROUP BY event_type"""))),
+
     // checkpoint (RDD.scala:1595 / Dataset.checkpoint): lineage truncated
     // to a materialized cut, then the pipeline continues — identical
     // results, shorter recovery chains for long 100 TB DAGs.

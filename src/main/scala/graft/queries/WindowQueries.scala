@@ -246,6 +246,55 @@ object WindowQueries {
              CAST(count(DISTINCT e.user_id) AS BIGINT) AS cum_users
            FROM hours hs JOIN hourly e
              ON e.event_type = hs.event_type AND e.h <= hs.h
-           GROUP BY hs.event_type, hs.h""")))
+           GROUP BY hs.event_type, hs.h"""))),
+
+    // BATCH time-bucket aggregation via the window() FUNCTION — the
+    // same `window(ts, '6 hours')` expression the streaming rows group
+    // by, here over history (backfill parity between the batch and
+    // streaming halves of a lambda pipeline is exactly this query
+    // equality). Bucket bounds exported as epoch micros; value sums in
+    // exact integer cents.
+    Q("win_tumbling_batch",
+      (s, d) => table(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100.0).cast("long")).as("cents"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          unix_micros(col("w.end")).as("w_end_us"),
+          col("event_type"), col("n"), col("cents")),
+      Some(sql("""SELECT
+                    epoch_us(ts) // 21600000000 * 21600000000 AS w_start_us,
+                    epoch_us(ts) // 21600000000 * 21600000000 + 21600000000 AS w_end_us,
+                    event_type, count(*) AS n,
+                    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+                  FROM events GROUP BY 1, 2, 3"""))),
+
+    // BATCH session_window() — the built-in gap-session aggregation
+    // (the declarative twin of pipe_sessionize's manual gaps-and-
+    // islands): a session ends 30 minutes after its last event, so
+    // end = max(ts) + gap and the oracle rebuilds exactly that from
+    // the window chain. session_window merges only while the next
+    // event starts STRICTLY before prev+gap, so the oracle's new-
+    // session test is >= gap, not >. Partitioned by user before the
+    // session assignment — never a global timeline.
+    Q("win_session_builtin",
+      (s, d) => table(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events")),
+      Some(sql("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                  m AS (SELECT user_id, us,
+                          CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                                 OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                    >= 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                        FROM e),
+                  x AS (SELECT user_id, us,
+                          sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS seq
+                        FROM m)
+                  SELECT user_id, min(us) AS s_us,
+                    max(us) + 1800000000 AS end_us, count(*) AS n_events
+                  FROM x GROUP BY user_id, seq""")))
   )
 }

@@ -804,6 +804,39 @@ class PlanSpec extends AnyFunSuite {
       s"join keys are not (k, salt):\n$p")
   }
 
+  test("session + diagnostics additions keep their scale shape") {
+    // pipe_sessionize: the session window must partition by user — a
+    // global ORDER BY ts window would single-thread the corpus
+    val sess = plan("pipe_sessionize")
+    assert(sess.matches("(?s).*hashpartitioning\\(user_id#.*"),
+      s"sessionize window not partitioned on user_id:\n$sess")
+    // sim_mips_transform: corpus side must never shuffle — query set and
+    // the 1-row M² both broadcast
+    val mips = plan("sim_mips_transform")
+    assert(!mips.contains("SortMergeJoin") && !mips.contains("CartesianProduct"),
+      s"MIPS reduction shuffles or crosses the corpus:\n$mips")
+    assert(mips.contains("partial_graft_topk"), s"no bounded top-k heap:\n$mips")
+    // ml_target_encoding: prior joins back as a broadcast, not a shuffle
+    val enc = plan("ml_target_encoding")
+    assert(enc.contains("BroadcastNestedLoopJoin") || enc.contains("BroadcastExchange"),
+      s"prior not broadcast:\n$enc")
+  }
+
+  test("k-core peeling rounds reuse cached edges (no exponential re-derivation)") {
+    // each round references the previous round's edges three times
+    // (degree agg + two anti joins); without the per-round persist the
+    // physical plan re-derives the base scan 3^r times
+    // NOTE: InMemoryRelation nodes PRINT their full cached child plan
+    // (recursively), so counting FileScan occurrences in the string
+    // over-counts wildly; the contract is that every round's three
+    // consumers (degree agg + stats + next-round anti join) read
+    // InMemoryTableScan, which appears once per cache consumer.
+    val df = SparkEntry.queries("graph_k_core")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 8,
+      s"k-core rounds do not read the cached previous round:\n$p")
+  }
+
   test("AQE coalesces the over-partitioned post-shuffle stage at runtime") {
     // 32 static shuffle partitions over a 25-row aggregate: the final
     // adaptive plan must read the shuffle coalesced instead of running
