@@ -369,6 +369,95 @@ object RddQueries {
                   FROM (SELECT unnest(generate_series(0, 399)) AS k)""")))
   ,
 
+    // PARTITION PRUNING RDD (reference core/.../rdd/PartitionPruningRDD
+    // .scala): run a job on a SUBSET of partitions without touching the
+    // rest — the RDD-era ancestor of partition pruning. The parent is
+    // hash-partitioned on k%8; pruning to partitions {2,5} must yield
+    // exactly the keys with residue 2 or 5 (verified from inside, with
+    // the surviving partition ids as data).
+    Q("rdd_partition_pruning",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val part = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = 8
+          override def getPartition(key: Any): Int =
+            (key.asInstanceOf[Long] % 8).toInt
+        }
+        val parent = s.sparkContext.parallelize(0L until 800L, 8)
+          .map(k => (k, k * 3 % 31)).partitionBy(part)
+          // tag rows with their ORIGINAL partition id first: the pruned
+          // RDD renumbers surviving partitions 0..n-1, so the original
+          // id must travel in the data to prove routing
+          .mapPartitionsWithIndex { (pid, it) => it.map { case (k, v) => (pid, k, v) } }
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+            parent, pid => pid == 2 || pid == 5)
+          .mapPartitions { it =>
+            val rows = it.toSeq
+            Iterator.single((rows.head._1, rows.size.toLong,
+              rows.map(_._3).sum, rows.forall(r => r._2 % 8 == r._1)))
+          }
+          .toDF("pid", "n", "sum_v", "residue_ok")
+      },
+      Some(sql("""SELECT CAST(k % 8 AS INTEGER) AS pid, count(*) AS n,
+                    CAST(sum(k * 3 % 31) AS BIGINT) AS sum_v, true AS residue_ok
+                  FROM (SELECT unnest(generate_series(0, 799)) AS k)
+                  WHERE k % 8 IN (2, 5) GROUP BY 1"""))),
+
+    // ASYNC ACTIONS (reference core/.../rdd/AsyncRDDActions.scala:
+    // countAsync / takeAsync / collectAsync FutureActions): two jobs
+    // submitted CONCURRENTLY on one context, awaited, and
+    // cross-checked — the overlap-the-driver-latency API. Bounded
+    // driver await (the documented declaration-time exception).
+    Q("rdd_async_actions",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val rdd = s.sparkContext.parallelize(0L until 500L, 8).map(k => k * 7 % 97)
+        val fCount = rdd.countAsync()
+        val fTake = rdd.filter(_ == 0).collectAsync()
+        import scala.concurrent.duration._
+        val n = scala.concurrent.Await.result(fCount, 120.seconds)
+        val zeros = scala.concurrent.Await.result(fTake, 120.seconds)
+        Seq((n, zeros.length.toLong, zeros.forall(_ == 0L)))
+          .toDF("n", "n_zeros", "zeros_ok")
+      },
+      Some(sql("""SELECT count(*) AS n,
+                    CAST(sum(CASE WHEN k * 7 % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_zeros,
+                    true AS zeros_ok
+                  FROM (SELECT unnest(generate_series(0, 499)) AS k)"""))),
+
+    // RDD SET ALGEBRA (reference core RDD.scala intersection/subtract +
+    // PairRDDFunctions.subtractByKey — the pre-DataFrame EXCEPT/
+    // INTERSECT): three ops over deterministic residue sets, reduced to
+    // per-op cardinality + checksum.
+    Q("rdd_set_ops",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val a = s.sparkContext.parallelize(0L until 600L, 8).filter(_ % 2 == 0)
+        val b = s.sparkContext.parallelize(0L until 600L, 8).filter(_ % 3 == 0)
+        val inter = a.intersection(b)
+        val sub = a.subtract(b)
+        val subKey = a.map(k => (k % 50, k)).subtractByKey(b.map(k => (k % 50, k)))
+        Seq(
+          ("intersection", inter.count(), inter.sum().toLong),
+          ("subtract", sub.count(), sub.sum().toLong),
+          ("subtract_by_key", subKey.count(), subKey.map(_._2).sum().toLong))
+          .toDF("op", "n", "checksum")
+      },
+      Some(sql("""WITH a AS (SELECT k FROM (SELECT unnest(generate_series(0, 599)) AS k)
+                             WHERE k % 2 = 0),
+                       b AS (SELECT k FROM (SELECT unnest(generate_series(0, 599)) AS k)
+                             WHERE k % 3 = 0)
+                  SELECT 'intersection' AS op, count(*) AS n,
+                         CAST(coalesce(sum(k), 0) AS BIGINT) AS checksum
+                  FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+                  UNION ALL
+                  SELECT 'subtract', count(*), CAST(coalesce(sum(k), 0) AS BIGINT)
+                  FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+                  UNION ALL
+                  SELECT 'subtract_by_key', count(*), CAST(coalesce(sum(k), 0) AS BIGINT)
+                  FROM a WHERE k % 50 NOT IN (SELECT k % 50 FROM b)"""))),
+
     // SECONDARY SORT (reference core/.../rdd/OrderedRDDFunctions.scala
     // repartitionAndSortWithinPartitions): ONE shuffle routes by the
     // grouping key while the shuffle's sort delivers each group's rows
