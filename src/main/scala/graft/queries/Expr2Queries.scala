@@ -605,6 +605,52 @@ object Expr2Queries {
                     (2, 1, 'Yes'),
                     (2, 2, 'Ok'),
                     (3, 0, 'One sentence only')
-                  ) AS t(id, sent_idx, words)""")))
+                  ) AS t(id, sent_idx, words)"""))),
+
+    // CSV EXPRESSION family (from_csv / to_csv / schema_of_csv) — the
+    // per-row CSV bridge for string columns that EMBED csv (log lines,
+    // composite keys), distinct from the src_csv_* file sources. Round
+    // trip proven per row; inference pinned on a literal.
+    Q("expr_from_csv",
+      (s, d) => {
+        val csvSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("nm",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType)))
+        table(s, d, "nation")
+          .select(col("n_nationkey"),
+            concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey"))
+              .as("line"))
+          .select(col("n_nationkey"),
+            from_csv(col("line"), csvSchema, Map.empty[String, String]).as("p"),
+            col("line"))
+          .select(col("n_nationkey"),
+            col("p.k").as("k"), col("p.nm").as("nm"), col("p.r").as("r"),
+            (to_csv(col("p")) === col("line")).as("rt_ok"),
+            schema_of_csv(lit("7,Bolivia,1")).as("inferred"))
+      },
+      Some(sql("""SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS k,
+                    n_name AS nm, CAST(n_regionkey AS BIGINT) AS r,
+                    TRUE AS rt_ok,
+                    'STRUCT<_c0: INT, _c1: STRING, _c2: INT>' AS inferred
+                  FROM nation"""))),
+
+    // to_number / try_to_number FORMAT PARSING — grouping separators,
+    // currency anchor, trailing sign, and the try_ null-on-mismatch
+    // contract; the oracle enumerates the exactly-typed DECIMAL
+    // results (to_number('99,999') types as DECIMAL(5,0)).
+    Q("expr_to_number",
+      (s, _) => s.sql(sql("""
+        SELECT to_number('12,454', '99,999') AS a,
+               to_number('$78.12', '$99.99') AS b,
+               to_number('454-', '999S') AS c,
+               try_to_number('xyz', '999') AS d""")),
+      Some(sql("""SELECT CAST(12454 AS DECIMAL(5,0)) AS a,
+                    CAST(78.12 AS DECIMAL(4,2)) AS b,
+                    CAST(-454 AS DECIMAL(3,0)) AS c,
+                    CAST(NULL AS DECIMAL(3,0)) AS d""")))
   )
 }
