@@ -458,6 +458,55 @@ object RddQueries {
                   SELECT 'subtract_by_key', count(*), CAST(coalesce(sum(k), 0) AS BIGINT)
                   FROM a WHERE k % 50 NOT IN (SELECT k % 50 FROM b)"""))),
 
+    // POINT LOOKUP (reference core PairRDDFunctions.lookup): on a
+    // partitioned RDD, lookup(key) runs a ONE-partition job via the
+    // partitioner's routing — the RDD-era point query whose DataFrame
+    // descendant is bloom/min-max scan skipping. Three probes, each a
+    // bounded driver await (documented exception), reduced to
+    // (key, n, sum) rows the oracle recomputes.
+    Q("rdd_lookup",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val rdd = s.sparkContext.parallelize(0L until 1000L, 8)
+          .map(k => (k % 100, k))
+          .partitionBy(new org.apache.spark.HashPartitioner(10))
+        Seq(7L, 42L, 99L).map { key =>
+          val vs = rdd.lookup(key)
+          (key, vs.size.toLong, vs.sum)
+        }.toDF("key", "n", "sum_v")
+      },
+      Some(sql("""SELECT CAST(k % 100 AS BIGINT) AS key, count(*) AS n,
+                    CAST(sum(k) AS BIGINT) AS sum_v
+                  FROM (SELECT unnest(generate_series(0, 999)) AS k)
+                  WHERE k % 100 IN (7, 42, 99) GROUP BY 1"""))),
+
+    // ORDERED ACTIONS (reference core RDD.scala top/takeOrdered/max/
+    // min): the driver-side bounded-k retrieval family — top uses a
+    // per-partition bounded heap then merges on the driver, the RDD
+    // ancestor of TakeOrderedAndProject. Flattened to (op, idx, v)
+    // rows; all driver results are ≤ k elements (documented exception).
+    Q("rdd_ordered_actions",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val rdd = s.sparkContext.parallelize(0L until 500L, 8).map(k => k * 37 % 251)
+        val rows =
+          rdd.top(3).zipWithIndex.map { case (v, i) => ("top", i.toLong, v) } ++
+          rdd.takeOrdered(3).zipWithIndex.map { case (v, i) => ("take_ordered", i.toLong, v) } ++
+          Seq(("max", 0L, rdd.max()), ("min", 0L, rdd.min()))
+        rows.toSeq.toDF("op", "idx", "v")
+      },
+      Some(sql("""WITH s AS (SELECT k * 37 % 251 AS v
+                             FROM (SELECT unnest(generate_series(0, 499)) AS k))
+                  SELECT 'top' AS op, CAST(row_number() OVER (ORDER BY v DESC) - 1 AS BIGINT) AS idx,
+                         CAST(v AS BIGINT) AS v
+                  FROM (SELECT v FROM s ORDER BY v DESC LIMIT 3)
+                  UNION ALL
+                  SELECT 'take_ordered', CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT),
+                         CAST(v AS BIGINT)
+                  FROM (SELECT v FROM s ORDER BY v LIMIT 3)
+                  UNION ALL SELECT 'max', 0, CAST(max(v) AS BIGINT) FROM s
+                  UNION ALL SELECT 'min', 0, CAST(min(v) AS BIGINT) FROM s"""))),
+
     // SECONDARY SORT (reference core/.../rdd/OrderedRDDFunctions.scala
     // repartitionAndSortWithinPartitions): ONE shuffle routes by the
     // grouping key while the shuffle's sort delivers each group's rows
