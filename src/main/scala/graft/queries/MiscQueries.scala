@@ -128,6 +128,42 @@ object MiscQueries {
                    max(event_id) AS max_event
                   FROM events GROUP BY user_id"""))),
 
+    // DataFrame sortWithinPartitions — the SHUFFLE-FREE local sort that
+    // prepares write-time layout (the bucketBy().sortBy() file contract
+    // without a table): repartition on the key, local-sort on
+    // (key, orderkey), then prove the physical layout from inside the
+    // partitions with the same positional checksum rdd_secondary_sort
+    // uses — it only matches the oracle's row_number() if rows really
+    // arrive key-clustered and orderkey-sorted.
+    Q("df_sort_within_partitions",
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .repartition(8, col("o_custkey"))
+          .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val byCust = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long, Long)]
+            var sorted = true
+            var prev: (Long, Long) = (Long.MinValue, Long.MinValue)
+            it.foreach { case (c, o) =>
+              if (c < prev._1 || (c == prev._1 && o < prev._2)) sorted = false
+              prev = (c, o)
+              val (n, ck, _) = byCust.getOrElse(c, (0L, 0L, 0L))
+              byCust(c) = (n + 1, ck + (n + 1) * (o % 997), 0L)
+            }
+            byCust.iterator.map { case (c, (n, ck, _)) => (c, n, ck, sorted) }
+          }
+          .toDF("o_custkey", "n", "ord_checksum", "layout_ok")
+      },
+      Some(sql("""WITH t AS (SELECT o_custkey, o_orderkey % 997 AS v,
+                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                  FROM orders)
+                  SELECT o_custkey, count(*) AS n,
+                    CAST(sum(rn * v) AS BIGINT) AS ord_checksum, true AS layout_ok
+                  FROM t GROUP BY o_custkey"""))),
+
     // Columnar in-memory cache (§2.1/§4.3: InMemoryColumnarTableScan →
     // df.cache): cached re-aggregation must equal the uncached oracle.
     Q("cache_columnar",

@@ -168,6 +168,27 @@ object UdfQueries {
                           unnest(range(len(string_split(p_name, ' ')))) AS pos
                         FROM part)
                   WHERE w <> ''
-                  GROUP BY 1, 2, 3""")))
+                  GROUP BY 1, 2, 3"""))),
+
+    // asNondeterministic() — the OPTIMIZER-FENCE contract: a UDF
+    // declared nondeterministic must not be pushed through joins,
+    // duplicated, or collapsed (rand()-like semantics even when the
+    // body happens to be pure). Result equality is oracled here (both
+    // variants filter identically); the PLAN half — deterministic
+    // filter pushes below the join, nondeterministic stays above — is
+    // asserted in PlanSpec ("nondeterministic UDF filters stay put").
+    Q("udf_nondeterministic",
+      (s, d) => {
+        val det = udf((k: Long) => k % 7 == 0)
+        val nondet = udf((k: Long) => k % 7 == 0).asNondeterministic()
+        val j = table(s, d, "orders")
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        j.filter(det(col("o_orderkey"))).agg(count(lit(1)).as("n_det"))
+          .crossJoin(
+            j.filter(nondet(col("o_orderkey"))).agg(count(lit(1)).as("n_nondet")))
+      },
+      Some(sql("""SELECT n AS n_det, n AS n_nondet FROM
+                    (SELECT count(*) AS n FROM orders JOIN customer
+                     ON o_custkey = c_custkey WHERE o_orderkey % 7 = 0)""")))
   )
 }

@@ -837,6 +837,25 @@ class PlanSpec extends AnyFunSuite {
       s"k-core rounds do not read the cached previous round:\n$p")
   }
 
+  test("nondeterministic UDF filters stay above the join; deterministic push below") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Engine.table(spark, TestSpark.Sf, "orders")
+    val c = graft.Engine.table(spark, TestSpark.Sf, "customer")
+    val det = udf((k: Long) => k % 7 == 0)
+    val nondet = udf((k: Long) => k % 7 == 0).asNondeterministic()
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
+    // deterministic: the UDF filter lands below the join, on the orders side
+    val pd = j.filter(det(col("o_orderkey"))).queryExecution.optimizedPlan.toString
+    val joinAt = pd.indexOf("Join")
+    assert(joinAt >= 0 && pd.indexOf("Filter", joinAt) > joinAt,
+      s"deterministic UDF filter was not pushed below the join:\n$pd")
+    // nondeterministic: the filter must stay ABOVE the join
+    val pn = j.filter(nondet(col("o_orderkey"))).queryExecution.optimizedPlan.toString
+    val filterAt = pn.indexOf("Filter")
+    assert(filterAt >= 0 && pn.indexOf("Join") > filterAt,
+      s"nondeterministic UDF filter was pushed through the join:\n$pn")
+  }
+
   test("AQE coalesces the over-partitioned post-shuffle stage at runtime") {
     // 32 static shuffle partitions over a 25-row aggregate: the final
     // adaptive plan must read the shuffle coalesced instead of running
