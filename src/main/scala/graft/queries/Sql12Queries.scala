@@ -59,6 +59,54 @@ object Sql12Queries {
                   SELECT o_orderpriority, n, np,
                     CAST(floor(CAST(1000000.0 AS DOUBLE) * (np + 10.0 * prior)
                       / (n + 10)) AS BIGINT) AS enc_micro
-                  FROM g CROSS JOIN p""")))
+                  FROM g CROSS JOIN p"""))),
+
+    // COST-BASED OPTIMIZER: STATS-DRIVEN BROADCAST — at 100 TB the
+    // size-only estimate of a filtered dimension is the FULL table
+    // footprint, so a selective dim join plans as a shuffle join; with
+    // ANALYZE column statistics + spark.sql.cbo.enabled, Catalyst's
+    // FilterEstimation shrinks the estimate (measured here: 219 KB →
+    // 8 KB for o_orderkey < 100) and the STATIC plan broadcasts — no
+    // AQE rescue needed, the exchange is never planned at all. Both
+    // modes' join choices are read off the static plans and pinned BY
+    // THE ORACLE ('SMJ' off, 'BHJ' on); eager + conf-bracketed like
+    // the other optimizer-mode rows, output bounded at one row.
+    Q("sql_cbo_stats_broadcast",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        Registry.dropManaged(s, "graft_cbo_orders")
+        table(s, d, "orders").write.saveAsTable("graft_cbo_orders")
+        s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+        val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+        val savedThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8k")
+          def query = table(s, d, "lineitem")
+            .join(s.table("graft_cbo_orders").filter(col("o_orderkey") < 100),
+              col("l_orderkey") === col("o_orderkey"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("l_extendedprice")), 2).as("revenue"))
+          def joinKind(cbo: Boolean): String = {
+            s.conf.set("spark.sql.cbo.enabled", cbo.toString)
+            val p = query.queryExecution.sparkPlan.toString
+            if (p.contains("BroadcastHashJoin")) "BHJ"
+            else if (p.contains("SortMergeJoin")) "SMJ" else "other"
+          }
+          val off = joinKind(cbo = false)
+          val on = joinKind(cbo = true)
+          val r = query.collect()(0)
+          Seq((r.getLong(0), r.getDouble(1), off, on))
+            .toDF("n", "revenue", "cbo_off_join", "cbo_on_join")
+        } finally {
+          savedCbo.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+            s.conf.set("spark.sql.cbo.enabled", _))
+          savedThr.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        }
+      },
+      Some(sql("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue,
+                    'SMJ' AS cbo_off_join, 'BHJ' AS cbo_on_join
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderkey < 100""")))
   )
 }
