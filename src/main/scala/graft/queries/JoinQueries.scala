@@ -270,6 +270,31 @@ object JoinQueries {
                   JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-                  GROUP BY r_name, n_name""")))
+                  GROUP BY r_name, n_name"""))),
+
+    // STRUCT-KEYED equi-join: composite keys packed into ONE struct
+    // column hash-partition and compare as a unit (HashPartitioning
+    // supports nested types), the tidy spelling of a multi-column join
+    // — and the shape a "natural key" column carries through a
+    // pipeline. Oracled against the flattened two-column join.
+    Q("join_struct_key",
+      (s, d) => {
+        val left = table(s, d, "lineitem")
+          .select(struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("sk"),
+            col("l_quantity"))
+        val right = table(s, d, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("sk2"),
+            col("l_extendedprice"))
+        left.join(right, col("sk") === col("sk2"))
+          .groupBy(col("sk.ok").as("l_orderkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      Some(sql("""SELECT a.l_orderkey, count(*) AS n, round(sum(a.l_quantity), 4) AS qty
+                  FROM lineitem a
+                  JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+                        WHERE l_quantity >= 45) b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+                  GROUP BY a.l_orderkey""")))
   )
 }

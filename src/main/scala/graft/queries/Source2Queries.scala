@@ -764,6 +764,32 @@ object Source2Queries {
                     CAST(sum(CASE WHEN o_custkey = 7 THEN 1 ELSE 0 END) AS BIGINT)
                       AS lookup_n,
                     TRUE AS bloom_written
-                  FROM orders""")))
+                  FROM orders"""))),
+
+    // COMPRESSED TEXT INGEST: line formats infer the codec from the
+    // file EXTENSION (.gz here) — no option needed, the transparent
+    // decompression every log-ingest pipeline leans on. (Caveat worth
+    // pinning: gzip is NOT splittable, so at 100 TB one .gz file = one
+    // task — shard compressed logs or use a splittable codec.) Staged
+    // gzip file, read back through spark.read.text, field-parsed.
+    Q("src_text_gzip",
+      (s, _) => {
+        val dir = "/tmp/graft_io/text_gz"
+        Registry.rmTree(new java.io.File(dir))
+        new java.io.File(dir).mkdirs()
+        val w = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(s"$dir/lines.txt.gz")))
+        try (0 until 500).foreach(i => w.println(s"row,$i,${i * i % 41}"))
+        finally w.close()
+        s.read.text(dir)
+          .select(split(col("value"), ",").as("p"))
+          .select(col("p").getItem(1).cast("long").as("i"),
+            col("p").getItem(2).cast("long").as("v"))
+          .agg(count(lit(1)).as("n"), sum(col("i")).as("sum_i"),
+            sum(col("v")).as("sum_v"))
+      },
+      Some(sql("""SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_i,
+                    CAST(sum(k * k % 41) AS BIGINT) AS sum_v
+                  FROM (SELECT unnest(generate_series(0, 499)) AS k)""")))
   )
 }
