@@ -958,6 +958,30 @@ object StreamingQueries {
     // row may appear. The 15:00 tail window stays unfinalized (final
     // watermark 14:30) and must never emit. Oracle = the finalized
     // windows as literals.
+    // APPEND-MODE WINDOW EMISSION: in append mode a windowed aggregate
+    // emits a window EXACTLY ONCE, when the watermark passes its end —
+    // so the result over the 4-batch replay is precisely the windows
+    // closed by the FINAL watermark (global max ts − 1h, flushed by the
+    // trailing no-data batch); still-open windows never appear. The
+    // oracle recomputes that gate with a HAVING over the batch truth.
+    // (complete/update modes are pinned by the other rows; this is the
+    // once-per-window contract the file-sink topology depends on.)
+    Q("stream_append_closed_windows",
+      (s, d) => {
+        val agg = StreamRunner.eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        StreamRunner.runToTable(s, agg,
+            s"appendw_${math.abs(d.hashCode)}", "append")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      },
+      Some(sql("""SELECT date_trunc('hour', ts) AS ws, event_type,
+                    count(*) AS n
+                  FROM events GROUP BY 1, 2
+                  HAVING date_trunc('hour', ts) + INTERVAL 2 HOUR
+                    <= (SELECT max(ts) FROM events)"""))),
+
     Q("stream_late_data",
       (s, d) => {
         graft.Engine.configure(s)
