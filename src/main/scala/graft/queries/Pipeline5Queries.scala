@@ -608,6 +608,80 @@ object Pipeline5Queries {
                         FROM m)
                   SELECT user_id, session_seq, count(*) AS n_events,
                     max(us) - min(us) AS dur_us
-                  FROM x GROUP BY user_id, session_seq""")))
+                  FROM x GROUP BY user_id, session_seq"""))),
+
+    // BLOOM PREFILTER DEDUP — the two-tier membership gate a streaming
+    // ingest uses against a 100 TB seen-corpus: a bloom filter of the
+    // corpus text-hashes broadcasts to the new batch; only MAYBE-seen
+    // docs (a small superset, one-sided error) pay the exact anti-join.
+    // The declared output proves both tiers: the bloom admits every
+    // true duplicate (zero false negatives — the safety contract) and
+    // the exact tier lands on the true duplicate set; the maybe-set
+    // size is reported as data (false positives cost only re-checks,
+    // never lost docs). Built via stat.bloomFilter (the
+    // DataFrameStatFunctions sketch the reference era shipped).
+    Q("pipe_bloom_prefilter",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), xxhash64(col("text")).as("h"))
+        // "corpus" = even doc_ids; "new batch" = odd doc_ids (duplicate
+        // texts across the split are the true dups to catch)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val bloom = corpus.stat.bloomFilter("h", 1000, 0.03)
+        val bcast = s.sparkContext.broadcast(bloom)
+        val might = udf((h: Long) => bcast.value.mightContain(h))
+        val maybe = batch.filter(might(col("h")))
+        val trueDup = batch.join(corpus.select(col("h")).distinct(), Seq("h"), "left_semi")
+        val missed = trueDup.join(maybe.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        // n_maybe itself is bloom-layout-dependent (false positives), so
+        // the oracled columns are the CONTRACT: every true dup admitted
+        // (zero false negatives), maybe ⊇ dup, and the FP overhead
+        // bounded well above the 3% design point
+        maybe.agg(count(lit(1)).as("nm"))
+          .crossJoin(trueDup.agg(count(lit(1)).as("n_true_dup")))
+          .crossJoin(batch.agg(count(lit(1)).as("nb")))
+          .crossJoin(missed.agg((count(lit(1)) === 0).as("no_false_negatives")))
+          .select(col("n_true_dup"), col("no_false_negatives"),
+            (col("nm") >= col("n_true_dup")).as("maybe_is_superset"),
+            (col("nm") <= col("n_true_dup")
+              + ceil((col("nb") - col("n_true_dup")) * 0.10).cast("long"))
+              .as("fp_overhead_bounded"))
+      },
+      Some(sql("""WITH c AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                  b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+                  SELECT (SELECT CAST(count(*) AS BIGINT) FROM b
+                          WHERE text IN (SELECT text FROM c)) AS n_true_dup,
+                         TRUE AS no_false_negatives,
+                         TRUE AS maybe_is_superset,
+                         TRUE AS fp_overhead_bounded"""))),
+
+    // CONSISTENT (hash-rank) SAMPLING — the reproducible fixed-size
+    // sample: the k docs with the SMALLEST Portable.stableHash64(doc_id)
+    // ranks. No seed state, no reservoir: re-running over a GROWN
+    // corpus keeps already-sampled docs unless displaced by new smaller
+    // ranks — the stable eval-set selection. graft_topk bounded heap on
+    // the negated rank (O(k) partial state, no global sort); the shared
+    // md5-based hash makes the selection EXACTLY oracle-checkable. The
+    // rank is folded to 52 bits so the heap's DOUBLE score stays exact.
+    Q("pipe_consistent_sample",
+      (s, d) => {
+        val k = 25
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            (Portable.stableHash64(col("doc_id")) % 4503599627370496L).as("hr"))
+          .groupBy()
+          .agg(expr(s"graft_topk(CAST(-hr AS DOUBLE), doc_id, $k)").as("top"))
+          .select(posexplode(col("top")))
+          .select(col("col.id").as("doc_id"),
+            (-col("col.score")).cast("long").as("hr"),
+            (col("pos") + 1).cast("long").as("rk"))
+      },
+      Some(sql(s"""SELECT doc_id, hr,
+                     CAST(row_number() OVER (ORDER BY hr, doc_id) AS BIGINT) AS rk
+                   FROM (SELECT doc_id,
+                           ${Portable.stableHash64Sql("doc_id")} % 4503599627370496 AS hr
+                         FROM documents ORDER BY hr, doc_id LIMIT 25) t""")))
   )
 }
