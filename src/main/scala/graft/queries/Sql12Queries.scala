@@ -107,6 +107,76 @@ object Sql12Queries {
       Some(sql("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue,
                     'SMJ' AS cbo_off_join, 'BHJ' AS cbo_on_join
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                  WHERE o_orderkey < 100""")))
+                  WHERE o_orderkey < 100"""))),
+
+    // INSERT INTO ... BY NAME (Spark 4 DDL): the writer matches columns
+    // by NAME, not position — a reordered SELECT lands correctly, the
+    // schema-evolution-friendly insert a wide-table pipeline needs.
+    // Position-based insert of the same reordered SELECT is run too and
+    // pinned as the transposed (wrong) row — the hazard BY NAME removes.
+    Q("sql_insert_by_name",
+      (s, _) => {
+        Registry.dropManaged(s, "graft_byname")
+        s.sql("CREATE TABLE graft_byname (a BIGINT, b STRING, c BIGINT) USING parquet")
+        s.sql("""INSERT INTO graft_byname BY NAME
+                 SELECT CAST(7 AS BIGINT) AS c, 'x' AS b, CAST(1 AS BIGINT) AS a""")
+        s.sql("""INSERT INTO graft_byname
+                 SELECT CAST(7 AS BIGINT) AS c, 'x' AS b, CAST(1 AS BIGINT) AS a""")
+        s.sql("""SELECT a, b, c,
+                   CASE WHEN a = 1 THEN 'by_name' ELSE 'positional' END AS variant
+                 FROM graft_byname""")
+      },
+      Some(sql("""SELECT a, b, c, variant FROM (VALUES
+                    (CAST(1 AS BIGINT), 'x', CAST(7 AS BIGINT), 'by_name'),
+                    (CAST(7 AS BIGINT), 'x', CAST(1 AS BIGINT), 'positional')
+                  ) AS t(a, b, c, variant)"""))),
+
+    // DESCRIBE QUERY: the schema a statement WOULD produce, without
+    // running it — (col_name, data_type) pinned for a projection mixing
+    // arithmetic widening, aggregates, and literals.
+    Q("sql_describe_query",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_dq_orders")
+        s.sql("""DESCRIBE QUERY
+                 SELECT o_orderkey + 1 AS next_key, avg(o_totalprice) AS avg_price,
+                        'tag' AS tag
+                 FROM graft_dq_orders GROUP BY o_orderkey""")
+          .select(col("col_name"), col("data_type"))
+      },
+      Some(sql("""SELECT col_name, data_type FROM (VALUES
+                    ('next_key', 'bigint'),
+                    ('avg_price', 'double'),
+                    ('tag', 'string')) AS t(col_name, data_type)"""))),
+
+    // STABLE ERROR CLASSES (Spark 4's SQLSTATE-backed error framework):
+    // the machine-readable errorClass a tool layer dispatches on —
+    // unresolved column, ambiguous reference, parse error — captured as
+    // data from the thrown AnalysisException/ParseException.
+    Q("sql_error_classes",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        table(s, d, "nation").createOrReplaceTempView("graft_ec_nation")
+        def cls(q: String): String =
+          try { s.sql(q).collect(); "NO_ERROR" }
+          catch {
+            case e: org.apache.spark.SparkThrowable =>
+              Option(e.getCondition).getOrElse("NO_CLASS")
+            case _: Throwable => "OTHER"
+          }
+        Seq(
+          ("unresolved_column", cls("SELECT no_such_col FROM graft_ec_nation")),
+          ("ambiguous_reference", cls(
+            """SELECT n_nationkey FROM graft_ec_nation a
+               JOIN graft_ec_nation b ON a.n_regionkey = b.n_regionkey""")),
+          ("parse_error", cls("SELEC 1")),
+          ("table_not_found", cls("SELECT * FROM graft_no_such_table")))
+          .toDF("probe", "error_class")
+      },
+      Some(sql("""SELECT probe, error_class FROM (VALUES
+                    ('unresolved_column', 'UNRESOLVED_COLUMN.WITH_SUGGESTION'),
+                    ('ambiguous_reference', 'AMBIGUOUS_REFERENCE'),
+                    ('parse_error', 'PARSE_SYNTAX_ERROR'),
+                    ('table_not_found', 'TABLE_OR_VIEW_NOT_FOUND')
+                  ) AS t(probe, error_class)""")))
   )
 }
