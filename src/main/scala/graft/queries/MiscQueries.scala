@@ -128,6 +128,32 @@ object MiscQueries {
                    max(event_id) AS max_event
                   FROM events GROUP BY user_id"""))),
 
+    // monotonically_increasing_id — the DISTRIBUTED id generator
+    // (partition_id << 33 | per-partition counter): ids are unique and
+    // increase within a partition, but are NOT dense or globally
+    // ordered. All three facts pinned as data: distinct count = rows,
+    // per-partition monotone (checked against the id's own embedded
+    // partition field), and the id space sparse (max >> n). The dense
+    // alternative (zipWithIndex) is rdd_zip_with_index.
+    Q("expr_mono_id",
+      (s, d) => {
+        val ids = table(s, d, "orders")
+          .repartition(8)
+          .select(monotonically_increasing_id().as("id"))
+        ids.select(col("id"), shiftright(col("id"), 33).as("pid"),
+            (col("id") % lit(1L << 33)).as("ctr"))
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"),
+            (max(col("ctr")) - min(col("ctr")) + 1 === count(lit(1)))
+              .as("dense_within_partition"))
+          .groupBy()
+          .agg(sum(col("n")).as("n_rows"), sum(col("nd")).as("n_distinct"),
+            min(col("dense_within_partition")).as("per_partition_dense"))
+      },
+      Some(sql("""SELECT count(*) AS n_rows, count(*) AS n_distinct,
+                    TRUE AS per_partition_dense
+                  FROM orders"""))),
+
     // DataFrame sortWithinPartitions — the SHUFFLE-FREE local sort that
     // prepares write-time layout (the bucketBy().sortBy() file contract
     // without a table): repartition on the key, local-sort on

@@ -177,6 +177,26 @@ object Sql12Queries {
                     ('ambiguous_reference', 'AMBIGUOUS_REFERENCE'),
                     ('parse_error', 'PARSE_SYNTAX_ERROR'),
                     ('table_not_found', 'TABLE_OR_VIEW_NOT_FOUND')
-                  ) AS t(probe, error_class)""")))
+                  ) AS t(probe, error_class)"""))),
+
+    // REBALANCE hint — the AQE-era write-skew fixer: inserts a
+    // rebalance exchange whose post-shuffle partitions AQE splits/
+    // coalesces to the advisory size, the idiom before `INSERT ...
+    // SELECT /*+ REBALANCE */` so output files come out evenly sized.
+    // Results are hint-invariant (oracled); the rebalance exchange
+    // itself is asserted in PlanSpec.
+    Q("sql_rebalance_hint",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_rb_orders")
+        s.sql(sql("""
+          SELECT o_orderpriority, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM (SELECT /*+ REBALANCE(o_orderpriority) */ *
+                FROM graft_rb_orders)
+          GROUP BY o_orderpriority"""))
+      },
+      Some(sql("""SELECT o_orderpriority, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+                  FROM orders GROUP BY o_orderpriority""")))
   )
 }

@@ -856,6 +856,11 @@ class PlanSpec extends AnyFunSuite {
       s"nondeterministic UDF filter was pushed through the join:\n$pn")
   }
 
+  test("REBALANCE hint plans a rebalance exchange") {
+    val p = plan("sql_rebalance_hint")
+    assert(p.contains("REBALANCE"), s"no rebalance exchange in plan:\n$p")
+  }
+
   test("AQE coalesces the over-partitioned post-shuffle stage at runtime") {
     // 32 static shuffle partitions over a 25-row aggregate: the final
     // adaptive plan must read the shuffle coalesced instead of running
