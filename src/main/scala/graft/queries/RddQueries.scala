@@ -458,6 +458,37 @@ object RddQueries {
                   SELECT 'subtract_by_key', count(*), CAST(coalesce(sum(k), 0) AS BIGINT)
                   FROM a WHERE k % 50 NOT IN (SELECT k % 50 FROM b)"""))),
 
+    // RANGE PARTITIONER (reference core Partitioner.scala
+    // RangePartitioner): sampled split points route keys into ORDERED
+    // partitions — the shuffle layout under every distributed sort.
+    // Split points depend on the (deterministic, seeded) sample, so the
+    // oracle pins the INVARIANTS rather than the boundaries: every row
+    // routed, partition key-ranges pairwise ordered and disjoint,
+    // count preserved.
+    Q("rdd_range_partitioner",
+      (s, _) => {
+        val sq = s; import sq.implicits._
+        val base = s.sparkContext.parallelize(0L until 2000L, 8)
+          .map(k => (k * 1103515245L % 4001L, k))
+        val ranged = base.partitionBy(
+          new org.apache.spark.RangePartitioner(6, base))
+        val perPart = ranged.mapPartitionsWithIndex { (pid, it) =>
+          val ks = it.map(_._1).toSeq
+          Iterator.single((pid, ks.size.toLong,
+            if (ks.isEmpty) Long.MaxValue else ks.min,
+            if (ks.isEmpty) Long.MinValue else ks.max))
+        }.collect().sortBy(_._1)
+        val ordered = perPart.sliding(2).forall {
+          case Array(a, b) => a._4 <= b._3 || a._2 == 0 || b._2 == 0
+          case _ => true
+        }
+        Seq((perPart.map(_._2).sum, perPart.length.toLong, ordered))
+          .toDF("n_total", "n_parts", "ranges_ordered")
+      },
+      Some(sql("""SELECT CAST(2000 AS BIGINT) AS n_total,
+                    CAST(6 AS BIGINT) AS n_parts, true AS ranges_ordered""")))
+  ,
+
     // POINT LOOKUP (reference core PairRDDFunctions.lookup): on a
     // partitioned RDD, lookup(key) runs a ONE-partition job via the
     // partitioner's routing — the RDD-era point query whose DataFrame

@@ -197,6 +197,43 @@ object Sql12Queries {
       },
       Some(sql("""SELECT o_orderpriority, count(*) AS n,
                     round(sum(o_totalprice), 2) AS total
-                  FROM orders GROUP BY o_orderpriority""")))
+                  FROM orders GROUP BY o_orderpriority"""))),
+
+    // SQL PIPE SYNTAX (Spark 4.0's |> operator chain): the linear
+    // FROM-first spelling of filter → aggregate → orderby — each stage
+    // reads top-to-bottom the way the DataFrame DSL does. Same plan,
+    // same results as the nested classic form (the oracle).
+    Q("sql_pipe_operators",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_pipe_orders")
+        s.sql(sql("""
+          FROM graft_pipe_orders
+          |> WHERE o_totalprice > 100000.0
+          |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+             GROUP BY o_orderpriority
+          |> WHERE n > 10"""))
+      },
+      Some(sql("""SELECT o_orderpriority, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+                  FROM orders WHERE o_totalprice > 100000.0
+                  GROUP BY o_orderpriority HAVING count(*) > 10"""))),
+
+    // inline() — the struct-array GENERATOR (explode + struct-field
+    // flattening in one step), the tidy spelling for unnesting
+    // array<struct> payloads.
+    Q("sql_inline_generator",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_inl_nation")
+        s.sql(sql("""
+          SELECT n_nationkey, k, v
+          FROM graft_inl_nation
+          LATERAL VIEW inline(array(
+            struct('key' AS k, CAST(n_nationkey AS BIGINT) AS v),
+            struct('region' AS k, CAST(n_regionkey AS BIGINT) AS v))) t AS k, v"""))
+      },
+      Some(sql("""SELECT n_nationkey, k,
+                    CASE WHEN k = 'key' THEN CAST(n_nationkey AS BIGINT)
+                         ELSE CAST(n_regionkey AS BIGINT) END AS v
+                  FROM nation, (VALUES ('key'), ('region')) AS t(k)""")))
   )
 }
