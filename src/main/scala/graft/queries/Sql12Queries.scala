@@ -234,6 +234,48 @@ object Sql12Queries {
       Some(sql("""SELECT n_nationkey, k,
                     CASE WHEN k = 'key' THEN CAST(n_nationkey AS BIGINT)
                          ELSE CAST(n_regionkey AS BIGINT) END AS v
-                  FROM nation, (VALUES ('key'), ('region')) AS t(k)""")))
+                  FROM nation, (VALUES ('key'), ('region')) AS t(k)"""))),
+
+    // COLLATED JOIN KEYS (Spark 4 collation in comparison position):
+    // UTF8_LCASE keys match case-insensitively INSIDE the hash join —
+    // no lower() rewrite, the collation travels with the type. Oracle
+    // is the explicit lower() join.
+    Q("sql_collated_join",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_coll_nation")
+        s.sql(sql("""
+          WITH a AS (SELECT n_nationkey,
+                       collate(upper(n_name), 'UTF8_LCASE') AS k
+                     FROM graft_coll_nation),
+               b AS (SELECT n_regionkey,
+                       collate(lower(n_name), 'UTF8_LCASE') AS k
+                     FROM graft_coll_nation)
+          SELECT a.n_nationkey, b.n_regionkey
+          FROM a JOIN b ON a.k = b.k"""))
+      },
+      Some(sql("""SELECT a.n_nationkey, b.n_regionkey
+                  FROM nation a JOIN nation b
+                    ON lower(a.n_name) = lower(b.n_name)"""))),
+
+    // COLLATED GROUP BY: case-variant spellings of one key merge into a
+    // single UTF8_LCASE group; the representative value surfaced is
+    // min() under the SAME collation (collation-aware min is itself
+    // case-insensitive, so the returned spelling is pinned via upper()).
+    Q("sql_group_by_collated",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_gcoll_nation")
+        s.sql(sql("""
+          WITH v AS (SELECT CASE WHEN n_nationkey % 2 = 0
+                              THEN collate(upper(n_name), 'UTF8_LCASE')
+                              ELSE collate(lower(n_name), 'UTF8_LCASE') END AS k,
+                            n_nationkey
+                     FROM graft_gcoll_nation)
+          SELECT upper(k) AS k_upper, count(*) AS n,
+                 CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+          FROM v GROUP BY k"""))
+      },
+      Some(sql("""SELECT upper(n_name) AS k_upper, count(*) AS n,
+                    CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+                  FROM nation GROUP BY upper(n_name)""")))
   )
 }
