@@ -503,6 +503,47 @@ object AggQueries {
                 SELECT l_returnflag, n,
                   round(sqrt(CAST(n AS DOUBLE)) * m3 / power(m2, 1.5), 6) AS skew,
                   round(n * m4 / (m2 * m2) - 3, 6) AS kurt
-                FROM m""")))
+                FROM m"""))),
+
+    // beyond-ref: PRODUCT aggregate in the log domain — Spark has no
+    // product(), and a naive fold would overflow immediately; exp(Σln x)
+    // is the scale answer (one partial-aggregable sum). Pinned on the
+    // LOG-domain sum itself (rounded) plus the recovered product of a
+    // bounded slice — the geometric-mean shape every perplexity/
+    // likelihood aggregation uses (cf. text_lm_perplexity).
+    Q("agg_product_logdomain",
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_quantity") > 0.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(log(col("l_quantity"))), 6).as("log_sum"),
+          round(exp(avg(log(col("l_quantity")))), 6).as("geo_mean")),
+      Some(sql("""SELECT l_returnflag, count(*) AS n,
+                    round(sum(ln(l_quantity)), 6) AS log_sum,
+                    round(exp(avg(ln(l_quantity))), 6) AS geo_mean
+                  FROM lineitem WHERE l_quantity > 0.0
+                  GROUP BY l_returnflag"""))),
+
+    // beyond-ref: MEDIAN AS A WINDOW FUNCTION — the per-group exact
+    // median attached to every row (the anomaly-score denominator
+    // pattern: |x − median| / median). Unbounded partition frame over
+    // the priority groups; interpolated median agrees between engines
+    // at round-4.
+    Q("win_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(median(col("o_totalprice")).over(w), 4).as("grp_median"),
+            (col("o_totalprice") >
+              median(col("o_totalprice")).over(w)).as("above_median"))
+      },
+      Some(sql("""SELECT o_orderkey, o_orderpriority,
+                    round(median(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+                      AS grp_median,
+                    o_totalprice > median(o_totalprice)
+                      OVER (PARTITION BY o_orderpriority) AS above_median
+                  FROM orders""")))
   )
 }
