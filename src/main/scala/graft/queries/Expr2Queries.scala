@@ -651,6 +651,26 @@ object Expr2Queries {
       Some(sql("""SELECT CAST(12454 AS DECIMAL(5,0)) AS a,
                     CAST(78.12 AS DECIMAL(4,2)) AS b,
                     CAST(-454 AS DECIMAL(3,0)) AS c,
-                    CAST(NULL AS DECIMAL(3,0)) AS d""")))
+                    CAST(NULL AS DECIMAL(3,0)) AS d"""))),
+
+    // array_sort with a CUSTOM comparator lambda — sort by length then
+    // alphabetically, a two-key comparator no plain sort expresses.
+    // DuckDB's list_sort has no comparator, so the oracle rebuilds the
+    // same order through a rank subquery.
+    Q("expr_array_sort_lambda",
+      (s, d) => table(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(collect_list(col("n_name")).as("names"))
+        .select(col("n_regionkey"),
+          array_join(
+            array_sort(col("names"), (l, r) =>
+              when(length(l) < length(r), -1)
+                .when(length(l) > length(r), 1)
+                .when(l < r, -1).when(l > r, 1).otherwise(0)),
+            "|").as("by_len_then_alpha")),
+      Some(sql("""SELECT n_regionkey,
+                    string_agg(n_name, '|' ORDER BY length(n_name), n_name)
+                      AS by_len_then_alpha
+                  FROM nation GROUP BY n_regionkey""")))
   )
 }

@@ -741,6 +741,46 @@ object TextQueries {
                           FROM f)
                   SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
                     count(*) AS n_ranks, CAST(sum(f) AS BIGINT) AS mass
-                  FROM r WHERE r <= 50""")))
+                  FROM r WHERE r <= 50"""))),
+
+    // LIGHT SUFFIX-STRIPPING STEMMER (a Porter-step-1 subset) as a PURE
+    // expression chain — first-match-wins CASE over ordered suffix
+    // rules (sses→ss, ies→i, keep ss, drop s, drop ing/ed on long
+    // stems), identical regexps on both engines, zero UDFs: stemming a
+    // 100 TB corpus stays inside whole-stage codegen. Per-stem corpus
+    // mass + surface-form fan-in as the report.
+    Q("text_stem_light",
+      (s, d) => {
+        def stem(c: org.apache.spark.sql.Column) =
+          when(c.rlike("sses$"), regexp_replace(c, "sses$", "ss"))
+            .when(c.rlike("ies$"), regexp_replace(c, "ies$", "i"))
+            .when(c.rlike("ss$"), c)
+            .when(c.rlike("s$"), regexp_replace(c, "s$", ""))
+            .when(c.rlike("ing$") && length(c) > 6, regexp_replace(c, "ing$", ""))
+            .when(c.rlike("ed$") && length(c) > 5, regexp_replace(c, "ed$", ""))
+            .otherwise(c)
+        table(s, d, "documents")
+          .select(explode(T.tokens(col("text"))).as("w"))
+          .select(col("w"), stem(col("w")).as("stem"))
+          .groupBy(col("stem"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("w")).as("n_forms"))
+      },
+      Some(sql(s"""WITH w AS (SELECT unnest(${T.tokensSql("text")}) AS w
+                              FROM documents),
+                    st AS (SELECT w,
+                        CASE WHEN regexp_matches(w, 'sses$$') THEN regexp_replace(w, 'sses$$', 'ss')
+                             WHEN regexp_matches(w, 'ies$$') THEN regexp_replace(w, 'ies$$', 'i')
+                             WHEN regexp_matches(w, 'ss$$') THEN w
+                             WHEN regexp_matches(w, 's$$') THEN regexp_replace(w, 's$$', '')
+                             WHEN regexp_matches(w, 'ing$$') AND length(w) > 6
+                               THEN regexp_replace(w, 'ing$$', '')
+                             WHEN regexp_matches(w, 'ed$$') AND length(w) > 5
+                               THEN regexp_replace(w, 'ed$$', '')
+                             ELSE w END AS stem
+                      FROM w)
+                  SELECT stem, count(*) AS n_tokens,
+                    CAST(count(DISTINCT w) AS BIGINT) AS n_forms
+                  FROM st GROUP BY stem""")))
   )
 }
