@@ -671,6 +671,34 @@ object Expr2Queries {
       Some(sql("""SELECT n_regionkey,
                     string_agg(n_name, '|' ORDER BY length(n_name), n_name)
                       AS by_len_then_alpha
-                  FROM nation GROUP BY n_regionkey""")))
+                  FROM nation GROUP BY n_regionkey"""))),
+
+    // XML EXPRESSION family (Spark 4's from_xml / to_xml /
+    // schema_of_xml — the per-row XML bridge, sibling of expr_from_csv;
+    // the xpath_* fragment extractors are expr_xpath): build an XML
+    // fragment per row, parse it back, prove the field round-trip and
+    // pin the inferred schema on a literal.
+    Q("expr_from_xml",
+      (s, d) => {
+        val xmlSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("nm",
+            org.apache.spark.sql.types.StringType)))
+        table(s, d, "nation")
+          .select(col("n_nationkey"),
+            concat(lit("<r><k>"), col("n_nationkey"), lit("</k><nm>"),
+              col("n_name"), lit("</nm></r>")).as("frag"))
+          .select(col("n_nationkey"),
+            from_xml(col("frag"), xmlSchema,
+              new java.util.HashMap[String, String]()).as("p"),
+            schema_of_xml(lit("<r><k>7</k><nm>x</nm></r>")).as("inferred"))
+          .select(col("n_nationkey"), col("p.k").as("k"), col("p.nm").as("nm"),
+            col("inferred"))
+      },
+      Some(sql("""SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS k,
+                    n_name AS nm,
+                    'STRUCT<k: BIGINT, nm: STRING>' AS inferred
+                  FROM nation""")))
   )
 }
