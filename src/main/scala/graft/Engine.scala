@@ -31,6 +31,10 @@ object Engine {
       c.set("spark.sql.adaptive.enabled", "true")
       c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // mismatched bucket counts (8 vs 4) still join shuffle-free by
+      // reading the finer side's buckets coalesced — the repeated
+      // fact-fact join posture when tables were bucketed independently
+      c.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       // nanos timestamps in events.parquet: read as LONG then convert
       // explicitly where needed (legacy flag keeps the scan vectorized).
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

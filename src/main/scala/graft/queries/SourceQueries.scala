@@ -525,6 +525,39 @@ object SourceQueries {
                   FROM orders JOIN customer ON o_custkey = c_custkey
                   GROUP BY c_nationkey"""))),
 
+    // BUCKET-COALESCED JOIN (golden smb_mapjoin family, the mismatched-
+    // count half): tables bucketed 8 and 4 on the same key still join
+    // WITHOUT shuffling either side — the 8-bucket side's pairs of
+    // buckets are read coalesced onto the 4 coarser buckets
+    // (spark.sql.bucketing.coalesceBucketsInJoin, an Engine default
+    // here). The 100 TB posture for fact-fact joins between tables
+    // bucketed independently by different teams. PlanSpec asserts zero
+    // Exchange under the join.
+    Q("src_bucket_coalesce_join",
+      (s, d) => {
+        dropManaged(s, "graft_ord_bkt8")
+        dropManaged(s, "graft_cust_bkt4")
+        table(s, d, "orders")
+          .repartition(8, col("o_custkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_ord_bkt8")
+        table(s, d, "customer")
+          .repartition(4, col("c_custkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(4, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_cust_bkt4")
+        s.table("graft_ord_bkt8")
+          .join(s.table("graft_cust_bkt4").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some(sql("""SELECT c_nationkey, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_nationkey"""))),
+
     // Dynamic partition overwrite (InsertIntoHiveTable's dynamic-partition
     // INSERT OVERWRITE semantics): rewrite ONLY the partitions present in
     // the incoming data — here the 'F' partition gets re-priced while O/P

@@ -856,6 +856,18 @@ class PlanSpec extends AnyFunSuite {
       s"nondeterministic UDF filter was pushed through the join:\n$pn")
   }
 
+  test("mismatched bucket counts join with zero exchanges (bucket coalescing)") {
+    // 8-bucket orders ⋈ 4-bucket customer: the join itself must read
+    // both bucketed layouts directly — the only Exchange allowed in the
+    // whole plan is the one ABOVE the join for the final aggregation
+    val df = SparkEntry.queries("src_bucket_coalesce_join")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, s"expected a sort-merge join:\n$p")
+    assert(!p.substring(joinAt).contains("Exchange"),
+      s"a join input shuffled despite bucket coalescing:\n$p")
+  }
+
   test("REBALANCE hint plans a rebalance exchange") {
     val p = plan("sql_rebalance_hint")
     assert(p.contains("REBALANCE"), s"no rebalance exchange in plan:\n$p")
