@@ -14,7 +14,9 @@ object Explain {
         "join_inner", "dedup_simhash_hamming", "join_asof_native",
         "join_range", "src_dsv2_pushdown", "src_jdbc_read",
         "pipe_decontaminate", "pipe_quality_gate", "sim_pq_encode",
-        "sim_recall_at_k", "sql_distribute_by", "ml_linreg")
+        "sim_recall_at_k", "sql_distribute_by", "ml_linreg",
+        "join_salted_skew", "graph_k_core", "pipe_sessionize",
+        "sim_mips_transform", "src_bucket_coalesce_join")
     names.foreach { name =>
       println(s"\n===== $name =====")
       try {

@@ -128,6 +128,47 @@ object MiscQueries {
                    max(event_id) AS max_event
                   FROM events GROUP BY user_id"""))),
 
+    // DataFrame.transpose() (Spark 4.0): rows ↔ columns over a small
+    // summary frame — the report-shaping step after aggregation (never
+    // applied to big data; the input here is a 3-row aggregate). First
+    // column becomes the header, remaining columns become rows.
+    Q("df_transpose",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(sum(col("l_quantity")), 4).as("qty"))
+        .orderBy(col("l_returnflag"))
+        .transpose()
+        .select(col("key"), col("A"), col("N"), col("R")),
+      Some(sql("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+                    round(sum(l_quantity), 4) AS qty
+                  FROM lineitem GROUP BY l_returnflag)
+                  SELECT 'n' AS key,
+                    (SELECT n FROM g WHERE l_returnflag = 'A') AS A,
+                    (SELECT n FROM g WHERE l_returnflag = 'N') AS N,
+                    (SELECT n FROM g WHERE l_returnflag = 'R') AS R
+                  UNION ALL
+                  SELECT 'qty',
+                    (SELECT qty FROM g WHERE l_returnflag = 'A'),
+                    (SELECT qty FROM g WHERE l_returnflag = 'N'),
+                    (SELECT qty FROM g WHERE l_returnflag = 'R')"""))),
+
+    // Dataset.summary(): the describe() superset with percentile rows.
+    // Approximate percentiles are engine-specific, so the EXACT rows
+    // (count/min/max) are the oracled slice; mean agrees at the float
+    // protocol via rounding on both sides.
+    Q("df_summary",
+      (s, d) => table(s, d, "orders")
+        .select(col("o_totalprice"))
+        .summary("count", "min", "max")
+        .select(col("summary"), col("o_totalprice")),
+      Some(sql("""SELECT 'count' AS summary, CAST(count(*) AS VARCHAR) AS o_totalprice
+                  FROM orders
+                  UNION ALL
+                  SELECT 'min', CAST(min(o_totalprice) AS VARCHAR) FROM orders
+                  UNION ALL
+                  SELECT 'max', CAST(max(o_totalprice) AS VARCHAR) FROM orders"""))),
+
     // monotonically_increasing_id — the DISTRIBUTED id generator
     // (partition_id << 33 | per-partition counter): ids are unique and
     // increase within a partition, but are NOT dense or globally
