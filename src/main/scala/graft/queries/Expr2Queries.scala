@@ -699,6 +699,26 @@ object Expr2Queries {
       Some(sql("""SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS k,
                     n_name AS nm,
                     'STRUCT<k: BIGINT, nm: STRING>' AS inferred
-                  FROM nation""")))
+                  FROM nation"""))),
+
+    // BOUNDED levenshtein (Spark 3.5's threshold arg): the scale form —
+    // the O(len²) DP early-exits once distance exceeds the bound and
+    // returns -1, which is what makes edit-distance verification
+    // affordable inside candidate loops (dedup_edit_distance bounds by
+    // candidates; this bounds per-pair work). The oracle restates -1 as
+    // CASE over the unbounded distance.
+    Q("expr_levenshtein_bounded",
+      (s, d) => table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .crossJoin(broadcast(
+          table(s, d, "region").select(col("r_name"))))
+        .select(col("n_nationkey"), col("r_name"),
+          levenshtein(col("n_name"), col("r_name")).as("dist"),
+          levenshtein(col("n_name"), col("r_name"), 5).as("dist_capped")),
+      Some(sql("""SELECT n_nationkey, r_name,
+                    CAST(levenshtein(n_name, r_name) AS INT) AS dist,
+                    CAST(CASE WHEN levenshtein(n_name, r_name) > 5 THEN -1
+                         ELSE levenshtein(n_name, r_name) END AS INT) AS dist_capped
+                  FROM nation CROSS JOIN region""")))
   )
 }

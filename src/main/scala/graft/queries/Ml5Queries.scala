@@ -376,6 +376,46 @@ object Ml5Queries {
                   (SELECT min(t) FROM diffs
                    WHERE diff_micro = (SELECT max(diff_micro) FROM diffs))
                     AS at_threshold
-                FROM diffs""")))
+                FROM diffs"""))),
+
+    // PRECISION-RECALL CURVE points — the imbalanced-class companion of
+    // ml_roc_points (precision against recall per descending score
+    // threshold over the same bounded bucket grid); integer-scaled so
+    // no float compare.
+    Q("ml_pr_curve",
+      (s, d) => {
+        val g = table(s, d, "orders")
+          .select(floor(col("o_totalprice") / 100000.0).cast("long").as("b"),
+            (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
+          .groupBy(col("b"))
+          .agg(sum(col("pos")).as("p"), count(lit(1)).as("n"))
+        val w = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.select(col("b").as("threshold"),
+            sum(col("p")).over(w).as("tp"), sum(col("n")).over(w).as("pred_pos"))
+          .crossJoin(broadcast(table(s, d, "orders").agg(
+            sum(when(col("o_orderstatus") === lit("F"), 1L).otherwise(0L)).as("tot_p"))))
+          .select(col("threshold"), col("tp"),
+            expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / pred_pos) AS BIGINT)")
+              .as("precision_micro"),
+            expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT)")
+              .as("recall_micro"))
+      },
+      Some(sql("""WITH b AS (SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS b,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+                  FROM orders),
+                g AS (SELECT b, CAST(sum(pos) AS BIGINT) AS p, count(*) AS n
+                      FROM b GROUP BY b),
+                c AS (SELECT b AS threshold,
+                        CAST(sum(p) OVER (ORDER BY b DESC) AS BIGINT) AS tp,
+                        CAST(sum(n) OVER (ORDER BY b DESC) AS BIGINT) AS pred_pos
+                      FROM g),
+                tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_p FROM b)
+                SELECT threshold, tp,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / pred_pos) AS BIGINT)
+                    AS precision_micro,
+                  CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT)
+                    AS recall_micro
+                FROM c CROSS JOIN tot""")))
   )
 }
