@@ -198,6 +198,28 @@ object AggQueries {
                   GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                     (l_returnflag, l_linestatus))"""))),
 
+    // Dataset.groupingSets(...) — the Spark 4.0 DATAFRAME API spelling
+    // of GROUPING SETS (agg_grouping_sets is the SQL form): the same
+    // three sets declared as Column sequences, plus grouping() flags to
+    // disambiguate real NULL keys from subtotal rows.
+    Q("agg_grouping_sets_api",
+      (s, d) => table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+            Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls")),
+      Some(sql("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty, count(*) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+                  FROM lineitem
+                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                    (l_returnflag, l_linestatus))"""))),
+
     // Beyond-reference statistical aggregates (1.3 exposed these only on
     // RDD[Double]: DoubleRDDFunctions stats/mean/variance/stdev).
     // ANSI ordered-set percentiles (Spark 3.4's percentile_cont /

@@ -781,6 +781,41 @@ object TextQueries {
                       FROM w)
                   SELECT stem, count(*) AS n_tokens,
                     CAST(count(DISTINCT w) AS BIGINT) AS n_forms
-                  FROM st GROUP BY stem""")))
+                  FROM st GROUP BY stem"""))),
+
+    // TEXT CLEANING / NORMALIZATION — the first pass of every ingest:
+    // collapse runs of whitespace, strip control characters, lowercase,
+    // trim. Same regexp chain both engines, pure scan-stage expressions;
+    // the report pins bytes saved and idempotence (clean(clean(x)) =
+    // clean(x)) corpus-wide.
+    Q("text_clean_normalize",
+      (s, d) => {
+        def clean(c: org.apache.spark.sql.Column) =
+          trim(regexp_replace(
+            regexp_replace(lower(c), "[\\x00-\\x1f]", " "),
+            "\\s+", " "))
+        val dirty = concat(lit("  \t"), col("text"), lit("\u0001  "),
+          lit("extra   spaces"))
+        table(s, d, "documents")
+          .select(col("doc_id"), clean(dirty).as("cleaned"), dirty.as("dirty"))
+          .select(col("doc_id"),
+            length(col("dirty")).cast("long").as("len_dirty"),
+            length(col("cleaned")).cast("long").as("len_clean"),
+            (clean(col("cleaned")) === col("cleaned")).as("idempotent"))
+      },
+      Some(sql("""WITH t AS (SELECT doc_id,
+                    concat(repeat(' ', 2), chr(9), text, chr(1), repeat(' ', 2),
+                           'extra', repeat(' ', 3), 'spaces')
+                      AS dirty
+                  FROM documents),
+                  c AS (SELECT doc_id, dirty,
+                    trim(regexp_replace(regexp_replace(lower(dirty),
+                      '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+                  FROM t)
+                  SELECT doc_id,
+                    CAST(length(dirty) AS BIGINT) AS len_dirty,
+                    CAST(length(cleaned) AS BIGINT) AS len_clean,
+                    TRUE AS idempotent
+                  FROM c""")))
   )
 }
