@@ -416,6 +416,51 @@ object Ml5Queries {
                     AS precision_micro,
                   CAST(floor(CAST(1000000.0 AS DOUBLE) * tp / tot_p) AS BIGINT)
                     AS recall_micro
-                FROM c CROSS JOIN tot""")))
+                FROM c CROSS JOIN tot"""))),
+
+    // POPULATION STABILITY INDEX — the drift monitor between a
+    // reference window and a live window: Σ (p−q)·ln(p/q) over value
+    // buckets, the number that pages the ML-ops rotation when feature
+    // distributions move. The two periods are the event-time halves of
+    // the corpus; Laplace +1 smoothing keeps empty buckets finite. Per
+    // bucket contributions AND the total, micro-scaled at the end only
+    // (the ln products are deterministic closed forms of exact counts).
+    Q("ml_psi_drift",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val half = table(s, d, "events")
+          .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+        val bucketed = table(s, d, "events")
+          .crossJoin(broadcast(half))
+          .select(floor(col("value") / 10.0).cast("long").as("b"),
+            (unix_micros(col("ts")) * 2 <= col("mn") + col("mx")).as("is_ref"))
+          .groupBy(col("b"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("p_n"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("q_n"))
+        val tot = bucketed.agg(
+          (sum(col("p_n")) + count(lit(1))).as("p_tot"),
+          (sum(col("q_n")) + count(lit(1))).as("q_tot"))
+        bucketed.crossJoin(broadcast(tot))
+          .select(col("b"), col("p_n"), col("q_n"),
+            expr("""CAST(floor(1000000.0 * ((p_n + 1.0) / p_tot - (q_n + 1.0) / q_tot)
+                    * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot))) AS BIGINT)""")
+              .as("psi_term_micro"))
+      },
+      Some(sql("""WITH half AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                                FROM events),
+                  bk AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS b,
+                           epoch_us(ts) * 2 <= mn + mx AS is_ref
+                         FROM events CROSS JOIN half),
+                  g AS (SELECT b,
+                          CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+                          CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS q_n
+                        FROM bk GROUP BY b),
+                  tot AS (SELECT CAST(sum(p_n) + count(*) AS BIGINT) AS p_tot,
+                            CAST(sum(q_n) + count(*) AS BIGINT) AS q_tot FROM g)
+                  SELECT b, p_n, q_n,
+                    CAST(floor(1000000.0 * ((p_n + 1.0) / p_tot - (q_n + 1.0) / q_tot)
+                      * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot))) AS BIGINT)
+                      AS psi_term_micro
+                  FROM g CROSS JOIN tot""")))
   )
 }

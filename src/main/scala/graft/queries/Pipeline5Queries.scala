@@ -682,6 +682,32 @@ object Pipeline5Queries {
                      CAST(row_number() OVER (ORDER BY hr, doc_id) AS BIGINT) AS rk
                    FROM (SELECT doc_id,
                            ${Portable.stableHash64Sql("doc_id")} % 4503599627370496 AS hr
-                         FROM documents ORDER BY hr, doc_id LIMIT 25) t""")))
+                         FROM documents ORDER BY hr, doc_id LIMIT 25) t"""))),
+
+    // RECENCY-DECAY SAMPLE WEIGHTS — fresher data counts more: weight =
+    // exp(−age/τ) with age in exact days from the corpus max timestamp
+    // (broadcast 1-row), τ = 7 days. Per-user decayed engagement mass,
+    // micro-scaled at the end (exp of an exact ratio is a
+    // deterministic closed form on both engines).
+    Q("pipe_decay_weights",
+      (s, d) => {
+        val mx = table(s, d, "events").agg(max(unix_micros(col("ts"))).as("mx"))
+        table(s, d, "events")
+          .crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            ((col("mx") - unix_micros(col("ts"))) / lit(86400000000.0)).as("age_d"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*)) AS BIGINT)")
+              .as("mean_decay_micro"))
+      },
+      Some(sql("""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+                  a AS (SELECT user_id,
+                          (mx - epoch_us(ts)) / 86400000000.0 AS age_d
+                        FROM events CROSS JOIN mx)
+                  SELECT user_id, count(*) AS n,
+                    CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*)) AS BIGINT)
+                      AS mean_decay_micro
+                  FROM a GROUP BY user_id""")))
   )
 }
