@@ -295,6 +295,66 @@ object WindowQueries {
                         FROM m)
                   SELECT user_id, min(us) AS s_us,
                     max(us) + 1800000000 AS end_us, count(*) AS n_events
-                  FROM x GROUP BY user_id, seq""")))
+                  FROM x GROUP BY user_id, seq"""))),
+
+    // LINEAR GAP INTERPOLATION on an hourly spine — the time-series
+    // repair step after win_ignore_nulls' LOCF: missing hours get the
+    // value linearly between their known neighbours, exact integer
+    // arithmetic (cents × hour-index fractions), edges stay NULL. The
+    // spine is generated from the series bounds (sequence/
+    // generate_series), and the window is over the BOUNDED hour grid
+    // (~700 rows), not the events — same bounded-grid pattern as
+    // ml_roc_points.
+    Q("win_interpolate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = table(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("value") > 30.0)
+          .groupBy(floor(unix_micros(col("ts")) / 3600000000.0).cast("long").as("h"))
+          .agg(sum(round(col("value") * 100.0).cast("long")).as("cents"))
+        val spine = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+        val j = spine.join(hourly, Seq("h"), "left")
+        val wAll = Window.orderBy(col("h"))
+        val prevW = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nextW = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        j.select(col("h"), col("cents"),
+            last(col("cents"), ignoreNulls = true).over(prevW).as("pv"),
+            last(when(col("cents").isNotNull, col("h")), ignoreNulls = true)
+              .over(prevW).as("ph"),
+            first(col("cents"), ignoreNulls = true).over(nextW).as("nv"),
+            first(when(col("cents").isNotNull, col("h")), ignoreNulls = true)
+              .over(nextW).as("nh"))
+          .select(col("h"), col("cents"),
+            when(col("cents").isNotNull, col("cents") * 1000000L)
+              .otherwise(
+                floor((col("pv") * (col("nh") - col("h"))
+                  + col("nv") * (col("h") - col("ph"))) * 1000000.0
+                  / (col("nh") - col("ph"))).cast("long"))
+              .as("interp_micro"))
+      },
+      Some(sql("""WITH hourly AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+                      CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase' AND value > 30.0
+                    GROUP BY 1),
+                  spine AS (SELECT unnest(generate_series(
+                      (SELECT min(h) FROM hourly), (SELECT max(h) FROM hourly))) AS h),
+                  j AS (SELECT s.h, hourly.cents FROM spine s
+                        LEFT JOIN hourly ON s.h = hourly.h),
+                  x AS (SELECT h, cents,
+                      last_value(cents IGNORE NULLS) OVER
+                        (ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+                      last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                        OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+                      first_value(cents IGNORE NULLS) OVER
+                        (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                      first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                        OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+                    FROM j)
+                  SELECT h, cents,
+                    CASE WHEN cents IS NOT NULL THEN cents * 1000000
+                         ELSE CAST(floor((pv * (nh - h) + nv * (h - ph)) * 1000000.0
+                                   / (nh - ph)) AS BIGINT) END AS interp_micro
+                  FROM x""")))
   )
 }
