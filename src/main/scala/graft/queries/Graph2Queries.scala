@@ -307,6 +307,43 @@ object Graph2Queries {
                   FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
                   UNION ALL
                   SELECT CAST(4 AS BIGINT), count(DISTINCT v), CAST(count(*) / 2 AS BIGINT)
-                  FROM (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)""")))
+                  FROM (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)"""))),
+
+    // BIPARTITE PROJECTION (the recsys co-occurrence staple): project
+    // the order—supplier bipartite graph onto supplier—supplier edges
+    // weighted by shared orders, with Jaccard affinity co/(na+nb−co).
+    // The self-join is keyed on the order (corpus-growing key) and the
+    // per-order pair blow-up is bounded by order width (≤ 7 lineitems)
+    // — never an all-pairs stage; distinct (order, supplier) first so
+    // multi-line orders don't inflate weights.
+    Q("graph_cooccurrence",
+      (s, d) => {
+        val os = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val deg = os.groupBy(col("sk")).agg(count(lit(1)).as("n_orders"))
+        val pairs = os.as("x").join(os.as("y"), col("x.ok") === col("y.ok")
+            && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 3)
+        pairs
+          .join(deg.withColumnRenamed("sk", "a").withColumnRenamed("n_orders", "na"), Seq("a"))
+          .join(deg.withColumnRenamed("sk", "b").withColumnRenamed("n_orders", "nb"), Seq("b"))
+          .select(col("a"), col("b"), col("co"),
+            expr("CAST(floor(1000000.0 * co / (na + nb - co)) AS BIGINT)")
+              .as("jaccard_micro"))
+      },
+      Some(sql("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                              FROM lineitem),
+                  deg AS (SELECT sk, count(*) AS n FROM os GROUP BY sk),
+                  pairs AS (SELECT x.sk AS a, y.sk AS b, count(*) AS co
+                            FROM os x JOIN os y
+                              ON x.ok = y.ok AND x.sk < y.sk
+                            GROUP BY 1, 2 HAVING count(*) >= 3)
+                  SELECT a, b, CAST(co AS BIGINT) AS co,
+                    CAST(floor(1000000.0 * co / (da.n + db.n - co)) AS BIGINT)
+                      AS jaccard_micro
+                  FROM pairs JOIN deg da ON da.sk = a JOIN deg db ON db.sk = b""")))
   )
 }
