@@ -461,6 +461,46 @@ object Ml5Queries {
                     CAST(floor(1000000.0 * ((p_n + 1.0) / p_tot - (q_n + 1.0) / q_tot)
                       * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot))) AS BIGINT)
                       AS psi_term_micro
-                  FROM g CROSS JOIN tot""")))
+                  FROM g CROSS JOIN tot"""))),
+
+    // TWO-PROPORTION Z-TEST (A/B readout): purchase-rate difference
+    // between the event-time halves, z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2))
+    // from exact counts — the experiment-analysis query every product
+    // pipeline ends in. Micro-scaled z and rates; one scan + a 2-row
+    // aggregate.
+    Q("ml_ab_ztest",
+      (s, d) => {
+        val half = table(s, d, "events")
+          .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+        table(s, d, "events")
+          .crossJoin(broadcast(half))
+          .select((unix_micros(col("ts")) * 2 <= col("mn") + col("mx")).as("is_a"),
+            (col("event_type") === lit("purchase")).cast("long").as("conv"))
+          .groupBy()
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("is_a"), col("conv")).otherwise(0L)).as("x1"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("n2"),
+            sum(when(!col("is_a"), col("conv")).otherwise(0L)).as("x2"))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            expr("""CAST(floor(1000000.0 * (CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+                    / sqrt((CAST(x1+x2 AS DOUBLE)/(n1+n2)) * (1.0 - CAST(x1+x2 AS DOUBLE)/(n1+n2))
+                           * (1.0/n1 + 1.0/n2))) AS BIGINT)""").as("z_micro"))
+      },
+      Some(sql("""WITH half AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                                FROM events),
+                  t AS (SELECT epoch_us(ts) * 2 <= mn + mx AS is_a,
+                          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+                        FROM events CROSS JOIN half),
+                  g AS (SELECT
+                          CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                          CAST(sum(CASE WHEN is_a THEN conv ELSE 0 END) AS BIGINT) AS x1,
+                          CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                          CAST(sum(CASE WHEN is_a THEN 0 ELSE conv END) AS BIGINT) AS x2
+                        FROM t)
+                  SELECT n1, x1, n2, x2,
+                    CAST(floor(1000000.0 * (CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+                      / sqrt((CAST(x1+x2 AS DOUBLE)/(n1+n2)) * (1.0 - CAST(x1+x2 AS DOUBLE)/(n1+n2))
+                             * (1.0/n1 + 1.0/n2))) AS BIGINT) AS z_micro
+                  FROM g""")))
   )
 }

@@ -311,6 +311,38 @@ object SimilarityQueries {
                        CAST(row_number() OVER (PARTITION BY q_id
                             ORDER BY cos DESC, c_id) AS BIGINT) AS rk
                      FROM scored)
-                   WHERE rk <= $K""")))
+                   WHERE rk <= $K"""))),
+
+    // RANDOM PROJECTION (Johnson-Lindenstrauss) 64 → 8 dims: the
+    // deterministic LCG hyperplanes LSH already shares with the oracle,
+    // used as a DENSE projection instead of sign buckets — the
+    // dimensionality-reduction step before cheap pre-filters. Projected
+    // components are exact on both engines (sequential fold over the
+    // same literals), so the reduction is value-oracled, not just
+    // contract-oracled. Constant-folded plane literals: no broadcast,
+    // no shuffle, pure scan stage.
+    Q("sim_random_projection",
+      (s, d) => {
+        import graft.functions.{TextFunctions => TF}
+        val comps = (0 until TF.LshPlanes).map { p =>
+          val plane = array((0 until TF.Dim).map(i => lit(TF.planeValue(p, i))): _*)
+          round(aggregate(zip_with(col("embedding"), plane,
+            (x, w) => x.cast("double") * w), lit(0.0), (a, x) => a + x), 6)
+            .as(s"c$p")
+        }
+        table(s, d, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id") +: comps: _*)
+      },
+      Some {
+        import graft.functions.{TextFunctions => TF}
+        val comps = (0 until TF.LshPlanes).map { p =>
+          val plane = (0 until TF.Dim).map(i => TF.planeValue(p, i))
+            .mkString("[", ", ", "]")
+          s"round(list_dot_product(CAST(embedding AS DOUBLE[]), $plane), 6) AS c$p"
+        }
+        sql(s"""SELECT vec_id, ${comps.mkString(", ")}
+                FROM embeddings WHERE vec_id < 50""")
+      })
   )
 }
