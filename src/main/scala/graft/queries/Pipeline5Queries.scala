@@ -708,6 +708,89 @@ object Pipeline5Queries {
                   SELECT user_id, count(*) AS n,
                     CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*)) AS BIGINT)
                       AS mean_decay_micro
-                  FROM a GROUP BY user_id""")))
+                  FROM a GROUP BY user_id"""))),
+
+    // COHORT RETENTION TRIANGLE — users grouped by first-activity week,
+    // tracked by weeks-since-cohort: the activation/stickiness readout
+    // behind every growth dashboard. Two aggregations (first-week per
+    // user, then distinct actives per cohort×offset) + a broadcast
+    // cohort-size join; retention integer-scaled.
+    Q("pipe_cohort_retention",
+      (s, d) => {
+        val weeks = table(s, d, "events")
+          .select(col("user_id"),
+            floor(unix_micros(col("ts")) / 604800000000.0).cast("long").as("w"))
+        val cohorts = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        val sizes = cohorts.groupBy(col("cw")).agg(countDistinct(col("user_id")).as("n_cohort"))
+        weeks.join(cohorts, Seq("user_id"))
+          .groupBy(col("cw"), (col("w") - col("cw")).as("offset_w"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), Seq("cw"))
+          .select(col("cw"), col("offset_w"), col("n_active"), col("n_cohort"),
+            expr("CAST(floor(1000000.0 * n_active / n_cohort) AS BIGINT)")
+              .as("retention_micro"))
+      },
+      Some(sql("""WITH wk AS (SELECT user_id,
+                      CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS w
+                    FROM events),
+                  ch AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+                  sz AS (SELECT cw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+                         FROM ch GROUP BY cw),
+                  act AS (SELECT ch.cw, wk.w - ch.cw AS offset_w,
+                            CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_active
+                          FROM wk JOIN ch USING (user_id)
+                          GROUP BY 1, 2)
+                  SELECT act.cw, offset_w, n_active, n_cohort,
+                    CAST(floor(1000000.0 * n_active / n_cohort) AS BIGINT)
+                      AS retention_micro
+                  FROM act JOIN sz ON act.cw = sz.cw"""))),
+
+    // KAPLAN-MEIER SURVIVAL — per-user observation = hours from first
+    // to last event (duration bucket), "event observed" = the user ever
+    // purchased (others are censored at their last activity). S(t) =
+    // Π(1 − d_i/n_i) over the ordered duration grid, computed in the
+    // log domain (exp of a cumulative ln sum — the partial-aggregable
+    // product again) over the BOUNDED bucket grid; micro-scaled.
+    Q("ml_kaplan_meier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val obs = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              / 86400000000.0).cast("long").as("t"),
+            max(when(col("event_type") === lit("purchase"), 1L).otherwise(0L)).as("ev"))
+        val grid = obs.groupBy(col("t"))
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+        val w = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withRisk = grid
+          .crossJoin(broadcast(obs.agg(count(lit(1)).as("n_total"))))
+          .select(col("t"), col("d"),
+            (col("n_total") - sum(col("c")).over(w) + col("c")).as("n_risk"))
+        withRisk
+          .select(col("t"), col("d"), col("n_risk"),
+            expr("""CAST(floor(1000000.0 * exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) AS BIGINT)""")
+              .as("survival_micro"))
+          .filter(col("d") > 0)
+      },
+      Some(sql("""WITH obs AS (SELECT user_id,
+                      CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts)))
+                        / 86400000000.0) AS BIGINT) AS t,
+                      CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ev
+                    FROM events GROUP BY user_id),
+                  grid AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c
+                           FROM obs GROUP BY t),
+                  tot AS (SELECT count(*) AS n_total FROM obs),
+                  risk AS (SELECT t, d,
+                      n_total - CAST(sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) + c AS n_risk
+                    FROM grid CROSS JOIN tot)
+                  SELECT t, d, n_risk,
+                    CAST(floor(1000000.0 * exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) AS BIGINT)
+                      AS survival_micro
+                  FROM risk WHERE d > 0""")))
   )
 }
