@@ -791,6 +791,83 @@ object Pipeline5Queries {
                     CAST(floor(1000000.0 * exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) AS BIGINT)
                       AS survival_micro
-                  FROM risk WHERE d > 0""")))
+                  FROM risk WHERE d > 0"""))),
+
+    // ORDERED FUNNEL — view → click → purchase with the ORDER enforced
+    // (a purchase only counts if it follows the user's first click,
+    // which follows their first view): per-step user counts and
+    // step-to-step conversion. One grouped aggregate computing the
+    // three first-times, order checked in the projection — no joins,
+    // no windows.
+    Q("pipe_funnel",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val firsts = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+            min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_buy"))
+          .select(
+            col("t_view").isNotNull.as("s1"),
+            (col("t_view").isNotNull && col("t_click") > col("t_view")).as("s2"),
+            (col("t_view").isNotNull && col("t_click") > col("t_view")
+              && col("t_buy") > col("t_click")).as("s3"))
+        firsts.agg(
+            sum(col("s1").cast("long")).as("n_view"),
+            sum(col("s2").cast("long")).as("n_view_click"),
+            sum(col("s3").cast("long")).as("n_full_funnel"))
+          .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+            expr("CAST(floor(1000000.0 * n_view_click / n_view) AS BIGINT)")
+              .as("conv1_micro"),
+            expr("CAST(floor(1000000.0 * n_full_funnel / n_view_click) AS BIGINT)")
+              .as("conv2_micro"))
+      },
+      Some(sql("""WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+                      min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+                      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tb
+                    FROM events GROUP BY user_id),
+                  s AS (SELECT
+                      CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                      CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_click,
+                      CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tb > tc
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+                    FROM f)
+                  SELECT n_view, n_view_click, n_full_funnel,
+                    CAST(floor(1000000.0 * n_view_click / n_view) AS BIGINT) AS conv1_micro,
+                    CAST(floor(1000000.0 * n_full_funnel / n_view_click) AS BIGINT) AS conv2_micro
+                  FROM s"""))),
+
+    // ROLLING Z-SCORE anomaly flags — hourly event volume scored
+    // against its own trailing 24-hour mean/stddev; |z| > 3 flags the
+    // hour. Window aggregates evaluate in frame order on both engines,
+    // so the stddev agrees at round-4; the grid is the bounded hour
+    // spine.
+    Q("win_rolling_zscore",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = table(s, d, "events")
+          .groupBy(floor(unix_micros(col("ts")) / 3600000000.0).cast("long").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
+        hourly.select(col("h"), col("n"),
+            round(avg(col("n")).over(w), 4).as("mu"),
+            round(stddev_samp(col("n")).over(w), 4).as("sigma"))
+          .withColumn("is_anomaly",
+            col("sigma") > 0 && abs(col("n") - col("mu")) > col("sigma") * 3)
+          .filter(col("mu").isNotNull)
+      },
+      Some(sql("""WITH hourly AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+                      count(*) AS n
+                    FROM events GROUP BY 1),
+                  r AS (SELECT h, n,
+                      round(avg(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4) AS mu,
+                      round(stddev_samp(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 4) AS sigma
+                    FROM hourly)
+                  SELECT h, n, mu, sigma,
+                    sigma > 0 AND abs(n - mu) > sigma * 3 AS is_anomaly
+                  FROM r WHERE mu IS NOT NULL""")))
   )
 }
