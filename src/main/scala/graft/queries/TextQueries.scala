@@ -816,6 +816,46 @@ object TextQueries {
                     CAST(length(dirty) AS BIGINT) AS len_dirty,
                     CAST(length(cleaned) AS BIGINT) AS len_clean,
                     TRUE AS idempotent
-                  FROM c""")))
+                  FROM c"""))),
+
+    // PMI WORD ASSOCIATION — pointwise mutual information over adjacent
+    // token pairs: ln(N·c(a,b) / (c(a)·c(b))), the collocation score
+    // behind phrase mining (Mikolov-style phrase joining uses exactly
+    // this). Vocabulary-bounded aggregates; micro-scaled from exact
+    // counts; pairs seen ≥ 5 times.
+    Q("text_pmi_pairs",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), posexplode(T.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("w"))
+        val pairs = toks.alias("a").join(toks.alias("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.pos") + 1 === col("b.pos"))
+          .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val uni = toks.groupBy(col("w").as("u")).agg(count(lit(1)).as("cu"))
+        val tot = pairs.agg(sum(col("c12")).as("n_pairs"))
+        pairs
+          .join(broadcast(uni.withColumnRenamed("u", "w1").withColumnRenamed("cu", "c1")), Seq("w1"))
+          .join(broadcast(uni.withColumnRenamed("u", "w2").withColumnRenamed("cu", "c2")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("""CAST(floor(1000000.0 * ln(CAST(n_pairs AS DOUBLE) * c12
+                    / (CAST(c1 AS DOUBLE) * c2))) AS BIGINT)""").as("pmi_micro"))
+      },
+      Some(sql(s"""WITH toks AS (SELECT doc_id, i AS pos, l[i + 1] AS w
+                      FROM (SELECT doc_id, ${T.tokensSql("text")} AS l FROM documents),
+                           unnest(range(len(l))) AS t(i)),
+                   pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+                             FROM toks a JOIN toks b
+                               ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+                             GROUP BY 1, 2 HAVING count(*) >= 5),
+                   uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+                   tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM pairs)
+                   SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                     CAST(floor(1000000.0 * ln(CAST(n_pairs AS DOUBLE) * c12
+                       / (CAST(u1.cu AS DOUBLE) * u2.cu))) AS BIGINT) AS pmi_micro
+                   FROM pairs JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
+                   CROSS JOIN tot""")))
   )
 }
