@@ -343,6 +343,72 @@ object SimilarityQueries {
         }
         sql(s"""SELECT vec_id, ${comps.mkString(", ")}
                 FROM embeddings WHERE vec_id < 50""")
-      })
+      }),
+
+    // MMR DIVERSITY RE-RANK (Carbonell-Goldstein maximal marginal
+    // relevance): greedy re-selection of a top-10 candidate pool —
+    // pick₁ = most relevant, pick_k = argmax λ·rel − (1−λ)·max sim to
+    // already-picked (λ=0.7) — the re-ranker that stops a result list
+    // collapsing onto near-duplicates. The greedy recursion is
+    // UNROLLED 3 steps over the BOUNDED pool (10 candidates, 90 sim
+    // pairs), every argmax tie-broken by id; rel/sim pre-rounded at 6
+    // so both engines feed identical numbers into the scores.
+    Q("sim_mmr_rerank",
+      (s, d) => {
+        table(s, d, "embeddings").createOrReplaceTempView("graft_mmr_emb")
+        s.sql(sql("""
+          WITH q AS (SELECT embedding AS qv FROM graft_mmr_emb WHERE vec_id = 0),
+          cand AS (SELECT vec_id, round(graft_cosine(embedding, qv), 6) AS rel,
+                          embedding
+                   FROM graft_mmr_emb, q WHERE vec_id <> 0
+                   ORDER BY rel DESC, vec_id LIMIT 10),
+          sim AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+                         round(graft_cosine(a.embedding, b.embedding), 6) AS s
+                  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+          s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+          sc2 AS (SELECT c.vec_id, round(0.7 * c.rel - 0.3 * sim.s, 6) AS score
+                  FROM cand c JOIN sim ON sim.ca = c.vec_id
+                    AND sim.cb = (SELECT vec_id FROM s1)
+                  WHERE c.vec_id <> (SELECT vec_id FROM s1)),
+          s2 AS (SELECT vec_id, score FROM sc2 ORDER BY score DESC, vec_id LIMIT 1),
+          sc3 AS (SELECT c.vec_id,
+                    round(0.7 * c.rel - 0.3 * greatest(sa.s, sb.s), 6) AS score
+                  FROM cand c
+                  JOIN sim sa ON sa.ca = c.vec_id AND sa.cb = (SELECT vec_id FROM s1)
+                  JOIN sim sb ON sb.ca = c.vec_id AND sb.cb = (SELECT vec_id FROM s2)
+                  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL
+                                         SELECT vec_id FROM s2)),
+          s3 AS (SELECT vec_id, score FROM sc3 ORDER BY score DESC, vec_id LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel AS score FROM s1
+          UNION ALL SELECT 2, vec_id, score FROM s2
+          UNION ALL SELECT 3, vec_id, score FROM s3"""))
+      },
+      Some(sql(s"""
+          WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+          cand AS (SELECT vec_id, round(${T.cosineSql("embedding", "qv")}, 6) AS rel,
+                          embedding
+                   FROM embeddings, q WHERE vec_id <> 0
+                   ORDER BY rel DESC, vec_id LIMIT 10),
+          sim AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+                         round(${T.cosineSql("a.embedding", "b.embedding")}, 6) AS s
+                  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+          s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+          sc2 AS (SELECT c.vec_id, round(0.7 * c.rel - 0.3 * sim.s, 6) AS score
+                  FROM cand c JOIN sim ON sim.ca = c.vec_id
+                    AND sim.cb = (SELECT vec_id FROM s1)
+                  WHERE c.vec_id <> (SELECT vec_id FROM s1)),
+          s2 AS (SELECT vec_id, score FROM sc2 ORDER BY score DESC, vec_id LIMIT 1),
+          sc3 AS (SELECT c.vec_id,
+                    round(0.7 * c.rel - 0.3 * greatest(sa.s, sb.s), 6) AS score
+                  FROM cand c
+                  JOIN sim sa ON sa.ca = c.vec_id AND sa.cb = (SELECT vec_id FROM s1)
+                  JOIN sim sb ON sb.ca = c.vec_id AND sb.cb = (SELECT vec_id FROM s2)
+                  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL
+                                         SELECT vec_id FROM s2)),
+          s3 AS (SELECT vec_id, score FROM sc3 ORDER BY score DESC, vec_id LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel AS score FROM s1
+          UNION ALL SELECT 2, vec_id, score FROM s2
+          UNION ALL SELECT 3, vec_id, score FROM s3""")))
   )
 }
