@@ -355,6 +355,49 @@ object WindowQueries {
                     CASE WHEN cents IS NOT NULL THEN cents * 1000000
                          ELSE CAST(floor((pv * (nh - h) + nv * (h - ph)) * 1000000.0
                                    / (nh - ph)) AS BIGINT) END AS interp_micro
-                  FROM x""")))
+                  FROM x"""))),
+
+    // TRUNCATED EWMA — exponentially weighted moving average with the
+    // tail cut at 12 lags (α=0.3): the recursion unrolls to the closed
+    // form Σ α(1−α)^i·x_{t−i}, computed by collecting the trailing
+    // frame IN FRAME ORDER (deterministic on both engines) and folding
+    // position weights over it. Hourly volume series, micro-scaled;
+    // weights renormalized over the available lags so early rows don't
+    // undershoot.
+    Q("win_ewma_trunc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = table(s, d, "events")
+          .groupBy(floor(unix_micros(col("ts")) / 3600000000.0).cast("long").as("h"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = Window.orderBy(col("h")).rowsBetween(-11, 0)
+        hourly
+          .select(col("h"), col("n").cast("long").as("n"),
+            collect_list(col("n")).over(w).as("tail"))
+          .select(col("h"), col("n"),
+            expr("""CAST(floor(1000000.0 *
+                    aggregate(tail, named_struct('acc', 0D, 'wsum', 0D, 'i', size(tail) - 1),
+                      (st, x) -> named_struct(
+                        'acc', st.acc + x * 0.3 * power(0.7, st.i),
+                        'wsum', st.wsum + 0.3 * power(0.7, st.i),
+                        'i', st.i - 1),
+                      st -> st.acc / st.wsum)) AS BIGINT)""").as("ewma_micro"))
+      },
+      Some(sql("""WITH hourly AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+                      CAST(count(*) AS DOUBLE) AS n
+                    FROM events GROUP BY 1),
+                  t AS (SELECT h, CAST(n AS BIGINT) AS n,
+                      list(n) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                        AS tail
+                    FROM hourly),
+                  e AS (SELECT h, n, tail, len(tail) AS m FROM t)
+                  SELECT h, n,
+                    CAST(floor(1000000.0 *
+                      list_sum(list_transform(range(len(tail)),
+                        i -> tail[i + 1] * 0.3 * power(0.7, len(tail) - 1 - i)))
+                      / list_sum(list_transform(range(len(tail)),
+                        i -> 0.3 * power(0.7, len(tail) - 1 - i)))) AS BIGINT)
+                      AS ewma_micro
+                  FROM e""")))
   )
 }
