@@ -566,6 +566,61 @@ object AggQueries {
                       AS grp_median,
                     o_totalprice > median(o_totalprice)
                       OVER (PARTITION BY o_orderpriority) AS above_median
-                  FROM orders""")))
+                  FROM orders"""))),
+
+    // beyond-ref: GINI COEFFICIENT of per-customer spend — the
+    // concentration index (how unequal is engagement/revenue across
+    // users, the whale-detection number). Exact integer cents, the
+    // sorted-rank closed form G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over
+    // the BOUNDED per-customer aggregate (1.5k rows — the ml_gains
+    // global-rank pattern, not a corpus window); micro-scaled.
+    Q("agg_gini",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+        val ranked = spend.select(col("cents"),
+          row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).as("i"))
+        ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
+            sum(col("i") * col("cents")).as("iw"))
+          .select(col("n"),
+            expr("""CAST(floor(1000000.0 * (2.0 * iw / (CAST(n AS DOUBLE) * tot)
+                    - (n + 1.0) / n)) AS BIGINT)""").as("gini_micro"))
+      },
+      Some(sql("""WITH spend AS (SELECT o_custkey,
+                      CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                        AS cents
+                    FROM orders GROUP BY o_custkey),
+                  r AS (SELECT cents,
+                      row_number() OVER (ORDER BY cents, o_custkey) AS i
+                    FROM spend),
+                  a AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+                      CAST(sum(i * cents) AS BIGINT) AS iw FROM r)
+                  SELECT n,
+                    CAST(floor(1000000.0 * (2.0 * iw / (CAST(n AS DOUBLE) * tot)
+                      - (n + 1.0) / n)) AS BIGINT) AS gini_micro
+                  FROM a"""))),
+
+    // beyond-ref: SHANNON ENTROPY of a categorical distribution (event
+    // mix) in bits — the concentration/diversity dial for corpus
+    // source mixes; exact counts → closed-form log2 terms, micro-scaled.
+    Q("agg_entropy",
+      (s, d) => table(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(
+          table(s, d, "events").agg(count(lit(1)).as("n"))))
+        .agg(
+          expr("""CAST(floor(1000000.0 *
+                  sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))))
+                  AS BIGINT)""").as("entropy_mbits"),
+          count(lit(1)).as("n_types")),
+      Some(sql("""WITH g AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+                  t AS (SELECT count(*) AS n FROM events)
+                  SELECT CAST(floor(1000000.0 *
+                      sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))))
+                      AS BIGINT) AS entropy_mbits,
+                    count(*) AS n_types
+                  FROM g CROSS JOIN t""")))
   )
 }
