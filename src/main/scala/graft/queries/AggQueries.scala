@@ -621,6 +621,42 @@ object AggQueries {
                       sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))))
                       AS BIGINT) AS entropy_mbits,
                     count(*) AS n_types
-                  FROM g CROSS JOIN t""")))
+                  FROM g CROSS JOIN t"""))),
+
+    // beyond-ref: WEIGHTED MEDIAN — the 50%-of-mass crossing point
+    // (here: the price below which half the shipped QUANTITY sits, per
+    // return flag), the robust weighted-center every skewed-spend
+    // report wants. Closed form over cumulative integer weights on the
+    // bounded (flag, price) grid; first price whose running weight
+    // reaches half the total, ties to the smaller price.
+    Q("agg_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = table(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(sum(round(col("l_quantity") * 100.0).cast("long")).as("wt"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = g.groupBy(col("l_returnflag")).agg(sum(col("wt")).as("tot"))
+        g.select(col("l_returnflag"), col("l_extendedprice"),
+            sum(col("wt")).over(w).as("cum"))
+          .join(broadcast(tot), Seq("l_returnflag"))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_extendedprice")).as("weighted_median_price"))
+      },
+      Some(sql("""WITH g AS (SELECT l_returnflag, l_extendedprice,
+                      CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS wt
+                    FROM lineitem GROUP BY 1, 2),
+                  c AS (SELECT l_returnflag, l_extendedprice,
+                      CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM g),
+                  t AS (SELECT l_returnflag, CAST(sum(wt) AS BIGINT) AS tot
+                        FROM g GROUP BY 1)
+                  SELECT c.l_returnflag, min(l_extendedprice) AS weighted_median_price
+                  FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+                  WHERE cum * 2 >= tot
+                  GROUP BY c.l_returnflag""")))
   )
 }

@@ -903,6 +903,48 @@ object Pipeline5Queries {
                         FROM p GROUP BY 1)
                   SELECT p.event_type, next_type, CAST(n AS BIGINT) AS n,
                     CAST(floor(1000000.0 * n / n_from) AS BIGINT) AS p_micro
-                  FROM p JOIN t ON p.event_type = t.event_type""")))
+                  FROM p JOIN t ON p.event_type = t.event_type"""))),
+
+    // LENGTH-BUCKETED BATCH ASSIGNMENT — the LLM data-loader step that
+    // packs similarly-sized documents into token-budget batches (long
+    // docs padded against short ones waste FLOPs): within each source
+    // shard, docs sort by token count (desc, id tiebreak), batch id =
+    // running-token-total DIV budget. Partitioned by source (the prod
+    // within-shard pattern — parallelism grows with shard count); the
+    // per-batch report pins sizes and the padding-waste ratio.
+    Q("pipe_length_batching",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2000L
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tok").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(T.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("batch",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget.toDouble)
+              .cast("long"))
+          .groupBy(col("source"), col("batch"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+            max(col("n_tok")).as("max_tok"),
+            expr("""CAST(floor(1000000.0 * (max(n_tok) * count(*) - sum(n_tok))
+                    / (max(n_tok) * count(*))) AS BIGINT)""").as("pad_waste_micro"))
+      },
+      Some(sql(s"""WITH t AS (SELECT source, doc_id,
+                       CAST(len(${T.tokensSql("text")}) AS BIGINT) AS n_tok
+                     FROM documents),
+                   a AS (SELECT source, doc_id, n_tok,
+                       CAST(floor((sum(n_tok) OVER (PARTITION BY source
+                           ORDER BY n_tok DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 2000.0) AS BIGINT)
+                         AS batch
+                     FROM t)
+                   SELECT source, batch, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS tokens,
+                     CAST(max(n_tok) AS BIGINT) AS max_tok,
+                     CAST(floor(1000000.0 * (max(n_tok) * count(*) - sum(n_tok))
+                       / (max(n_tok) * count(*))) AS BIGINT) AS pad_waste_micro
+                   FROM a GROUP BY source, batch""")))
   )
 }
