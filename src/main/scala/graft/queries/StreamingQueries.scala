@@ -958,6 +958,40 @@ object StreamingQueries {
     // row may appear. The 15:00 tail window stays unfinalized (final
     // watermark 14:30) and must never emit. Oracle = the finalized
     // windows as literals.
+    // STREAMING TABLE API (DataStreamWriter.toTable): the sink is a
+    // CATALOG TABLE — downstream batch queries read it by name with no
+    // path plumbing, the lakehouse-shaped streaming topology. AvailableNow
+    // over the staged replay into a managed parquet table, then the
+    // catalog read-back is the declared result (equals batch truth).
+    Q("stream_to_table",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.Engine.configure(s)
+        Registry.dropManaged(s, "graft_stream_sink")
+        // file-backed tables are APPEND-ONLY sinks (complete/update
+        // raise STREAMING_OUTPUT_MODE.UNSUPPORTED_DATASOURCE) — the
+        // append projection lands per-event rows; aggregation happens
+        // on the catalog read-back
+        val rows = StreamRunner.eventsStream(s, d)
+          .select(col("event_type"), round(col("value") * 100.0).cast("long").as("cents"))
+        val q = rows.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            s"/tmp/graft_ckpt/totable-${System.nanoTime()}")
+          .toTable("graft_stream_sink")
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException("stream_to_table did not finish within 300s")
+        }
+        s.table("graft_stream_sink")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      },
+      Some(sql("""SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+                  FROM events GROUP BY event_type"""))),
+
     // APPEND-MODE WINDOW EMISSION: in append mode a windowed aggregate
     // emits a window EXACTLY ONCE, when the watermark passes its end —
     // so the result over the 4-batch replay is precisely the windows

@@ -856,6 +856,42 @@ object TextQueries {
                      CAST(floor(1000000.0 * ln(CAST(n_pairs AS DOUBLE) * c12
                        / (CAST(u1.cu AS DOUBLE) * u2.cu))) AS BIGINT) AS pmi_micro
                    FROM pairs JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
-                   CROSS JOIN tot""")))
+                   CROSS JOIN tot"""))),
+
+    // CORPUS NOVELTY CURVE — per document (in doc_id ingest order), the
+    // fraction of its 3-gram shingles that NO earlier document
+    // contains: the data-ordering diagnostic that shows where a crawl
+    // went stale (novelty collapses once the corpus saturates). First
+    // occurrence = min doc_id per gram hash — one corpus-keyed
+    // aggregate joined back, no ordering window over the corpus.
+    Q("text_novelty_curve",
+      (s, d) => {
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(transform(Portable.shingles3(col("text")),
+              sh => Portable.stableHash64(sh)))).as("g"))
+        val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("CAST(floor(1000000.0 * n_novel / n_grams) AS BIGINT)")
+              .as("novelty_micro"))
+      },
+      Some(sql(s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
+                       list_transform(${Portable.shingles3Sql("text")},
+                         s -> ${Portable.stableHash64Sql("s")}))) AS g
+                     FROM documents),
+                   f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+                   SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                     CAST(floor(1000000.0 *
+                       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / count(*))
+                       AS BIGINT) AS novelty_micro
+                   FROM g JOIN f USING (g)
+                   GROUP BY doc_id""")))
   )
 }
