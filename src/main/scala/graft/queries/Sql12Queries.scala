@@ -276,6 +276,22 @@ object Sql12Queries {
       },
       Some(sql("""SELECT upper(n_name) AS k_upper, count(*) AS n,
                     CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-                  FROM nation GROUP BY upper(n_name)""")))
+                  FROM nation GROUP BY upper(n_name)"""))),
+
+    // CATALOG LISTING OF THE NATIVE KERNELS — SHOW FUNCTIONS proves the
+    // graft_* Catalyst expressions (cosine / hamming / intl2 / minhash /
+    // overlap / topk) are REGISTERED session functions a SQL user can
+    // discover, not private helpers. Oracle enumerates the expected
+    // registry.
+    Q("sql_show_graft_functions",
+      (s, _) => {
+        graft.Engine.configure(s)
+        s.sql("SHOW USER FUNCTIONS LIKE 'graft_*'")
+          .select(regexp_replace(col("function"), "^.*\\.", "").as("fn"))
+          .orderBy(col("fn"))
+      },
+      Some(sql("""SELECT fn FROM (VALUES ('graft_cosine'), ('graft_hamming64'),
+                    ('graft_intl2'), ('graft_minhash16'), ('graft_overlap64'),
+                    ('graft_topk')) AS t(fn)""")))
   )
 }

@@ -182,4 +182,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(big <= 30L * math.max(small, 50L),
       s"incremental candidates grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
+
+  test("bipartite co-occurrence pair volume tracks order width, not corpus²") {
+    // graph_cooccurrence self-joins on the order key: its largest join
+    // output is Σ_orders w·(w−1)/2 with w bounded by order width (≤7
+    // lineitems), so volume must grow ~linearly with orders — a key
+    // change (e.g. joining on supplier instead) would blow toward N².
+    val small = maxJoinRows("graph_cooccurrence", "/root/testdata/sf0.01")
+    val big = maxJoinRows("graph_cooccurrence", "/root/testdata/sf0.1")
+    info(s"graph_cooccurrence max equi-join rows: sf0.01=$small sf0.1=$big")
+    assert(big <= 30L * math.max(small, 50L),
+      s"co-occurrence pair volume grew superlinearly: sf0.01=$small → sf0.1=$big")
+  }
 }
