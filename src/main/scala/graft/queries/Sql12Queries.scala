@@ -292,6 +292,28 @@ object Sql12Queries {
       },
       Some(sql("""SELECT fn FROM (VALUES ('graft_cosine'), ('graft_hamming64'),
                     ('graft_intl2'), ('graft_minhash16'), ('graft_overlap64'),
-                    ('graft_topk')) AS t(fn)""")))
+                    ('graft_topk')) AS t(fn)"""))),
+
+    // RECURSIVE CTE, GRAPH FORM — transitive ANCESTOR CLOSURE over the
+    // k → k DIV 2 binary-heap tree (sql_recursive_cte pins the series
+    // form; this is the self-referencing JOIN shape hierarchies need):
+    // every node's full ancestor set, depth log k, terminated by the
+    // a >= 2 guard.
+    Q("sql_recursive_transitive",
+      (s, _) => s.sql(sql("""
+        WITH RECURSIVE anc(k, a) AS (
+          SELECT id, id DIV 2 FROM range(2, 31)
+          UNION ALL
+          SELECT k, a DIV 2 FROM anc WHERE a >= 2
+        )
+        SELECT k, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS anc_sum
+        FROM anc GROUP BY k""")),
+      Some(sql("""WITH RECURSIVE anc(k, a) AS (
+                    SELECT k, k // 2 FROM (SELECT unnest(generate_series(2, 30)) AS k)
+                    UNION ALL
+                    SELECT k, a // 2 FROM anc WHERE a >= 2
+                  )
+                  SELECT k, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS anc_sum
+                  FROM anc GROUP BY k""")))
   )
 }
