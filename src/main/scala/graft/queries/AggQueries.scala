@@ -657,6 +657,29 @@ object AggQueries {
                   SELECT c.l_returnflag, min(l_extendedprice) AS weighted_median_price
                   FROM c JOIN t ON c.l_returnflag = t.l_returnflag
                   WHERE cum * 2 >= tot
-                  GROUP BY c.l_returnflag""")))
+                  GROUP BY c.l_returnflag"""))),
+
+    // beyond-ref: HERFINDAHL-HIRSCHMAN INDEX — Σ share² of revenue by
+    // priority class (1/k for a uniform mix, 1 for a monopoly): the
+    // third concentration dial next to agg_gini / agg_entropy, from
+    // exact cent totals, micro-scaled.
+    Q("agg_hhi",
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+        .crossJoin(broadcast(table(s, d, "orders")
+          .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("tot"))))
+        .agg(count(lit(1)).as("n_classes"),
+          expr("""CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)))
+                  AS BIGINT)""").as("hhi_micro")),
+      Some(sql("""WITH g AS (SELECT o_orderpriority,
+                      CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                        AS cents
+                    FROM orders GROUP BY 1),
+                  t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM g)
+                  SELECT count(*) AS n_classes,
+                    CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)))
+                      AS BIGINT) AS hhi_micro
+                  FROM g CROSS JOIN t""")))
   )
 }

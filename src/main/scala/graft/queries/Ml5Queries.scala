@@ -501,6 +501,35 @@ object Ml5Queries {
                     CAST(floor(1000000.0 * (CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
                       / sqrt((CAST(x1+x2 AS DOUBLE)/(n1+n2)) * (1.0 - CAST(x1+x2 AS DOUBLE)/(n1+n2))
                              * (1.0/n1 + 1.0/n2))) AS BIGINT) AS z_micro
+                  FROM g"""))),
+
+    // REGRESSION EVAL METRICS — MAE and RMSE of a deterministic
+    // hash-derived "prediction" against the event value, in exact
+    // integer cents (the residual sums are exact; only the final
+    // sqrt/division is floated then micro-floored) — the eval pair
+    // every regression pipeline reports next to ml_auc's ranking pair.
+    Q("ml_mae_rmse",
+      (s, d) => table(s, d, "events")
+        .select(round(col("value") * 100.0).cast("long").as("y"),
+          (col("event_id") * 2654435761L % 5000L).as("yhat"))
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("y") - col("yhat"))).as("abs_err"),
+          sum((col("y") - col("yhat")) * (col("y") - col("yhat"))).as("sq_err"))
+        .select(col("n"),
+          expr("CAST(floor(1000000.0 * abs_err / n) AS BIGINT)").as("mae_cents_micro"),
+          expr("CAST(floor(1000000.0 * sqrt(CAST(sq_err AS DOUBLE) / n)) AS BIGINT)")
+            .as("rmse_cents_micro")),
+      Some(sql("""WITH t AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS y,
+                      event_id * 2654435761 % 5000 AS yhat
+                    FROM events),
+                  g AS (SELECT count(*) AS n,
+                      CAST(sum(abs(y - yhat)) AS BIGINT) AS abs_err,
+                      CAST(sum((y - yhat) * (y - yhat)) AS BIGINT) AS sq_err
+                    FROM t)
+                  SELECT n,
+                    CAST(floor(1000000.0 * abs_err / n) AS BIGINT) AS mae_cents_micro,
+                    CAST(floor(1000000.0 * sqrt(CAST(sq_err AS DOUBLE) / n)) AS BIGINT)
+                      AS rmse_cents_micro
                   FROM g""")))
   )
 }

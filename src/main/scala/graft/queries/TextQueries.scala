@@ -892,6 +892,27 @@ object TextQueries {
                        sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) / count(*))
                        AS BIGINT) AS novelty_micro
                    FROM g JOIN f USING (g)
-                   GROUP BY doc_id""")))
+                   GROUP BY doc_id"""))),
+
+    // HAPAX RATIO — fraction of the vocabulary seen exactly once: the
+    // heavy-tail health check (natural corpora ≈ 0.4-0.6 hapax; the
+    // saturated test vocab sits near 0, which is itself the signal).
+    // Vocab-bounded aggregate over one tokenize pass.
+    Q("text_hapax_ratio",
+      (s, d) => table(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          expr("""CAST(floor(1000000.0 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT)""").as("hapax_micro")),
+      Some(sql(s"""WITH f AS (SELECT w, count(*) AS f
+                      FROM (SELECT unnest(${T.tokensSql("text")}) AS w FROM documents)
+                      GROUP BY w)
+                   SELECT count(*) AS vocab,
+                     CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                     CAST(floor(1000000.0 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                       / count(*)) AS BIGINT) AS hapax_micro
+                   FROM f""")))
   )
 }

@@ -398,6 +398,30 @@ object WindowQueries {
                       / list_sum(list_transform(range(len(tail)),
                         i -> 0.3 * power(0.7, len(tail) - 1 - i)))) AS BIGINT)
                       AS ewma_micro
-                  FROM e""")))
+                  FROM e"""))),
+
+    // PERIOD-OVER-PERIOD CHANGE — daily event volume vs the previous
+    // day, micro-scaled delta ratio (the growth-dashboard primitive);
+    // first day emits NULL, not zero.
+    Q("win_pct_change",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(s, d, "events")
+          .groupBy(floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day"))
+        daily.select(col("day"), col("n"),
+          lag(col("n"), 1).over(w).as("prev"),
+          floor((col("n") - lag(col("n"), 1).over(w)) * lit(1000000.0)
+            / lag(col("n"), 1).over(w)).cast("long").as("chg_micro"))
+      },
+      Some(sql("""WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                        AS day, count(*) AS n
+                      FROM events GROUP BY 1)
+                  SELECT day, n,
+                    lag(n) OVER (ORDER BY day) AS prev,
+                    CAST(floor((n - lag(n) OVER (ORDER BY day)) * 1000000.0
+                      / lag(n) OVER (ORDER BY day)) AS BIGINT) AS chg_micro
+                  FROM d""")))
   )
 }
