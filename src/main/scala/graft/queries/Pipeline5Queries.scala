@@ -945,6 +945,45 @@ object Pipeline5Queries {
                      CAST(max(n_tok) AS BIGINT) AS max_tok,
                      CAST(floor(1000000.0 * (max(n_tok) * count(*) - sum(n_tok))
                        / (max(n_tok) * count(*))) AS BIGINT) AS pad_waste_micro
-                   FROM a GROUP BY source, batch""")))
+                   FROM a GROUP BY source, batch"""))),
+
+    // DETERMINISTIC NEGATIVE SAMPLING — contrastive-training prep: for
+    // each user with purchases, keep their k=3 hash-top non-purchase
+    // events as negatives (graft_topk bounded heap per user — no
+    // per-user window over the event log), plus the positive count.
+    // The 52-bit hash fold keeps the heap's double score exact, so the
+    // selection is element-for-element oracle-checked.
+    Q("pipe_negative_sampling",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val pos = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_pos"))
+        val negs = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id"),
+            (-pmod(Portable.stableHash64(col("event_id")), lit(1L << 50))
+              .cast("double")).as("nh"))
+          .groupBy(col("user_id"))
+          .agg(expr("graft_topk(nh, event_id, 3)").as("top"))
+          .select(col("user_id"),
+            Registry.arrStr(transform(col("top"), x => x.getField("id")))
+              .as("neg_ids"))
+        pos.join(negs, Seq("user_id"))
+      },
+      Some(sql(s"""WITH pos AS (SELECT user_id, count(*) AS n_pos
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY user_id),
+                   n AS (SELECT user_id, event_id,
+                       (${Portable.stableHash64Sql("event_id")} % ${1L << 50}) AS hv
+                     FROM events WHERE event_type <> 'purchase'),
+                   r AS (SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY hv ASC, event_id ASC) AS rk
+                     FROM n),
+                   sel AS (SELECT user_id,
+                       array_to_string(list(CAST(event_id AS VARCHAR)
+                         ORDER BY rk), '|') AS neg_ids
+                     FROM r WHERE rk <= 3 GROUP BY user_id)
+                   SELECT pos.user_id, n_pos, neg_ids
+                   FROM pos JOIN sel ON pos.user_id = sel.user_id""")))
   )
 }

@@ -422,6 +422,39 @@ object WindowQueries {
                     lag(n) OVER (ORDER BY day) AS prev,
                     CAST(floor((n - lag(n) OVER (ORDER BY day)) * 1000000.0
                       / lag(n) OVER (ORDER BY day)) AS BIGINT) AS chg_micro
-                  FROM d""")))
+                  FROM d"""))),
+
+    // LONGEST ACTIVITY STREAK per user — consecutive-active-days runs
+    // via the day − dense_rank gaps-and-islands identity (consecutive
+    // days share the difference), then max run length: the engagement
+    // metric behind every retention leaderboard. Partitioned by user
+    // throughout.
+    Q("win_streaks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = table(s, d, "events")
+          .select(col("user_id"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("user_id"))
+          .agg(max(col("run")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+      },
+      Some(sql("""WITH days AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+                    FROM events),
+                  g AS (SELECT user_id, day,
+                      day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+                    FROM days),
+                  runs AS (SELECT user_id, grp, count(*) AS run
+                           FROM g GROUP BY 1, 2)
+                  SELECT user_id, CAST(max(run) AS BIGINT) AS longest_streak,
+                    count(*) AS n_streaks
+                  FROM runs GROUP BY user_id""")))
   )
 }
