@@ -409,6 +409,83 @@ object SimilarityQueries {
           s3 AS (SELECT vec_id, score FROM sc3 ORDER BY score DESC, vec_id LIMIT 1)
           SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel AS score FROM s1
           UNION ALL SELECT 2, vec_id, score FROM s2
-          UNION ALL SELECT 3, vec_id, score FROM s3""")))
+          UNION ALL SELECT 3, vec_id, score FROM s3"""))),
+
+    // MULTIPROBE LSH — probe the query's own bucket PLUS all 8
+    // Hamming-1 neighbour buckets (flip one hyperplane sign bit): the
+    // standard recall-vs-index-size trade (Lv 2007) — one index, T× the
+    // probes, no extra tables. Per query the report pins: candidate
+    // volumes (multi ⊇ single), and how many of the TRUE brute-force
+    // top-5 each probe set reaches — recall gain as data. Probes
+    // explode on the QUERY side only (10 × 9 rows); the corpus index is
+    // joined on its single bucket key exactly like sim_topk_lsh.
+    Q("sim_lsh_multiprobe",
+      (s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), T.lshBucket(col("embedding")).as("bucket"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+            col("embedding").as("q_vec"))
+        val probes = q.select(col("q_id"), col("q_bucket"),
+          explode(array(lit(-1L) +: (0 until T.LshPlanes).map(i => lit(1L << i)): _*))
+            .as("flip"))
+          .select(col("q_id"),
+            when(col("flip") < 0, col("q_bucket"))
+              .otherwise(expr("q_bucket ^ flip")).as("probe_bucket"),
+            (col("flip") < 0).as("is_home"))
+        val c = e.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+          col("embedding").as("c_vec"))
+        val cand = probes.join(c, col("probe_bucket") === col("c_bucket"))
+          .filter(col("q_id") =!= col("c_id"))
+        // true top-5 per query from the brute scan
+        val truth = topK(
+          c.join(broadcast(q.select(col("q_id"), col("q_vec"))), col("q_id") =!= col("c_id"))
+            .select(col("q_id"), col("c_id"),
+              round(T.cosineFast(col("q_vec"), col("c_vec")), 6).as("cos")), K)
+          .select(col("q_id"), col("c_id"))
+        cand.groupBy(col("q_id"))
+          .agg(sum(when(col("is_home"), 1L).otherwise(0L)).as("n_single"),
+            count(lit(1)).as("n_multi"))
+          .join(
+            cand.join(truth, Seq("q_id", "c_id"))
+              .groupBy(col("q_id"))
+              .agg(countDistinct(when(col("is_home"), col("c_id"))).as("hits_single"),
+                countDistinct(col("c_id")).as("hits_multi")),
+            Seq("q_id"))
+      },
+      Some(sql(s"""WITH e AS (SELECT vec_id, embedding,
+                     ${T.lshBucketSql("embedding")} AS bucket FROM embeddings),
+                   q AS (SELECT vec_id AS q_id, bucket AS q_bucket,
+                           CAST(embedding AS DOUBLE[]) AS q_vec
+                         FROM e WHERE vec_id < 10),
+                   flips AS (SELECT unnest([-1, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip),
+                   probes AS (SELECT q_id,
+                       CASE WHEN flip < 0 THEN q_bucket
+                            ELSE xor(q_bucket, flip) END AS probe_bucket,
+                       flip < 0 AS is_home
+                     FROM q CROSS JOIN flips),
+                   cand AS (SELECT p.q_id, c.vec_id AS c_id, p.is_home
+                            FROM probes p JOIN e c ON p.probe_bucket = c.bucket
+                            WHERE p.q_id <> c.vec_id),
+                   scored AS (SELECT q_id, c.vec_id AS c_id,
+                       round(${T.cosineSql("q_vec", "c.embedding")}, 6) AS cos
+                     FROM q JOIN e c ON q_id <> c.vec_id),
+                   truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, c_id) AS rk
+                       FROM scored) WHERE rk <= $K),
+                   vol AS (SELECT q_id,
+                       CAST(sum(CASE WHEN is_home THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+                       count(*) AS n_multi
+                     FROM cand GROUP BY q_id),
+                   hits AS (SELECT cand.q_id,
+                       CAST(count(DISTINCT CASE WHEN is_home THEN cand.c_id END) AS BIGINT)
+                         AS hits_single,
+                       CAST(count(DISTINCT cand.c_id) AS BIGINT) AS hits_multi
+                     FROM cand JOIN truth
+                       ON cand.q_id = truth.q_id AND cand.c_id = truth.c_id
+                     GROUP BY cand.q_id)
+                   SELECT q_id, n_single, n_multi, hits_single, hits_multi
+                   FROM vol JOIN hits USING (q_id)""")))
   )
 }
