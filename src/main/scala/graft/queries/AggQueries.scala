@@ -680,6 +680,21 @@ object AggQueries {
                   SELECT count(*) AS n_classes,
                     CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)))
                       AS BIGINT) AS hhi_micro
-                  FROM g CROSS JOIN t""")))
+                  FROM g CROSS JOIN t"""))),
+
+    // try_sum / try_avg AGGREGATE overflow contract (Spark 3.5): a
+    // BIGINT sum that exceeds 2^63 yields NULL under try_sum instead of
+    // the ANSI-off silent wraparound — both behaviours pinned side by
+    // side on three rows of 2^62 (plain sum wraps NEGATIVE; try_sum
+    // nulls; try_avg of the same rows is finite and exact).
+    Q("agg_try_sum",
+      (s, _) => s.sql(sql("""
+        SELECT sum(v) < 0 AS wrapped_negative,
+               try_sum(v) IS NULL AS try_sum_null,
+               CAST(try_avg(v) AS DOUBLE) AS try_avg_ok
+        FROM VALUES (4611686018427387904L), (4611686018427387904L),
+                    (4611686018427387904L) AS t(v)""")),
+      Some(sql("""SELECT TRUE AS wrapped_negative, TRUE AS try_sum_null,
+                    CAST(4611686018427387904 AS DOUBLE) AS try_avg_ok""")))
   )
 }

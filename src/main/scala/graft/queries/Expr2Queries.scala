@@ -719,6 +719,28 @@ object Expr2Queries {
                     CAST(levenshtein(n_name, r_name) AS INT) AS dist,
                     CAST(CASE WHEN levenshtein(n_name, r_name) > 5 THEN -1
                          ELSE levenshtein(n_name, r_name) END AS INT) AS dist_capped
-                  FROM nation CROSS JOIN region""")))
+                  FROM nation CROSS JOIN region"""))),
+
+    // convert_timezone (Spark 3.4) — named-zone wall-clock conversion
+    // incl. a DST boundary (2024-07-01 is EDT, UTC−4; Tokyo has no
+    // DST, UTC+9): rendered as strings so the oracle can rebuild the
+    // same instants through DuckDB's timezone machinery.
+    Q("expr_convert_timezone",
+      (s, d) => table(s, d, "nation").select(
+        col("n_nationkey"),
+        date_format(expr(
+          "convert_timezone('UTC', 'America/New_York', TIMESTAMP '2024-07-01 12:00:00')"),
+          "yyyy-MM-dd HH:mm").as("nyc"),
+        date_format(expr(
+          "convert_timezone('UTC', 'Asia/Tokyo', TIMESTAMP '2024-07-01 12:00:00')"),
+          "yyyy-MM-dd HH:mm").as("tokyo"),
+        date_format(expr(
+          "convert_timezone('UTC', 'America/New_York', TIMESTAMP '2024-01-15 12:00:00')"),
+          "yyyy-MM-dd HH:mm").as("nyc_winter")),
+      Some(sql("""SELECT n_nationkey,
+                    '2024-07-01 08:00' AS nyc,
+                    '2024-07-01 21:00' AS tokyo,
+                    '2024-01-15 07:00' AS nyc_winter
+                  FROM nation""")))
   )
 }
