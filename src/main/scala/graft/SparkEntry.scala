@@ -19,6 +19,7 @@ object SparkEntry {
       WindowQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++
+      Dedup2Queries.all ++
       SimilarityQueries.all ++
       RetrievalQueries.all ++
       SourceQueries.all ++
@@ -32,11 +33,13 @@ object SparkEntry {
       GraphQueries.all ++
       Graph2Queries.all ++
       Expr2Queries.all ++
+      Expr3Queries.all ++
       PipelineQueries.all ++
       Pipeline2Queries.all ++
       Pipeline3Queries.all ++
       Pipeline4Queries.all ++
       Pipeline5Queries.all ++
+      Pipeline6Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++
@@ -48,12 +51,14 @@ object SparkEntry {
       Sql10Queries.all ++
       Sql11Queries.all ++
       Sql12Queries.all ++
+      Sql13Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
-      Ml5Queries.all
+      Ml5Queries.all ++
+      Ml6Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Expression wave 3 (round 10) — the try_* scalar arithmetic family
+  * and str_to_map: remaining scalar surfaces of the reference's
+  * expression layer (sql/catalyst/.../expressions/arithmetic.scala —
+  * whose 1.3 semantics are "wrap silently / null on bad input", exactly
+  * what ANSI-off Spark 4 + the explicit try_* family pin down; Hive's
+  * str_to_map UDF surface).
+  *
+  * Both queries are literal-frame contract pins (driver-local VALUES,
+  * no table input) in the style of agg_try_sum: the capability IS the
+  * documented edge-case grid, so the oracle states the expected
+  * constants directly.
+  */
+object Expr3Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // try_* scalar arithmetic: overflow/zero/bounds cases return NULL
+    // where the ANSI-off plain operators silently wrap (the 1.3
+    // Add/Multiply contract) or also null (Divide). The plain-operator
+    // wrap values are pinned as data next to the try_* NULLs. DuckDB
+    // would raise on BIGINT overflow, so the oracle states the expected
+    // constants (agg_try_sum pattern).
+    Q("expr_try_arith",
+      (s, _) => s.sql(sql("""
+        SELECT try_divide(7, 0) IS NULL                          AS try_div_zero_null,
+               CAST(7 / 0 AS DOUBLE) IS NULL                     AS plain_div_zero_null,
+               try_add(9223372036854775807L, 1L) IS NULL         AS try_add_ovf_null,
+               9223372036854775807L + 1L                         AS plain_add_wraps,
+               try_multiply(4611686018427387904L, 4L) IS NULL    AS try_mul_ovf_null,
+               4611686018427387904L * 4L                         AS plain_mul_wraps,
+               try_subtract(CAST('-9223372036854775808' AS BIGINT), 1L) IS NULL AS try_sub_ovf_null,
+               try_element_at(array(11, 22, 33), 5)              AS try_elem_oob,
+               try_element_at(array(11, 22, 33), 2)              AS try_elem_ok,
+               CAST(try_divide(9.0, 2.0) AS DOUBLE)              AS try_div_ok""")),
+      Some(sql("""SELECT TRUE  AS try_div_zero_null,
+                    TRUE  AS plain_div_zero_null,
+                    TRUE  AS try_add_ovf_null,
+                    CAST(-9223372036854775808 AS BIGINT) AS plain_add_wraps,
+                    TRUE  AS try_mul_ovf_null,
+                    CAST(0 AS BIGINT)  AS plain_mul_wraps,
+                    TRUE  AS try_sub_ovf_null,
+                    CAST(NULL AS INT)  AS try_elem_oob,
+                    22    AS try_elem_ok,
+                    CAST(4.5 AS DOUBLE) AS try_div_ok"""))),
+
+    // str_to_map: the delimited-KV parser (Hive str_to_map surface) —
+    // entry and key/value delimiters, lookup of present and absent
+    // keys, and the reconstructed ordered key/value lists. DuckDB has
+    // no str_to_map, so the oracle rebuilds each projection from
+    // string_split primitives.
+    Q("expr_str_to_map",
+      (s, _) => s.sql(sql("""
+        SELECT element_at(m, 'b')                      AS v_b,
+               element_at(m, 'zz')                     AS v_missing,
+               CAST(size(m) AS BIGINT)                 AS n_entries,
+               array_join(map_keys(m), '|')            AS keys_joined,
+               array_join(map_values(m), '|')          AS vals_joined
+        FROM (SELECT str_to_map('a:1,b:2,c:3', ',', ':') AS m)""")),
+      Some(sql("""WITH t AS (SELECT string_split('a:1,b:2,c:3', ',') AS kvs)
+                  SELECT
+                    string_split(list_filter(kvs, p -> string_split(p, ':')[1] = 'b')[1], ':')[2] AS v_b,
+                    CAST(NULL AS VARCHAR) AS v_missing,
+                    CAST(len(kvs) AS BIGINT) AS n_entries,
+                    array_to_string(list_transform(kvs, p -> string_split(p, ':')[1]), '|') AS keys_joined,
+                    array_to_string(list_transform(kvs, p -> string_split(p, ':')[2]), '|') AS vals_joined
+                  FROM t""")))
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Engine.{events, table}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Pipeline wave 6 (round 10) — sampling and evaluation plumbing a
+  * training-data pipeline needs between curation and the loader:
+  * weighted sampling without replacement (Efraimidis–Spirakis 2006,
+  * the distributed restatement of the reference's RDD takeSample /
+  * sampleByKey surface — core/.../rdd/PairRDDFunctions.scala:258),
+  * equal-frequency feature binning, leakage-free grouped holdout
+  * splits, and mean reciprocal rank.
+  *
+  * Determinism contract: all "randomness" is the portable md5-derived
+  * hash (never seed-based RNG), selections are exact integer or
+  * identical-IEEE-formula comparisons, and every double is rounded
+  * only in the final projection.
+  */
+object Pipeline6Queries {
+
+  /** Per-stratum sample size for the weighted sample. */
+  private val SampleK = 3
+
+  val all: Seq[Q] = Seq(
+
+    // WEIGHTED SAMPLE WITHOUT REPLACEMENT, k per stratum (Efraimidis–
+    // Spirakis): key = ln(u)/w with u = deterministic hash-uniform in
+    // (0,1], w = o_totalprice; the k largest keys per o_orderpriority
+    // win. Distributed shape: the E-S key turns "weighted sample" into
+    // "top-k per group" — a partial TopK under a partitioned window,
+    // never a global sort. Tie-break on o_orderkey pins the order.
+    Q("pipe_weighted_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = table(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("w_cents"),
+            ((Portable.stableHash64(col("o_orderkey")) % 1048576L + 1L).cast("double")
+              / 1048576.0).as("u"))
+          .withColumn("es_key", log(col("u")) / (col("w_cents").cast("double") / 100.0))
+        keyed
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("es_key").desc, col("o_orderkey"))))
+          .filter(col("rk") <= SampleK)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("w_cents"))
+          .orderBy(col("o_orderpriority"), col("rk"))
+      },
+      Some(sql(s"""WITH keyed AS (SELECT o_orderpriority, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+                       CAST(${Portable.stableHash64Sql("o_orderkey")} % 1048576 + 1 AS DOUBLE)
+                         / 1048576.0 AS u
+                     FROM orders),
+                   rk AS (SELECT o_orderpriority, o_orderkey, w_cents,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                         ORDER BY ln(u) / (CAST(w_cents AS DOUBLE) / 100.0) DESC, o_orderkey) AS rk
+                     FROM keyed)
+                   SELECT o_orderpriority, rk, o_orderkey, w_cents
+                   FROM rk WHERE rk <= $SampleK
+                   ORDER BY o_orderpriority, rk"""))),
+
+    // EQUAL-FREQUENCY BINNING (decile feature bins) the scale-correct
+    // way: 9 exact percentile_disc boundaries from ONE aggregate
+    // (broadcast 1-row model), assignment as a map-side comparison sum
+    // — never a global ntile window. Boundary ties bin DOWN (v > b_i
+    // counts), pinned by the exact-element boundaries on both engines.
+    Q("ml_quantile_binning",
+      (s, d) => {
+        val cents = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+        val boundCols = (1 to 9).map(i => expr(
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY v)").as(s"b$i"))
+        val bounds = cents.agg(boundCols.head, boundCols.tail: _*)
+        cents.crossJoin(broadcast(bounds))
+          .select(col("v"),
+            (lit(1L) + (1 to 9).map(i =>
+              when(col("v") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("lo_c"), max(col("v")).as("hi_c"))
+          .orderBy(col("bin"))
+      },
+      Some(sql(s"""WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                     FROM orders),
+                   bounds AS (SELECT ${(1 to 9).map(i =>
+                       s"quantile_disc(v, 0.$i) AS b$i").mkString(", ")} FROM cents)
+                   SELECT 1 + ${(1 to 9).map(i =>
+                       s"CASE WHEN v > b$i THEN 1 ELSE 0 END").mkString(" + ")} AS bin,
+                     count(*) AS n, min(v) AS lo_c, max(v) AS hi_c
+                   FROM cents, bounds
+                   GROUP BY 1 ORDER BY bin"""))),
+
+    // LEAKAGE-FREE GROUPED HOLDOUT: every USER (not row) lands in
+    // exactly one of train/val/test by portable hash (80/10/10); the
+    // leak_users column proves no user straddles splits — the grouped
+    // twin of deterministicSample, the split a sequence model must use.
+    Q("pipe_group_holdout",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("split",
+            when(Portable.stableHash64(col("user_id")) % 10 < 8, "train")
+              .when(Portable.stableHash64(col("user_id")) % 10 === 8, "val")
+              .otherwise("test"))
+        val leak = ev.groupBy(col("user_id"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leak_users"))
+        ev.groupBy(col("split"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(leak))
+          .orderBy(col("split"))
+      },
+      Some(sql(s"""WITH ev AS (SELECT user_id,
+                       CASE WHEN ${Portable.stableHash64Sql("user_id")} % 10 < 8 THEN 'train'
+                            WHEN ${Portable.stableHash64Sql("user_id")} % 10 = 8 THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM events),
+                   leak AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS leak_users
+                       FROM (SELECT user_id, count(DISTINCT split) AS ns
+                             FROM ev GROUP BY user_id)),
+                   agg AS (SELECT split, count(DISTINCT user_id) AS n_users,
+                         count(*) AS n_events
+                       FROM ev GROUP BY split)
+                   SELECT split, n_users, n_events, leak_users
+                   FROM agg, leak ORDER BY split"""))),
+
+    // MEAN RECIPROCAL RANK of the first purchase under a deterministic
+    // hash ranking per user — the third retrieval-eval dial next to
+    // ndcg and PR curves. Rank and hit position are exact integers; the
+    // only doubles are the final 1/rank average.
+    Q("ml_mrr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(Portable.stableHash64(col("event_id")), col("event_id"))))
+        ranked.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(col("rk")).as("first_hit"))
+          .agg(count(lit(1)).as("n_users_with_hit"),
+            round(avg(lit(1.0) / col("first_hit")), 6).as("mrr"),
+            sum(when(col("first_hit") === 1, 1L).otherwise(0L)).as("hits_at_1"))
+      },
+      Some(sql(s"""WITH ranked AS (SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ${Portable.stableHash64Sql("event_id")}, event_id) AS rk
+                     FROM events),
+                   fh AS (SELECT user_id, min(rk) AS first_hit
+                          FROM ranked WHERE event_type = 'purchase'
+                          GROUP BY user_id)
+                   SELECT count(*) AS n_users_with_hit,
+                     round(avg(1.0 / first_hit), 6) AS mrr,
+                     CAST(sum(CASE WHEN first_hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1
+                   FROM fh""")))
+  )
+}

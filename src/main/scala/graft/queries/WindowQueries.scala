@@ -455,6 +455,59 @@ object WindowQueries {
                            FROM g GROUP BY 1, 2)
                   SELECT user_id, CAST(max(run) AS BIGINT) AS longest_streak,
                     count(*) AS n_streaks
-                  FROM runs GROUP BY user_id""")))
+                  FROM runs GROUP BY user_id"""))),
+
+    // AUTOCORRELATION of the hourly event-count series at lags 1h and
+    // 24h — the periodicity diagnostic behind seasonality-aware
+    // forecasting. Pairs come from an equi-join of the hourly series
+    // onto itself shifted by the lag (gaps pair nothing, exactly the
+    // observed-pairs convention); Pearson r is computed from exact
+    // integer sufficient statistics, so no accumulation-order drift.
+    // Scale posture: the hourly series is corpus-time-bounded (one
+    // partial agg from events), the self-join is an equi-join on hour —
+    // never quadratic.
+    Q("win_autocorr",
+      (s, d) => {
+        val hourly = graft.Engine.events(s, d)
+          .groupBy(floor(unix_micros(col("ts")) / 3600000000.0).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val lags = s.range(1, 2).select(lit(1L).as("lg"))
+          .union(s.range(1, 2).select(lit(24L).as("lg")))
+        hourly.as("a").crossJoin(lags)
+          .join(hourly.as("b"), col("a.hr") === col("b.hr") + col("lg"))
+          .select(col("lg"), col("a.n").as("y"), col("b.n").as("x"))
+          .groupBy(col("lg"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lg"), col("n_pairs"),
+            round((col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double") / col("n_pairs").cast("double")) /
+              sqrt((col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double") / col("n_pairs").cast("double")) *
+                (col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double") / col("n_pairs").cast("double"))), 6)
+              .as("autocorr"))
+          .orderBy(col("lg"))
+      },
+      Some(sql("""WITH hourly AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+                       count(*) AS n
+                     FROM events GROUP BY 1),
+                  lags AS (SELECT unnest([CAST(1 AS BIGINT), CAST(24 AS BIGINT)]) AS lg),
+                  pairs AS (SELECT lg, a.n AS y, b.n AS x
+                            FROM hourly a, lags, hourly b
+                            WHERE a.hr = b.hr + lg),
+                  s AS (SELECT lg, count(*) AS n_pairs,
+                          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                          sum(x * x) AS sxx, sum(y * y) AS syy
+                        FROM pairs GROUP BY lg)
+                  SELECT lg, n_pairs,
+                    round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE)) /
+                      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE)) *
+                           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE))), 6)
+                      AS autocorr
+                  FROM s ORDER BY lg""")))
   )
 }

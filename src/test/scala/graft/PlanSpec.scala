@@ -886,4 +886,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead coalesced"),
       s"post-shuffle partitions not coalesced:\n$p")
   }
+
+  test("nested unions flatten to one n-ary Union (union_remove family)") {
+    // left-deep ((A ∪ B) ∪ C) ∪ D must collapse via CombineUnions —
+    // counted on the optimized LOGICAL plan (whole-stage codegen fuses
+    // the physical unions into one span anyway; the logical node count
+    // is the contract)
+    val df = SparkEntry.queries("sql_union_flatten")(spark, TestSpark.Sf)
+    val unions = df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size == 1, s"expected one flattened Union:\n${df.queryExecution.optimizedPlan}")
+    assert(unions.head.children.size == 4,
+      s"expected 4 union branches:\n${unions.head}")
+  }
+
+  test("paragraph dedup ranks on the corpus-growing segment hash") {
+    // same contract as dedup_exact_substr: the keep-first decision must
+    // be hash-partitioned on the 64-bit segment hash, never a global
+    // window — the paragraph-dedup 100 TB posture
+    val p = plan("dedup_paragraph")
+    assert(p.matches("(?s).*hashpartitioning\\([^)]*h#.*"),
+      s"keep decision not partitioned on the segment hash:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"dedup_paragraph has a single-partition stage:\n$p")
+  }
+
+  test("paragraph boilerplate filter joins on the segment hash, no window") {
+    // the common-segment rule is a partial agg + equi-join on h — it
+    // must not plan a corpus-wide window or a broadcast of the
+    // corpus-growing frequency table's build side being the SEGMENTS
+    // (broadcast of the small aggregated side is fine at test SF)
+    val p = plan("dedup_paragraph_common")
+    assert(!p.contains("SinglePartition"),
+      s"dedup_paragraph_common has a single-partition stage:\n$p")
+    assert(!p.contains("Window"),
+      s"dedup_paragraph_common should not use a window:\n$p")
+  }
 }
