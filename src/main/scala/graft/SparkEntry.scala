@@ -18,6 +18,7 @@ object SparkEntry {
       ExprQueries.all ++
       WindowQueries.all ++
       TextQueries.all ++
+      Text2Queries.all ++
       DedupQueries.all ++
       Dedup2Queries.all ++
       SimilarityQueries.all ++
@@ -58,7 +59,8 @@ object SparkEntry {
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++
-      Ml6Queries.all
+      Ml6Queries.all ++
+      Ml7Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

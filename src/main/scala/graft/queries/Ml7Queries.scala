@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Engine.events
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** MLlib parity, wave 7 (round 10) — the remaining evaluation metrics
+  * of the reference's mllib/evaluation surface (BinaryClassification
+  * Metrics.scala, MulticlassMetrics.scala): proper scoring rules
+  * (Brier + log loss), Welch's unequal-variance t-test, and Cohen's
+  * kappa. Scores/labels derive deterministically from the portable
+  * hash so every metric is reproducible; counts and squared errors are
+  * exact integers, transcendentals (ln, sqrt) appear only in the final
+  * rounded projection.
+  */
+object Ml7Queries {
+
+  /** Deterministic "model score" in exact thousandths {1..999}. */
+  private def scoreK = (Portable.stableHash64(col("event_id")) % 999L + 1L)
+  private def scoreKSql = s"(${Portable.stableHash64Sql("event_id")} % 999 + 1)"
+
+  val all: Seq[Q] = Seq(
+
+    // PROPER SCORING RULES: Brier score as an EXACT integer (scores are
+    // thousandths, so 1e6·Brier = Σ(k−1000y)² DIV n), log loss from the
+    // same rows with ln only in the final average. One scan, one global
+    // partial aggregate.
+    Q("ml_log_loss_brier",
+      (s, d) => {
+        val scored = events(s, d).select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          scoreK.as("k"))
+        scored.select(col("y"), col("k"),
+          ((col("k") - col("y") * 1000L) * (col("k") - col("y") * 1000L)).as("d2"),
+          (col("k").cast("double") / 1000.0).as("p"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(d2) DIV count(1) AS BIGINT)").as("brier_micro"),
+            round(-avg(col("y") * log(col("p"))
+              + (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 6).as("log_loss"))
+      },
+      Some(sql(s"""WITH scored AS (SELECT
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                       $scoreKSql AS k
+                     FROM events),
+                   rows_ AS (SELECT y, k,
+                       (k - 1000 * y) * (k - 1000 * y) AS d2,
+                       CAST(k AS DOUBLE) / 1000.0 AS p
+                     FROM scored)
+                   SELECT count(*) AS n,
+                     CAST(sum(d2) // count(*) AS BIGINT) AS brier_micro,
+                     round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS log_loss
+                   FROM rows_"""))),
+
+    // WELCH'S T-TEST (unequal variances) between purchase and click
+    // event values: per-group exact integer (n, Σv, Σv²), then the
+    // t statistic and Welch–Satterthwaite degrees of freedom as the
+    // shared IEEE scalar formula. The reference's closest surface is
+    // mllib/stat's streaming significance testing.
+    Q("ml_welch_t",
+      (s, d) => {
+        val g = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v").cast("decimal(38,0)") * col("v")).as("qv"))
+          .select(col("event_type"), col("n").cast("double").as("n"),
+            col("sv").cast("double").as("s"), col("qv").cast("double").as("q"))
+        val w = g.agg(
+          max(when(col("event_type") === "purchase", col("n"))).as("n1"),
+          max(when(col("event_type") === "purchase", col("s"))).as("s1"),
+          max(when(col("event_type") === "purchase", col("q"))).as("q1"),
+          max(when(col("event_type") === "click", col("n"))).as("n2"),
+          max(when(col("event_type") === "click", col("s"))).as("s2"),
+          max(when(col("event_type") === "click", col("q"))).as("q2"))
+        w.select(
+          col("n1").cast("long").as("n_purchase"), col("n2").cast("long").as("n_click"),
+          ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1) / col("n1"))
+            .as("se1sq"),
+          ((col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1) / col("n2"))
+            .as("se2sq"),
+          (col("s1") / col("n1") - col("s2") / col("n2")).as("dmean"))
+          .select(col("n_purchase"), col("n_click"),
+            round(col("dmean") / 100.0, 4).as("mean_diff_d"),
+            round(col("dmean") / sqrt(col("se1sq") + col("se2sq")), 6).as("t_stat"),
+            round((col("se1sq") + col("se2sq")) * (col("se1sq") + col("se2sq")) /
+              (col("se1sq") * col("se1sq") / (col("n_purchase").cast("double") - 1) +
+               col("se2sq") * col("se2sq") / (col("n_click").cast("double") - 1)), 2)
+              .as("welch_df"))
+      },
+      Some(sql("""WITH g AS (SELECT event_type, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS sv,
+                       sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS qv
+                     FROM events WHERE event_type IN ('purchase', 'click')
+                     GROUP BY event_type),
+                   w AS (SELECT
+                       max(CASE WHEN event_type = 'purchase' THEN CAST(n AS DOUBLE) END) AS n1,
+                       max(CASE WHEN event_type = 'purchase' THEN CAST(sv AS DOUBLE) END) AS s1,
+                       max(CASE WHEN event_type = 'purchase' THEN CAST(qv AS DOUBLE) END) AS q1,
+                       max(CASE WHEN event_type = 'click' THEN CAST(n AS DOUBLE) END) AS n2,
+                       max(CASE WHEN event_type = 'click' THEN CAST(sv AS DOUBLE) END) AS s2,
+                       max(CASE WHEN event_type = 'click' THEN CAST(qv AS DOUBLE) END) AS q2
+                     FROM g),
+                   se AS (SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+                       (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1sq,
+                       (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2sq,
+                       s1 / n1 - s2 / n2 AS dmean
+                     FROM w)
+                   SELECT n_purchase, n_click,
+                     round(dmean / 100.0, 4) AS mean_diff_d,
+                     round(dmean / sqrt(se1sq + se2sq), 6) AS t_stat,
+                     round((se1sq + se2sq) * (se1sq + se2sq) /
+                       (se1sq * se1sq / (CAST(n_purchase AS DOUBLE) - 1) +
+                        se2sq * se2sq / (CAST(n_click AS DOUBLE) - 1)), 2) AS welch_df
+                   FROM se"""))),
+
+    // COHEN'S KAPPA: chance-corrected agreement between the true class
+    // and a deterministic noisy rater (hash-agree 80%, else the next
+    // class cyclically). po/pe come from exact contingency counts; the
+    // single division is the final projection. The multiclass-agreement
+    // dial next to ml_prf_metrics' per-class F1.
+    Q("ml_cohen_kappa",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val nextType = types.zipWithIndex.map { case (t, i) =>
+          (t, types((i + 1) % types.size))
+        }.foldLeft(lit(null).cast("string")) { case (acc, (t, nt)) =>
+          when(col("event_type") === t, nt).otherwise(acc)
+        }
+        val rated = events(s, d).select(col("event_type").as("a"),
+          when(Portable.stableHash64(col("event_id")) % 5 < 4, col("event_type"))
+            .otherwise(nextType).as("b"))
+        val counts = rated.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        counts.agg(
+          sum(col("c")).as("n"),
+          sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+          .crossJoin(broadcast(
+            counts.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+              .join(counts.groupBy(col("b")).agg(sum(col("c")).as("cb")),
+                col("a") === col("b"))
+              .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("pe_num"))))
+          .select(col("n").cast("long").as("n"),
+            col("agree").cast("long").as("agree"),
+            round((col("agree").cast("double") / col("n").cast("double") -
+              col("pe_num").cast("double") / (col("n").cast("double") * col("n").cast("double"))) /
+              (lit(1.0) -
+                col("pe_num").cast("double") / (col("n").cast("double") * col("n").cast("double"))), 6)
+              .as("kappa"))
+      },
+      Some(sql(s"""WITH rated AS (SELECT event_type AS a,
+                       CASE WHEN ${Portable.stableHash64Sql("event_id")} % 5 < 4 THEN event_type
+                            ELSE CASE event_type
+                                   WHEN 'click' THEN 'error' WHEN 'error' THEN 'purchase'
+                                   WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'view'
+                                   WHEN 'view' THEN 'click' END
+                       END AS b
+                     FROM events),
+                   counts AS (SELECT a, b, count(*) AS c FROM rated GROUP BY a, b),
+                   tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+                     FROM counts),
+                   pe AS (SELECT sum(ra * cb) AS pe_num
+                          FROM (SELECT a, sum(c) AS ra FROM counts GROUP BY a) x
+                          JOIN (SELECT b, sum(c) AS cb FROM counts GROUP BY b) y
+                            ON x.a = y.b)
+                   SELECT n, agree,
+                     round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) -
+                       CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+                       (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                       AS kappa
+                   FROM tot, pe""")))
+  )
+}

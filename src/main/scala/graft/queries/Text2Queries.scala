@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Engine.table
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Text wave 2 (round 10) — reference-based n-gram overlap scoring
+  * (ROUGE-1/ROUGE-2), the standard summarization/contamination metric a
+  * training-eval pipeline computes between candidate and reference
+  * texts. Pairing is a deterministic hash sample (every 25th doc, fixed
+  * +137 partner offset), the clipped-count overlap is exact integer
+  * arithmetic, and scores are floor-1e6-scaled integers — no floats
+  * anywhere.
+  *
+  * Scale posture: per-pair work is bounded by tokens-per-doc; the
+  * n-gram overlap is a (pair, gram)-keyed partial agg + equi-join,
+  * never a cross join of the corpus.
+  */
+object Text2Queries {
+
+  /** Sample every Mth doc as a "candidate", partner offset P. */
+  private val SampleMod = 25
+  private val PartnerOff = 137
+
+  val all: Seq[Q] = Seq(
+
+    Q("text_rouge_pairs",
+      (s, d) => {
+        val n = table(s, d, "documents").agg(count(lit(1)).as("corpus_n"))
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val pairs = docs
+          .filter(Portable.stableHash64(col("doc_id")) % SampleMod === 0)
+          .crossJoin(broadcast(n))
+          .select(col("doc_id").as("ref_id"),
+            ((col("doc_id") + PartnerOff) % col("corpus_n")).as("cand_id"))
+        // one row per (pair, side, gram) for unigrams and bigrams, then
+        // clipped-count overlap per pair: Σ min(ref_cnt, cand_cnt)
+        val withToks = pairs
+          .join(docs.select(col("doc_id").as("ref_id"), col("w").as("wa")), "ref_id")
+          .join(docs.select(col("doc_id").as("cand_id"), col("w").as("wb")), "cand_id")
+        def grams(w: org.apache.spark.sql.Column, nGram: Int) =
+          if (nGram == 1) w
+          else filter(
+            transform(sequence(lit(0), greatest(size(w) - nGram, lit(0))), i =>
+              when(i <= size(w) - nGram,
+                concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))),
+            g => g.isNotNull)
+        def overlap(nGram: Int): DataFrame = {
+          val a = withToks.select(col("ref_id"), col("cand_id"),
+            explode(grams(col("wa"), nGram)).as("g"))
+            .groupBy(col("ref_id"), col("cand_id"), col("g"))
+            .agg(count(lit(1)).as("ca"))
+          val b = withToks.select(col("ref_id"), col("cand_id"),
+            explode(grams(col("wb"), nGram)).as("g"))
+            .groupBy(col("ref_id"), col("cand_id"), col("g"))
+            .agg(count(lit(1)).as("cb"))
+          a.join(b, Seq("ref_id", "cand_id", "g"))
+            .groupBy(col("ref_id"), col("cand_id"))
+            .agg(sum(least(col("ca"), col("cb"))).as(s"ov$nGram"))
+        }
+        val sizes = withToks.select(col("ref_id"), col("cand_id"),
+          size(col("wa")).cast("long").as("na1"), size(col("wb")).cast("long").as("nb1"),
+          greatest(size(col("wa")) - 1, lit(0)).cast("long").as("na2"),
+          greatest(size(col("wb")) - 1, lit(0)).cast("long").as("nb2"))
+        sizes
+          .join(overlap(1), Seq("ref_id", "cand_id"), "left")
+          .join(overlap(2), Seq("ref_id", "cand_id"), "left")
+          .select(col("ref_id"), col("cand_id"),
+            coalesce(col("ov1"), lit(0L)).as("ov1"),
+            coalesce(col("ov2"), lit(0L)).as("ov2"),
+            expr("CAST(coalesce(ov1, 0) * 1000000 DIV na1 AS BIGINT)").as("r1_recall_micro"),
+            expr("CAST(coalesce(ov1, 0) * 1000000 DIV nb1 AS BIGINT)").as("r1_prec_micro"),
+            expr("CAST(CASE WHEN na2 > 0 THEN coalesce(ov2, 0) * 1000000 DIV na2 ELSE 0 END AS BIGINT)")
+              .as("r2_recall_micro"),
+            expr("CAST(CASE WHEN nb2 > 0 THEN coalesce(ov2, 0) * 1000000 DIV nb2 ELSE 0 END AS BIGINT)")
+              .as("r2_prec_micro"))
+          .orderBy(col("ref_id"))
+      },
+      Some(sql(s"""WITH n AS (SELECT count(*) AS corpus_n FROM documents),
+                   docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   pairs AS (SELECT d.doc_id AS ref_id,
+                       (d.doc_id + $PartnerOff) % n.corpus_n AS cand_id
+                     FROM docs d, n
+                     WHERE ${Portable.stableHash64Sql("d.doc_id")} % $SampleMod = 0),
+                   wt AS (SELECT p.ref_id, p.cand_id, a.w AS wa, b.w AS wb
+                          FROM pairs p
+                          JOIN docs a ON a.doc_id = p.ref_id
+                          JOIN docs b ON b.doc_id = p.cand_id),
+                   ga AS (SELECT ref_id, cand_id, unnest(wa) AS g FROM wt),
+                   gb AS (SELECT ref_id, cand_id, unnest(wb) AS g FROM wt),
+                   ov1 AS (SELECT ref_id, cand_id, CAST(sum(least(ca, cb)) AS BIGINT) AS ov1
+                           FROM (SELECT ref_id, cand_id, g, count(*) AS ca FROM ga GROUP BY 1,2,3) x
+                           JOIN (SELECT ref_id, cand_id, g, count(*) AS cb FROM gb GROUP BY 1,2,3) y
+                             USING (ref_id, cand_id, g)
+                           GROUP BY ref_id, cand_id),
+                   ba AS (SELECT ref_id, cand_id, unnest(
+                            list_transform(range(1, len(wa)),
+                              i -> wa[i] || ' ' || wa[i+1])) AS g FROM wt),
+                   bb AS (SELECT ref_id, cand_id, unnest(
+                            list_transform(range(1, len(wb)),
+                              i -> wb[i] || ' ' || wb[i+1])) AS g FROM wt),
+                   ov2 AS (SELECT ref_id, cand_id, CAST(sum(least(ca, cb)) AS BIGINT) AS ov2
+                           FROM (SELECT ref_id, cand_id, g, count(*) AS ca
+                                 FROM ba GROUP BY 1, 2, 3) x
+                           JOIN (SELECT ref_id, cand_id, g, count(*) AS cb
+                                 FROM bb GROUP BY 1, 2, 3) y
+                             USING (ref_id, cand_id, g)
+                           GROUP BY ref_id, cand_id),
+                   sizes AS (SELECT ref_id, cand_id,
+                       CAST(len(wa) AS BIGINT) AS na1, CAST(len(wb) AS BIGINT) AS nb1,
+                       CAST(greatest(len(wa) - 1, 0) AS BIGINT) AS na2,
+                       CAST(greatest(len(wb) - 1, 0) AS BIGINT) AS nb2
+                     FROM wt)
+                   SELECT ref_id, cand_id,
+                     COALESCE(ov1, 0) AS ov1, COALESCE(ov2, 0) AS ov2,
+                     COALESCE(ov1, 0) * 1000000 // na1 AS r1_recall_micro,
+                     COALESCE(ov1, 0) * 1000000 // nb1 AS r1_prec_micro,
+                     CASE WHEN na2 > 0 THEN COALESCE(ov2, 0) * 1000000 // na2 ELSE 0 END AS r2_recall_micro,
+                     CASE WHEN nb2 > 0 THEN COALESCE(ov2, 0) * 1000000 // nb2 ELSE 0 END AS r2_prec_micro
+                   FROM sizes
+                   LEFT JOIN ov1 USING (ref_id, cand_id)
+                   LEFT JOIN ov2 USING (ref_id, cand_id)
+                   ORDER BY ref_id""")))
+  )
+}

@@ -508,6 +508,53 @@ object WindowQueries {
                       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE)) *
                            (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE))), 6)
                       AS autocorr
-                  FROM s ORDER BY lg""")))
+                  FROM s ORDER BY lg"""))),
+
+    // CUSUM DRIFT DETECTION per event type: the resetting one-sided
+    // CUSUM C_t = max(0, C_{t-1} + dev_t) restated WINDOW-EXPRESSIBLE
+    // via the prefix-sum identity C_t = P_t − min_{s≤t} P_s — two
+    // running frames partitioned by event_type, exact integer cents
+    // throughout (the upward-drift alarm behind data-quality monitors).
+    // Alarm: cumulative positive drift exceeding one average day's
+    // volume.
+    Q("win_cusum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = graft.Engine.events(s, d)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val base = daily.groupBy(col("event_type"))
+          .agg(expr("CAST(sum(v) DIV count(1) AS BIGINT)").as("baseline"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(base), "event_type")
+          .withColumn("p", sum(col("v") - col("baseline")).over(w))
+          .withColumn("c", col("p") - min(col("p")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            max(col("c")).as("max_cusum_c"),
+            sum(when(col("c") > col("baseline"), 1L).otherwise(0L)).as("alarm_days"))
+          .orderBy(col("event_type"))
+      },
+      Some(sql("""WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events GROUP BY 1, 2),
+                  base AS (SELECT event_type, CAST(sum(v) // count(*) AS BIGINT) AS baseline
+                           FROM daily GROUP BY event_type),
+                  pr AS (SELECT d.event_type, day, v, baseline,
+                       CAST(sum(v - baseline) OVER (PARTITION BY d.event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+                     FROM daily d JOIN base USING (event_type)),
+                  cu AS (SELECT event_type, day, baseline,
+                       p - min(p) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                     FROM pr)
+                  SELECT event_type, count(*) AS n_days,
+                    CAST(max(c) AS BIGINT) AS max_cusum_c,
+                    CAST(sum(CASE WHEN c > baseline THEN 1 ELSE 0 END) AS BIGINT) AS alarm_days
+                  FROM cu GROUP BY event_type ORDER BY event_type"""))),
+
   )
 }
