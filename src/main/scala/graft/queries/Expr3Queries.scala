@@ -69,6 +69,32 @@ object Expr3Queries {
                     CAST(len(kvs) AS BIGINT) AS n_entries,
                     array_to_string(list_transform(kvs, p -> string_split(p, ':')[1]), '|') AS keys_joined,
                     array_to_string(list_transform(kvs, p -> string_split(p, ':')[2]), '|') AS vals_joined
+                  FROM t"""))),
+
+    // Higher-order-function QUANTIFIERS + indexed lambdas + the
+    // seed/merge/finish fold — the remaining HOF surfaces next to the
+    // transform/zip_with/aggregate rows the earlier waves pinned.
+    // DuckDB rebuilds forall/exists from list_filter lengths and the
+    // indexed filter via list_select over a filtered index list.
+    Q("expr_hof_quantifiers",
+      (s, _) => s.sql(sql("""
+        SELECT forall(a, x -> x > 0)                        AS all_pos,
+               forall(a, x -> x % 2 = 0)                    AS all_even,
+               exists(a, x -> x > 7)                        AS any_gt7,
+               exists(a, x -> x < 0)                        AS any_neg,
+               array_join(filter(a, (x, i) -> i % 2 = 0), '|') AS even_pos_elems,
+               aggregate(a, 0, (acc, x) -> acc + x, acc -> acc * 10) AS sum_x10,
+               aggregate(a, 1, (acc, x) -> acc * x)         AS product
+        FROM (SELECT array(3, 8, 1, 6) AS a)""")),
+      Some(sql("""WITH t AS (SELECT [3, 8, 1, 6] AS a)
+                  SELECT len(list_filter(a, x -> x <= 0)) = 0 AS all_pos,
+                    len(list_filter(a, x -> x % 2 <> 0)) = 0 AS all_even,
+                    len(list_filter(a, x -> x > 7)) > 0 AS any_gt7,
+                    len(list_filter(a, x -> x < 0)) > 0 AS any_neg,
+                    array_to_string(list_select(a,
+                      list_filter(range(1, len(a) + 1), i -> i % 2 = 1)), '|') AS even_pos_elems,
+                    CAST(list_sum(a) * 10 AS INT) AS sum_x10,
+                    CAST(list_reduce(a, (acc, x) -> acc * x) AS INT) AS product
                   FROM t""")))
   )
 }

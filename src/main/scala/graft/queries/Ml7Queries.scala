@@ -169,6 +169,59 @@ object Ml7Queries {
                        CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
                        (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
                        AS kappa
-                   FROM tot, pe""")))
+                   FROM tot, pe"""))),
+
+    // SIMPLIFIED SILHOUETTE (centroid-based, the linear-time variant of
+    // mllib's ClusteringEvaluator): a(x) = dist to own label centroid,
+    // b(x) = min dist to the other 9 — centroids are exact integer-DIV
+    // micro vectors from one partial agg, distances exact integer sums
+    // of squares via a broadcast join on the dimension index, sqrt only
+    // in the final per-point projection. The misassignment count uses
+    // the exact b²<a² integer compare, immune to float drift.
+    Q("ml_silhouette",
+      (s, d) => {
+        val pts = graft.Engine.table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "e")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            round(col("e").cast("double") * 1e6).cast("long").as("xm"))
+        val cent = pts.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(expr("CAST(sum(xm) DIV count(1) AS BIGINT)").as("c"))
+        val d2 = pts.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum((col("xm") - col("c")) * (col("xm") - col("c"))).as("d2"))
+        val per = d2.groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+            min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+        per
+          .select(col("label"), col("a2"), col("b2"),
+            ((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double"))))
+              .as("sil"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("sil")), 6).as("mean_silhouette"),
+            sum(when(col("b2") < col("a2"), 1L).otherwise(0L)).as("n_misassigned"))
+          .orderBy(col("label"))
+      },
+      Some(sql("""WITH pts AS (SELECT vec_id, label, CAST(i.range AS INT) - 1 AS pos,
+                       CAST(round(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE) * 1e6) AS BIGINT) AS xm
+                     FROM embeddings, range(1, 65) i),
+                   cent AS (SELECT label AS clabel, pos,
+                       CAST(sum(xm) // count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+                   d2 AS (SELECT vec_id, label, clabel,
+                       CAST(sum((xm - c) * (xm - c)) AS BIGINT) AS d2
+                     FROM pts JOIN cent USING (pos) GROUP BY 1, 2, 3),
+                   per AS (SELECT vec_id, label,
+                       max(CASE WHEN clabel = label THEN d2 END) AS a2,
+                       min(CASE WHEN clabel <> label THEN d2 END) AS b2
+                     FROM d2 GROUP BY 1, 2)
+                   SELECT label, count(*) AS n,
+                     round(avg((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+                       greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))), 6)
+                       AS mean_silhouette,
+                     CAST(sum(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+                   FROM per GROUP BY label ORDER BY label""")))
   )
 }

@@ -38,9 +38,12 @@ object Text2Queries {
             ((col("doc_id") + PartnerOff) % col("corpus_n")).as("cand_id"))
         // one row per (pair, side, gram) for unigrams and bigrams, then
         // clipped-count overlap per pair: Σ min(ref_cnt, cand_cnt)
-        val withToks = pairs
+        // cached (swap semantics): three consumers (unigram overlap,
+        // bigram overlap, sizes) — without the cache each re-derives the
+        // sample joins from scratch
+        val withToks = graft.functions.CacheOnce.swap("rouge_wt", pairs
           .join(docs.select(col("doc_id").as("ref_id"), col("w").as("wa")), "ref_id")
-          .join(docs.select(col("doc_id").as("cand_id"), col("w").as("wb")), "cand_id")
+          .join(docs.select(col("doc_id").as("cand_id"), col("w").as("wb")), "cand_id"))
         def grams(w: org.apache.spark.sql.Column, nGram: Int) =
           if (nGram == 1) w
           else filter(

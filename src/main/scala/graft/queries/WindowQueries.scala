@@ -556,5 +556,42 @@ object WindowQueries {
                     CAST(sum(CASE WHEN c > baseline THEN 1 ELSE 0 END) AS BIGINT) AS alarm_days
                   FROM cu GROUP BY event_type ORDER BY event_type"""))),
 
+    // SEASONAL-NAIVE FORECAST EVAL: forecast(day) = actual(day − 7) per
+    // event type (the standard baseline every forecaster must beat),
+    // scored by MAPE and sMAPE over the days where both sides exist.
+    // The forecast join is an equi-join on (type, day−7) — gaps pair
+    // nothing; volumes are exact integer cents, the error ratios are
+    // the only doubles.
+    Q("win_seasonal_naive",
+      (s, d) => {
+        val daily = graft.Engine.events(s, d)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.day") === col("b.day") + 7)
+          .select(col("a.event_type").as("event_type"),
+            col("a.v").as("v"), col("b.v").as("f"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            round(avg(abs(col("v") - col("f")).cast("double") / col("v").cast("double")), 6)
+              .as("mape"),
+            round(avg(abs(col("v") - col("f")).cast("double") * 2.0 /
+              (col("v") + col("f")).cast("double")), 6).as("smape"))
+          .orderBy(col("event_type"))
+      },
+      Some(sql("""WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events GROUP BY 1, 2)
+                  SELECT a.event_type, count(*) AS n_days,
+                    round(avg(CAST(abs(a.v - b.v) AS DOUBLE) / CAST(a.v AS DOUBLE)), 6) AS mape,
+                    round(avg(CAST(abs(a.v - b.v) AS DOUBLE) * 2.0 /
+                      CAST(a.v + b.v AS DOUBLE)), 6) AS smape
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.day = b.day + 7
+                  GROUP BY a.event_type ORDER BY a.event_type""")))
   )
 }

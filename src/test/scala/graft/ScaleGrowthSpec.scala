@@ -194,4 +194,17 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(big <= 30L * math.max(small, 50L),
       s"co-occurrence pair volume grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
+
+  test("paragraph boilerplate join volume tracks segment count, not corpus²") {
+    // dedup_paragraph_common joins segments to their per-hash doc
+    // frequencies: the join key is the content-derived segment hash and
+    // the frequency side is one row per hash, so join output = segment
+    // count exactly — linear in corpus tokens. A key regression (e.g.
+    // joining on a constant-cardinality bucket) would multiply rows.
+    val small = maxJoinRows("dedup_paragraph_common", "/root/testdata/sf0.01")
+    val big = maxJoinRows("dedup_paragraph_common", "/root/testdata/sf0.1")
+    info(s"dedup_paragraph_common max equi-join rows: sf0.01=$small sf0.1=$big")
+    assert(big <= 15L * math.max(small, 50L),
+      s"paragraph boilerplate join grew superlinearly: sf0.01=$small → sf0.1=$big")
+  }
 }
