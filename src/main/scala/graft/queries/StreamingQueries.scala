@@ -1150,6 +1150,138 @@ object StreamingQueries {
       Some(sql("""SELECT CAST(b AS BIGINT) AS batch_id, CAST(n AS BIGINT) AS n_rows,
                     CAST(sv AS BIGINT) AS sum_v
                   FROM (VALUES (0, 1, 0), (1, 2, 21), (2, 3, 63), (3, 4, 126))
-                    AS t(b, n, sv)""")))
+                    AS t(b, n, sv)"""))),
+
+    // UPDATE OUTPUT MODE emission contract: each micro-batch emits ONLY
+    // the keys whose aggregate changed in that batch (complete re-emits
+    // everything, append waits for closure — this is the third mode's
+    // pin). Three hand-staged files; the (batch_id, key) emission log
+    // is the declared result. At scale this is the changelog topology:
+    // update mode feeds exactly-the-deltas to an upsert sink.
+    Q("stream_update_mode",
+      (s, d) => {
+        graft.Engine.configure(s)
+        val sq = s; import sq.implicits._
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/updmode_$stamp"
+        val ckpt = s"/tmp/graft_ckpt/updmode_$stamp"
+        new java.io.File(srcDir).mkdirs()
+        val batches = Seq(Seq("A", "A", "B"), Seq("A"), Seq("B", "B", "C"))
+        try {
+          batches.zipWithIndex.foreach { case (ks, i) =>
+            val tmp = s"$srcDir/_tmp$i"
+            ks.toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            val dst = new java.io.File(s"$srcDir/batch$i.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+            Registry.rmTree(new java.io.File(tmp))
+            dst.setLastModified(1700000000000L + i * 60000): Unit
+          }
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          val agg = s.readStream.schema("k STRING")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          val q = agg.writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val rows = b.collect()
+              buf.synchronized {
+                rows.foreach(r => buf += ((id, r.getString(0), r.getLong(1))))
+              }: Unit
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("stream_update_mode did not finish within 300s")
+          }
+          buf.sortBy(r => (r._1, r._2)).toSeq
+            .toDF("batch_id", "k", "n")
+        } finally Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+      },
+      Some(sql("""SELECT CAST(b AS BIGINT) AS batch_id, k, CAST(n AS BIGINT) AS n
+                  FROM (VALUES (0, 'A', 2), (0, 'B', 1), (1, 'A', 3),
+                               (2, 'B', 3), (2, 'C', 1)) AS t(b, k, n)"""))),
+
+    // mapGroupsWithState-family EVENT-TIME TIMEOUT (the legacy arbitrary
+    // -state API's expiry path, vs stream_tws_timers' transformWithState
+    // timers): per-user session state emits ONLY when the watermark
+    // passes its timeout (last event + 60 min). u2 expires once the
+    // 12:30 batch's watermark lands, u1 expires in the trailing no-data
+    // flush, u3's session is still open at end-of-stream and never
+    // emits — the unfinalized tail contract.
+    Q("stream_mgws_timeout",
+      (s, d) => {
+        graft.Engine.configure(s)
+        val sq = s; import sq.implicits._
+        val stamp = System.nanoTime()
+        val srcDir = s"/tmp/graft_stream/mgwsto_$stamp"
+        val ckpt = s"/tmp/graft_ckpt/mgwsto_$stamp"
+        new java.io.File(srcDir).mkdirs()
+        val batches = Seq(
+          Seq((1L, "2024-03-01 10:00:00"), (2L, "2024-03-01 10:05:00")),
+          Seq((1L, "2024-03-01 12:30:00")),
+          Seq((3L, "2024-03-01 14:30:00")))
+        try {
+          batches.zipWithIndex.foreach { case (rs, i) =>
+            val tmp = s"$srcDir/_tmp$i"
+            rs.toDF("user_id", "ts_s")
+              .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            val dst = new java.io.File(s"$srcDir/batch$i.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+            Registry.rmTree(new java.io.File(tmp))
+            dst.setLastModified(1700000000000L + i * 60000): Unit
+          }
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val ev = s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .withWatermark("ts", "30 minutes")
+            .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ts_ms"))
+            .as(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong))
+          val sessions = ev.groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+              org.apache.spark.sql.streaming.OutputMode.Update(),
+              org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+              (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+               state: GroupState[(Long, Long, Long)]) =>
+                if (state.hasTimedOut) {
+                  val (n, mn, mx) = state.get
+                  state.remove()
+                  Iterator.single((user, n, (mx - mn) / 60000L))
+                } else {
+                  val ms = rows.map(_._3).toSeq
+                  val (pn, pmn, pmx) = state.getOption
+                    .getOrElse((0L, Long.MaxValue, Long.MinValue))
+                  val mx = math.max(pmx, ms.max)
+                  state.update((pn + ms.size, math.min(pmn, ms.min), mx))
+                  state.setTimeoutTimestamp(mx + 3600000L) // last event + 60 min
+                  Iterator.empty
+                }
+            }
+          val q = sessions.toDF("user_id", "n_events", "span_min")
+            .writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val rows = b.collect()
+              buf.synchronized {
+                rows.foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+              }: Unit
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          if (!q.awaitTermination(300000)) {
+            q.stop()
+            throw new IllegalStateException("stream_mgws_timeout did not finish within 300s")
+          }
+          buf.sortBy(_._1).toSeq.toDF("user_id", "n_events", "span_min")
+        } finally Seq(srcDir, ckpt).foreach(p => Registry.rmTree(new java.io.File(p)))
+      },
+      Some(sql("""SELECT CAST(u AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_events,
+                    CAST(sp AS BIGINT) AS span_min
+                  FROM (VALUES (1, 2, 150), (2, 1, 0)) AS t(u, n, sp)""")))
   )
 }
