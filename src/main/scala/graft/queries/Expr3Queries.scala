@@ -95,6 +95,33 @@ object Expr3Queries {
                       list_filter(range(1, len(a) + 1), i -> i % 2 = 1)), '|') AS even_pos_elems,
                     CAST(list_sum(a) * 10 AS INT) AS sum_x10,
                     CAST(list_reduce(a, (acc, x) -> acc * x) AS INT) AS product
-                  FROM t""")))
+                  FROM t"""))),
+
+    // STRING CODECS + phonetic/checksum scalars: base64 and URL
+    // percent-encoding round-trips, hex, initcap, soundex, the Luhn
+    // checksum, bit_count/getbit, and crc32 — each pinned to its
+    // standard constant (expected-literal oracle, agg_try_sum pattern).
+    Q("expr_codec_grid",
+      (s, _) => s.sql(sql("""
+        SELECT base64(CAST('spark' AS BINARY))                  AS b64,
+               CAST(unbase64(base64(CAST('spark' AS BINARY))) AS STRING) AS b64_rt,
+               hex(CAST('abc' AS BINARY))                       AS hex_abc,
+               CAST(unhex('616263') AS STRING)                  AS unhex_rt,
+               url_encode('a b&c')                              AS urlenc,
+               url_decode(url_encode('a b&c'))                  AS urlenc_rt,
+               initcap('hello spark world')                     AS ic,
+               soundex('Robert')                                AS sdx,
+               luhn_check('79927398713')                        AS luhn_ok,
+               luhn_check('79927398710')                        AS luhn_bad,
+               CAST(bit_count(255L) AS INT)                     AS bits255,
+               CAST(getbit(5L, 0) AS INT)                       AS bit0_of_5,
+               crc32(CAST('spark' AS BINARY))                   AS crc""")),
+      Some(sql("""SELECT 'c3Bhcms=' AS b64, 'spark' AS b64_rt,
+                    '616263' AS hex_abc, 'abc' AS unhex_rt,
+                    'a+b%26c' AS urlenc, 'a b&c' AS urlenc_rt,
+                    'Hello Spark World' AS ic, 'R163' AS sdx,
+                    TRUE AS luhn_ok, FALSE AS luhn_bad,
+                    8 AS bits255, 1 AS bit0_of_5,
+                    CAST(2635321133 AS BIGINT) AS crc""")))
   )
 }

@@ -126,6 +126,53 @@ object Text2Queries {
                    FROM sizes
                    LEFT JOIN ov1 USING (ref_id, cand_id)
                    LEFT JOIN ov2 USING (ref_id, cand_id)
-                   ORDER BY ref_id""")))
+                   ORDER BY ref_id"""))),
+
+    // AUDIO FRAME FEATURES (speech-pipeline plumbing): the payload is a
+    // deterministic synthetic PCM track (sample_j = ascii(char_j) − 100,
+    // the codec-free stand-in consistent with the mm_* decode stubs),
+    // framed 16 samples with hop 8 — OVERLAPPING frames, the 25ms/10ms
+    // speech convention — emitting per-frame energy Σs² and the
+    // zero-crossing count, the two features behind every energy-gate
+    // VAD. Ragged tails are dropped (only fully-covered frames emit) so
+    // both engines frame identically; all arithmetic is exact integers.
+    // Scale posture: one explode bounded by samples/hop per doc; the
+    // per-frame fold is a codegen'd HOF over a 16-element slice.
+    Q("mm_audio_frames",
+      (s, d) => {
+        table(s, d, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+          .filter(col("n") >= 16)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), expr("(n - 16) div 8"))).as("f"))
+          .select(col("doc_id"), col("f").as("frame_idx"),
+            expr("""transform(sequence(1, 16),
+                      j -> CAST(ascii(substr(text, CAST(f * 8 + j AS INT), 1)) AS BIGINT) - 100)""")
+              .as("sm"))
+          .select(col("doc_id"), col("frame_idx"),
+            expr("aggregate(sm, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("energy"),
+            expr("""aggregate(sequence(2, 16), CAST(0 AS BIGINT),
+                      (a, j) -> a + CASE WHEN element_at(sm, j) * element_at(sm, j - 1) < 0
+                                         THEN 1 ELSE 0 END)""").as("zero_crossings"))
+          .withColumn("voiced", col("energy") > 8000L)
+      },
+      Some(sql(s"""WITH docs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+                     FROM documents WHERE doc_id < 50 AND length(text) >= 16),
+                   fr AS (SELECT doc_id, text,
+                       unnest(range(0, (n - 16) // 8 + 1)) AS frame_idx
+                     FROM docs),
+                   sm AS (SELECT doc_id, frame_idx,
+                       list_transform(range(1, 17),
+                         j -> CAST(ascii(substr(text, CAST(frame_idx * 8 + j AS INT), 1)) AS BIGINT) - 100)
+                         AS sm
+                     FROM fr)
+                   SELECT doc_id, frame_idx,
+                     CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+                     CAST(list_sum(list_transform(range(2, 17),
+                       j -> CASE WHEN sm[CAST(j AS INT)] * sm[CAST(j - 1 AS INT)] < 0
+                                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+                     CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) > 8000 AS voiced
+                   FROM sm""")))
   )
 }
