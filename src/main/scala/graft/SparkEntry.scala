@@ -53,6 +53,7 @@ object SparkEntry {
       Sql11Queries.all ++
       Sql12Queries.all ++
       Sql13Queries.all ++
+      Sql14Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++

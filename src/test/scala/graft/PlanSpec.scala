@@ -46,7 +46,7 @@ class PlanSpec extends AnyFunSuite {
     // sort_global / sort_nulls_last rank via distributed zipWithIndex —
     // they must never regress to a global row_number window
     for (name <- Seq("win_rank", "win_running_sum", "win_lag_lead",
-        "win_nth_value", "sql_rows_vs_range_ties",
+        "win_nth_value", "sql_rows_vs_range_ties", "win_cusum",
         "sort_global", "sort_nulls_last")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"), s"$name has a single-partition stage:\n$p")
@@ -899,6 +899,15 @@ class PlanSpec extends AnyFunSuite {
     assert(unions.size == 1, s"expected one flattened Union:\n${df.queryExecution.optimizedPlan}")
     assert(unions.head.children.size == 4,
       s"expected 4 union branches:\n${unions.head}")
+  }
+
+  test("silhouette distances ride a broadcast centroid join, never cartesian") {
+    // the point×centroid fan-out must be a BroadcastHashJoin on the
+    // dimension index (the 640-row centroid model broadcasts); a
+    // cartesian/BNLJ here would be points×centroids×dims at 100 TB
+    val p = plan("ml_silhouette")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast centroid join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in silhouette plan:\n$p")
   }
 
   test("paragraph dedup ranks on the corpus-growing segment hash") {
