@@ -156,6 +156,88 @@ object Pipeline6Queries {
                    SELECT count(*) AS n_users_with_hit,
                      round(avg(1.0 / first_hit), 6) AS mrr,
                      CAST(sum(CASE WHEN first_hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1
-                   FROM fh""")))
+                   FROM fh"""))),
+
+    // SCD TYPE-2 DIMENSION BUILD from a change stream: every event is a
+    // new version of its user's row; validity intervals [ts, next_ts)
+    // come from ONE lead() window partitioned by user (the warehouse
+    // snapshot pattern — no self-join, no global window). The open
+    // current version is pinned separately; covered time and the
+    // current value are exact microsecond/cent integers.
+    Q("pipe_scd2_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("vf"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("vt", lead(col("vf"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("vf"), col("event_id"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("vt").isNotNull, col("vt") - col("vf")).otherwise(0L))
+              .as("covered_us"),
+            max(when(col("vt").isNull, col("cents"))).as("current_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some(sql("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS vf,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS vt
+                     FROM events)
+                  SELECT user_id, count(*) AS n_versions,
+                    CAST(sum(CASE WHEN vt IS NOT NULL THEN vt - vf ELSE 0 END) AS BIGINT)
+                      AS covered_us,
+                    max(CASE WHEN vt IS NULL THEN cents END) AS current_cents
+                  FROM v GROUP BY user_id ORDER BY user_id"""))),
+
+    // ENTITY RESOLUTION with survivorship: the corpus is the customer
+    // table plus a deterministically DIRTIED copy (upper-cased
+    // underscore names, +hash%100-cent balance drift, offset keys);
+    // blocking+canonicalization groups records by (nation, normalized
+    // name) and the golden record survives by max balance with a
+    // lowest-key tie-break. One normalize pass + one grouped aggregate
+    // — block keys are corpus-growing, never a pairwise cross join.
+    Q("pipe_entity_resolution",
+      (s, d) => {
+        val clean = table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("rec_id"), col("c_name").as("name"),
+            col("c_nationkey").cast("long").as("nation"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val dirty = clean.select(
+          (col("rec_id") + 1000000L).as("rec_id"),
+          upper(regexp_replace(col("name"), " ", "_")).as("name"),
+          col("nation"),
+          (col("cents") + Portable.stableHash64(col("rec_id")) % 100L).as("cents"))
+        clean.unionByName(dirty)
+          .withColumn("norm", lower(regexp_replace(col("name"), "_", " ")))
+          .groupBy(col("nation"), col("norm"))
+          .agg(count(lit(1)).as("n_records"),
+            max(col("cents")).as("golden_cents"),
+            min(col("rec_id")).as("golden_id"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_entities"),
+            sum(when(col("n_records") > 1, 1L).otherwise(0L)).as("n_merged"),
+            sum(col("golden_cents")).as("sum_golden_cents"),
+            sum(col("golden_id")).as("sum_golden_ids"))
+      },
+      Some(sql(s"""WITH clean AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+                       CAST(c_nationkey AS BIGINT) AS nation,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                     FROM customer),
+                   dirty AS (SELECT rec_id + 1000000 AS rec_id,
+                       upper(replace(name, ' ', '_')) AS name, nation,
+                       cents + ${Portable.stableHash64Sql("rec_id")} % 100 AS cents
+                     FROM clean),
+                   allr AS (SELECT *, lower(replace(name, '_', ' ')) AS norm
+                            FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)),
+                   ents AS (SELECT nation, norm, count(*) AS n_records,
+                       max(cents) AS golden_cents, min(rec_id) AS golden_id
+                     FROM allr GROUP BY 1, 2)
+                   SELECT count(*) AS n_entities,
+                     CAST(sum(CASE WHEN n_records > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+                     CAST(sum(golden_cents) AS BIGINT) AS sum_golden_cents,
+                     CAST(sum(golden_id) AS BIGINT) AS sum_golden_ids
+                   FROM ents""")))
   )
 }
