@@ -661,6 +661,30 @@ object MiscQueries {
       Some(sql("""SELECT o_orderstatus, count(*) AS n,
                     round(sum(o_totalprice), 4) AS total
                   FROM orders WHERE o_totalprice > 150000.0
-                  GROUP BY o_orderstatus""")))
+                  GROUP BY o_orderstatus"""))),
+
+    // approxQuantile (DataFrameStatFunctions / Greenwald-Khanna): the
+    // distributed ε-approximate quantile sketch, ORACLED on its defining
+    // rank guarantee — each returned value's EXACT rank must lie within
+    // ε·n of the target rank (stat_sketches pattern: the contract is the
+    // data). ε=0.01, quartiles of o_totalprice cents.
+    Q("stat_approx_quantile",
+      (s, d) => {
+        import s.implicits._
+        val o = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+        val n = o.count()
+        val eps = 0.01
+        val qs = Seq(0.25, 0.5, 0.75)
+        val approx = o.stat.approxQuantile("v", qs.toArray, eps)
+        val ok = qs.zip(approx).map { case (q, a) =>
+          val rank = o.filter(col("v") <= a).count()
+          val target = q * n
+          (q, math.abs(rank - target) <= eps * n + 1)
+        }
+        ok.toDF("q", "rank_within_eps")
+      },
+      Some(sql("""SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_within_eps
+                  FROM (VALUES (0.25), (0.5), (0.75)) AS t(q)""")))
   )
 }
