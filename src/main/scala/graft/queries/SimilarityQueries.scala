@@ -486,6 +486,64 @@ object SimilarityQueries {
                        ON cand.q_id = truth.q_id AND cand.c_id = truth.c_id
                      GROUP BY cand.q_id)
                    SELECT q_id, n_single, n_multi, hits_single, hits_multi
-                   FROM vol JOIN hits USING (q_id)""")))
+                   FROM vol JOIN hits USING (q_id)"""))),
+
+    // TRAJECTORY TOP-K (REPOSE, ICDE'21 shape): each user's event
+    // history becomes a type-initial sequence string; top-3 most
+    // similar users by edit distance, with candidates PRUNED by the
+    // length lower bound |len_a − len_b| ≤ levenshtein(a,b) — spelled
+    // as a ±1 length-bucket equi-join (the repo's binned range-join
+    // pattern), so the pairwise work is blocked, never all-pairs. The
+    // distance is computed once per unordered pair and unioned into
+    // both directions for the per-user ranking.
+    Q("sim_trajectory_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val MaxD = 5L
+        val seqs = graft.Engine.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 2).as("c"))
+          .groupBy(col("user_id"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("t"), col("e"), col("c")))),
+              x => x.getField("c")), "").as("seq"))
+          .select(col("user_id"), col("seq"), length(col("seq")).cast("long").as("len"))
+          .withColumn("bkt", expr(s"len div $MaxD"))
+        val probes = seqs.select(col("user_id"), col("seq"), col("len"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+        val pairs = probes.as("a")
+          .join(seqs.as("b"), col("a.jb") === col("b.bkt")
+            && col("a.user_id") < col("b.user_id")
+            && abs(col("a.len") - col("b.len")) <= MaxD)
+          .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+            levenshtein(col("a.seq"), col("b.seq")).cast("long").as("dist"))
+        val both = pairs.select(col("ua").as("u"), col("ub").as("o"), col("dist"))
+          .union(pairs.select(col("ub").as("u"), col("ua").as("o"), col("dist")))
+        both
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("u")).orderBy(col("dist"), col("o"))))
+          .filter(col("rk") <= 3)
+          .select(col("u").as("user_id"), col("rk"), col("o").as("similar_user"),
+            col("dist"))
+          .orderBy(col("user_id"), col("rk"))
+      },
+      Some(sql("""WITH seqs AS (SELECT user_id,
+                       string_agg(substr(event_type, 1, 2), '' ORDER BY epoch_us(ts), event_id) AS seq
+                     FROM events GROUP BY user_id),
+                   sl AS (SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS len FROM seqs),
+                   pairs AS (SELECT a.user_id AS ua, b.user_id AS ub,
+                       CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS dist
+                     FROM sl a JOIN sl b
+                       ON a.user_id < b.user_id AND abs(a.len - b.len) <= 5),
+                   bothdir AS (SELECT ua AS u, ub AS o, dist FROM pairs
+                            UNION ALL
+                            SELECT ub AS u, ua AS o, dist FROM pairs),
+                   rk AS (SELECT u, o, dist,
+                       row_number() OVER (PARTITION BY u ORDER BY dist, o) AS rk
+                     FROM bothdir)
+                   SELECT u AS user_id, CAST(rk AS BIGINT) AS rk,
+                     o AS similar_user, dist
+                   FROM rk WHERE rk <= 3
+                   ORDER BY user_id, rk""")))
   )
 }
