@@ -31,6 +31,7 @@ object SparkEntry {
       StreamingQueries.all ++
       MultimodalQueries.all ++
       MiscQueries.all ++
+      GeoQueries.all ++
       GraphQueries.all ++
       Graph2Queries.all ++
       Expr2Queries.all ++

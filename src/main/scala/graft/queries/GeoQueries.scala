@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Engine.table
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Geospatial wave (round 10) — the radius join, restated the way a
+  * 100 TB engine must run it: GRID BLOCKING first (0.05°≈5.5 km cells,
+  * the geohash-prefix analog), candidates only from the probe point's
+  * 3×3 cell neighbourhood via an equi-join on the cell key, then exact
+  * haversine verification — never an all-pairs distance matrix.
+  * Coordinates are deterministic hash-derived city-grid positions
+  * (the corpus has no native lat/lon), so both engines see identical
+  * points; the haversine is the same IEEE formula on both sides.
+  */
+object GeoQueries {
+
+  /** Radius in km; cell edge 0.05° latitude ≈ 5.56 km ≥ radius, so the
+    * 3×3 neighbourhood provably covers every qualifying pair. */
+  private val RadiusKm = 5.0
+
+  private val haversineSpark =
+    """2 * 6371.0088 * asin(sqrt(
+         pow(sin(radians(lat_b - lat_a) / 2), 2)
+         + cos(radians(lat_a)) * cos(radians(lat_b))
+           * pow(sin(radians(lon_b - lon_a) / 2), 2)))"""
+
+  val all: Seq[Q] = Seq(
+
+    Q("geo_radius_join",
+      (s, d) => {
+        val pts = table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            (lit(40.0) + (Portable.stableHash64(col("c_custkey")) % 1000L)
+              .cast("double") / 1000.0).as("lat"),
+            (lit(-74.0) + (Portable.stableHash64(concat(col("c_custkey"), lit("|lon")))
+              % 1000L).cast("double") / 1000.0).as("lon"))
+          .withColumn("cx", floor(col("lat") / 0.05).cast("long"))
+          .withColumn("cy", floor(col("lon") / 0.05).cast("long"))
+        val probes = pts.select(col("id"), col("lat"), col("lon"),
+          explode(expr("""transform(sequence(0, 8),
+              k -> struct(cx + k div 3 - 1 AS px, cy + k % 3 - 1 AS py))""")).as("p"))
+          .select(col("id"), col("lat"), col("lon"),
+            col("p.px").as("px"), col("p.py").as("py"))
+        probes.as("a")
+          .join(pts.as("b"), col("a.px") === col("b.cx") && col("a.py") === col("b.cy")
+            && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.lat").as("lat_a"), col("a.lon").as("lon_a"),
+            col("b.lat").as("lat_b"), col("b.lon").as("lon_b"))
+          .withColumn("km", expr(haversineSpark))
+          .filter(col("km") <= RadiusKm)
+          .select(col("id_a"), col("id_b"), round(col("km"), 3).as("km"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(sql(s"""WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                       40.0 + CAST(${Portable.stableHash64Sql("c_custkey")} % 1000 AS DOUBLE) / 1000.0 AS lat,
+                       -74.0 + CAST(${Portable.stableHash64Sql("c_custkey || '|lon'")} % 1000 AS DOUBLE) / 1000.0 AS lon
+                     FROM customer),
+                   pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                       2 * 6371.0088 * asin(sqrt(
+                         pow(sin(radians(b.lat - a.lat) / 2), 2)
+                         + cos(radians(a.lat)) * cos(radians(b.lat))
+                           * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+                     FROM pts a JOIN pts b
+                       ON a.id < b.id
+                       AND abs(CAST(floor(a.lat / 0.05) AS BIGINT) - CAST(floor(b.lat / 0.05) AS BIGINT)) <= 1
+                       AND abs(CAST(floor(a.lon / 0.05) AS BIGINT) - CAST(floor(b.lon / 0.05) AS BIGINT)) <= 1)
+                   SELECT id_a, id_b, round(km, 3) AS km
+                   FROM pairs WHERE km <= $RadiusKm
+                   ORDER BY id_a, id_b""")))
+  )
+}
