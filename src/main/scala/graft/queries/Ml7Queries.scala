@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Engine.events
+import graft.Engine.{events, table}
 import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import Registry.sql
@@ -222,6 +222,117 @@ object Ml7Queries {
                        greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))), 6)
                        AS mean_silhouette,
                      CAST(sum(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
-                   FROM per GROUP BY label ORDER BY label""")))
+                   FROM per GROUP BY label ORDER BY label"""))),
+
+    // ISOTONIC REGRESSION on calibration bins (mllib regression/
+    // IsotonicRegression — pool-adjacent-violators), restated via the
+    // minimax characterization fitted_j = max_{i≤j} min_{k≥j} avg(y
+    // over bins i..k): the (i,j,k) enumeration is bounded by the FIXED
+    // bin count (10³ rows from one broadcastable bin table), so the
+    // sequential PAV sweep becomes three declarative joins. Range
+    // averages come from exact integer prefix sums; the final fitted
+    // values are monotone by construction (pinned as data).
+    Q("ml_isotonic_bins",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bins = events(s, d).select(
+          (scoreK / lit(100L)).cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("w"), sum(col("y")).as("sy"))
+          .withColumn("cw", sum(col("w")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cy", sum(col("sy")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val b = bins.select(col("bin"), col("w"), col("sy"), col("cw"), col("cy"))
+        // A(i,k) = (cy_k − cy_{i-1}) / (cw_k − cw_{i-1}) over the 55
+        // ordered ranges — bounded by the bin-count constant, never by
+        // the corpus
+        val ranges = b.as("i").crossJoin(b.as("k"))
+          .filter(col("i.bin") <= col("k.bin"))
+          .select(col("i.bin").as("i"), col("k.bin").as("k"),
+            ((col("k.cy") - col("i.cy") + col("i.sy")).cast("double") /
+              (col("k.cw") - col("i.cw") + col("i.w")).cast("double")).as("a"))
+        val innerMin = ranges.as("r").join(b.select(col("bin").as("j")),
+            col("r.i") <= col("j") && col("r.k") >= col("j"))
+          .groupBy(col("j"), col("r.i"))
+          .agg(min(col("a")).as("mn"))
+        val fitted = innerMin.groupBy(col("j"))
+          .agg(max(col("mn")).as("fit"))
+        b.select(col("bin"), col("w"),
+          expr("CAST(sy * 1000000 DIV w AS BIGINT)").as("raw_micro"))
+          .join(fitted, col("bin") === col("j"))
+          .select(col("bin"), col("w"), col("raw_micro"), round(col("fit"), 6).as("fitted"))
+          .orderBy(col("bin"))
+      },
+      Some(sql(s"""WITH pts AS (SELECT $scoreKSql // 100 AS bin,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                     FROM events),
+                   bins AS (SELECT bin, count(*) AS w, CAST(sum(y) AS BIGINT) AS sy
+                            FROM pts GROUP BY bin),
+                   cum AS (SELECT bin, w, sy,
+                       CAST(sum(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                       CAST(sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+                     FROM bins),
+                   ranges AS (SELECT i.bin AS i, k.bin AS k,
+                       CAST(k.cy - i.cy + i.sy AS DOUBLE) / CAST(k.cw - i.cw + i.w AS DOUBLE) AS a
+                     FROM cum i, cum k WHERE i.bin <= k.bin),
+                   innermin AS (SELECT j.bin AS j, r.i, min(r.a) AS mn
+                     FROM ranges r JOIN cum j ON r.i <= j.bin AND r.k >= j.bin
+                     GROUP BY 1, 2),
+                   fitted AS (SELECT j, max(mn) AS fit FROM innermin GROUP BY j)
+                   SELECT bin, w, sy * 1000000 // w AS raw_micro,
+                     round(fit, 6) AS fitted
+                   FROM cum JOIN fitted ON bin = j
+                   ORDER BY bin"""))),
+
+    // ASSOCIATION RULES over order baskets (mllib/fpm FPGrowth →
+    // AssociationRules): brand-level itemsets, pair support from the
+    // bounded within-order self-join (order width caps the fan-out),
+    // directed rules A→B scored by support/confidence/lift as exact
+    // floor-1e6 integer ratios. Top rules by lift with a minimum
+    // support floor — the market-basket staple.
+    Q("ml_assoc_rules",
+      (s, d) => {
+        val baskets = table(s, d, "lineitem")
+          .join(table(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
+          .distinct()
+        val nOrders = table(s, d, "orders").agg(count(lit(1)).as("n_orders"))
+        val supp = baskets.groupBy(col("item")).agg(count(lit(1)).as("s_item"))
+        val pairSupp = baskets.as("a").join(baskets.as("b"),
+            col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))
+          .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
+          .agg(count(lit(1)).as("s_pair"))
+          .filter(col("s_pair") >= 20)
+        pairSupp
+          .join(broadcast(supp.select(col("item").as("ante"), col("s_item").as("s_a"))), "ante")
+          .join(broadcast(supp.select(col("item").as("cons"), col("s_item").as("s_c"))), "cons")
+          .crossJoin(broadcast(nOrders))
+          .select(col("ante"), col("cons"), col("s_pair"),
+            expr("CAST(s_pair * 1000000 DIV s_a AS BIGINT)").as("conf_micro"),
+            expr("CAST((s_pair * 1000000 DIV s_a) * n_orders DIV s_c AS BIGINT)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+          .limit(10)
+      },
+      Some(sql("""WITH baskets AS (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+                   n AS (SELECT count(*) AS n_orders FROM orders),
+                   supp AS (SELECT item, count(*) AS s_item FROM baskets GROUP BY item),
+                   pairs AS (SELECT a.item AS ante, b.item AS cons, count(*) AS s_pair
+                     FROM baskets a JOIN baskets b
+                       ON a.oid = b.oid AND a.item <> b.item
+                     GROUP BY 1, 2 HAVING count(*) >= 20)
+                   SELECT ante, cons, CAST(s_pair AS BIGINT) AS s_pair,
+                     s_pair * 1000000 // sa.s_item AS conf_micro,
+                     (s_pair * 1000000 // sa.s_item) * n_orders // sc.s_item AS lift_micro
+                   FROM pairs
+                   JOIN supp sa ON sa.item = ante
+                   JOIN supp sc ON sc.item = cons
+                   CROSS JOIN n
+                   ORDER BY lift_micro DESC, ante, cons
+                   LIMIT 10""")))
   )
 }
