@@ -284,55 +284,7 @@ object Ml7Queries {
                    SELECT bin, w, sy * 1000000 // w AS raw_micro,
                      round(fit, 6) AS fitted
                    FROM cum JOIN fitted ON bin = j
-                   ORDER BY bin"""))),
+                   ORDER BY bin""")))
 
-    // ASSOCIATION RULES over order baskets (mllib/fpm FPGrowth →
-    // AssociationRules): brand-level itemsets, pair support from the
-    // bounded within-order self-join (order width caps the fan-out),
-    // directed rules A→B scored by support/confidence/lift as exact
-    // floor-1e6 integer ratios. Top rules by lift with a minimum
-    // support floor — the market-basket staple.
-    Q("ml_assoc_rules",
-      (s, d) => {
-        val baskets = table(s, d, "lineitem")
-          .join(table(s, d, "part").select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
-          .distinct()
-        val nOrders = table(s, d, "orders").agg(count(lit(1)).as("n_orders"))
-        val supp = baskets.groupBy(col("item")).agg(count(lit(1)).as("s_item"))
-        val pairSupp = baskets.as("a").join(baskets.as("b"),
-            col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))
-          .groupBy(col("a.item").as("ante"), col("b.item").as("cons"))
-          .agg(count(lit(1)).as("s_pair"))
-          .filter(col("s_pair") >= 20)
-        pairSupp
-          .join(broadcast(supp.select(col("item").as("ante"), col("s_item").as("s_a"))), "ante")
-          .join(broadcast(supp.select(col("item").as("cons"), col("s_item").as("s_c"))), "cons")
-          .crossJoin(broadcast(nOrders))
-          .select(col("ante"), col("cons"), col("s_pair"),
-            expr("CAST(s_pair * 1000000 DIV s_a AS BIGINT)").as("conf_micro"),
-            expr("CAST((s_pair * 1000000 DIV s_a) * n_orders DIV s_c AS BIGINT)")
-              .as("lift_micro"))
-          .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
-          .limit(10)
-      },
-      Some(sql("""WITH baskets AS (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
-                     FROM lineitem JOIN part ON l_partkey = p_partkey),
-                   n AS (SELECT count(*) AS n_orders FROM orders),
-                   supp AS (SELECT item, count(*) AS s_item FROM baskets GROUP BY item),
-                   pairs AS (SELECT a.item AS ante, b.item AS cons, count(*) AS s_pair
-                     FROM baskets a JOIN baskets b
-                       ON a.oid = b.oid AND a.item <> b.item
-                     GROUP BY 1, 2 HAVING count(*) >= 20)
-                   SELECT ante, cons, CAST(s_pair AS BIGINT) AS s_pair,
-                     s_pair * 1000000 // sa.s_item AS conf_micro,
-                     (s_pair * 1000000 // sa.s_item) * n_orders // sc.s_item AS lift_micro
-                   FROM pairs
-                   JOIN supp sa ON sa.item = ante
-                   JOIN supp sc ON sc.item = cons
-                   CROSS JOIN n
-                   ORDER BY lift_micro DESC, ante, cons
-                   LIMIT 10""")))
   )
 }

@@ -173,6 +173,78 @@ object Text2Queries {
                        j -> CASE WHEN sm[CAST(j AS INT)] * sm[CAST(j - 1 AS INT)] < 0
                                  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
                      CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) > 8000 AS voiced
-                   FROM sm""")))
+                   FROM sm"""))),
+
+    // DISTRIBUTIONAL WORD SIMILARITY (the count-based word2vec analog,
+    // Levy & Goldberg 2014: PPMI + cosine): ±2-window co-occurrence
+    // counts → PPMI word vectors over the vocabulary contexts → cosine
+    // between named word pairs. Every aggregate is vocabulary-bounded
+    // (the corpus-growing work is ONE windowed self-join on doc+pos);
+    // ln/cosine appear only on the vocabulary-sized PPMI table.
+    Q("text_word_similarity",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val coocc = toks.as("a").join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id")
+              && abs(col("a.pos") - col("b.pos")).between(1, 2))
+          .groupBy(col("a.w").as("w"), col("b.w").as("c"))
+          .agg(count(lit(1)).as("cwc"))
+        val rowMarg = coocc.groupBy(col("w")).agg(sum(col("cwc")).as("cw"))
+        val colMarg = coocc.groupBy(col("c")).agg(sum(col("cwc")).as("cc"))
+        val tot = coocc.agg(sum(col("cwc")).as("nn"))
+        val ppmi = coocc
+          .join(broadcast(rowMarg), "w").join(broadcast(colMarg), "c")
+          .crossJoin(broadcast(tot))
+          .select(col("w"), col("c"),
+            greatest(lit(0.0),
+              log(col("nn").cast("double") * col("cwc").cast("double") /
+                (col("cw").cast("double") * col("cc").cast("double")))).as("v"))
+        val norms = ppmi.groupBy(col("w")).agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+        val targets = Seq(("join", "merge"), ("scan", "filter"),
+          ("stream", "batch"), ("fast", "slow"))
+        val sq = s; import sq.implicits._
+        val tdf = targets.toDF("wa", "wb")
+        tdf
+          .join(ppmi.select(col("w").as("wa"), col("c"), col("v").as("va")), Seq("wa"))
+          .join(ppmi.select(col("w").as("wb"), col("c").as("c"), col("v").as("vb")),
+            Seq("wb", "c"))
+          .groupBy(col("wa"), col("wb"))
+          .agg(sum(col("va") * col("vb")).as("dot"))
+          .join(broadcast(norms.select(col("w").as("wa"), col("nrm").as("na"))), Seq("wa"))
+          .join(broadcast(norms.select(col("w").as("wb"), col("nrm").as("nb"))), Seq("wb"))
+          .select(col("wa"), col("wb"),
+            round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+          .orderBy(col("wa"), col("wb"))
+      },
+      Some(sql("""WITH toks AS (SELECT doc_id, i AS pos, l[i + 1] AS w
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                           unnest(range(len(l))) AS t(i)),
+                   coocc AS (SELECT a.w AS w, b.w AS c, count(*) AS cwc
+                             FROM toks a JOIN toks b
+                               ON a.doc_id = b.doc_id
+                               AND abs(a.pos - b.pos) BETWEEN 1 AND 2
+                             GROUP BY 1, 2),
+                   rm AS (SELECT w, CAST(sum(cwc) AS BIGINT) AS cw FROM coocc GROUP BY w),
+                   cm AS (SELECT c, CAST(sum(cwc) AS BIGINT) AS cc FROM coocc GROUP BY c),
+                   tot AS (SELECT CAST(sum(cwc) AS BIGINT) AS nn FROM coocc),
+                   ppmi AS (SELECT w, c,
+                       greatest(0.0, ln(CAST(nn AS DOUBLE) * CAST(cwc AS DOUBLE) /
+                         (CAST(cw AS DOUBLE) * CAST(cc AS DOUBLE)))) AS v
+                     FROM coocc JOIN rm USING (w) JOIN cm USING (c) CROSS JOIN tot),
+                   norms AS (SELECT w, sqrt(sum(v * v)) AS nrm FROM ppmi GROUP BY w),
+                   targets AS (SELECT * FROM (VALUES ('join', 'merge'), ('scan', 'filter'),
+                       ('stream', 'batch'), ('fast', 'slow')) AS t(wa, wb)),
+                   dots AS (SELECT wa, wb, sum(pa.v * pb.v) AS dot
+                     FROM targets
+                     JOIN ppmi pa ON pa.w = wa
+                     JOIN ppmi pb ON pb.w = wb AND pb.c = pa.c
+                     GROUP BY 1, 2)
+                   SELECT wa, wb,
+                     round(dot / (na.nrm * nb.nrm), 6) AS cosine
+                   FROM dots
+                   JOIN norms na ON na.w = wa
+                   JOIN norms nb ON nb.w = wb
+                   ORDER BY wa, wb""")))
   )
 }
