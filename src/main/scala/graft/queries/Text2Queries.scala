@@ -245,6 +245,57 @@ object Text2Queries {
                    FROM dots
                    JOIN norms na ON na.w = wa
                    JOIN norms nb ON nb.w = wb
-                   ORDER BY wa, wb""")))
+                   ORDER BY wa, wb"""))),
+
+    // TEXTRANK KEYWORDS (Mihalcea & Tarau 2004): weighted PageRank over
+    // the word co-occurrence graph, 3 unrolled iterations of
+    // PR'(w) = 0.15 + 0.85·Σ_c PR(c)·weight(c,w)/wdeg(c), top-10 words.
+    // The graph is vocabulary-bounded (the corpus-growing work is the
+    // one windowed self-join); each iteration is an edge-table join +
+    // partial agg — the bounded-iteration Pregel shape in pure SQL.
+    Q("text_textrank",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val coocc = toks.as("a").join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id")
+              && abs(col("a.pos") - col("b.pos")).between(1, 2))
+          .groupBy(col("a.w").as("src"), col("b.w").as("dst"))
+          .agg(count(lit(1)).as("wgt"))
+        val deg = coocc.groupBy(col("src")).agg(sum(col("wgt")).as("wdeg"))
+        val edges = coocc.join(broadcast(deg), "src")
+          .select(col("src"), col("dst"),
+            (col("wgt").cast("double") / col("wdeg").cast("double")).as("share"))
+        val pr0 = deg.select(col("src").as("w"), lit(1.0).as("pr"))
+        def step(pr: org.apache.spark.sql.DataFrame) =
+          edges.join(pr.withColumnRenamed("w", "src"), "src")
+            .groupBy(col("dst").as("w"))
+            .agg((lit(0.15) + lit(0.85) * sum(col("share") * col("pr"))).as("pr"))
+        val pr3 = step(step(step(pr0)))
+        pr3.select(col("w"), round(col("pr"), 6).as("score"))
+          .orderBy(col("score").desc, col("w")).limit(10)
+      },
+      Some(sql("""WITH toks AS (SELECT doc_id, i AS pos, l[i + 1] AS w
+                      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                           unnest(range(len(l))) AS t(i)),
+                   coocc AS (SELECT a.w AS src, b.w AS dst, count(*) AS wgt
+                             FROM toks a JOIN toks b
+                               ON a.doc_id = b.doc_id
+                               AND abs(a.pos - b.pos) BETWEEN 1 AND 2
+                             GROUP BY 1, 2),
+                   deg AS (SELECT src, CAST(sum(wgt) AS BIGINT) AS wdeg
+                           FROM coocc GROUP BY src),
+                   edges AS (SELECT src, dst,
+                       CAST(wgt AS DOUBLE) / CAST(wdeg AS DOUBLE) AS share
+                     FROM coocc JOIN deg USING (src)),
+                   pr0 AS (SELECT src AS w, 1.0 AS pr FROM deg),
+                   pr1 AS (SELECT dst AS w, 0.15 + 0.85 * sum(share * pr) AS pr
+                           FROM edges JOIN pr0 ON pr0.w = edges.src GROUP BY dst),
+                   pr2 AS (SELECT dst AS w, 0.15 + 0.85 * sum(share * pr) AS pr
+                           FROM edges JOIN pr1 ON pr1.w = edges.src GROUP BY dst),
+                   pr3 AS (SELECT dst AS w, 0.15 + 0.85 * sum(share * pr) AS pr
+                           FROM edges JOIN pr2 ON pr2.w = edges.src GROUP BY dst)
+                   SELECT w, round(pr, 6) AS score
+                   FROM pr3 ORDER BY score DESC, w LIMIT 10""")))
   )
 }
