@@ -910,6 +910,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in silhouette plan:\n$p")
   }
 
+  test("geo radius join probes cells via equi-join, never cartesian") {
+    // the 3×3 neighbourhood probe must reach the candidate side as a
+    // hash-partitionable equi-join on (px,py)=(cx,cy); a cartesian or
+    // BNLJ here is the all-pairs distance matrix the grid exists to
+    // avoid
+    val p = plan("geo_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"geo_radius_join fell back to all-pairs:\n$p")
+  }
+
+  test("trajectory top-k blocks candidates on the length bucket") {
+    // the pair join must carry the bucket equi-key (jb = bkt) so the
+    // levenshtein verification only sees length-compatible candidates
+    val p = plan("sim_trajectory_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sim_trajectory_topk fell back to all-pairs:\n$p")
+  }
+
   test("paragraph dedup ranks on the corpus-growing segment hash") {
     // same contract as dedup_exact_substr: the keep-first decision must
     // be hash-partitioned on the 64-bit segment hash, never a global
