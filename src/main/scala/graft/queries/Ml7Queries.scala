@@ -284,7 +284,79 @@ object Ml7Queries {
                    SELECT bin, w, sy * 1000000 // w AS raw_micro,
                      round(fit, 6) AS fitted
                    FROM cum JOIN fitted ON bin = j
-                   ORDER BY bin""")))
+                   ORDER BY bin"""))),
 
+    // K-FOLD CROSS-VALIDATION of the OLS slope (mllib CrossValidator
+    // shape, closed form): per-fold exact sufficient statistics from
+    // ONE scan; each fold's TRAIN stats are total − fold (the
+    // leave-fold-out subtraction — no per-fold re-scan), the fit and
+    // the held-out MSE are the shared IEEE formula over those exact
+    // integers. The k=5 fold assignment is the portable hash.
+    Q("ml_kfold_ols",
+      (s, d) => {
+        val rows = table(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            round(col("l_extendedprice") * 100).cast("long").as("y"),
+            (Portable.stableHash64(concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))) % 5L).as("fold"))
+        val perFold = rows.groupBy(col("fold")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val tot = perFold.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+          sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+          sum(col("sxx")).as("tsxx"))
+        perFold.crossJoin(broadcast(tot))
+          .select(col("fold"), col("n").cast("long").as("n_test"),
+            (col("tn") - col("n")).cast("double").as("n_tr"),
+            (col("tsx") - col("sx")).cast("double").as("sx_tr"),
+            (col("tsy") - col("sy")).cast("double").as("sy_tr"),
+            (col("tsxy") - col("sxy")).cast("double").as("sxy_tr"),
+            (col("tsxx") - col("sxx")).cast("double").as("sxx_tr"),
+            col("n").cast("double").as("nd"), col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"), col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"), col("syy").cast("double").as("syyd"))
+          .withColumn("b", (col("n_tr") * col("sxy_tr") - col("sx_tr") * col("sy_tr")) /
+            (col("n_tr") * col("sxx_tr") - col("sx_tr") * col("sx_tr")))
+          .withColumn("a", (col("sy_tr") - col("b") * col("sx_tr")) / col("n_tr"))
+          .select(col("fold"), col("n_test"),
+            round(col("b"), 6).as("slope"),
+            round(col("a"), 4).as("intercept_c"),
+            round((col("syyd") - col("a") * col("syd") * 2 - col("b") * col("sxyd") * 2
+              + col("nd") * col("a") * col("a")
+              + col("a") * col("b") * col("sxd") * 2
+              + col("b") * col("b") * col("sxxd")) / col("nd"), 2).as("test_mse"))
+          .orderBy(col("fold"))
+      },
+      Some(sql(s"""WITH rows_ AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                       ${Portable.stableHash64Sql(
+                         "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)")} % 5 AS fold
+                     FROM lineitem),
+                   pf AS (SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                     FROM rows_ GROUP BY fold),
+                   tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+                       sum(sxy) AS tsxy, sum(sxx) AS tsxx FROM pf),
+                   dd AS (SELECT fold, CAST(n AS BIGINT) AS n_test,
+                       CAST(tn - n AS DOUBLE) AS n_tr, CAST(tsx - sx AS DOUBLE) AS sx_tr,
+                       CAST(tsy - sy AS DOUBLE) AS sy_tr, CAST(tsxy - sxy AS DOUBLE) AS sxy_tr,
+                       CAST(tsxx - sxx AS DOUBLE) AS sxx_tr,
+                       CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+                     FROM pf, tot),
+                   fit AS (SELECT *,
+                       (n_tr * sxy_tr - sx_tr * sy_tr) / (n_tr * sxx_tr - sx_tr * sx_tr) AS b
+                     FROM dd),
+                   fit2 AS (SELECT *, (sy_tr - b * sx_tr) / n_tr AS a FROM fit)
+                   SELECT fold, n_test, round(b, 6) AS slope,
+                     round(a, 4) AS intercept_c,
+                     round((syyd - a * syd * 2 - b * sxyd * 2
+                       + nd * a * a + a * b * sxd * 2 + b * b * sxxd) / nd, 2) AS test_mse
+                   FROM fit2 ORDER BY fold""")))
   )
 }
