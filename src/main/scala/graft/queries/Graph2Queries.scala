@@ -344,6 +344,119 @@ object Graph2Queries {
                   SELECT a, b, CAST(co AS BIGINT) AS co,
                     CAST(floor(1000000.0 * co / (da.n + db.n - co)) AS BIGINT)
                       AS jaccard_micro
-                  FROM pairs JOIN deg da ON da.sk = a JOIN deg db ON db.sk = b""")))
+                  FROM pairs JOIN deg da ON da.sk = a JOIN deg db ON db.sk = b"""))),
+
+    // LOCAL CLUSTERING COEFFICIENT on the supplier co-purchase graph:
+    // edges are the TOP-DECILE co-occurring supplier pairs (threshold =
+    // exact p90 of pair counts, derived from the data so the graph
+    // stays ~10% dense at every SF — an absolute cutoff would go
+    // complete as the corpus grows). Per-node cc = 2T/(deg·(deg−1)),
+    // triangles enumerated once via the ordered three-way edge join;
+    // the corpus-growing work is the one basket self-join bounded by
+    // order width. Exact floor-1e6 integers.
+    Q("graph_clustering_coeff",
+      (s, d) => {
+        val os = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = os.as("x").join(os.as("y"),
+            col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .agg(count(lit(1)).as("co"))
+        val thr = pairs.agg(expr(
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY co)").as("thr"))
+        val edges = pairs.crossJoin(broadcast(thr))
+          .filter(col("co") >= col("thr")).select(col("a"), col("b"))
+        val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("t"))
+        deg.join(tri, Seq("v"), "left")
+          .filter(col("deg") >= 2)
+          .select(col("v").as("supplier"), col("deg"),
+            coalesce(col("t"), lit(0L)).as("triangles"),
+            expr("CAST(coalesce(t, 0) * 2000000 DIV (deg * (deg - 1)) AS BIGINT)")
+              .as("cc_micro"))
+          .orderBy(col("supplier"))
+      },
+      Some(sql("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+                   pairs AS (SELECT x.sk AS a, y.sk AS b, count(*) AS co
+                     FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+                     GROUP BY 1, 2),
+                   thr AS (SELECT quantile_disc(co, 0.9) AS thr FROM pairs),
+                   edges AS (SELECT a, b FROM pairs, thr WHERE co >= thr),
+                   deg AS (SELECT v, count(*) AS deg FROM
+                     (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+                     GROUP BY v),
+                   tri AS (SELECT v, count(*) AS t FROM
+                     (SELECT unnest([e1.a, e1.b, e2.b]) AS v
+                      FROM edges e1
+                      JOIN edges e2 ON e1.b = e2.a
+                      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+                     GROUP BY v)
+                   SELECT v AS supplier, CAST(deg AS BIGINT) AS deg,
+                     CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+                     COALESCE(t, 0) * 2000000 // (deg * (deg - 1)) AS cc_micro
+                   FROM deg LEFT JOIN tri USING (v)
+                   WHERE deg >= 2 ORDER BY supplier"""))),
+
+    // ADAMIC-ADAR LINK PREDICTION on the same top-decile supplier
+    // graph: for NON-adjacent pairs, score = Σ_z 1/ln(deg z) over
+    // common neighbours z — the classic link-prediction baseline.
+    // Common neighbours from one neighbour-list self-join; existing
+    // edges removed with an anti-join; top-10 predicted links.
+    Q("graph_adamic_adar",
+      (s, d) => {
+        val os = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = os.as("x").join(os.as("y"),
+            col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .agg(count(lit(1)).as("co"))
+        val thr = pairs.agg(expr(
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY co)").as("thr"))
+        val edges = pairs.crossJoin(broadcast(thr))
+          .filter(col("co") >= col("thr")).select(col("a"), col("b"))
+        val nbrs = edges.select(col("a").as("v"), col("b").as("z"))
+          .union(edges.select(col("b").as("v"), col("a").as("z")))
+        val deg = nbrs.groupBy(col("z")).agg(count(lit(1)).as("degz"))
+        val cand = nbrs.as("p").join(nbrs.as("q"),
+            col("p.z") === col("q.z") && col("p.v") < col("q.v"))
+          .select(col("p.v").as("a"), col("q.v").as("b"), col("p.z").as("z"))
+          .join(edges, Seq("a", "b"), "left_anti")
+        cand.join(broadcast(deg.filter(col("degz") >= 2)), Seq("z"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common"),
+            round(sum(lit(1.0) / log(col("degz").cast("double"))), 6).as("aa_score"))
+          .orderBy(col("aa_score").desc, col("a"), col("b"))
+          .limit(10)
+      },
+      Some(sql("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+                   pairs AS (SELECT x.sk AS a, y.sk AS b, count(*) AS co
+                     FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+                     GROUP BY 1, 2),
+                   thr AS (SELECT quantile_disc(co, 0.9) AS thr FROM pairs),
+                   edges AS (SELECT a, b FROM pairs, thr WHERE co >= thr),
+                   nbrs AS (SELECT a AS v, b AS z FROM edges
+                            UNION ALL SELECT b AS v, a AS z FROM edges),
+                   deg AS (SELECT z, count(*) AS degz FROM nbrs GROUP BY z),
+                   cand AS (SELECT p.v AS a, q.v AS b, p.z AS z
+                     FROM nbrs p JOIN nbrs q ON p.z = q.z AND p.v < q.v
+                     WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                       WHERE e.a = p.v AND e.b = q.v))
+                   SELECT a, b, count(*) AS common,
+                     round(sum(1.0 / ln(CAST(degz AS DOUBLE))), 6) AS aa_score
+                   FROM cand JOIN deg USING (z)
+                   WHERE degz >= 2
+                   GROUP BY a, b
+                   ORDER BY aa_score DESC, a, b
+                   LIMIT 10""")))
   )
 }
