@@ -69,6 +69,61 @@ object GeoQueries {
                        AND abs(CAST(floor(a.lon / 0.05) AS BIGINT) - CAST(floor(b.lon / 0.05) AS BIGINT)) <= 1)
                    SELECT id_a, id_b, round(km, 3) AS km
                    FROM pairs WHERE km <= $RadiusKm
-                   ORDER BY id_a, id_b""")))
+                   ORDER BY id_a, id_b"""))),
+
+    // NEAREST NEIGHBOUR within the blocked neighbourhood: for each of
+    // the first 200 points, the closest other point among its 3×3-cell
+    // candidates (top-1 per probe via a partitioned rank over the
+    // verified distances — the KNN-1 shape). Points whose true NN lies
+    // outside the ring are reported with their in-ring best — the
+    // documented blocking contract, identical on both engines.
+    Q("geo_nearest_neighbor",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            (lit(40.0) + (Portable.stableHash64(col("c_custkey")) % 1000L)
+              .cast("double") / 1000.0).as("lat"),
+            (lit(-74.0) + (Portable.stableHash64(concat(col("c_custkey"), lit("|lon")))
+              % 1000L).cast("double") / 1000.0).as("lon"))
+          .withColumn("cx", floor(col("lat") / 0.05).cast("long"))
+          .withColumn("cy", floor(col("lon") / 0.05).cast("long"))
+        val probes = pts.filter(col("id") < 200)
+          .select(col("id"), col("lat"), col("lon"),
+            explode(expr("""transform(sequence(0, 8),
+                k -> struct(cx + k div 3 - 1 AS px, cy + k % 3 - 1 AS py))""")).as("p"))
+          .select(col("id"), col("lat"), col("lon"),
+            col("p.px").as("px"), col("p.py").as("py"))
+        probes.as("a")
+          .join(pts.as("b"), col("a.px") === col("b.cx") && col("a.py") === col("b.cy")
+            && col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("id"), col("b.id").as("nn"),
+            col("a.lat").as("lat_a"), col("a.lon").as("lon_a"),
+            col("b.lat").as("lat_b"), col("b.lon").as("lon_b"))
+          .withColumn("km", expr(haversineSpark))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("km"), col("nn"))))
+          .filter(col("rk") === 1)
+          .select(col("id"), col("nn"), round(col("km"), 3).as("km"))
+          .orderBy(col("id"))
+      },
+      Some(sql(s"""WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                       40.0 + CAST(${Portable.stableHash64Sql("c_custkey")} % 1000 AS DOUBLE) / 1000.0 AS lat,
+                       -74.0 + CAST(${Portable.stableHash64Sql("c_custkey || '|lon'")} % 1000 AS DOUBLE) / 1000.0 AS lon
+                     FROM customer),
+                   cand AS (SELECT a.id AS id, b.id AS nn,
+                       2 * 6371.0088 * asin(sqrt(
+                         pow(sin(radians(b.lat - a.lat) / 2), 2)
+                         + cos(radians(a.lat)) * cos(radians(b.lat))
+                           * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+                     FROM pts a JOIN pts b
+                       ON a.id < 200 AND a.id <> b.id
+                       AND abs(CAST(floor(a.lat / 0.05) AS BIGINT) - CAST(floor(b.lat / 0.05) AS BIGINT)) <= 1
+                       AND abs(CAST(floor(a.lon / 0.05) AS BIGINT) - CAST(floor(b.lon / 0.05) AS BIGINT)) <= 1),
+                   rk AS (SELECT id, nn, km,
+                       row_number() OVER (PARTITION BY id ORDER BY km, nn) AS rk
+                     FROM cand)
+                   SELECT id, nn, round(km, 3) AS km
+                   FROM rk WHERE rk = 1 ORDER BY id""")))
   )
 }

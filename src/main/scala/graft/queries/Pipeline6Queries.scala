@@ -239,5 +239,6 @@ object Pipeline6Queries {
                      CAST(sum(golden_cents) AS BIGINT) AS sum_golden_cents,
                      CAST(sum(golden_id) AS BIGINT) AS sum_golden_ids
                    FROM ents""")))
+
   )
 }
