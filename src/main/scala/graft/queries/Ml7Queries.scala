@@ -357,6 +357,42 @@ object Ml7Queries {
                      round(a, 4) AS intercept_c,
                      round((syyd - a * syd * 2 - b * sxyd * 2
                        + nd * a * a + a * b * sxd * 2 + b * b * sxxd) / nd, 2) AS test_mse
-                   FROM fit2 ORDER BY fold""")))
+                   FROM fit2 ORDER BY fold"""))),
+
+    // BENFORD'S-LAW FIRST-DIGIT AUDIT: the fraud/data-quality screen —
+    // observed first-significant-digit counts of order totals (taken
+    // EXACTLY from the cents integer's decimal string, no log10 float)
+    // against the Benford expectation p_d = ln(1+1/d)/ln(10), with the
+    // per-digit chi-square contribution. One scan, a 9-row aggregate.
+    Q("ml_benford_digits",
+      (s, d) => {
+        val digits = table(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .filter(col("digit") >= 1)
+        val n = digits.agg(count(lit(1)).as("n"))
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(n))
+          .withColumn("p", log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0)))
+          .select(col("digit"), col("n_obs"),
+            round(col("p") * col("n").cast("double"), 2).as("exp_n"),
+            round((col("n_obs").cast("double") - col("p") * col("n").cast("double"))
+              * (col("n_obs").cast("double") - col("p") * col("n").cast("double"))
+              / (col("p") * col("n").cast("double")), 4).as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      Some(sql("""WITH digits AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                     FROM orders),
+                   d2 AS (SELECT digit FROM digits WHERE digit >= 1),
+                   n AS (SELECT count(*) AS n FROM d2)
+                   SELECT digit, count(*) AS n_obs,
+                     round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                       * CAST(n AS DOUBLE), 2) AS exp_n,
+                     round((CAST(count(*) AS DOUBLE) - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE))
+                       * (CAST(count(*) AS DOUBLE) - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE))
+                       / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE)), 4) AS chi2_term
+                   FROM d2, n GROUP BY digit, n ORDER BY digit""")))
   )
 }

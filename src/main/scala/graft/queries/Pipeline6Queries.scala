@@ -238,7 +238,42 @@ object Pipeline6Queries {
                      CAST(sum(CASE WHEN n_records > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
                      CAST(sum(golden_cents) AS BIGINT) AS sum_golden_cents,
                      CAST(sum(golden_id) AS BIGINT) AS sum_golden_ids
-                   FROM ents""")))
+                   FROM ents"""))),
 
+    // CDC LOG COMPACTION (apply a change log to a materialized state):
+    // the event stream becomes a per-user op log (hash-derived
+    // insert/update/delete ops), and the final state is LAST-WRITE-WINS
+    // per key — one partitioned rank, deletes become tombstones that
+    // drop the key's value. The log-compaction semantic under every CDC
+    // sink, distinct from stream_merge_upsert's increment arithmetic.
+    Q("pipe_cdc_apply",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val log = events(s, d).select(col("user_id").as("k"),
+          unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(Portable.stableHash64(col("event_id")) % 10 === 0, "D")
+            .when(Portable.stableHash64(col("event_id")) % 10 < 3, "I")
+            .otherwise("U").as("op"))
+        log
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("t").desc, col("e").desc)))
+          .filter(col("rk") === 1)
+          .select(col("k").as("user_id"), col("op").as("last_op"),
+            when(col("op") =!= "D", col("cents")).as("final_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some(sql(s"""WITH log_ AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS e,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN ${Portable.stableHash64Sql("event_id")} % 10 = 0 THEN 'D'
+                            WHEN ${Portable.stableHash64Sql("event_id")} % 10 < 3 THEN 'I'
+                            ELSE 'U' END AS op
+                     FROM events),
+                   rk AS (SELECT k, op, cents,
+                       row_number() OVER (PARTITION BY k ORDER BY t DESC, e DESC) AS rk
+                     FROM log_)
+                   SELECT k AS user_id, op AS last_op,
+                     CASE WHEN op <> 'D' THEN cents END AS final_cents
+                   FROM rk WHERE rk = 1 ORDER BY user_id""")))
   )
 }
