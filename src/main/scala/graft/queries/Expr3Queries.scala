@@ -122,6 +122,46 @@ object Expr3Queries {
                     'Hello Spark World' AS ic, 'R163' AS sdx,
                     TRUE AS luhn_ok, FALSE AS luhn_bad,
                     8 AS bits255, 1 AS bit0_of_5,
-                    CAST(2635321133 AS BIGINT) AS crc""")))
+                    CAST(2635321133 AS BIGINT) AS crc"""))),
+
+    // IPv4 / CIDR ARITHMETIC (network-log analytics — no builtin in
+    // either engine, so both sides compute the same dotted-quad
+    // integer algebra): address → uint32, the /26 network containing
+    // it, its broadcast address, and membership tests for two probe
+    // addresses. Pure integer shifts — exact everywhere.
+    Q("expr_ipv4_cidr",
+      (s, _) => s.sql(sql("""
+        WITH ip AS (SELECT
+            CAST(split(a, '[.]')[0] AS BIGINT) * 16777216
+            + CAST(split(a, '[.]')[1] AS BIGINT) * 65536
+            + CAST(split(a, '[.]')[2] AS BIGINT) * 256
+            + CAST(split(a, '[.]')[3] AS BIGINT) AS ip32
+          FROM (SELECT '203.0.113.77' AS a)),
+        net AS (SELECT ip32, ip32 DIV 64 * 64 AS network, ip32 DIV 64 * 64 + 63 AS bcast
+                FROM ip)
+        SELECT ip32, network, bcast,
+               concat_ws('.', CAST(network DIV 16777216 AS STRING),
+                 CAST(network DIV 65536 % 256 AS STRING),
+                 CAST(network DIV 256 % 256 AS STRING),
+                 CAST(network % 256 AS STRING)) AS network_str,
+               3405803840 BETWEEN network AND bcast AS probe1_in,
+               3405803905 BETWEEN network AND bcast AS probe2_in
+        FROM net""")),
+      Some(sql("""WITH ip AS (SELECT
+                      CAST(string_split(a, '.')[1] AS BIGINT) * 16777216
+                      + CAST(string_split(a, '.')[2] AS BIGINT) * 65536
+                      + CAST(string_split(a, '.')[3] AS BIGINT) * 256
+                      + CAST(string_split(a, '.')[4] AS BIGINT) AS ip32
+                    FROM (SELECT '203.0.113.77' AS a)),
+                  net AS (SELECT ip32, ip32 // 64 * 64 AS network, ip32 // 64 * 64 + 63 AS bcast
+                          FROM ip)
+                  SELECT ip32, network, bcast,
+                    (CAST(network // 16777216 AS VARCHAR) || '.' ||
+                     CAST(network // 65536 % 256 AS VARCHAR) || '.' ||
+                     CAST(network // 256 % 256 AS VARCHAR) || '.' ||
+                     CAST(network % 256 AS VARCHAR)) AS network_str,
+                    3405803840 BETWEEN network AND bcast AS probe1_in,
+                    3405803905 BETWEEN network AND bcast AS probe2_in
+                  FROM net""")))
   )
 }

@@ -274,6 +274,63 @@ object Pipeline6Queries {
                      FROM log_)
                    SELECT k AS user_id, op AS last_op,
                      CASE WHEN op <> 'D' THEN cents END AS final_cents
-                   FROM rk WHERE rk = 1 ORDER BY user_id""")))
+                   FROM rk WHERE rk = 1 ORDER BY user_id"""))),
+
+    // MARKETING ATTRIBUTION (first-touch vs last-touch): every purchase
+    // credits a channel (deterministic hash channel on its user's
+    // click events) — last-touch takes the latest click BEFORE the
+    // purchase (the as-of carry-forward window), first-touch the
+    // user's earliest click overall. Purchases with no preceding click
+    // fall into the 'none' bucket, keeping total credits = total
+    // purchases (pinned by the credit sums). One shuffle on user_id.
+    Q("pipe_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"),
+          when(Portable.stableHash64(concat(col("event_id"), lit("|ch"))) % 3 === 0, "email")
+            .when(Portable.stableHash64(concat(col("event_id"), lit("|ch"))) % 3 === 1, "ads")
+            .otherwise("organic").as("channel"))
+        val wSeq = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        val attributed = ev
+          .withColumn("last_click_ch", last(
+            when(col("event_type") === "click", col("channel")), ignoreNulls = true)
+            .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("first_click_ch", first(
+            when(col("event_type") === "click", col("channel")), ignoreNulls = true)
+            .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("event_type") === "purchase")
+        val credits = attributed
+          .select(coalesce(col("last_click_ch"), lit("none")).as("lt"),
+            coalesce(col("first_click_ch"), lit("none")).as("ft"))
+        credits.select(col("lt").as("channel"), lit(1L).as("last_c"), lit(0L).as("first_c"))
+          .union(credits.select(col("ft").as("channel"), lit(0L).as("last_c"),
+            lit(1L).as("first_c")))
+          .groupBy(col("channel"))
+          .agg(sum(col("last_c")).as("last_touch"), sum(col("first_c")).as("first_touch"))
+          .orderBy(col("channel"))
+      },
+      Some(sql(s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+                       CASE WHEN ${Portable.stableHash64Sql("CAST(event_id AS VARCHAR) || '|ch'")} % 3 = 0 THEN 'email'
+                            WHEN ${Portable.stableHash64Sql("CAST(event_id AS VARCHAR) || '|ch'")} % 3 = 1 THEN 'ads'
+                            ELSE 'organic' END AS channel
+                     FROM events),
+                   attributed AS (SELECT event_type,
+                       last_value(CASE WHEN event_type = 'click' THEN channel END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt0,
+                       first_value(CASE WHEN event_type = 'click' THEN channel END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft0
+                     FROM ev),
+                   credits AS (SELECT COALESCE(lt0, 'none') AS lt, COALESCE(ft0, 'none') AS ft
+                               FROM attributed WHERE event_type = 'purchase')
+                   SELECT channel,
+                     CAST(sum(last_c) AS BIGINT) AS last_touch,
+                     CAST(sum(first_c) AS BIGINT) AS first_touch
+                   FROM (SELECT lt AS channel, 1 AS last_c, 0 AS first_c FROM credits
+                         UNION ALL
+                         SELECT ft AS channel, 0 AS last_c, 1 AS first_c FROM credits)
+                   GROUP BY channel ORDER BY channel""")))
   )
 }
