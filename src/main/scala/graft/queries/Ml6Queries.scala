@@ -174,6 +174,57 @@ object Ml6Queries {
                        sqrt((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd)), 6) AS pearson_r,
                      round((sxyd - sxd * syd / nd) /
                        (sxxd - sxd * sxd / nd), 6) AS ols_slope
-                   FROM d""")))
+                   FROM d"""))),
+
+    // ROBUST ESTIMATORS (Tukey fences, winsorized and trimmed means):
+    // the heavy-tail-safe summary every metrics pipeline publishes next
+    // to the raw mean. Boundaries are exact percentile_disc elements
+    // (broadcast 1-row model), the fence arithmetic is exact integers
+    // ((3·IQR) DIV 2 — no float at the decision boundary), and the
+    // clipped/trimmed means divide exact integer sums.
+    Q("agg_robust_stats",
+      (s, d) => {
+        val cents = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+        // percentile_disc returns DOUBLE; the selected elements are exact
+        // cents integers, so the long cast is lossless
+        val bounds = cents.agg(
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("q1"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("q3"),
+          expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p5"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p95"))
+        cents.crossJoin(broadcast(bounds))
+          .withColumn("lo", col("q1") - expr("(3 * (q3 - q1)) DIV 2"))
+          .withColumn("hi", col("q3") + expr("(3 * (q3 - q1)) DIV 2"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L).otherwise(0L))
+              .as("tukey_outliers"),
+            round(sum(greatest(col("p5"), least(col("p95"), col("v")))).cast("double")
+              / count(lit(1)).cast("double"), 4).as("winsorized_mean_c"),
+            round(sum(when(col("v").between(col("p5"), col("p95")), col("v"))).cast("double")
+              / sum(when(col("v").between(col("p5"), col("p95")), 1L).otherwise(0L))
+                .cast("double"), 4).as("trimmed_mean_c"),
+            round(sum(col("v")).cast("double") / count(lit(1)).cast("double"), 4)
+              .as("raw_mean_c"))
+      },
+      Some(sql("""WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                     FROM orders),
+                   bounds AS (SELECT quantile_disc(v, 0.25) AS q1, quantile_disc(v, 0.75) AS q3,
+                       quantile_disc(v, 0.05) AS p5, quantile_disc(v, 0.95) AS p95
+                     FROM cents),
+                   f AS (SELECT v, q1, q3, p5, p95,
+                       q1 - (3 * (q3 - q1)) // 2 AS lo,
+                       q3 + (3 * (q3 - q1)) // 2 AS hi
+                     FROM cents, bounds)
+                   SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tukey_outliers,
+                     round(CAST(sum(greatest(p5, least(p95, v))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 4) AS winsorized_mean_c,
+                     round(CAST(sum(CASE WHEN v BETWEEN p5 AND p95 THEN v END) AS DOUBLE)
+                       / CAST(sum(CASE WHEN v BETWEEN p5 AND p95 THEN 1 ELSE 0 END) AS DOUBLE), 4)
+                       AS trimmed_mean_c,
+                     round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS raw_mean_c
+                   FROM f""")))
   )
 }
