@@ -225,6 +225,51 @@ object Ml6Queries {
                        / CAST(sum(CASE WHEN v BETWEEN p5 AND p95 THEN 1 ELSE 0 END) AS DOUBLE), 4)
                        AS trimmed_mean_c,
                      round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS raw_mean_c
-                   FROM f""")))
+                   FROM f"""))),
+
+    // DIFFERENCE-IN-DIFFERENCES (the A/B-over-time causal estimator):
+    // hash-assigned treatment group × pre/post periods split at the
+    // exact median day; the 2×2 cell means come from exact integer
+    // (Σv, n) pairs and the DiD estimate is the shared IEEE scalar
+    // formula. One scan, a 4-row aggregate.
+    Q("ml_diff_in_diff",
+      (s, d) => {
+        val ev = events(s, d).select(
+          round(col("value") * 100).cast("long").as("v"),
+          floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"),
+          (graft.functions.Portable.stableHash64(col("user_id")) % 2 === 0).as("treated"))
+        val cut = ev.agg(expr(
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY day) AS BIGINT)").as("cut"))
+        val cells = ev.crossJoin(broadcast(cut))
+          .withColumn("post", col("day") >= col("cut"))
+          .groupBy(col("treated"), col("post"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        cells.agg(
+          max(when(col("treated") && col("post"), col("s").cast("double") / col("n"))).as("tp"),
+          max(when(col("treated") && !col("post"), col("s").cast("double") / col("n"))).as("tr"),
+          max(when(!col("treated") && col("post"), col("s").cast("double") / col("n"))).as("cp"),
+          max(when(!col("treated") && !col("post"), col("s").cast("double") / col("n"))).as("cr"))
+          .select(round(col("tp"), 4).as("treat_post"), round(col("tr"), 4).as("treat_pre"),
+            round(col("cp"), 4).as("ctrl_post"), round(col("cr"), 4).as("ctrl_pre"),
+            round((col("tp") - col("tr")) - (col("cp") - col("cr")), 4).as("did_c"))
+      },
+      Some(sql(s"""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       ${graft.functions.Portable.stableHash64Sql("user_id")} % 2 = 0 AS treated
+                     FROM events),
+                   cut AS (SELECT quantile_disc(day, 0.5) AS cut FROM ev),
+                   cells AS (SELECT treated, day >= cut AS post,
+                       count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+                     FROM ev, cut GROUP BY 1, 2),
+                   m AS (SELECT
+                       max(CASE WHEN treated AND post THEN CAST(s AS DOUBLE) / n END) AS tp,
+                       max(CASE WHEN treated AND NOT post THEN CAST(s AS DOUBLE) / n END) AS tr,
+                       max(CASE WHEN NOT treated AND post THEN CAST(s AS DOUBLE) / n END) AS cp,
+                       max(CASE WHEN NOT treated AND NOT post THEN CAST(s AS DOUBLE) / n END) AS cr
+                     FROM cells)
+                   SELECT round(tp, 4) AS treat_post, round(tr, 4) AS treat_pre,
+                     round(cp, 4) AS ctrl_post, round(cr, 4) AS ctrl_pre,
+                     round((tp - tr) - (cp - cr), 4) AS did_c
+                   FROM m""")))
   )
 }

@@ -592,6 +592,50 @@ object WindowQueries {
                       CAST(a.v + b.v AS DOUBLE)), 6) AS smape
                   FROM daily a JOIN daily b
                     ON a.event_type = b.event_type AND a.day = b.day + 7
-                  GROUP BY a.event_type ORDER BY a.event_type""")))
+                  GROUP BY a.event_type ORDER BY a.event_type"""))),
+
+    // CLASSICAL SEASONAL DECOMPOSITION (additive, STL-lite): per event
+    // type, trend = centered 7-day moving average over daily totals
+    // (full windows only), seasonal index = mean detrended value per
+    // day-of-week. Exact integers end to end: the MA and the per-dow
+    // mean are floor divisions of exact sums — no float enters until
+    // never. One partitioned frame + one grouped aggregate.
+    Q("win_seasonal_decompose",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = graft.Engine.events(s, d)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-3, 3)
+        daily
+          .withColumn("fs", sum(col("v")).over(w))
+          .withColumn("fn", count(lit(1)).over(w))
+          .filter(col("fn") === 7)
+          .withColumn("detr", col("v") - expr("fs DIV 7"))
+          .groupBy(col("event_type"), pmod(col("day"), lit(7)).as("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            // measured parity: DuckDB's integer `//` TRUNCATES toward
+            // zero on negative operands (like Spark DIV) — a floor
+            // emulation here produced an off-by-one on negative sums
+            expr("CAST(sum(detr) DIV count(1) AS BIGINT)").as("seasonal_c"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some(sql("""WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events GROUP BY 1, 2),
+                  ma AS (SELECT event_type, day, v,
+                       CAST(sum(v) OVER w AS BIGINT) AS fs,
+                       count(*) OVER w AS fn
+                     FROM daily
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+                  detr AS (SELECT event_type, day % 7 AS dow, v - fs // 7 AS detr
+                           FROM ma WHERE fn = 7)
+                  SELECT event_type, dow, count(*) AS n_days,
+                    CAST(sum(detr) // count(*) AS BIGINT) AS seasonal_c
+                  FROM detr GROUP BY 1, 2 ORDER BY event_type, dow""")))
   )
 }
