@@ -270,6 +270,40 @@ object Ml6Queries {
                    SELECT round(tp, 4) AS treat_post, round(tr, 4) AS treat_pre,
                      round(cp, 4) AS ctrl_post, round(cr, 4) AS ctrl_pre,
                      round((tp - tr) - (cp - cr), 4) AS did_c
-                   FROM m""")))
+                   FROM m"""))),
+
+    // MEDIAN ABSOLUTE DEVIATION + robust z outliers: MAD = median of
+    // |v − median|, the robust-scale companion of agg_robust_stats'
+    // fences. The 3σ-equivalent cut |v−med| > 3·1.4826·MAD is an exact
+    // integer cross-multiplication (10000·dev > 44478·MAD) — no float
+    // at the decision boundary. Two broadcast one-row models, one scan
+    // each.
+    Q("agg_mad",
+      (s, d) => {
+        val cents = table(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+        val med = cents.agg(expr(
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("med"))
+        val dev = cents.crossJoin(broadcast(med))
+          .select(col("v"), col("med"), abs(col("v") - col("med")).as("dev"))
+        val mad = dev.agg(expr(
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT)").as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("median_c"), max(col("mad")).as("mad_c"),
+            sum(when(col("dev") * 10000L > col("mad") * 44478L, 1L).otherwise(0L))
+              .as("robust_outliers"))
+      },
+      Some(sql("""WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                     FROM orders),
+                   med AS (SELECT quantile_disc(v, 0.5) AS med FROM cents),
+                   dev AS (SELECT v, med, abs(v - med) AS dev FROM cents, med),
+                   mad AS (SELECT quantile_disc(dev, 0.5) AS mad FROM dev)
+                   SELECT count(*) AS n,
+                     CAST(max(med) AS BIGINT) AS median_c,
+                     CAST(max(mad) AS BIGINT) AS mad_c,
+                     CAST(sum(CASE WHEN dev * 10000 > mad * 44478 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS robust_outliers
+                   FROM dev, mad""")))
   )
 }
