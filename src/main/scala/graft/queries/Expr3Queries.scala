@@ -162,6 +162,55 @@ object Expr3Queries {
                      CAST(network % 256 AS VARCHAR)) AS network_str,
                     3405803840 BETWEEN network AND bcast AS probe1_in,
                     3405803905 BETWEEN network AND bcast AS probe2_in
-                  FROM net""")))
+                  FROM net"""))),
+
+    // DATE_TRUNC GRID: every granularity the warehouse calendar uses
+    // (year/quarter/month/week/day/hour) on a fixed timestamp, rendered
+    // as exact epoch micros. Spark and DuckDB share the ISO-Monday week
+    // convention.
+    Q("expr_datetrunc_grid",
+      (s, _) => s.sql(sql("""
+        SELECT unix_micros(date_trunc('YEAR', t))    AS y_us,
+               unix_micros(date_trunc('QUARTER', t)) AS q_us,
+               unix_micros(date_trunc('MONTH', t))   AS mo_us,
+               unix_micros(date_trunc('WEEK', t))    AS wk_us,
+               unix_micros(date_trunc('DAY', t))     AS d_us,
+               unix_micros(date_trunc('HOUR', t))    AS h_us
+        FROM (SELECT TIMESTAMP '2024-05-15 13:47:31.123456' AS t)""")),
+      Some(sql("""SELECT epoch_us(date_trunc('year', t))    AS y_us,
+                    epoch_us(date_trunc('quarter', t)) AS q_us,
+                    epoch_us(date_trunc('month', t))   AS mo_us,
+                    epoch_us(date_trunc('week', t))    AS wk_us,
+                    epoch_us(date_trunc('day', t))     AS d_us,
+                    epoch_us(date_trunc('hour', t))    AS h_us
+                  FROM (SELECT TIMESTAMP '2024-05-15 13:47:31.123456' AS t)"""))),
+
+    // LONG-TAIL SCALARS: substring_index, regexp_count, byte-vs-char
+    // length on multibyte text, factorial, hypot/cbrt, the expm1/log1p
+    // precision pair, find_in_set, elt, repeat — the remaining odds and
+    // ends of the function registry, literal-pinned where DuckDB lacks
+    // the twin.
+    Q("expr_scalar_longtail",
+      (s, _) => s.sql(sql("""
+        SELECT substring_index('a.b.c.d', '.', 2)        AS si_lead,
+               substring_index('a.b.c.d', '.', -1)       AS si_tail,
+               CAST(regexp_count('ababab', 'ab') AS INT) AS re_count,
+               CAST(char_length('héllo') AS INT)         AS n_chars,
+               CAST(octet_length('héllo') AS INT)        AS n_bytes,
+               factorial(10)                             AS fact10,
+               CAST(hypot(3, 4) AS DOUBLE)               AS hyp,
+               CAST(cbrt(27.0) AS DOUBLE)                AS cbrt27,
+               round(expm1(0.5), 10)                     AS expm1_half,
+               round(log1p(0.5), 10)                     AS log1p_half,
+               CAST(find_in_set('c', 'a,b,c,d') AS INT)  AS fis,
+               elt(2, 'x', 'y', 'z')                     AS elt2,
+               repeat('ab', 3)                           AS rep""")),
+      Some(sql("""SELECT 'a.b' AS si_lead, 'd' AS si_tail,
+                    3 AS re_count, 5 AS n_chars, 6 AS n_bytes,
+                    CAST(3628800 AS BIGINT) AS fact10,
+                    CAST(5.0 AS DOUBLE) AS hyp, CAST(3.0 AS DOUBLE) AS cbrt27,
+                    CAST(0.6487212707 AS DOUBLE) AS expm1_half,
+                    CAST(0.4054651081 AS DOUBLE) AS log1p_half,
+                    3 AS fis, 'y' AS elt2, 'ababab' AS rep""")))
   )
 }
