@@ -211,6 +211,26 @@ object Expr3Queries {
                     CAST(5.0 AS DOUBLE) AS hyp, CAST(3.0 AS DOUBLE) AS cbrt27,
                     CAST(0.6487212707 AS DOUBLE) AS expm1_half,
                     CAST(0.4054651081 AS DOUBLE) AS log1p_half,
-                    3 AS fis, 'y' AS elt2, 'ababab' AS rep""")))
+                    3 AS fis, 'y' AS elt2, 'ababab' AS rep"""))),
+
+    // ARRAY EDIT OPERATIONS + struct→JSON rendering: position, remove,
+    // insert-at, append/prepend (the Spark 3.4/3.5 array-edit family),
+    // and to_json of a named struct — literal-pinned (the capability is
+    // the documented edit semantics: 1-based positions, insert shifts
+    // right, remove deletes ALL occurrences).
+    Q("expr_array_edits",
+      (s, _) => s.sql(sql("""
+        SELECT CAST(array_position(a, 22) AS INT)          AS pos22,
+               array_join(array_remove(a, 22), '|')        AS removed,
+               array_join(array_insert(a, 2, 99), '|')     AS inserted,
+               array_join(array_append(a, 44), '|')        AS appended,
+               array_join(array_prepend(a, 0), '|')        AS prepended,
+               to_json(named_struct('a', 1, 'b', 'x'))     AS js
+        FROM (SELECT array(11, 22, 33, 22) AS a)""")),
+      Some(sql("""SELECT 2 AS pos22, '11|33' AS removed,
+                    '11|99|22|33|22' AS inserted,
+                    '11|22|33|22|44' AS appended,
+                    '0|11|22|33|22' AS prepended,
+                    '{"a":1,"b":"x"}' AS js""")))
   )
 }
