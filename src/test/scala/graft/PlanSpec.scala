@@ -47,6 +47,8 @@ class PlanSpec extends AnyFunSuite {
     // they must never regress to a global row_number window
     for (name <- Seq("win_rank", "win_running_sum", "win_lag_lead",
         "win_nth_value", "sql_rows_vs_range_ties", "win_cusum",
+        "win_seasonal_decompose", "pipe_scd2_intervals", "pipe_cdc_apply",
+        "pipe_attribution",
         "sort_global", "sort_nulls_last")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"), s"$name has a single-partition stage:\n$p")
