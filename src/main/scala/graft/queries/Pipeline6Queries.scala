@@ -331,6 +331,72 @@ object Pipeline6Queries {
                    FROM (SELECT lt AS channel, 1 AS last_c, 0 AS first_c FROM credits
                          UNION ALL
                          SELECT ft AS channel, 0 AS last_c, 1 AS first_c FROM credits)
-                   GROUP BY channel ORDER BY channel""")))
+                   GROUP BY channel ORDER BY channel"""))),
+
+    // REFERENTIAL-INTEGRITY AUDIT of the star schema: per foreign-key
+    // relationship, the child row count, the orphan count (children
+    // whose key misses the parent — LEFT ANTI join, dims broadcast),
+    // and the parent-side primary-key duplicate count. The QA report
+    // every warehouse load gate runs; all counts exact.
+    Q("pipe_fk_audit",
+      (s, d) => {
+        def rel(name: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+          val orphans = child.join(broadcast(parent), col(ck) === col(pk), "left_anti")
+          val dups = parent.groupBy(col(pk)).agg(count(lit(1)).as("c"))
+            .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("pk_dups"))
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .crossJoin(dups)
+            .select(lit(name).as("relationship"), col("n_child"),
+              col("n_orphans"), col("pk_dups"))
+        }
+        val t = (n: String) => table(s, d, n)
+        rel("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey")
+          .unionByName(rel("lineitem->orders", t("lineitem"), "l_orderkey",
+            t("orders"), "o_orderkey"))
+          .unionByName(rel("lineitem->part", t("lineitem"), "l_partkey",
+            t("part"), "p_partkey"))
+          .unionByName(rel("lineitem->supplier", t("lineitem"), "l_suppkey",
+            t("supplier"), "s_suppkey"))
+          .unionByName(rel("customer->nation", t("customer"), "c_nationkey",
+            t("nation"), "n_nationkey"))
+          .orderBy(col("relationship"))
+      },
+      Some(sql("""SELECT 'customer->nation' AS relationship,
+                    (SELECT count(*) FROM customer) AS n_child,
+                    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+                    (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+                      GROUP BY 1 HAVING count(*) > 1)) AS pk_dups
+                  UNION ALL
+                  SELECT 'lineitem->orders',
+                    (SELECT count(*) FROM lineitem),
+                    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+                    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                      GROUP BY 1 HAVING count(*) > 1))
+                  UNION ALL
+                  SELECT 'lineitem->part',
+                    (SELECT count(*) FROM lineitem),
+                    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+                    (SELECT count(*) FROM (SELECT p_partkey FROM part
+                      GROUP BY 1 HAVING count(*) > 1))
+                  UNION ALL
+                  SELECT 'lineitem->supplier',
+                    (SELECT count(*) FROM lineitem),
+                    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                      (SELECT 1 FROM supplier sp WHERE sp.s_suppkey = l.l_suppkey)),
+                    (SELECT count(*) FROM (SELECT s_suppkey FROM supplier
+                      GROUP BY 1 HAVING count(*) > 1))
+                  UNION ALL
+                  SELECT 'orders->customer',
+                    (SELECT count(*) FROM orders),
+                    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+                    (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                      GROUP BY 1 HAVING count(*) > 1))
+                  ORDER BY relationship""")))
   )
 }
