@@ -397,6 +397,52 @@ object Pipeline6Queries {
                       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
                     (SELECT count(*) FROM (SELECT c_custkey FROM customer
                       GROUP BY 1 HAVING count(*) > 1))
-                  ORDER BY relationship""")))
+                  ORDER BY relationship"""))),
+
+    // ORDER-INDEPENDENT TABLE CHECKSUMS (migration parity): each
+    // dimension table reduced to (row count, Σ rowhash mod p) where the
+    // row rendering is a canonical '|'-joined string with money
+    // quantized to exact cents — the cross-engine "did the copy arrive
+    // intact" fingerprint. Commutative sum ⇒ partition-order free; mod
+    // 2^31−1 keeps the BIGINT sum exact at any scale.
+    Q("pipe_table_checksum",
+      (s, d) => {
+        val P = 2147483647L
+        def ck(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(Portable.stableHash64(col("r")) % P).as("checksum"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+        ck("customer", table(s, d, "customer").select(concat_ws("|",
+            col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long")).as("r")))
+          .unionByName(ck("nation", table(s, d, "nation").select(concat_ws("|",
+            col("n_nationkey"), col("n_name"), col("n_regionkey")).as("r"))))
+          .unionByName(ck("region", table(s, d, "region").select(concat_ws("|",
+            col("r_regionkey"), col("r_name")).as("r"))))
+          .unionByName(ck("supplier", table(s, d, "supplier").select(concat_ws("|",
+            col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            round(col("s_acctbal") * 100).cast("long")).as("r"))))
+          .orderBy(col("tbl"))
+      },
+      Some(sql(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
+                     CAST(sum(${Portable.stableHash64Sql(
+                       "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) AS BIGINT) AS checksum
+                   FROM customer
+                   UNION ALL
+                   SELECT 'nation', count(*),
+                     CAST(sum(${Portable.stableHash64Sql(
+                       "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)")} % 2147483647) AS BIGINT)
+                   FROM nation
+                   UNION ALL
+                   SELECT 'region', count(*),
+                     CAST(sum(${Portable.stableHash64Sql(
+                       "CAST(r_regionkey AS VARCHAR) || '|' || r_name")} % 2147483647) AS BIGINT)
+                   FROM region
+                   UNION ALL
+                   SELECT 'supplier', count(*),
+                     CAST(sum(${Portable.stableHash64Sql(
+                       "CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR) || '|' || CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) AS BIGINT)
+                   FROM supplier
+                   ORDER BY tbl""")))
   )
 }
