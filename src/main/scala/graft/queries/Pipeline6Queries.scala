@@ -443,6 +443,77 @@ object Pipeline6Queries {
                      CAST(sum(${Portable.stableHash64Sql(
                        "CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR) || '|' || CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) AS BIGINT)
                    FROM supplier
-                   ORDER BY tbl""")))
+                   ORDER BY tbl"""))),
+
+    // COLUMN PROFILE + DATA-CONTRACT EXPECTATIONS (the Great-
+    // Expectations report): per column of `events` — null count,
+    // distinct count, canonical min/max rendering (timestamps as exact
+    // epoch micros), and the column's contract verdict (id uniqueness,
+    // non-negative values, closed event-type domain). ONE scan: every
+    // profile cell is an aggregate of the same pass, unpivoted to rows.
+    Q("pipe_column_profile",
+      (s, d) => {
+        val ev = events(s, d)
+        val prof = ev.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("nn_id"),
+          countDistinct(col("event_id")).as("nd_id"),
+          min(col("event_id")).cast("string").as("mn_id"),
+          max(col("event_id")).cast("string").as("mx_id"),
+          sum(when(col("ts").isNull, 1L).otherwise(0L)).as("nn_ts"),
+          countDistinct(col("ts")).as("nd_ts"),
+          min(unix_micros(col("ts"))).cast("string").as("mn_ts"),
+          max(unix_micros(col("ts"))).cast("string").as("mx_ts"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nn_u"),
+          countDistinct(col("user_id")).as("nd_u"),
+          min(col("user_id")).cast("string").as("mn_u"),
+          max(col("user_id")).cast("string").as("mx_u"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nn_t"),
+          countDistinct(col("event_type")).as("nd_t"),
+          min(col("event_type")).as("mn_t"), max(col("event_type")).as("mx_t"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn_v"),
+          countDistinct(round(col("value") * 100).cast("long")).as("nd_v"),
+          min(round(col("value") * 100).cast("long")).cast("string").as("mn_v"),
+          max(round(col("value") * 100).cast("long")).cast("string").as("mx_v"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_v"),
+          sum(when(!col("event_type").isin("click", "error", "purchase", "signup", "view"),
+            1L).otherwise(0L)).as("bad_t"))
+        prof.selectExpr("""stack(5,
+            'event_id',   nn_id, nd_id, mn_id, mx_id, nd_id = n,
+            'event_type', nn_t,  nd_t,  mn_t,  mx_t,  bad_t = 0,
+            'ts',         nn_ts, nd_ts, mn_ts, mx_ts, nn_ts = 0,
+            'user_id',    nn_u,  nd_u,  mn_u,  mx_u,  nn_u = 0,
+            'value',      nn_v,  nd_v,  mn_v,  mx_v,  neg_v = 0)
+          AS (col_name, n_nulls, n_distinct, min_s, max_s, contract_ok)""")
+          .orderBy(col("col_name"))
+      },
+      Some(sql("""WITH p AS (SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_id,
+                       count(DISTINCT event_id) AS nd_id,
+                       CAST(min(event_id) AS VARCHAR) AS mn_id, CAST(max(event_id) AS VARCHAR) AS mx_id,
+                       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ts,
+                       count(DISTINCT ts) AS nd_ts,
+                       CAST(min(epoch_us(ts)) AS VARCHAR) AS mn_ts, CAST(max(epoch_us(ts)) AS VARCHAR) AS mx_ts,
+                       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_u,
+                       count(DISTINCT user_id) AS nd_u,
+                       CAST(min(user_id) AS VARCHAR) AS mn_u, CAST(max(user_id) AS VARCHAR) AS mx_u,
+                       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_t,
+                       count(DISTINCT event_type) AS nd_t,
+                       min(event_type) AS mn_t, max(event_type) AS mx_t,
+                       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_v,
+                       count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS nd_v,
+                       CAST(min(CAST(round(value * 100) AS BIGINT)) AS VARCHAR) AS mn_v,
+                       CAST(max(CAST(round(value * 100) AS BIGINT)) AS VARCHAR) AS mx_v,
+                       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_v,
+                       CAST(sum(CASE WHEN event_type NOT IN
+                         ('click', 'error', 'purchase', 'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS bad_t
+                     FROM events)
+                   SELECT 'event_id' AS col_name, nn_id AS n_nulls, nd_id AS n_distinct,
+                     mn_id AS min_s, mx_id AS max_s, nd_id = n AS contract_ok FROM p
+                   UNION ALL SELECT 'event_type', nn_t, nd_t, mn_t, mx_t, bad_t = 0 FROM p
+                   UNION ALL SELECT 'ts', nn_ts, nd_ts, mn_ts, mx_ts, nn_ts = 0 FROM p
+                   UNION ALL SELECT 'user_id', nn_u, nd_u, mn_u, mx_u, nn_u = 0 FROM p
+                   UNION ALL SELECT 'value', nn_v, nd_v, mn_v, mx_v, neg_v = 0 FROM p
+                   ORDER BY col_name""")))
   )
 }
