@@ -514,6 +514,32 @@ object Pipeline6Queries {
                    UNION ALL SELECT 'ts', nn_ts, nd_ts, mn_ts, mx_ts, nn_ts = 0 FROM p
                    UNION ALL SELECT 'user_id', nn_u, nd_u, mn_u, mx_u, nn_u = 0 FROM p
                    UNION ALL SELECT 'value', nn_v, nd_v, mn_v, mx_v, neg_v = 0 FROM p
-                   ORDER BY col_name""")))
+                   ORDER BY col_name"""))),
+
+    // FRESHNESS / STALENESS SLA: per event type, the last-seen
+    // timestamp and its lag behind the corpus watermark (global max ts
+    // — the deterministic "now", pipe_decay_weights' trick), with a
+    // 1-day SLA breach flag. Exact microsecond arithmetic, one grouped
+    // aggregate + a broadcast 1-row watermark.
+    Q("pipe_freshness_sla",
+      (s, d) => {
+        val ev = events(s, d)
+        val wm = ev.agg(max(unix_micros(col("ts"))).as("wm_us"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last_us"))
+          .crossJoin(broadcast(wm))
+          .select(col("event_type"), col("n"),
+            col("last_us"), (col("wm_us") - col("last_us")).as("lag_us"),
+            ((col("wm_us") - col("last_us")) > 86400000000L).as("sla_breach"))
+          .orderBy(col("event_type"))
+      },
+      Some(sql("""WITH wm AS (SELECT max(epoch_us(ts)) AS wm_us FROM events),
+                   g AS (SELECT event_type, count(*) AS n,
+                       max(epoch_us(ts)) AS last_us
+                     FROM events GROUP BY event_type)
+                   SELECT event_type, n, last_us,
+                     wm_us - last_us AS lag_us,
+                     (wm_us - last_us) > 86400000000 AS sla_breach
+                   FROM g, wm ORDER BY event_type""")))
   )
 }
