@@ -9,9 +9,11 @@ import Registry.sql
   * the reference exposes through mllib/stat (Statistics.chiSqTest,
   * colStats, corr — mllib/src/main/scala/org/apache/spark/mllib/stat/
   * Statistics.scala): one-way ANOVA, a multiplier-bootstrap confidence
-  * interval, and the full corr/covar family — each restated as ONE
-  * partial-aggregate scan producing exact integer sufficient statistics,
-  * with the final scalar formula evaluated identically in both engines.
+  * interval, the full corr/covar family, Tukey/winsorized/trimmed and
+  * MAD robust estimators, and difference-in-differences — each restated
+  * as ONE partial-aggregate scan producing exact integer sufficient
+  * statistics, with the final scalar formula evaluated identically in
+  * both engines.
   *
   * Exactness contract: measures are quantized to integer cents, all
   * sums/sums-of-squares are exact integers (DECIMAL(38,0) in Spark,

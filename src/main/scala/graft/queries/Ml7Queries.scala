@@ -5,13 +5,16 @@ import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import Registry.sql
 
-/** MLlib parity, wave 7 (round 10) — the remaining evaluation metrics
-  * of the reference's mllib/evaluation surface (BinaryClassification
-  * Metrics.scala, MulticlassMetrics.scala): proper scoring rules
-  * (Brier + log loss), Welch's unequal-variance t-test, and Cohen's
-  * kappa. Scores/labels derive deterministically from the portable
-  * hash so every metric is reproducible; counts and squared errors are
-  * exact integers, transcendentals (ln, sqrt) appear only in the final
+/** MLlib parity, wave 7 (round 10) — the remaining evaluation and
+  * fitting surfaces of the reference's mllib tree (BinaryClassification
+  * Metrics.scala, MulticlassMetrics.scala, ClusteringEvaluator,
+  * IsotonicRegression, CrossValidator): proper scoring rules (Brier +
+  * log loss), Welch's t, Cohen's kappa, simplified silhouette,
+  * isotonic regression via minimax joins, k-fold OLS cross-validation
+  * by leave-fold-out subtraction, and the Benford first-digit audit.
+  * Scores/labels derive deterministically from the portable hash so
+  * every metric is reproducible; counts and squared errors are exact
+  * integers, transcendentals (ln, sqrt) appear only in the final
   * rounded projection.
   */
 object Ml7Queries {

@@ -6,13 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Registry.sql
 
-/** Pipeline wave 6 (round 10) — sampling and evaluation plumbing a
-  * training-data pipeline needs between curation and the loader:
-  * weighted sampling without replacement (Efraimidis–Spirakis 2006,
-  * the distributed restatement of the reference's RDD takeSample /
-  * sampleByKey surface — core/.../rdd/PairRDDFunctions.scala:258),
-  * equal-frequency feature binning, leakage-free grouped holdout
-  * splits, and mean reciprocal rank.
+/** Pipeline wave 6 (round 10) — the plumbing between curation and the
+  * loader, plus the warehouse-operations layer: weighted sampling
+  * without replacement (Efraimidis–Spirakis 2006, the distributed
+  * restatement of the reference's RDD takeSample / sampleByKey surface
+  * — core/.../rdd/PairRDDFunctions.scala:258), equal-frequency
+  * binning, leakage-free grouped holdout, MRR, SCD Type-2 validity
+  * intervals, entity-resolution survivorship, CDC log compaction,
+  * marketing attribution, referential-integrity audit, migration
+  * checksums, column profiling with data contracts, and freshness
+  * SLAs.
   *
   * Determinism contract: all "randomness" is the portable md5-derived
   * hash (never seed-based RNG), selections are exact integer or

@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Registry.sql
 
-/** Text wave 2 (round 10) — reference-based n-gram overlap scoring
-  * (ROUGE-1/ROUGE-2), the standard summarization/contamination metric a
-  * training-eval pipeline computes between candidate and reference
+/** Text wave 2 (round 10) — ROUGE-1/ROUGE-2 pair scoring, overlapping
+  * audio-frame features, PPMI distributional word similarity, and
+  * TextRank keywords. The ROUGE half: the standard summarization/
+  * contamination metric a training-eval pipeline computes between
+  * candidate and reference
   * texts. Pairing is a deterministic hash sample (every 25th doc, fixed
   * +137 partner offset), the clipped-count overlap is exact integer
   * arithmetic, and scores are floor-1e6-scaled integers — no floats
