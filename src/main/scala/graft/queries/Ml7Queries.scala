@@ -396,6 +396,39 @@ object Ml7Queries {
                      round((CAST(count(*) AS DOUBLE) - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE))
                        * (CAST(count(*) AS DOUBLE) - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE))
                        / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * CAST(n AS DOUBLE)), 4) AS chi2_term
-                   FROM d2, n GROUP BY digit, n ORDER BY digit""")))
+                   FROM d2, n GROUP BY digit, n ORDER BY digit"""))),
+
+    // THEIL–SEN ROBUST SLOPE: the median of pairwise slopes over a
+    // deterministic 100-point sample (hash-top selection), with each
+    // slope an EXACT floor-1e6-scaled integer ((yj−yi)·1e6 DIV (xj−xi))
+    // so the median is an exact element selection — the
+    // outlier-resistant alternative to agg_corr_covar's OLS slope.
+    // Pair volume is bounded by the FIXED sample size (C(100,2)), never
+    // by the corpus; the sample selection is one TopK.
+    Q("ml_theilsen_slope",
+      (s, d) => {
+        val pts = table(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            round(col("l_extendedprice") * 100).cast("long").as("y"),
+            Portable.stableHash64(concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))).as("h"))
+          .orderBy(col("h")).limit(100)
+        val slopes = pts.as("a").join(pts.as("b"),
+            col("a.h") < col("b.h") && col("a.x") =!= col("b.x"))
+          .select(expr("((b.y - a.y) * 1000000) DIV (b.x - a.x)").as("slope_micro"))
+        slopes.agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro) AS BIGINT)")
+            .as("theilsen_slope_micro"))
+      },
+      Some(sql(s"""WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                       ${Portable.stableHash64Sql(
+                         "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)")} AS h
+                     FROM lineitem ORDER BY h LIMIT 100),
+                   slopes AS (SELECT ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_micro
+                     FROM pts a JOIN pts b ON a.h < b.h AND a.x <> b.x)
+                   SELECT count(*) AS n_pairs,
+                     CAST(quantile_disc(slope_micro, 0.5) AS BIGINT) AS theilsen_slope_micro
+                   FROM slopes""")))
   )
 }

@@ -636,6 +636,46 @@ object WindowQueries {
                            FROM ma WHERE fn = 7)
                   SELECT event_type, dow, count(*) AS n_days,
                     CAST(sum(detr) // count(*) AS BIGINT) AS seasonal_c
-                  FROM detr GROUP BY 1, 2 ORDER BY event_type, dow""")))
+                  FROM detr GROUP BY 1, 2 ORDER BY event_type, dow"""))),
+
+    // ROLLING MEDIAN (trailing 7-day robust smoother): median as a
+    // WINDOW aggregate over a ROWS frame, partitioned by event type —
+    // the outlier-resistant counterpart of the moving average in
+    // win_seasonal_decompose. Odd-length full frames make the median an
+    // exact element (both engines interpolate only on even counts, so
+    // partial leading frames are excluded); exact integer cents.
+    Q("win_rolling_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = graft.Engine.events(s, d)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        daily
+          .withColumn("fn", count(lit(1)).over(w))
+          // Spark disallows median() with an explicit frame — the
+          // 7-element frame median is the exact 4th order statistic of
+          // the frame's collected list instead (same value, still no
+          // interpolation)
+          .withColumn("med",
+            element_at(array_sort(collect_list(col("v")).over(w)), 4))
+          .filter(col("fn") === 7)
+          .select(col("event_type"), col("day"), col("v"), col("med"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(sql("""WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events GROUP BY 1, 2),
+                  r AS (SELECT event_type, day, v,
+                       count(*) OVER w AS fn,
+                       CAST(median(v) OVER w AS BIGINT) AS med
+                     FROM daily
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                  SELECT event_type, day, v, med
+                  FROM r WHERE fn = 7 ORDER BY event_type, day""")))
   )
 }
