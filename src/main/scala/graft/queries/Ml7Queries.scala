@@ -429,6 +429,74 @@ object Ml7Queries {
                      FROM pts a JOIN pts b ON a.h < b.h AND a.x <> b.x)
                    SELECT count(*) AS n_pairs,
                      CAST(quantile_disc(slope_micro, 0.5) AS BIGINT) AS theilsen_slope_micro
-                   FROM slopes""")))
+                   FROM slopes"""))),
+
+    // WALD–WOLFOWITZ RUNS TEST for serial randomness: per event type,
+    // the daily series is dichotomized around its exact median (ties
+    // dropped, the standard convention), runs are counted with one
+    // partitioned lag window, and the normal-approximation z comes
+    // from exact (n1, n2, R) integers via the shared IEEE formula —
+    // the trend/clustering diagnostic next to win_autocorr.
+    Q("ml_runs_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            floor(unix_micros(col("ts")) / 86400000000.0).cast("long").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val med = daily.groupBy(col("event_type").as("et"))
+          .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+            .as("med"))
+        val signs = daily.join(broadcast(med), col("event_type") === col("et"))
+          .filter(col("v") =!= col("med"))
+          .select(col("event_type"), col("day"), (col("v") > col("med")).as("up"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        signs
+          .withColumn("chg", when(lag(col("up"), 1).over(w).isNull
+            || col("up") =!= lag(col("up"), 1).over(w), 1L).otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(sum(col("chg")).as("runs"),
+            sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("up"), 1L).otherwise(0L)).as("n2"))
+          .select(col("event_type"), col("runs"), col("n1"), col("n2"),
+            round((col("runs").cast("double") -
+              (col("n1").cast("double") * col("n2").cast("double") * 2.0 /
+                (col("n1") + col("n2")).cast("double") + 1.0)) /
+              sqrt(col("n1").cast("double") * col("n2").cast("double") * 2.0 *
+                (col("n1").cast("double") * col("n2").cast("double") * 2.0 -
+                  col("n1").cast("double") - col("n2").cast("double")) /
+                ((col("n1") + col("n2")).cast("double") *
+                  (col("n1") + col("n2")).cast("double") *
+                  ((col("n1") + col("n2")).cast("double") - 1.0))), 4).as("z"))
+          .orderBy(col("event_type"))
+      },
+      Some(sql("""WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                     FROM events GROUP BY 1, 2),
+                   med AS (SELECT event_type AS et, quantile_disc(v, 0.5) AS med
+                           FROM daily GROUP BY 1),
+                   signs AS (SELECT event_type, day, v > med AS up
+                     FROM daily JOIN med ON event_type = et
+                     WHERE v <> med),
+                   chg AS (SELECT event_type, up,
+                       CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day) IS NULL
+                              OR up <> lag(up) OVER (PARTITION BY event_type ORDER BY day)
+                            THEN 1 ELSE 0 END AS chg
+                     FROM signs),
+                   agg AS (SELECT event_type, CAST(sum(chg) AS BIGINT) AS runs,
+                       CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                     FROM chg GROUP BY event_type)
+                   SELECT event_type, runs, n1, n2,
+                     round((CAST(runs AS DOUBLE) -
+                       (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 2.0 /
+                         CAST(n1 + n2 AS DOUBLE) + 1.0)) /
+                       sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 2.0 *
+                         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 2.0 -
+                           CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) /
+                         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+                           (CAST(n1 + n2 AS DOUBLE) - 1.0))), 4) AS z
+                   FROM agg ORDER BY event_type""")))
   )
 }
