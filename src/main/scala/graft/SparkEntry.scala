@@ -42,6 +42,7 @@ object SparkEntry {
       Pipeline4Queries.all ++
       Pipeline5Queries.all ++
       Pipeline6Queries.all ++
+      Pipeline7Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++
@@ -55,6 +56,7 @@ object SparkEntry {
       Sql12Queries.all ++
       Sql13Queries.all ++
       Sql14Queries.all ++
+      Sql15Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++

@@ -952,4 +952,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"dedup_paragraph_common should not use a window:\n$p")
   }
+
+  test("quality-classifier scoring is a zero-exchange scan-stage projection") {
+    // the learned filter's 100 TB contract: the weight vector is a
+    // literal inside the expression, the token loop is a HOF over the
+    // scan — no join, no aggregation, no exchange of any kind
+    val p = plan("pipe_quality_classifier")
+    assert(!p.contains("Exchange"), s"classifier scoring shuffles:\n$p")
+    assert(!p.contains("Join"), s"classifier scoring joins:\n$p")
+  }
+
+  test("correlated aggregation branches re-join with no third exchange") {
+    // correlationoptimizer family: cnts ⋈ sums on the shared group key
+    // must ride the two aggregations' hash partitioning — exactly the
+    // branch exchanges, never an extra repartition for the join (a
+    // size-guarded broadcast of one aggregated branch is also fine)
+    val df = SparkEntry.queries("sql_correlated_agg_join")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, s"join added a third hash exchange:\n$p")
+  }
+
+  test("tfidf never statically broadcasts the vocabulary-sized df aggregate") {
+    // the r10 plan defect: broadcast(df) collected the ENTIRE vocabulary
+    // to the driver. The static plan (pre-AQE, which is what survives a
+    // 100× scale-up) may broadcast only the 1-row corpus count; the
+    // df join must be a shuffle join on token.
+    val df = SparkEntry.queries("text_tfidf")(spark, TestSpark.Sf)
+    val p = df.queryExecution.sparkPlan.toString // static plan, pre-AQE
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts <= 1, s"static plan broadcasts more than n_docs:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"df join is not a shuffle join:\n$p")
+  }
 }

@@ -207,4 +207,52 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(big <= 15L * math.max(small, 50L),
       s"paragraph boilerplate join grew superlinearly: sf0.01=$small → sf0.1=$big")
   }
+
+  /** Largest BROADCAST build side (numOutputRows of any
+    * BroadcastExchange) the executed plan materialized — the r10 blind
+    * spot: PlanSpec pinned that the term join broadcasts and
+    * maxJoinRows measured join OUTPUT, but neither read the build-side
+    * INPUT cardinality, which is what OOMs the driver at 100 TB. */
+  private def maxBroadcastRows(name: String, sf: String): Long = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    nodes(df.queryExecution.executedPlan)
+      .collect { case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.metrics.get("numOutputRows") }
+      .flatten.map(_.value).foldLeft(0L)(math.max)
+  }
+
+  test("retrieval scorers broadcast only term-bounded build sides at every SF") {
+    // the r10 defect class: text_tfidf / text_bm25_topk broadcast the
+    // FULL vocabulary-sized df aggregate. With AQE's size-guarded
+    // runtime conversion disabled, the only broadcasts left are the
+    // statically-hinted ones — and every one of those build sides must
+    // be bounded by the QUERY (terms, corpus-count row), independent of
+    // the corpus: ≤ 32 rows for bm25 (9 terms × few tables + 1-row
+    // stats), ≤ 1 row for tfidf (the n_docs count) at BOTH SFs.
+    val c = spark.conf
+    val savedAqe = c.get("spark.sql.adaptive.enabled")
+    val savedBc = c.get("spark.sql.autoBroadcastJoinThreshold")
+    c.set("spark.sql.adaptive.enabled", "false")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val bm = maxBroadcastRows("text_bm25_topk", sf)
+        val tf = maxBroadcastRows("text_tfidf", sf)
+        info(s"max broadcast build rows at $sf: bm25=$bm tfidf=$tf")
+        assert(bm <= 32, s"$sf: bm25 broadcast build side has $bm rows — corpus-growing")
+        assert(tf <= 1, s"$sf: tfidf broadcast build side has $tf rows — corpus-growing")
+      }
+    } finally {
+      c.set("spark.sql.adaptive.enabled", savedAqe)
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
 }
