@@ -57,6 +57,7 @@ object SparkEntry {
       Sql13Queries.all ++
       Sql14Queries.all ++
       Sql15Queries.all ++
+      Sql16Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++

@@ -974,6 +974,35 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges <= 2, s"join added a third hash exchange:\n$p")
   }
 
+  test("groupby-ppd pushes the HAVING key predicate below the union into both scans") {
+    // golden groupby_ppd (HIVE-2382): HAVING bar='1-URGENT' over a
+    // UNION ALL subquery must reach the parquet scans of BOTH branches —
+    // at 100 TB the difference between two full scans and two pruned ones
+    val p = plan("sql_groupby_ppd_union")
+    val pushed = "EqualTo\\(o_orderpriority,1-URGENT\\)".r.findAllIn(p).size
+    assert(pushed >= 2, s"HAVING predicate not pushed into both union branches:\n$p")
+  }
+
+  test("join-then-groupby on the join key adds no third hash exchange") {
+    // correlationoptimizer4 shape: the aggregation must ride the join's
+    // hash partitioning (or, post-AQE broadcast, cost exactly one)
+    val df = SparkEntry.queries("sql_groupby_join_reuse")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, s"groupby after join re-shuffled:\n$p")
+  }
+
+  test("aggregation on a bucketed table shuffles nothing") {
+    // golden groupby_sort_* family: the bucket partitioning satisfies the
+    // aggregation's required distribution — zero hash exchanges
+    val df = SparkEntry.queries("sql_agg_bucketed_zero_shuffle")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0, s"bucketed aggregation still shuffled:\n$p")
+  }
+
   test("tfidf never statically broadcasts the vocabulary-sized df aggregate") {
     // the r10 plan defect: broadcast(df) collected the ENTIRE vocabulary
     // to the driver. The static plan (pre-AQE, which is what survives a
