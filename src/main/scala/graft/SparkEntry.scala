@@ -61,6 +61,7 @@ object SparkEntry {
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
+      Ml8Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++

@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.Engine.table
+import Registry.sql
+
+/** MLlib/stat parity, wave 8 (round 11) — the nonparametric rank-based
+  * test family (Mann-Whitney U, Kruskal-Wallis H, Spearman's rho) plus
+  * two experiment-analysis staples (CUPED variance reduction, McNemar's
+  * paired test). Closest reference surfaces: mllib/stat's hypothesis
+  * testing (ChiSqTest.scala) and the streaming significance tests.
+  *
+  * The scale story is the DISTRIBUTED AVERAGE-RANK pattern shared by the
+  * three rank tests: ranks are never computed with a global row_number
+  * (a single-partition window dies at 100 TB). Instead
+  *   1. group by the DISTINCT VALUE (cents-quantized, so the distinct
+  *      count is bounded by the VALUE DOMAIN, not the corpus),
+  *   2. roll distinct values into ~48 coarse buckets (domain/1024) and
+  *      take a cumulative sum over the BUCKET TOTALS — the only
+  *      unpartitioned window in the plan runs over a constant-bounded
+  *      input,
+  *   3. add a bucket-partitioned cumulative within each bucket:
+  *      rows-before k(v) = bucket_offset + within-bucket prefix.
+  * The tie-averaged rank of value v is then k(v) + (c(v)+1)/2, kept
+  * exact as the INTEGER 2·rank = 2k+c+1; every sufficient statistic is
+  * an exact integer (decimal(38,0) against 100 TB overflow) and IEEE
+  * arithmetic appears only in the final projected statistic.
+  */
+object Ml8Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // MANN-WHITNEY U (purchase vs click event values): 2·R1 and the
+    // tie-cube sum are exact integers from the rank pipeline; U, the
+    // normal approximation z (tie-corrected variance), and the common-
+    // language effect size U/(n1·n2) are the final IEEE projection.
+    Q("ml_mann_whitney",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_mw")
+        s.sql(sql("""
+          WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                        FROM graft_ev_mw WHERE event_type IN ('purchase', 'click')),
+               cnts AS (SELECT v, count(*) AS c,
+                          count(*) FILTER (WHERE event_type = 'purchase') AS c1
+                        FROM vals GROUP BY v),
+               btot AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM cnts GROUP BY v DIV 1024),
+               boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                        FROM btot),
+               ranked AS (SELECT c.v, c.c, c.c1,
+                            o.off + COALESCE(SUM(c.c) OVER (PARTITION BY c.v DIV 1024
+                              ORDER BY c.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                          FROM cnts c JOIN boff o ON c.v DIV 1024 = o.b),
+               st AS (SELECT sum(c1) AS n1, sum(c) - sum(c1) AS n2, sum(c) AS n,
+                        sum(CAST(c1 AS DECIMAL(38,0)) * (2 * k + c + 1)) AS r1x2,
+                        sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+                      FROM ranked)
+          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                 CAST(r1x2 - n1 * (CAST(n1 AS DECIMAL(38,0)) + 1) AS BIGINT) AS u1_x2,
+                 CAST(tie3 AS BIGINT) AS tie_cubes,
+                 round(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                        - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                   / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                       * ((n + 1) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z,
+                 round((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                   / (CAST(n1 AS DOUBLE) * n2), 6) AS effect_cl
+          FROM st"""))
+      },
+      Some(sql("""
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                      FROM events WHERE event_type IN ('purchase', 'click')),
+             cnts AS (SELECT v, count(*) AS c,
+                        count(*) FILTER (WHERE event_type = 'purchase') AS c1
+                      FROM vals GROUP BY v),
+             ranked AS (SELECT v, c, c1,
+                          COALESCE(SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                        FROM cnts),
+             st AS (SELECT sum(c1) AS n1, sum(c) - sum(c1) AS n2, sum(c) AS n,
+                      sum(CAST(c1 AS HUGEINT) * (2 * k + c + 1)) AS r1x2,
+                      sum(CAST(c AS HUGEINT) * c * c - c) AS tie3
+                    FROM ranked)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1x2 - n1 * (CAST(n1 AS HUGEINT) + 1) AS BIGINT) AS u1_x2,
+               CAST(tie3 AS BIGINT) AS tie_cubes,
+               round(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                      - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                     * ((n + 1) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z,
+               round((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS effect_cl
+        FROM st"""))),
+
+    // KRUSKAL-WALLIS H across all five event types: per-group rank sums
+    // from the same pipeline (per-(v,group) counts join the per-v rank
+    // table), H with and without the tie correction 1 − Σ(c³−c)/(N³−N).
+    Q("ml_kruskal_wallis",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_kw")
+        s.sql(sql("""
+          WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                        FROM graft_ev_kw),
+               cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+               cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+               btot AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM cnt_v GROUP BY v DIV 1024),
+               boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                        FROM btot),
+               ranked AS (SELECT c.v, c.c,
+                            o.off + COALESCE(SUM(c.c) OVER (PARTITION BY c.v DIV 1024
+                              ORDER BY c.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                          FROM cnt_v c JOIN boff o ON c.v DIV 1024 = o.b),
+               rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                        sum(CAST(g.cg AS DECIMAL(38,0)) * (2 * r.k + r.c + 1)) AS rgx2
+                      FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                      GROUP BY g.event_type),
+               tot AS (SELECT sum(ng) AS n,
+                         sum(CAST(rgx2 AS DOUBLE) * rgx2 / 4.0 / ng) AS sum_r2_over_n
+                       FROM rg),
+               ties AS (SELECT sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3 FROM ranked)
+          SELECT CAST(t.n AS BIGINT) AS n,
+                 CAST(ti.tie3 AS BIGINT) AS tie_cubes,
+                 round(12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sum_r2_over_n
+                   - 3.0 * (t.n + 1), 6) AS h_raw,
+                 round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sum_r2_over_n
+                   - 3.0 * (t.n + 1))
+                   / (1.0 - CAST(ti.tie3 AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6) AS h_corrected
+          FROM tot t CROSS JOIN ties ti"""))
+      },
+      Some(sql("""
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+             cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+             cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+             ranked AS (SELECT v, c,
+                          COALESCE(SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                        FROM cnt_v),
+             rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                      sum(CAST(g.cg AS HUGEINT) * (2 * r.k + r.c + 1)) AS rgx2
+                    FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                    GROUP BY g.event_type),
+             tot AS (SELECT sum(ng) AS n,
+                       sum(CAST(rgx2 AS DOUBLE) * rgx2 / 4.0 / ng) AS sum_r2_over_n
+                     FROM rg),
+             ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tie3 FROM ranked)
+        SELECT CAST(t.n AS BIGINT) AS n,
+               CAST(ti.tie3 AS BIGINT) AS tie_cubes,
+               round(12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sum_r2_over_n
+                 - 3.0 * (t.n + 1), 6) AS h_raw,
+               round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sum_r2_over_n
+                 - 3.0 * (t.n + 1))
+                 / (1.0 - CAST(ti.tie3 AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6) AS h_corrected
+        FROM tot t CROSS JOIN ties ti"""))),
+
+    // SPEARMAN'S RHO between event value (cents) and the props.k payload
+    // field: tie-averaged ranks for BOTH axes come from domain-bounded
+    // distinct-value tables (cents ≤ value domain, k ∈ 0..99) that
+    // BROADCAST-join back to the events — the corpus-sized side never
+    // shuffles. Pearson on 2·rank integers (the factor cancels).
+    Q("ml_spearman",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_sp")
+        s.sql(sql("""
+          WITH rows_ AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                           CAST(get_json_object(props, '$.k') AS BIGINT) AS kk
+                         FROM graft_ev_sp),
+               xc AS (SELECT v, count(*) AS c FROM rows_ GROUP BY v),
+               xbt AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM xc GROUP BY v DIV 1024),
+               xbo AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                       FROM xbt),
+               xr AS (SELECT c.v, 2 * (o.off + COALESCE(SUM(c.c) OVER (PARTITION BY c.v DIV 1024
+                          ORDER BY c.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                          + c.c + 1 AS rx2
+                      FROM xc c JOIN xbo o ON c.v DIV 1024 = o.b),
+               yc AS (SELECT kk, count(*) AS c FROM rows_ GROUP BY kk),
+               yr AS (SELECT kk, 2 * COALESCE(SUM(c) OVER (ORDER BY kk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry2
+                      FROM yc),
+               j AS (SELECT /*+ BROADCAST(xr, yr) */ xr.rx2, yr.ry2
+                     FROM rows_ e JOIN xr ON e.v = xr.v JOIN yr ON e.kk = yr.kk),
+               st AS (SELECT count(*) AS n,
+                        sum(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+                        sum(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+                        sum(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+                        sum(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy,
+                        sum(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy
+                      FROM j)
+          SELECT CAST(n AS BIGINT) AS n,
+                 round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+          FROM st"""))
+      },
+      Some(sql("""
+        WITH rows_ AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+                       FROM events),
+             xc AS (SELECT v, count(*) AS c FROM rows_ GROUP BY v),
+             xr AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx2
+                    FROM xc),
+             yc AS (SELECT kk, count(*) AS c FROM rows_ GROUP BY kk),
+             yr AS (SELECT kk, 2 * COALESCE(SUM(c) OVER (ORDER BY kk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry2
+                    FROM yc),
+             j AS (SELECT xr.rx2, yr.ry2
+                   FROM rows_ e JOIN xr ON e.v = xr.v JOIN yr ON e.kk = yr.kk),
+             st AS (SELECT count(*) AS n,
+                      sum(CAST(rx2 AS HUGEINT)) AS sx,
+                      sum(CAST(ry2 AS HUGEINT)) AS sy,
+                      sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+                      sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+                      sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+                    FROM j)
+        SELECT CAST(n AS BIGINT) AS n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+        FROM st"""))),
+
+    // CUPED variance reduction (the standard A/B pre-period adjustment):
+    // per-user pre/post cent sums, variant by user parity, pooled
+    // θ = cov(x,y)/var(x) from exact sufficient statistics. Adjusted
+    // lift = raw lift − θ·(pre-period imbalance); the variance-reduction
+    // ratio is ρ²(x,y). Everything reduces in one pass over per-user
+    // aggregates — no window, no driver loop.
+    Q("ml_cuped",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_cu")
+        s.sql(sql("""
+          WITH per_user AS (SELECT user_id, user_id % 2 AS variant,
+                   sum(CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+                   sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+                 FROM graft_ev_cu GROUP BY user_id),
+               st AS (SELECT count(*) AS n,
+                        sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                        sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                        sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                        sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                        count(*) FILTER (WHERE variant = 1) AS n1,
+                        sum(CAST(x AS DECIMAL(38,0))) FILTER (WHERE variant = 1) AS sx1,
+                        sum(CAST(y AS DECIMAL(38,0))) FILTER (WHERE variant = 1) AS sy1
+                      FROM per_user),
+               f AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+                       CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+                       CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy,
+                       CAST(n1 AS DOUBLE) AS n1, CAST(sx1 AS DOUBLE) AS sx1,
+                       CAST(sy1 AS DOUBLE) AS sy1,
+                       CAST(n - n1 AS DOUBLE) AS n0, CAST(sx - sx1 AS DOUBLE) AS sx0,
+                       CAST(sy - sy1 AS DOUBLE) AS sy0
+                     FROM st)
+          SELECT CAST(n AS BIGINT) AS n_users,
+                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+                 round((sy1 / n1 - sy0 / n0) / 100.0, 4) AS lift_raw_d,
+                 round((sy1 / n1 - sy0 / n0
+                   - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     * (sx1 / n1 - sx0 / n0)) / 100.0, 4) AS lift_adj_d,
+                 round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS var_reduction
+          FROM f"""))
+      },
+      Some(sql("""
+        WITH per_user AS (SELECT user_id, user_id % 2 AS variant,
+                 sum(CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+                 sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+               FROM events GROUP BY user_id),
+             st AS (SELECT count(*) AS n,
+                      sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * x) AS sxx,
+                      sum(CAST(y AS HUGEINT) * y) AS syy,
+                      sum(CAST(x AS HUGEINT) * y) AS sxy,
+                      count(*) FILTER (WHERE variant = 1) AS n1,
+                      sum(CAST(x AS HUGEINT)) FILTER (WHERE variant = 1) AS sx1,
+                      sum(CAST(y AS HUGEINT)) FILTER (WHERE variant = 1) AS sy1
+                    FROM per_user),
+             f AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+                     CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+                     CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy,
+                     CAST(n1 AS DOUBLE) AS n1, CAST(sx1 AS DOUBLE) AS sx1,
+                     CAST(sy1 AS DOUBLE) AS sy1,
+                     CAST(n - n1 AS DOUBLE) AS n0, CAST(sx - sx1 AS DOUBLE) AS sx0,
+                     CAST(sy - sy1 AS DOUBLE) AS sy0
+                   FROM st)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+               round((sy1 / n1 - sy0 / n0) / 100.0, 4) AS lift_raw_d,
+               round((sy1 / n1 - sy0 / n0
+                 - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   * (sx1 / n1 - sx0 / n0)) / 100.0, 4) AS lift_adj_d,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS var_reduction
+        FROM f"""))),
+
+    // McNEMAR'S PAIRED TEST: two deterministic classifiers on the same
+    // rows (A: high-value rule, B: even-key rule) against the
+    // purchase/other truth; only the DISCORDANT cells b (A right, B
+    // wrong) and c (A wrong, B right) matter. Continuity-corrected
+    // (|b−c|−1)²/(b+c) — exact integer cells, one division at the end.
+    Q("ml_mcnemar",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_mc")
+        s.sql(sql("""
+          WITH scored AS (SELECT
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+                   CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS pred_a,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS pred_b
+                 FROM graft_ev_mc),
+               cells AS (SELECT
+                   count(*) FILTER (WHERE pred_a = truth AND pred_b <> truth) AS b,
+                   count(*) FILTER (WHERE pred_a <> truth AND pred_b = truth) AS c
+                 FROM scored)
+          SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+                 round((abs(CAST(b AS DOUBLE) - c) - 1.0)
+                     * (abs(CAST(b AS DOUBLE) - c) - 1.0)
+                   / (CAST(b AS DOUBLE) + c), 6) AS chi2_cc
+          FROM cells"""))
+      },
+      Some(sql("""
+        WITH scored AS (SELECT
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+                 CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS pred_a,
+                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS pred_b
+               FROM events),
+             cells AS (SELECT
+                 count(*) FILTER (WHERE pred_a = truth AND pred_b <> truth) AS b,
+                 count(*) FILTER (WHERE pred_a <> truth AND pred_b = truth) AS c
+               FROM scored)
+        SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+               round((abs(CAST(b AS DOUBLE) - c) - 1.0)
+                   * (abs(CAST(b AS DOUBLE) - c) - 1.0)
+                 / (CAST(b AS DOUBLE) + c), 6) AS chi2_cc
+        FROM cells""")))
+  )
+}

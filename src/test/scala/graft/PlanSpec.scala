@@ -1003,6 +1003,15 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 0, s"bucketed aggregation still shuffled:\n$p")
   }
 
+  test("spearman's rank tables broadcast-join back to the events") {
+    // the rank tests' 100 TB posture: both tie-averaged rank tables are
+    // DOMAIN-bounded (cents values / props.k), so the corpus-sized events
+    // side must never shuffle for the rank join
+    val p = plan("ml_spearman")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"rank tables did not broadcast:\n$p")
+  }
+
   test("tfidf never statically broadcasts the vocabulary-sized df aggregate") {
     // the r10 plan defect: broadcast(df) collected the ENTIRE vocabulary
     // to the driver. The static plan (pre-AQE, which is what survives a
