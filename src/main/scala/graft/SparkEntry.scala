@@ -62,6 +62,8 @@ object SparkEntry {
       MlQueries.all ++
       Ml2Queries.all ++
       Ml8Queries.all ++
+      Text3Queries.all ++
+      Window2Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++
