@@ -58,6 +58,7 @@ object SparkEntry {
       Sql14Queries.all ++
       Sql15Queries.all ++
       Sql16Queries.all ++
+      Sql17Queries.all ++
       ScaleQueries.all ++
       MlQueries.all ++
       Ml2Queries.all ++
