@@ -43,6 +43,7 @@ object SparkEntry {
       Pipeline5Queries.all ++
       Pipeline6Queries.all ++
       Pipeline7Queries.all ++
+      Pipeline8Queries.all ++
       Sql2Queries.all ++
       Sql3Queries.all ++
       Sql4Queries.all ++
