@@ -125,7 +125,10 @@ object Bench {
       import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
       import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
       val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // collect() (not a noop write) so execution flows through THIS
+      // DataFrame's QueryExecution — a write plans its own, leaving
+      // df.queryExecution's metrics at zero (the r11 bug)
+      df.collect()
       def nodes(p: SparkPlan): Seq[SparkPlan] =
         (p +: p.children.flatMap(nodes)) ++ (p match {
           case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
