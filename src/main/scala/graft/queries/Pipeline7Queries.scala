@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Engine.table
+import graft.queries.{Pipeline4Queries => P4, TextQueries => TQ}
 import org.apache.spark.sql.functions._
 import Registry.sql
 
@@ -51,6 +52,67 @@ object Pipeline7Queries {
                        t -> ($wDuck)[$idxDuck])) AS BIGINT) AS score,
                      CAST(list_sum(list_transform(string_split(text, ' '),
                        t -> ($wDuck)[$idxDuck])) AS BIGINT) >= 0 AS keep
-                   FROM documents""")))
+                   FROM documents"""))),
+
+    /** Quality-filter ENSEMBLE — the curation capstone that composes the
+      * three standard filter families into one majority vote per doc:
+      * rule-based (the five Gopher rules, reusing Pipeline4's single
+      * definition), learned (the linear classifier above), and
+      * statistical (the corpus-LM bits-per-pair score, threshold 4.6
+      * spelled as the exact integer compare total_bits·10 ≤ n_pairs·46).
+      * Docs too short to form a bigram fail the LM vote by definition.
+      *
+      * Scale posture: gopher + classifier are ONE scan-stage projection;
+      * the LM model is vocabulary²-bounded and broadcasts onto the pair
+      * scan; the only corpus shuffles are the per-doc bigram re-agg and
+      * the doc_id equi-join of the two per-doc tables. */
+    Q("pipe_quality_ensemble",
+      (s, d) => {
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"),
+          expr(s"""aggregate(split(text, ' '), 0L,
+                     (acc, t) -> acc + element_at($wSpark, $idxSpark))""").as("clf_score"))
+        val g = P4.gopherSignals(docs, Seq("doc_id", "clf_score"))
+        val pairs = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val lm = c12.join(c1, "w1").select(col("w1"), col("w2"),
+          (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
+        val perdoc = pairs.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("total_bits"))
+        g.join(perdoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            P4.gopherPass.as("gopher_pass"),
+            (col("clf_score") >= 0L).as("clf_pass"),
+            coalesce(col("total_bits") * 10 <= col("n_pairs") * 46, lit(false))
+              .as("lm_pass"))
+          .withColumn("votes", (col("gopher_pass").cast("int")
+            + col("clf_pass").cast("int") + col("lm_pass").cast("int")).cast("long"))
+          .withColumn("keep", col("votes") >= 2)
+      },
+      Some(sql(s"""
+        WITH ${TQ.lmDocBitsSql},
+             sig AS (${P4.gopherSignalsSql("doc_id", "doc_id")}),
+             clf AS (SELECT doc_id,
+                       CAST(list_sum(list_transform(string_split(text, ' '),
+                         t -> ($wDuck)[$idxDuck])) AS BIGINT) AS clf_score
+                     FROM documents),
+             flags AS (SELECT s.doc_id,
+                 (${P4.gopherPassSql}) AS gopher_pass,
+                 c.clf_score >= 0 AS clf_pass,
+                 COALESCE(p.total_bits * 10 <= p.n_pairs * 46, false) AS lm_pass
+               FROM sig s JOIN clf c USING (doc_id)
+               LEFT JOIN perdoc p USING (doc_id))
+        SELECT doc_id, gopher_pass, clf_pass, lm_pass,
+               CAST(CAST(gopher_pass AS INT) + CAST(clf_pass AS INT)
+                 + CAST(lm_pass AS INT) AS BIGINT) AS votes,
+               (CAST(gopher_pass AS INT) + CAST(clf_pass AS INT)
+                 + CAST(lm_pass AS INT)) >= 2 AS keep
+        FROM flags""")))
   )
 }
