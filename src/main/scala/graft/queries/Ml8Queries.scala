@@ -335,6 +335,94 @@ object Ml8Queries {
                round((abs(CAST(b AS DOUBLE) - c) - 1.0)
                    * (abs(CAST(b AS DOUBLE) - c) - 1.0)
                  / (CAST(b AS DOUBLE) + c), 6) AS chi2_cc
-        FROM cells""")))
+        FROM cells"""))),
+
+    // ONE GRADIENT-BOOSTING ROUND (squared loss): base prediction is the
+    // integer global mean, residuals are exact dollars, and each
+    // candidate stump split on x = custkey%25 is scored by the variance-
+    // reduction surrogate Σl²/nl + Σr²/nr from per-threshold integer
+    // sufficient statistics (the reference's GradientBoostedTrees shape,
+    // one round, fully declarative). Leaf values are integer DIV means;
+    // post-split SSE comes from the algebraic identity Σ(r−γ)² =
+    // Σr² − 2γΣr + nγ² — no second data pass. The best-split window
+    // runs over the 4-row threshold table (bounded by the candidate
+    // list constant, never the corpus).
+    Q("ml_gbt_step",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_gbt")
+        s.sql(sql("""
+          WITH rows_ AS (SELECT o_custkey % 25 AS x,
+                   CAST(round(o_totalprice) AS BIGINT) AS y
+                 FROM graft_o_gbt),
+               base AS (SELECT sum(CAST(y AS DECIMAL(38,0))) AS sy, count(*) AS n FROM rows_),
+               mu AS (SELECT CAST(sy DIV n AS BIGINT) AS mu0 FROM base),
+               resid AS (SELECT x, y - mu0 AS r FROM rows_ CROSS JOIN mu),
+               cand AS (SELECT x, r, t
+                        FROM resid LATERAL VIEW explode(array(4, 9, 14, 19)) tt AS t),
+               agg AS (SELECT t,
+                   count(*) FILTER (WHERE x <= t) AS nl,
+                   count(*) FILTER (WHERE x > t) AS nr,
+                   sum(CAST(r AS DECIMAL(38,0))) FILTER (WHERE x <= t) AS sl,
+                   sum(CAST(r AS DECIMAL(38,0))) FILTER (WHERE x > t) AS sr,
+                   sum(CAST(r AS DECIMAL(38,0)) * r) AS qq
+                 FROM cand GROUP BY t),
+               scored AS (SELECT t, nl, nr,
+                   CAST(sl DIV nl AS BIGINT) AS gamma_l,
+                   CAST(sr DIV nr AS BIGINT) AS gamma_r,
+                   CAST(qq AS DOUBLE) AS sse_before,
+                   round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                       + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nr, 4) AS score
+                 FROM agg),
+               post AS (SELECT s.*,
+                   CAST(a.qq
+                     - 2 * CAST(s.gamma_l AS DECIMAL(38,0)) * a.sl
+                     - 2 * CAST(s.gamma_r AS DECIMAL(38,0)) * a.sr
+                     + CAST(s.gamma_l AS DECIMAL(38,0)) * s.gamma_l * a.nl
+                     + CAST(s.gamma_r AS DECIMAL(38,0)) * s.gamma_r * a.nr
+                     AS DOUBLE) AS sse_after
+                 FROM scored s JOIN agg a ON s.t = a.t)
+          SELECT t, CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+                 gamma_l, gamma_r, score,
+                 round(sse_before / 1e6, 4) AS sse_before_m,
+                 round(sse_after / 1e6, 4) AS sse_after_m,
+                 score = max(score) OVER () AS best
+          FROM post"""))
+      },
+      Some(sql("""
+        WITH rows_ AS (SELECT o_custkey % 25 AS x,
+                 CAST(round(o_totalprice) AS BIGINT) AS y
+               FROM orders),
+             base AS (SELECT sum(CAST(y AS HUGEINT)) AS sy, count(*) AS n FROM rows_),
+             mu AS (SELECT CAST(sy // n AS BIGINT) AS mu0 FROM base),
+             resid AS (SELECT x, y - mu0 AS r FROM rows_ CROSS JOIN mu),
+             cand AS (SELECT x, r, unnest([4, 9, 14, 19]) AS t FROM resid),
+             agg AS (SELECT t,
+                 count(*) FILTER (WHERE x <= t) AS nl,
+                 count(*) FILTER (WHERE x > t) AS nr,
+                 sum(CAST(r AS HUGEINT)) FILTER (WHERE x <= t) AS sl,
+                 sum(CAST(r AS HUGEINT)) FILTER (WHERE x > t) AS sr,
+                 sum(CAST(r AS HUGEINT) * r) AS qq
+               FROM cand GROUP BY t),
+             scored AS (SELECT t, nl, nr,
+                 CAST(sl // nl AS BIGINT) AS gamma_l,
+                 CAST(sr // nr AS BIGINT) AS gamma_r,
+                 CAST(qq AS DOUBLE) AS sse_before,
+                 round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                     + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nr, 4) AS score
+               FROM agg),
+             post AS (SELECT s.*,
+                 CAST(a.qq
+                   - 2 * CAST(s.gamma_l AS HUGEINT) * a.sl
+                   - 2 * CAST(s.gamma_r AS HUGEINT) * a.sr
+                   + CAST(s.gamma_l AS HUGEINT) * s.gamma_l * a.nl
+                   + CAST(s.gamma_r AS HUGEINT) * s.gamma_r * a.nr
+                   AS DOUBLE) AS sse_after
+               FROM scored s JOIN agg a ON s.t = a.t)
+        SELECT t, CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+               gamma_l, gamma_r, score,
+               round(sse_before / 1e6, 4) AS sse_before_m,
+               round(sse_after / 1e6, 4) AS sse_after_m,
+               score = max(score) OVER () AS best
+        FROM post""")))
   )
 }
