@@ -229,6 +229,18 @@ class ScaleGrowthSpec extends AnyFunSuite {
       .flatten.map(_.value).foldLeft(0L)(math.max)
   }
 
+  test("rank tests broadcast only DOMAIN-bounded rank tables at every SF") {
+    // the r11 rank pipeline's contract: the tie-averaged rank tables are
+    // bounded by the VALUE DOMAIN (cents ≤ ~49k distinct, props.k ≤ 100),
+    // not the corpus — a 10× corpus must not grow the broadcast build
+    // side past domain saturation
+    val small = maxBroadcastRows("ml_spearman", "/root/testdata/sf0.01")
+    val big = maxBroadcastRows("ml_spearman", "/root/testdata/sf0.1")
+    info(s"spearman max broadcast build rows: sf0.01=$small sf0.1=$big")
+    assert(small <= 49200L, s"sf0.01 rank table exceeds the cents domain: $small")
+    assert(big <= 49200L, s"sf0.1 rank table exceeds the cents domain: $big")
+  }
+
   test("retrieval scorers broadcast only term-bounded build sides at every SF") {
     // the r10 defect class: text_tfidf / text_bm25_topk broadcast the
     // FULL vocabulary-sized df aggregate. With AQE's size-guarded
