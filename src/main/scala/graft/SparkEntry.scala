@@ -66,6 +66,7 @@ object SparkEntry {
       Ml8Queries.all ++
       Text3Queries.all ++
       Window2Queries.all ++
+      Streaming2Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++
