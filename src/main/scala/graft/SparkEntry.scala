@@ -67,6 +67,7 @@ object SparkEntry {
       Text3Queries.all ++
       Window2Queries.all ++
       Streaming2Queries.all ++
+      Source3Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++

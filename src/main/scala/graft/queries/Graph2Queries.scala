@@ -457,6 +457,52 @@ object Graph2Queries {
                    WHERE degz >= 2
                    GROUP BY a, b
                    ORDER BY aa_score DESC, a, b
-                   LIMIT 10""")))
+                   LIMIT 10"""))),
+
+    // CLOSENESS + ECCENTRICITY (round 11): all-pairs BFS distances via
+    // ONE GraphX ShortestPaths run with every vertex as a landmark — the
+    // Pregel frontier propagation whose per-round cost is |frontier
+    // edges|, never all-pairs path enumeration. The graph is the
+    // deterministic ring+chord circulant over the 25 nation keys
+    // (n ↔ n+1 mod 25, n ↔ 2n+3 mod 25, diameter 5, asymmetric enough
+    // that closeness sums span 53..76). Both metrics are exact INTEGER
+    // sums of BFS distances. The oracle enumerates paths to the
+    // diameter bound and takes min(dist) — a different algorithm
+    // reaching the same exact integers.
+    Q("graph_closeness",
+      (s, d) => {
+        import s.implicits._
+        val keys = table(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k")).as[Long].rdd
+        val edges = keys.flatMap { n =>
+          Seq((n, (n + 1) % 25), (n, (n * 2 + 3) % 25))
+            .filter { case (a, b) => a != b }
+            .flatMap { case (a, b) => Seq(Edge(a, b, 1), Edge(b, a, 1)) }
+        }
+        val landmarks = (0L until 25L).toSeq
+        org.apache.spark.graphx.lib.ShortestPaths
+          .run(Graph.fromEdges(edges, 0), landmarks)
+          .vertices
+          .map { case (v, m) =>
+            (v, m.values.map(_.toLong).sum, m.values.map(_.toLong).max) }
+          .toDF("k", "closeness_sum", "ecc")
+      },
+      Some(sql("""
+        WITH RECURSIVE nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+             e0 AS (SELECT k AS a, (k + 1) % 25 AS b FROM nodes
+                    UNION SELECT k, (k * 2 + 3) % 25 FROM nodes),
+             edges AS (SELECT a, b FROM e0 WHERE a <> b
+                       UNION SELECT b, a FROM e0 WHERE a <> b),
+             walk(src, node, dist) AS (
+               SELECT k, k, 0 FROM nodes
+               UNION ALL
+               SELECT w.src, e.b, w.dist + 1
+               FROM walk w JOIN edges e ON w.node = e.a
+               WHERE w.dist < 5),
+             best AS (SELECT src, node, min(dist) AS dist
+                      FROM walk GROUP BY src, node)
+        SELECT src AS k, CAST(sum(dist) AS BIGINT) AS closeness_sum,
+               CAST(max(dist) AS BIGINT) AS ecc
+        FROM best GROUP BY src""")))
   )
 }
