@@ -68,6 +68,7 @@ object SparkEntry {
       Window2Queries.all ++
       Streaming2Queries.all ++
       Source3Queries.all ++
+      Pipeline9Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++
       Ml5Queries.all ++

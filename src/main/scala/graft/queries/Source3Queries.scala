@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Engine.table
 import org.apache.spark.sql.functions._
 import Registry.sql
 
@@ -28,6 +29,40 @@ object Source3Queries {
                     count(*) AS n_rows,
                     CAST(0 AS BIGINT) AS min_row_index,
                     CAST(count(*) - 1 AS BIGINT) AS max_row_index
-                  FROM events""")))
+                  FROM events"""))),
+
+    // Z-ORDER layout key (the Delta/Iceberg OPTIMIZE ZORDER curve): two
+    // 16-bit dimensions (custkey, days-since-epoch) bit-interleaved into
+    // one exact BIGINT — rows close in Z are close in BOTH dimensions,
+    // so range-partitioning the write by z gives min/max file pruning on
+    // either column. The 16-step interleave is unrolled from ONE Scala
+    // loop into both engines' spellings (no UDF, pure bit algebra inside
+    // the scan); the first 20 rows of the curve pin the interleave.
+    Q("src_zorder_interleave",
+      (s, d) => {
+        val z = (0 until 16).map(i =>
+          s"(shiftleft(shiftright(ck, $i) & 1, ${2 * i + 1}) + " +
+            s"shiftleft(shiftright(dk, $i) & 1, ${2 * i}))").mkString(" + ")
+        table(s, d, "orders")
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 65536).cast("long").as("ck"),
+            (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 65536)
+              .cast("long").as("dk"))
+          .withColumn("z", expr(z).cast("long"))
+          .orderBy(col("z"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some {
+        val z = (0 until 16).map(i =>
+          s"((((ck >> $i) & 1) << ${2 * i + 1}) + (((dk >> $i) & 1) << ${2 * i}))")
+          .mkString(" + ")
+        sql(s"""SELECT o_orderkey, ck, dk, CAST($z AS BIGINT) AS z
+                FROM (SELECT o_orderkey,
+                        CAST(o_custkey % 65536 AS BIGINT) AS ck,
+                        CAST(datediff('day', date'1992-01-01', o_orderdate) % 65536
+                          AS BIGINT) AS dk
+                      FROM orders)
+                ORDER BY z, o_orderkey LIMIT 20""")
+      })
   )
 }
