@@ -133,6 +133,57 @@ object GeoQueries {
                        row_number() OVER (PARTITION BY id ORDER BY km, nn) AS rk
                      FROM cand)
                    SELECT id, nn, round(km, 3) AS km
-                   FROM rk WHERE rk = 1 ORDER BY id""")))
+                   FROM rk WHERE rk = 1 ORDER BY id"""))),
+
+    // GEOHASH ENCODING (round 11) — the standard base-32 spatial key, in
+    // EXACT integer arithmetic end to end: coordinates are integer
+    // MILLI-degrees (no IEEE cell-boundary flips), the 20+20-bit lat/lon
+    // cells come from BIGINT multiply-then-DIV, the 40-bit interleave
+    // (lon leads, per the geohash spec) is unrolled from ONE Scala loop
+    // into both engines, and the 8 base-32 characters are substring
+    // lookups into the geohash alphabet. Shared-prefix length ≈ spatial
+    // proximity — the indexing idiom geo_radius_join's grid blocking is
+    // the flat analog of.
+    Q("geo_geohash",
+      (s, d) => {
+        val inter = (0 until 20).map { i =>
+          s"(shiftleft(shiftright(lonb, ${19 - i}) & 1, ${39 - 2 * i}) + " +
+            s"shiftleft(shiftright(latb, ${19 - i}) & 1, ${38 - 2 * i}))"
+        }.mkString(" + ")
+        val chars = (0 until 8).map { c =>
+          s"substring('0123456789bcdefghjkmnpqrstuvwxyz', " +
+            s"CAST(shiftright(z, ${35 - 5 * c}) & 31 AS INT) + 1, 1)"
+        }.mkString("concat(", ", ", ")")
+        table(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            (lit(40000L) + pmod(Portable.stableHash64(col("c_custkey")), lit(1000L)))
+              .as("latm"),
+            (lit(-74000L) + pmod(Portable.stableHash64(
+              concat(col("c_custkey"), lit("|lon"))), lit(1000L))).as("lonm"))
+          .withColumn("latb", expr("(latm + 90000) * 1048576 DIV 180000"))
+          .withColumn("lonb", expr("(lonm + 180000) * 1048576 DIV 360000"))
+          .withColumn("z", expr(inter))
+          .select(col("id"), col("latm"), col("lonm"), expr(chars).as("geohash8"))
+      },
+      Some {
+        val inter = (0 until 20).map { i =>
+          s"((((lonb >> ${19 - i}) & 1) << ${39 - 2 * i}) + " +
+            s"(((latb >> ${19 - i}) & 1) << ${38 - 2 * i}))"
+        }.mkString(" + ")
+        val chars = (0 until 8).map { c =>
+          s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+            s"CAST((z >> ${35 - 5 * c}) & 31 AS INT) + 1, 1)"
+        }.mkString(" || ")
+        sql(s"""WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                    40000 + ${Portable.stableHash64Sql("c_custkey")} % 1000 AS latm,
+                    -74000 + ${Portable.stableHash64Sql("c_custkey || '|lon'")} % 1000 AS lonm
+                  FROM customer),
+                bits AS (SELECT id, latm, lonm,
+                    (latm + 90000) * 1048576 // 180000 AS latb,
+                    (lonm + 180000) * 1048576 // 360000 AS lonb
+                  FROM pts),
+                zed AS (SELECT id, latm, lonm, $inter AS z FROM bits)
+                SELECT id, latm, lonm, $chars AS geohash8 FROM zed""")
+      })
   )
 }

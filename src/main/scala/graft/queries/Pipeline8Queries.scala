@@ -12,6 +12,11 @@ import Registry.sql
   *   broadcasts back onto the per-customer metrics — never a global
   *   ntile window. percentile_disc picks actual set elements, so the
   *   boundary comparisons are exact integer compares on both engines.
+  *   Scale note: exact percentile_disc buffers the per-customer metric
+  *   vector on the final reducer; past ~10⁸ customers the drop-in swap
+  *   is approx_percentile (GK sketch, mergeable partials — the
+  *   agg_percentile_approx row pins its rank-error contract), which
+  *   changes only which element is picked near quintile boundaries.
   * - ABC (Pareto) analysis: customers by cumulative revenue share. The
   *   global cumulative uses the same two-level pattern as the rank
   *   tests: revenue-bucket totals (bounded count) take the only
