@@ -267,5 +267,57 @@ object MultimodalQueries {
                   FROM scored)
                 WHERE rk <= 5""")
       })
+  ) ++ Seq(
+
+    // SCENE-CUT DETECTION (round 11): the shot-boundary pass a video
+    // curation pipeline runs after frame sampling — per-frame "energy"
+    // (deterministic stand-in: frame hash mod 1000; a real deployment
+    // swaps in mean luminance from the decoded frame) compared to the
+    // previous frame's inside a doc-partitioned lag window; a jump > 600
+    // marks a cut. Same frame derivation as mm_frame_sample (64-char
+    // windows over the payload), all exact integers, window strictly
+    // partitioned by the media id.
+    Q("mm_scene_cut",
+      (s, d) => {
+        import graft.functions.Portable
+        table(s, d, "documents")
+          .filter(col("doc_id") < 100 && length(col("text")) > 0)
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0L), expr("(CAST(length(text) AS BIGINT) - 1) div 64")))
+              .as(Seq("frame_idx", "off")),
+            col("text"))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            pmod(Portable.stableHash64(
+              expr("substr(text, CAST(frame_idx AS INT) * 64 + 1, 64)")), lit(1000L))
+              .as("energy"))
+          .withColumn("prev", lag(col("energy"), 1)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+          .withColumn("is_cut",
+            col("prev").isNotNull && abs(col("energy") - col("prev")) > 600)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("is_cut").cast("long")).as("n_cuts"),
+            max(when(col("is_cut"), col("frame_idx"))).as("last_cut_idx"))
+      },
+      Some(sql(s"""
+        WITH frames AS (
+          SELECT doc_id,
+            CAST(unnest(range(0, (CAST(length(text) AS BIGINT) - 1) // 64 + 1)) AS BIGINT)
+              AS frame_idx,
+            unnest(list_transform(range(0, (CAST(length(text) AS BIGINT) - 1) // 64 + 1),
+              i -> ${Portable.stableHash64Sql("substr(text, CAST(i * 64 + 1 AS INTEGER), 64)")} % 1000))
+              AS energy
+          FROM documents WHERE doc_id < 100 AND length(text) > 0),
+        lagged AS (
+          SELECT doc_id, frame_idx, energy,
+            lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+          FROM frames)
+        SELECT doc_id, count(*) AS n_frames,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND abs(energy - prev) > 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+               max(CASE WHEN prev IS NOT NULL AND abs(energy - prev) > 600
+                        THEN frame_idx END) AS last_cut_idx
+        FROM lagged GROUP BY doc_id""")))
   )
 }
