@@ -423,6 +423,91 @@ object Ml8Queries {
                round(sse_before / 1e6, 4) AS sse_before_m,
                round(sse_after / 1e6, 4) AS sse_after_m,
                score = max(score) OVER () AS best
-        FROM post""")))
+        FROM post"""))),
+
+    // FISHER'S EXACT TEST on a 2×2 from a FIXED 200-event sample (the
+    // small-sample regime the test exists for; chi2/McNemar cover the
+    // large-n cells). Everything transcendental is evaluated in a FIXED
+    // LEFT-TO-RIGHT FOLD so both engines produce bit-identical doubles:
+    // ln-factorials 0..n as a prefix-fold array (the i=0 CASE guards
+    // Spark's DESCENDING sequence(1,0), which would fold ln(0) = -Inf
+    // into 0!), the hypergeometric tail Σ_{k≥a} pmf(k) as a second fold
+    // over the feasible k range. SQL comments must never appear inside
+    // these strings — Registry.sql collapses newlines, so a `--` would
+    // swallow the rest of the query. The only aggregation over data
+    // rows is exact integer cell counts.
+    Q("ml_fisher_exact",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_fx")
+        s.sql(sql("""
+          WITH s AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                            CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS x
+                     FROM graft_ev_fx WHERE event_id <= 200),
+               cells AS (SELECT
+                   count(*) FILTER (WHERE y = 1 AND x = 1) AS a,
+                   count(*) FILTER (WHERE y = 1 AND x = 0) AS b,
+                   count(*) FILTER (WHERE y = 0 AND x = 1) AS c,
+                   count(*) FILTER (WHERE y = 0 AND x = 0) AS dd
+                 FROM s),
+               m AS (SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b,
+                       CAST(c AS INT) AS c, CAST(dd AS INT) AS dd,
+                       CAST(a + b AS INT) AS r1, CAST(c + dd AS INT) AS r2,
+                       CAST(a + c AS INT) AS c1, CAST(a + b + c + dd AS INT) AS n
+                     FROM cells),
+               lf AS (SELECT *, transform(sequence(0, n),
+                        i -> CASE WHEN i = 0 THEN CAST(0.0 AS DOUBLE)
+                                  ELSE aggregate(sequence(1, i), CAST(0.0 AS DOUBLE),
+                                         (acc, x) -> acc + ln(x)) END) AS f
+                      FROM m),
+               p AS (SELECT *, aggregate(
+                       filter(sequence(greatest(0, c1 - r2), least(r1, c1)), k -> k >= a),
+                       CAST(0.0 AS DOUBLE),
+                       (acc, k) -> acc + exp(
+                         element_at(f, r1 + 1) - element_at(f, CAST(k AS INT) + 1)
+                           - element_at(f, r1 - CAST(k AS INT) + 1)
+                         + element_at(f, r2 + 1) - element_at(f, c1 - CAST(k AS INT) + 1)
+                           - element_at(f, r2 - c1 + CAST(k AS INT) + 1)
+                         - (element_at(f, n + 1) - element_at(f, c1 + 1)
+                            - element_at(f, n - c1 + 1)))) AS ptail
+                     FROM lf)
+          SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                 CAST(c AS BIGINT) AS c, CAST(dd AS BIGINT) AS d,
+                 round(ptail, 6) AS p_one_sided,
+                 round(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio
+          FROM p"""))
+      },
+      Some(sql("""
+        WITH s AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                          CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS x
+                   FROM events WHERE event_id <= 200),
+             cells AS (SELECT
+                 count(*) FILTER (WHERE y = 1 AND x = 1) AS a,
+                 count(*) FILTER (WHERE y = 1 AND x = 0) AS b,
+                 count(*) FILTER (WHERE y = 0 AND x = 1) AS c,
+                 count(*) FILTER (WHERE y = 0 AND x = 0) AS dd
+               FROM s),
+             m AS (SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b,
+                     CAST(c AS INT) AS c, CAST(dd AS INT) AS dd,
+                     CAST(a + b AS INT) AS r1, CAST(c + dd AS INT) AS r2,
+                     CAST(a + c AS INT) AS c1, CAST(a + b + c + dd AS INT) AS n
+                   FROM cells),
+             lf AS (SELECT *, list_transform(range(0, n + 1),
+                      i -> COALESCE(list_sum(list_transform(range(1, i + 1),
+                             x -> ln(x))), 0.0)) AS f
+                    FROM m),
+             p AS (SELECT *, list_sum(list_transform(
+                     list_filter(range(greatest(0, c1 - r2), least(r1, c1) + 1),
+                       k -> k >= a),
+                     k -> exp(
+                       f[r1 + 1] - f[CAST(k AS INT) + 1] - f[r1 - CAST(k AS INT) + 1]
+                       + f[r2 + 1] - f[c1 - CAST(k AS INT) + 1]
+                         - f[r2 - c1 + CAST(k AS INT) + 1]
+                       - (f[n + 1] - f[c1 + 1] - f[n - c1 + 1])))) AS ptail
+                   FROM lf)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(c AS BIGINT) AS c, CAST(dd AS BIGINT) AS d,
+               round(ptail, 6) AS p_one_sided,
+               round(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio
+        FROM p""")))
   )
 }
