@@ -508,6 +508,70 @@ object Ml8Queries {
                CAST(c AS BIGINT) AS c, CAST(dd AS BIGINT) AS d,
                round(ptail, 6) AS p_one_sided,
                round(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio
-        FROM p""")))
+        FROM p"""))),
+
+    // DUNN'S POST-HOC TEST — the pairwise follow-up to Kruskal-Wallis:
+    // for every pair of event types, z = (R̄_i − R̄_j) / √(S²(1/nᵢ+1/nⱼ))
+    // with the tie-corrected S² = N(N+1)/12 − Σ(c³−c)/(12(N−1)). Rank
+    // sums come from the SAME two-level bucket-offset pipeline as
+    // ml_kruskal_wallis (2·ranksum exact in decimal); the 10 group
+    // pairs are a self-join of the 5-row per-group aggregate.
+    Q("ml_dunn_posthoc",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_dn")
+        s.sql(sql("""
+          WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                        FROM graft_ev_dn),
+               cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+               cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+               btot AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM cnt_v GROUP BY v DIV 1024),
+               boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                        FROM btot),
+               ranked AS (SELECT c.v, c.c,
+                            o.off + COALESCE(SUM(c.c) OVER (PARTITION BY c.v DIV 1024
+                              ORDER BY c.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                          FROM cnt_v c JOIN boff o ON c.v DIV 1024 = o.b),
+               rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                        sum(CAST(g.cg AS DECIMAL(38,0)) * (2 * r.k + r.c + 1)) AS rgx2
+                      FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                      GROUP BY g.event_type),
+               st AS (SELECT sum(ng) AS n,
+                        (SELECT sum(CAST(c AS DECIMAL(38,0)) * c * c - c) FROM ranked) AS tie3
+                      FROM rg),
+               s2 AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12.0
+                        - CAST(tie3 AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1)) AS v
+                      FROM st)
+          SELECT a.event_type AS g1, b.event_type AS g2,
+                 CAST(a.ng AS BIGINT) AS n1, CAST(b.ng AS BIGINT) AS n2,
+                 round((CAST(a.rgx2 AS DOUBLE) / (2.0 * a.ng)
+                        - CAST(b.rgx2 AS DOUBLE) / (2.0 * b.ng))
+                   / sqrt(s2.v * (1.0 / a.ng + 1.0 / b.ng)), 6) AS z
+          FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2"""))
+      },
+      Some(sql("""
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+             cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+             cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+             ranked AS (SELECT v, c,
+                          COALESCE(SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                        FROM cnt_v),
+             rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                      sum(CAST(g.cg AS HUGEINT) * (2 * r.k + r.c + 1)) AS rgx2
+                    FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                    GROUP BY g.event_type),
+             st AS (SELECT sum(ng) AS n,
+                      (SELECT sum(CAST(c AS HUGEINT) * c * c - c) FROM ranked) AS tie3
+                    FROM rg),
+             s2 AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12.0
+                      - CAST(tie3 AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1)) AS v
+                    FROM st)
+        SELECT a.event_type AS g1, b.event_type AS g2,
+               CAST(a.ng AS BIGINT) AS n1, CAST(b.ng AS BIGINT) AS n2,
+               round((CAST(a.rgx2 AS DOUBLE) / (2.0 * a.ng)
+                      - CAST(b.rgx2 AS DOUBLE) / (2.0 * b.ng))
+                 / sqrt(s2.v * (1.0 / a.ng + 1.0 / b.ng)), 6) AS z
+        FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2""")))
   )
 }
