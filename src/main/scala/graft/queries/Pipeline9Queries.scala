@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Engine.table
+import graft.queries.{Pipeline4Queries => P4}
 import org.apache.spark.sql.functions._
 import Registry.sql
 
@@ -90,6 +91,102 @@ object Pipeline9Queries {
                       x -> x IS NOT NULL), ' ') AS target,
                     CAST(len(w) AS BIGINT) AS n_tok,
                     CAST((len(w) + 14) // 15 AS BIGINT) AS n_spans
-                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""")))
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""))),
+
+    /** The CURATION FUNNEL — the end-to-end survival census every
+      * pre-training data report leads with: how many documents (and
+      * whitespace tokens) survive each stage of
+      *   raw → exact dedup (md5 keep-min) → Gopher quality gate →
+      *   8-gram decontamination vs the held-out split → packed 512-token
+      *   sequences.
+      * Each stage reuses the registry's canonical rule (the Gopher gate
+      * is Pipeline4's single shared definition; dedup/decontamination
+      * mirror dedup_exact / pipe_decontaminate's shapes) so the funnel
+      * can never drift from the per-stage rows. One row per stage, all
+      * counts exact integers — the oracle recomputes the same funnel.
+      */
+    Q("pipe_curation_funnel",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val dedup = docs
+          .withColumn("h", md5(col("text")))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("h")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1).drop("h", "rk")
+        // carry the split-tokenizer count under a distinct name — the
+        // staged signals add their OWN n_tok (T.tokens) next to it
+        val quality = P4.gopherSignals(
+          dedup.withColumnRenamed("n_tok", "ntok_carry"),
+          Seq("doc_id", "text", "ntok_carry"))
+          .filter(P4.gopherPass)
+          .select(col("doc_id"), col("text"), col("ntok_carry").as("n_tok"))
+        // <8-token guard: sequence(1, 0) descends and slice(w, 0, 8)
+        // throws; such docs produce no grams on either engine
+        val testGrams = docs.filter(col("doc_id") % 10 === 0)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(explode(expr(
+            """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),
+                 i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"""))
+            .as("g")).distinct()
+        val trainGrams = quality.filter(col("doc_id") % 10 =!= 0)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),
+                 i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"""))
+            .as("g"))
+        val contaminated = trainGrams.join(broadcast(testGrams), "g")
+          .select(col("doc_id")).distinct()
+        val clean = quality.filter(col("doc_id") % 10 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"))
+        stage("1_raw", docs)
+          .unionAll(stage("2_dedup", dedup))
+          .unionAll(stage("3_quality", quality))
+          .unionAll(stage("4_decontaminated", clean))
+          .unionAll(clean.agg(lit("5_packed").as("stage"),
+            expr("CAST(sum(n_tok) DIV 512 AS BIGINT)").as("n_docs"),
+            expr("CAST(sum(n_tok) DIV 512 * 512 AS BIGINT)").as("n_tokens")))
+      },
+      Some(sql(s"""
+        WITH docs AS (SELECT doc_id, text,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                      FROM documents),
+             dedup AS (SELECT doc_id, text, n_tok FROM (
+                         SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rk
+                         FROM docs) WHERE rk = 1),
+             sig AS (${P4.gopherSignalsSql("doc_id, n_tok AS ntok_carry",
+                        "doc_id, ntok_carry", "dedup")}),
+             quality AS (SELECT s2.doc_id, d.text, s2.ntok_carry AS n_tok
+                         FROM (SELECT doc_id, text FROM dedup) d
+                         JOIN sig s2 ON d.doc_id = s2.doc_id
+                         WHERE ${P4.gopherPassSql}),
+             tg AS (SELECT DISTINCT md5(g) AS g FROM (
+                      SELECT unnest(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+                        i -> array_to_string(string_split(text, ' ')[i : i + 7], ' '))) AS g
+                      FROM docs WHERE doc_id % 10 = 0)),
+             contaminated AS (SELECT DISTINCT doc_id FROM (
+                      SELECT doc_id, md5(g) AS g FROM (
+                        SELECT doc_id, unnest(list_transform(
+                          range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+                          i -> array_to_string(string_split(text, ' ')[i : i + 7], ' '))) AS g
+                        FROM quality WHERE doc_id % 10 <> 0)) q
+                      WHERE EXISTS (SELECT 1 FROM tg WHERE tg.g = q.g)),
+             clean AS (SELECT * FROM quality
+                       WHERE doc_id % 10 <> 0
+                         AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+        SELECT '1_raw' AS stage, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM docs
+        UNION ALL SELECT '2_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM dedup
+        UNION ALL SELECT '3_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM quality
+        UNION ALL SELECT '4_decontaminated', count(*), CAST(sum(n_tok) AS BIGINT) FROM clean
+        UNION ALL SELECT '5_packed', CAST(sum(n_tok) // 512 AS BIGINT),
+               CAST(sum(n_tok) // 512 * 512 AS BIGINT) FROM clean""")))
   )
 }
