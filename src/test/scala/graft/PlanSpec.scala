@@ -1003,6 +1003,16 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 0, s"bucketed aggregation still shuffled:\n$p")
   }
 
+  test("curation funnel: decontamination join broadcasts the held-out gram side") {
+    // the funnel's one corpus×corpus-risk join is train-grams ⋈
+    // test-grams; the held-out side must be the broadcast build (the
+    // pipe_decontaminate posture), never a shuffle of all train grams
+    // against all test grams
+    val p = plan("pipe_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"), s"gram join does not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel plans a cartesian:\n$p")
+  }
+
   test("spearman's rank tables broadcast-join back to the events") {
     // the rank tests' 100 TB posture: both tie-averaged rank tables are
     // DOMAIN-bounded (cents values / props.k), so the corpus-sized events
