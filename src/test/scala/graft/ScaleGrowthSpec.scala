@@ -229,6 +229,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
       .flatten.map(_.value).foldLeft(0L)(math.max)
   }
 
+  test("curation funnel gram-join volume grows linearly with the corpus") {
+    // the funnel's decontamination join must match grams, not pairs of
+    // docs: output rows track corpus growth (~10x), never its square
+    val small = maxJoinRows("pipe_curation_funnel", "/root/testdata/sf0.01")
+    val big = maxJoinRows("pipe_curation_funnel", "/root/testdata/sf0.1")
+    info(s"funnel max join rows: sf0.01=$small sf0.1=$big")
+    assert(big <= 15L * math.max(small, 50L),
+      s"funnel join grew superlinearly: sf0.01=$small -> sf0.1=$big")
+  }
+
   test("rank tests broadcast only DOMAIN-bounded rank tables at every SF") {
     // the r11 rank pipeline's contract: the tie-averaged rank tables are
     // bounded by the VALUE DOMAIN (cents ≤ ~49k distinct, props.k ≤ 100),
