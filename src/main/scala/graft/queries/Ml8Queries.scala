@@ -572,6 +572,63 @@ object Ml8Queries {
                round((CAST(a.rgx2 AS DOUBLE) / (2.0 * a.ng)
                       - CAST(b.rgx2 AS DOUBLE) / (2.0 * b.ng))
                  / sqrt(s2.v * (1.0 / a.ng + 1.0 / b.ng)), 6) AS z
-        FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2""")))
+        FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2"""))),
+
+    // SPLIT CONFORMAL PREDICTION (Vovk; the distribution-free interval
+    // the modern ML-ops stack ships): model = per-event-type mean cents
+    // (train split, integer DIV), nonconformity = |y − ŷ| on the
+    // CALIBRATION split, interval half-width q = the 0.9 percentile_disc
+    // of calibration residuals (exact set element, 1-row broadcast), and
+    // the guaranteed-coverage check on the TEST split — the empirical
+    // coverage must be reported next to the nominal 90%. Splits by
+    // event_id residue; every statistic is an exact integer until the
+    // final coverage ratio.
+    Q("ml_conformal_interval",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_cp")
+        s.sql(sql("""
+          WITH rows_ AS (SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS y,
+                   event_id % 3 AS split
+                 FROM graft_ev_cp),
+               model AS (SELECT event_type,
+                   CAST(sum(CAST(y AS DECIMAL(38,0))) DIV count(*) AS BIGINT) AS yhat
+                 FROM rows_ WHERE split = 0 GROUP BY event_type),
+               calib AS (SELECT abs(r.y - m.yhat) AS resid
+                         FROM rows_ r JOIN model m ON r.event_type = m.event_type
+                         WHERE r.split = 1),
+               q AS (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY resid) AS qhat
+                     FROM calib),
+               test AS (SELECT r.y, m.yhat
+                        FROM rows_ r JOIN model m ON r.event_type = m.event_type
+                        WHERE r.split = 2)
+          SELECT CAST(q.qhat AS BIGINT) AS qhat_cents,
+                 count(*) AS n_test,
+                 count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat) AS n_covered,
+                 round(CAST(count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat)
+                   AS DOUBLE) / count(*), 6) AS coverage
+          FROM test t CROSS JOIN q GROUP BY q.qhat"""))
+      },
+      Some(sql("""
+        WITH rows_ AS (SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS y,
+                 event_id % 3 AS split
+               FROM events),
+             model AS (SELECT event_type,
+                 CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT) AS yhat
+               FROM rows_ WHERE split = 0 GROUP BY event_type),
+             calib AS (SELECT abs(r.y - m.yhat) AS resid
+                       FROM rows_ r JOIN model m ON r.event_type = m.event_type
+                       WHERE r.split = 1),
+             q AS (SELECT quantile_disc(resid, 0.9) AS qhat FROM calib),
+             test AS (SELECT r.y, m.yhat
+                      FROM rows_ r JOIN model m ON r.event_type = m.event_type
+                      WHERE r.split = 2)
+        SELECT CAST(q.qhat AS BIGINT) AS qhat_cents,
+               count(*) AS n_test,
+               count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat) AS n_covered,
+               round(CAST(count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat)
+                 AS DOUBLE) / count(*), 6) AS coverage
+        FROM test t CROSS JOIN q GROUP BY q.qhat""")))
   )
 }

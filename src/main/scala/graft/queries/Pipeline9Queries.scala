@@ -187,6 +187,47 @@ object Pipeline9Queries {
         UNION ALL SELECT '3_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM quality
         UNION ALL SELECT '4_decontaminated', count(*), CAST(sum(n_tok) AS BIGINT) FROM clean
         UNION ALL SELECT '5_packed', CAST(sum(n_tok) // 512 AS BIGINT),
-               CAST(sum(n_tok) // 512 * 512 AS BIGINT) FROM clean""")))
+               CAST(sum(n_tok) // 512 * 512 AS BIGINT) FROM clean"""))),
+
+    /** SKYLINE (Pareto front) over customers on (frequency ↑, monetary ↑)
+      * — the classic Börzsönyi 2001 operator the registry lacked. The 2-D
+      * skyline has a sort-free distributed spelling: a point survives iff
+      * its monetary beats the best monetary among ALL strictly-higher
+      * frequencies AND ties the best within its own frequency. Both
+      * "bests" come from a frequency-DOMAIN-bounded aggregate (order
+      * counts, not customers), whose cumulative runs over that bounded
+      * table and BROADCASTS back — never an all-pairs dominance join and
+      * never a corpus-wide window. Strict-dominance ties (equal freq AND
+      * equal monetary) both survive, per the standard definition.
+      */
+    Q("pipe_skyline",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_sky")
+        s.sql(sql("""
+          WITH per_cust AS (SELECT o_custkey, count(*) AS freq,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+                 FROM graft_o_sky GROUP BY o_custkey),
+               fmax AS (SELECT freq, max(mon) AS mx FROM per_cust GROUP BY freq),
+               cum AS (SELECT freq, mx,
+                   max(mx) OVER (ORDER BY freq DESC
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+                 FROM fmax)
+          SELECT /*+ BROADCAST(c) */ p.o_custkey,
+                 CAST(p.freq AS BIGINT) AS freq, p.mon
+          FROM per_cust p JOIN cum c ON p.freq = c.freq
+          WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx"""))
+      },
+      Some(sql("""
+        WITH per_cust AS (SELECT o_custkey, count(*) AS freq,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+               FROM orders GROUP BY o_custkey),
+             fmax AS (SELECT freq, max(mon) AS mx FROM per_cust GROUP BY freq),
+             cum AS (SELECT freq, mx,
+                 max(mx) OVER (ORDER BY freq DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+               FROM fmax)
+        SELECT p.o_custkey, CAST(p.freq AS BIGINT) AS freq, p.mon
+        FROM per_cust p JOIN cum c ON p.freq = c.freq
+        WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx""")))
   )
 }
