@@ -228,6 +228,76 @@ object Pipeline9Queries {
                FROM fmax)
         SELECT p.o_custkey, CAST(p.freq AS BIGINT) AS freq, p.mon
         FROM per_cust p JOIN cum c ON p.freq = c.freq
-        WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx""")))
+        WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx"""))),
+
+    /** KEY-SKEW REPORT — the diagnostic every shuffle-tuning session
+      * starts with: per-key row counts summarized as max / p50 / p99 /
+      * top-10-key share. Everything derives from the COUNT-OF-COUNTS
+      * table (how many keys have each count) — bounded by the count
+      * DOMAIN, so the only windows run over that bounded table and the
+      * quantiles are exact integer formulas (smallest count whose
+      * cumulative key total reaches ⌈q·n_keys⌉), not engine percentile
+      * functions — both engines evaluate the identical arithmetic. The
+      * top-10 share handles count ties exactly: a tied group contributes
+      * min(its keys, remaining slots) keys at its count.
+      */
+    Q("pipe_skew_report",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_skw")
+        s.sql(sql("""
+          WITH per_key AS (SELECT o_custkey, count(*) AS c
+                 FROM graft_o_skw GROUP BY o_custkey),
+               dist AS (SELECT c, count(*) AS k FROM per_key GROUP BY c),
+               tot AS (SELECT sum(k) AS n_keys, sum(c * k) AS n_rows, max(c) AS max_c
+                       FROM dist),
+               asc_ AS (SELECT c, k,
+                   SUM(k) OVER (ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+                 FROM dist),
+               p50 AS (SELECT min(c) AS v FROM asc_ CROSS JOIN tot
+                       WHERE cumk >= (n_keys + 1) DIV 2),
+               p99 AS (SELECT min(c) AS v FROM asc_ CROSS JOIN tot
+                       WHERE cumk >= (99 * n_keys + 99) DIV 100),
+               des AS (SELECT c, k,
+                   COALESCE(SUM(k) OVER (ORDER BY c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+                 FROM dist),
+               top10 AS (SELECT sum(c * least(k, 10 - above)) AS rows10
+                         FROM des WHERE above < 10)
+          SELECT CAST(tot.n_keys AS BIGINT) AS n_keys,
+                 CAST(tot.n_rows AS BIGINT) AS n_rows,
+                 CAST(tot.max_c AS BIGINT) AS max_count,
+                 CAST(p50.v AS BIGINT) AS p50_count,
+                 CAST(p99.v AS BIGINT) AS p99_count,
+                 round(CAST(top10.rows10 AS DOUBLE) / tot.n_rows, 6) AS top10_share
+          FROM tot CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN top10"""))
+      },
+      Some(sql("""
+        WITH per_key AS (SELECT o_custkey, count(*) AS c
+               FROM orders GROUP BY o_custkey),
+             dist AS (SELECT c, count(*) AS k FROM per_key GROUP BY c),
+             tot AS (SELECT sum(k) AS n_keys, sum(c * k) AS n_rows, max(c) AS max_c
+                     FROM dist),
+             asc_ AS (SELECT c, k,
+                 SUM(k) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+               FROM dist),
+             p50 AS (SELECT min(c) AS v FROM asc_ CROSS JOIN tot
+                     WHERE cumk >= (n_keys + 1) // 2),
+             p99 AS (SELECT min(c) AS v FROM asc_ CROSS JOIN tot
+                     WHERE cumk >= (99 * n_keys + 99) // 100),
+             des AS (SELECT c, k,
+                 COALESCE(SUM(k) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+               FROM dist),
+             top10 AS (SELECT sum(c * least(k, 10 - above)) AS rows10
+                       FROM des WHERE above < 10)
+        SELECT CAST(tot.n_keys AS BIGINT) AS n_keys,
+               CAST(tot.n_rows AS BIGINT) AS n_rows,
+               CAST(tot.max_c AS BIGINT) AS max_count,
+               CAST(p50.v AS BIGINT) AS p50_count,
+               CAST(p99.v AS BIGINT) AS p99_count,
+               round(CAST(top10.rows10 AS DOUBLE) / tot.n_rows, 6) AS top10_share
+        FROM tot CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN top10""")))
   )
 }
