@@ -629,6 +629,48 @@ object Ml8Queries {
                count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat) AS n_covered,
                round(CAST(count(*) FILTER (WHERE abs(t.y - t.yhat) <= q.qhat)
                  AS DOUBLE) / count(*), 6) AS coverage
-        FROM test t CROSS JOIN q GROUP BY q.qhat""")))
+        FROM test t CROSS JOIN q GROUP BY q.qhat"""))),
+
+    // POWER ANALYSIS for a two-proportion test — the planning tool run
+    // BEFORE ml_ab_ztest: from the observed baseline purchase rate,
+    // the per-arm sample size to detect a 10% relative lift at
+    // α=0.05 (two-sided, z=1.959964) and power 80% (z=0.841621):
+    // n = (z_α·√(2·p̄·(1−p̄)) + z_β·√(p₁q₁+p₂q₂))² / (p₂−p₁)².
+    // Inputs are exact integer counts; the closed form is one identical
+    // IEEE evaluation on both engines (constants are shared literals).
+    Q("ml_power_analysis",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_pw")
+        s.sql(sql("""
+          WITH base AS (SELECT count(*) AS n,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS k
+                 FROM graft_ev_pw),
+               p AS (SELECT CAST(k AS DOUBLE) / n AS p1,
+                       CAST(k AS DOUBLE) / n * 1.1 AS p2,
+                       CAST(n AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS k_obs
+                     FROM base),
+               f AS (SELECT n_obs, k_obs, p1, p2, (p1 + p2) / 2.0 AS pbar FROM p)
+          SELECT n_obs, k_obs, round(p1, 6) AS p1, round(p2, 6) AS p2,
+                 CAST(ceil(
+                   pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                     + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+                   / pow(p2 - p1, 2)) AS BIGINT) AS n_per_arm
+          FROM f"""))
+      },
+      Some(sql("""
+        WITH base AS (SELECT count(*) AS n,
+                 count(*) FILTER (WHERE event_type = 'purchase') AS k
+               FROM events),
+             p AS (SELECT CAST(k AS DOUBLE) / n AS p1,
+                     CAST(k AS DOUBLE) / n * 1.1 AS p2,
+                     CAST(n AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS k_obs
+                   FROM base),
+             f AS (SELECT n_obs, k_obs, p1, p2, (p1 + p2) / 2.0 AS pbar FROM p)
+        SELECT n_obs, k_obs, round(p1, 6) AS p1, round(p2, 6) AS p2,
+               CAST(ceil(
+                 pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                   + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+                 / pow(p2 - p1, 2)) AS BIGINT) AS n_per_arm
+        FROM f""")))
   )
 }
