@@ -65,6 +65,7 @@ object SparkEntry {
       Ml2Queries.all ++
       Ml8Queries.all ++
       Text3Queries.all ++
+      Text4Queries.all ++
       Window2Queries.all ++
       Streaming2Queries.all ++
       Source3Queries.all ++
