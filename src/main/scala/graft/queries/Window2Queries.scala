@@ -109,6 +109,43 @@ object Window2Queries {
                CAST(max(run_max - c) AS BIGINT) AS max_drawdown_cents,
                CAST(max(run_max) AS BIGINT) AS peak_cents,
                CAST(count(*) AS BIGINT) AS n
-        FROM dd GROUP BY user_id""")))
+        FROM dd GROUP BY user_id"""))),
+
+    // OHLC daily resampling — the canonical time-series downsample:
+    // per (event_type, day), the first/last value by event time (open/
+    // close) with ties broken by event_id through a ZERO-PADDED string
+    // composite key (lexicographic = numeric, overflow-free, and unlike
+    // a struct key supported by arg_min/min_by on BOTH engines), plus
+    // exact integer high/low/volume. One partial-aggregable pass.
+    Q("win_ohlc",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_oh")
+        s.sql(sql("""
+          WITH keyed AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),
+                          lpad(CAST(event_id AS STRING), 12, '0')) AS ord
+                 FROM graft_ev_oh)
+          SELECT event_type, day,
+                 min_by(cents, ord) AS open_cents,
+                 max_by(cents, ord) AS close_cents,
+                 max(cents) AS high_cents,
+                 min(cents) AS low_cents,
+                 count(*) AS volume
+          FROM keyed GROUP BY event_type, day"""))
+      },
+      Some(sql("""
+        WITH keyed AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+               FROM events)
+        SELECT event_type, day,
+               arg_min(cents, ord) AS open_cents,
+               arg_max(cents, ord) AS close_cents,
+               max(cents) AS high_cents,
+               min(cents) AS low_cents,
+               count(*) AS volume
+        FROM keyed GROUP BY event_type, day""")))
   )
 }
