@@ -671,6 +671,102 @@ object Ml8Queries {
                  pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
                    + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
                  / pow(p2 - p1, 2)) AS BIGINT) AS n_per_arm
-        FROM f""")))
+        FROM f"""))),
+
+    // BENJAMINI-HOCHBERG FDR over the 10 Dunn pairwise z-values — the
+    // multiple-comparison correction the post-hoc battery requires.
+    // Two-sided p from |z| via the Abramowitz-Stegun 7.1.26 polynomial
+    // Φ approximation spelled as ONE shared arithmetic formula (both
+    // engines evaluate identical IEEE doubles, so parity is exact even
+    // though the approximation itself is 1.5e-7); BH ranks the 10 pair
+    // p-values (a window over the pair-count-bounded set) and rejects
+    // every pair at or below the largest rank with p ≤ rank·α/m, α=0.05.
+    Q("ml_bh_fdr",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_bh")
+        s.sql(sql(s"""
+          WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                        FROM graft_ev_bh),
+               cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+               cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+               ranked AS (SELECT v, c,
+                            COALESCE(SUM(c) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                          FROM cnt_v),
+               rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                        sum(CAST(g.cg AS DECIMAL(38,0)) * (2 * r.k + r.c + 1)) AS rgx2
+                      FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                      GROUP BY g.event_type),
+               st AS (SELECT sum(ng) AS n,
+                        (SELECT sum(CAST(c AS DECIMAL(38,0)) * c * c - c) FROM ranked) AS tie3
+                      FROM rg),
+               s2 AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12.0
+                        - CAST(tie3 AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1)) AS v
+                      FROM st),
+               zs AS (SELECT a.event_type AS g1, b.event_type AS g2,
+                        abs((CAST(a.rgx2 AS DOUBLE) / (2.0 * a.ng)
+                             - CAST(b.rgx2 AS DOUBLE) / (2.0 * b.ng))
+                          / sqrt(s2.v * (1.0 / a.ng + 1.0 / b.ng))) AS az
+                      FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2),
+               ps AS (SELECT g1, g2, az,
+                        2.0 * (exp(-az * az / 2.0) * 0.3989422804014327
+                               * (0.319381530 * (1.0 / (1.0 + 0.2316419 * az))
+                                - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * az), 2)
+                                + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * az), 3)
+                                - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * az), 4)
+                                + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * az), 5)))
+                          AS p
+                      FROM zs),
+               rk AS (SELECT g1, g2, az, p,
+                        row_number() OVER (ORDER BY p, g1, g2) AS r,
+                        count(*) OVER () AS m
+                      FROM ps),
+               thr AS (SELECT COALESCE(max(r), 0) AS kmax FROM rk
+                       WHERE p <= r * 0.05 / m)
+          SELECT g1, g2, round(az, 6) AS abs_z, round(p, 6) AS p_two_sided,
+                 CAST(r AS BIGINT) AS rank, (r <= thr.kmax) AS bh_reject
+          FROM rk CROSS JOIN thr"""))
+      },
+      Some(sql("""
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+             cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+             cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
+             ranked AS (SELECT v, c,
+                          COALESCE(SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                        FROM cnt_v),
+             rg AS (SELECT g.event_type, sum(g.cg) AS ng,
+                      sum(CAST(g.cg AS HUGEINT) * (2 * r.k + r.c + 1)) AS rgx2
+                    FROM cnt_vg g JOIN ranked r ON g.v = r.v
+                    GROUP BY g.event_type),
+             st AS (SELECT sum(ng) AS n,
+                      (SELECT sum(CAST(c AS HUGEINT) * c * c - c) FROM ranked) AS tie3
+                    FROM rg),
+             s2 AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12.0
+                      - CAST(tie3 AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1)) AS v
+                    FROM st),
+             zs AS (SELECT a.event_type AS g1, b.event_type AS g2,
+                      abs((CAST(a.rgx2 AS DOUBLE) / (2.0 * a.ng)
+                           - CAST(b.rgx2 AS DOUBLE) / (2.0 * b.ng))
+                        / sqrt(s2.v * (1.0 / a.ng + 1.0 / b.ng))) AS az
+                    FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2),
+             ps AS (SELECT g1, g2, az,
+                      2.0 * (exp(-az * az / 2.0) * 0.3989422804014327
+                             * (0.319381530 * (1.0 / (1.0 + 0.2316419 * az))
+                              - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * az), 2)
+                              + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * az), 3)
+                              - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * az), 4)
+                              + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * az), 5)))
+                        AS p
+                    FROM zs),
+             rk AS (SELECT g1, g2, az, p,
+                      row_number() OVER (ORDER BY p, g1, g2) AS r,
+                      count(*) OVER () AS m
+                    FROM ps),
+             thr AS (SELECT COALESCE(max(r), 0) AS kmax FROM rk
+                     WHERE p <= r * 0.05 / m)
+        SELECT g1, g2, round(az, 6) AS abs_z, round(p, 6) AS p_two_sided,
+               CAST(r AS BIGINT) AS rank, (r <= thr.kmax) AS bh_reject
+        FROM rk CROSS JOIN thr""")))
   )
 }
