@@ -767,6 +767,89 @@ object Ml8Queries {
                      WHERE p <= r * 0.05 / m)
         SELECT g1, g2, round(az, 6) AS abs_z, round(p, 6) AS p_two_sided,
                CAST(r AS BIGINT) AS rank, (r <= thr.kmax) AS bh_reject
-        FROM rk CROSS JOIN thr""")))
+        FROM rk CROSS JOIN thr"""))),
+
+    // VARIANCE INFLATION FACTORS for the 3-feature customer design
+    // (frequency, monetary cents, recency days) — the multicollinearity
+    // diagnostic run before any regression. Pairwise Pearson r from one
+    // pass of exact integer sufficient statistics, then the CLOSED-FORM
+    // 3×3 correlation-matrix inverse diagonal:
+    //   det = 1 + 2·r12·r13·r23 − r12² − r13² − r23²,
+    //   VIF₁ = (1 − r23²)/det (and cyclically). Identical IEEE
+    // evaluation on both engines; 6-digit projection at the end.
+    Q("ml_vif",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_o_vif")
+        s.sql(sql("""
+          WITH per_cust AS (SELECT o_custkey,
+                   count(*) AS x1,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x2,
+                   datediff(date'2000-01-01', max(o_orderdate)) AS x3
+                 FROM graft_o_vif GROUP BY o_custkey),
+               st AS (SELECT count(*) AS n,
+                   sum(CAST(x1 AS DECIMAL(38,0))) AS s1, sum(CAST(x2 AS DECIMAL(38,0))) AS s2,
+                   sum(CAST(x3 AS DECIMAL(38,0))) AS s3,
+                   sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS s11,
+                   sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS s22,
+                   sum(CAST(x3 AS DECIMAL(38,0)) * x3) AS s33,
+                   sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS s12,
+                   sum(CAST(x1 AS DECIMAL(38,0)) * x3) AS s13,
+                   sum(CAST(x2 AS DECIMAL(38,0)) * x3) AS s23
+                 FROM per_cust),
+               r AS (SELECT CAST(n AS BIGINT) AS n_cust,
+                   (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+                     / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                          * (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)) AS r12,
+                   (CAST(n AS DOUBLE) * s13 - CAST(s1 AS DOUBLE) * s3)
+                     / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                          * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3)) AS r13,
+                   (CAST(n AS DOUBLE) * s23 - CAST(s2 AS DOUBLE) * s3)
+                     / sqrt((CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)
+                          * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3)) AS r23
+                 FROM st),
+               dt AS (SELECT *, 1.0 + 2.0 * r12 * r13 * r23
+                        - r12 * r12 - r13 * r13 - r23 * r23 AS det FROM r)
+          SELECT n_cust, round(r12, 6) AS r12, round(r13, 6) AS r13,
+                 round(r23, 6) AS r23,
+                 round((1.0 - r23 * r23) / det, 6) AS vif_freq,
+                 round((1.0 - r13 * r13) / det, 6) AS vif_monetary,
+                 round((1.0 - r12 * r12) / det, 6) AS vif_recency
+          FROM dt"""))
+      },
+      Some(sql("""
+        WITH per_cust AS (SELECT o_custkey,
+                 count(*) AS x1,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x2,
+                 datediff('day', max(o_orderdate), date'2000-01-01') AS x3
+               FROM orders GROUP BY o_custkey),
+             st AS (SELECT count(*) AS n,
+                 sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+                 sum(CAST(x3 AS HUGEINT)) AS s3,
+                 sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+                 sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+                 sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+                 sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+                 sum(CAST(x1 AS HUGEINT) * x3) AS s13,
+                 sum(CAST(x2 AS HUGEINT) * x3) AS s23
+               FROM per_cust),
+             r AS (SELECT CAST(n AS BIGINT) AS n_cust,
+                 (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+                   / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                        * (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)) AS r12,
+                 (CAST(n AS DOUBLE) * s13 - CAST(s1 AS DOUBLE) * s3)
+                   / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                        * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3)) AS r13,
+                 (CAST(n AS DOUBLE) * s23 - CAST(s2 AS DOUBLE) * s3)
+                   / sqrt((CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)
+                        * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3)) AS r23
+               FROM st),
+             dt AS (SELECT *, 1.0 + 2.0 * r12 * r13 * r23
+                      - r12 * r12 - r13 * r13 - r23 * r23 AS det FROM r)
+        SELECT n_cust, round(r12, 6) AS r12, round(r13, 6) AS r13,
+               round(r23, 6) AS r23,
+               round((1.0 - r23 * r23) / det, 6) AS vif_freq,
+               round((1.0 - r13 * r13) / det, 6) AS vif_monetary,
+               round((1.0 - r12 * r12) / det, 6) AS vif_recency
+        FROM dt""")))
   )
 }
