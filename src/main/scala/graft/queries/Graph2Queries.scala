@@ -503,6 +503,55 @@ object Graph2Queries {
                       FROM walk GROUP BY src, node)
         SELECT src AS k, CAST(sum(dist) AS BIGINT) AS closeness_sum,
                CAST(max(dist) AS BIGINT) AS ecc
-        FROM best GROUP BY src""")))
+        FROM best GROUP BY src"""))),
+
+    // DEGREE ASSORTATIVITY (Newman 2002) over the same ring+chord
+    // circulant as graph_closeness: the Pearson correlation of endpoint
+    // degrees across directed edge instances (both directions, the
+    // standard undirected treatment). Degrees and all five sufficient
+    // sums are exact integers; the coefficient is one IEEE projection —
+    // negative r = hubs attach to leaves, positive = hubs to hubs.
+    Q("graph_assortativity",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_n_as")
+        s.sql(sql("""
+          WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM graft_n_as),
+               e0 AS (SELECT k AS a, (k + 1) % 25 AS b FROM nodes
+                      UNION SELECT k, (k * 2 + 3) % 25 FROM nodes),
+               edges AS (SELECT a, b FROM e0 WHERE a <> b
+                         UNION SELECT b, a FROM e0 WHERE a <> b),
+               deg AS (SELECT a AS k, count(*) AS dg FROM edges GROUP BY a),
+               pairs AS (SELECT da.dg AS x, db.dg AS y
+                         FROM edges e JOIN deg da ON e.a = da.k
+                         JOIN deg db ON e.b = db.k),
+               st AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                      FROM pairs)
+          SELECT CAST(m AS BIGINT) AS n_edge_ends,
+                 round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                   AS assortativity
+          FROM st"""))
+      },
+      Some(sql("""
+        WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+             e0 AS (SELECT k AS a, (k + 1) % 25 AS b FROM nodes
+                    UNION SELECT k, (k * 2 + 3) % 25 FROM nodes),
+             edges AS (SELECT a, b FROM e0 WHERE a <> b
+                       UNION SELECT b, a FROM e0 WHERE a <> b),
+             deg AS (SELECT a AS k, count(*) AS dg FROM edges GROUP BY a),
+             pairs AS (SELECT da.dg AS x, db.dg AS y
+                       FROM edges e JOIN deg da ON e.a = da.k
+                       JOIN deg db ON e.b = db.k),
+             st AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                    FROM pairs)
+        SELECT CAST(m AS BIGINT) AS n_edge_ends,
+               round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                 AS assortativity
+        FROM st""")))
   )
 }

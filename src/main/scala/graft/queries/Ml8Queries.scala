@@ -850,6 +850,72 @@ object Ml8Queries {
                round((1.0 - r23 * r23) / det, 6) AS vif_freq,
                round((1.0 - r13 * r13) / det, 6) AS vif_monetary,
                round((1.0 - r12 * r12) / det, 6) AS vif_recency
-        FROM dt""")))
+        FROM dt"""))),
+
+    // CRAMÉR'S V — the normalized effect size that turns a chi-square
+    // contingency into a [0,1] association strength (ml_chi2_cells pins
+    // the raw cells; this pins the summary statistic analysts quote).
+    // Table: event_type × value tercile (integer thresholds 5000/20000
+    // cents). χ² from exact observed counts and rational expected values
+    // via the cross-product spelling n·Σ(o²/(rᵢ·cⱼ)) − n, so there is no
+    // per-cell float expected-count subtraction to drift.
+    Q("ml_cramers_v",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_cv")
+        s.sql(sql("""
+          WITH b AS (SELECT event_type,
+                   CASE WHEN round(value * 100) < 5000 THEN 'lo'
+                        WHEN round(value * 100) < 20000 THEN 'mid'
+                        ELSE 'hi' END AS tercile
+                 FROM graft_ev_cv),
+               cells AS (SELECT event_type, tercile, count(*) AS o
+                         FROM b GROUP BY event_type, tercile),
+               rows_ AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+               cols AS (SELECT tercile, sum(o) AS c FROM cells GROUP BY tercile),
+               n AS (SELECT sum(o) AS n FROM cells),
+               agg AS (SELECT
+                   sum(CAST(cl.o AS DOUBLE) * cl.o
+                       / (CAST(r.r AS DOUBLE) * c.c)) AS srate,
+                   count(DISTINCT cl.event_type) AS nr,
+                   count(DISTINCT cl.tercile) AS nc
+                 FROM cells cl
+                 JOIN rows_ r ON cl.event_type = r.event_type
+                 JOIN cols c ON cl.tercile = c.tercile),
+               chi AS (SELECT n.n, agg.srate * CAST(n.n AS DOUBLE)
+                         - CAST(n.n AS DOUBLE) AS chi2, agg.nr, agg.nc
+                       FROM agg CROSS JOIN n)
+          SELECT CAST(n AS BIGINT) AS n, round(chi2, 6) AS chi2,
+                 CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                 round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                   * (least(nr, nc) - 1))), 6) AS cramers_v
+          FROM chi"""))
+      },
+      Some(sql("""
+        WITH b AS (SELECT event_type,
+                 CASE WHEN round(value * 100) < 5000 THEN 'lo'
+                      WHEN round(value * 100) < 20000 THEN 'mid'
+                      ELSE 'hi' END AS tercile
+               FROM events),
+             cells AS (SELECT event_type, tercile, count(*) AS o
+                       FROM b GROUP BY event_type, tercile),
+             rows_ AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+             cols AS (SELECT tercile, sum(o) AS c FROM cells GROUP BY tercile),
+             n AS (SELECT sum(o) AS n FROM cells),
+             agg AS (SELECT
+                 sum(CAST(cl.o AS DOUBLE) * cl.o
+                     / (CAST(r.r AS DOUBLE) * c.c)) AS srate,
+                 count(DISTINCT cl.event_type) AS nr,
+                 count(DISTINCT cl.tercile) AS nc
+               FROM cells cl
+               JOIN rows_ r ON cl.event_type = r.event_type
+               JOIN cols c ON cl.tercile = c.tercile),
+             chi AS (SELECT n.n, agg.srate * CAST(n.n AS DOUBLE)
+                       - CAST(n.n AS DOUBLE) AS chi2, agg.nr, agg.nc
+                     FROM agg CROSS JOIN n)
+        SELECT CAST(n AS BIGINT) AS n, round(chi2, 6) AS chi2,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+               round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * (least(nr, nc) - 1))), 6) AS cramers_v
+        FROM chi""")))
   )
 }
