@@ -916,6 +916,78 @@ object Ml8Queries {
                CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
                round(sqrt(chi2 / (CAST(n AS DOUBLE)
                  * (least(nr, nc) - 1))), 6) AS cramers_v
-        FROM chi""")))
+        FROM chi"""))),
+
+    // WILCOXON SIGNED-RANK — the PAIRED member of the nonparametric
+    // family (Mann-Whitney covers independent samples): per-user
+    // pre/post cent sums (the CUPED split), zero differences dropped,
+    // |d| tie-averaged ranks from the SAME bucket-offset pipeline
+    // (|d| domain is bounded by the cents range, buckets by domain/4096),
+    // 2·W⁺ exact in decimal, and the tie-corrected normal z
+    //   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(c³−c)/48).
+    Q("ml_wilcoxon_signed",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_wx")
+        s.sql(sql("""
+          WITH per_user AS (SELECT user_id,
+                   sum(CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+                   sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+                 FROM graft_ev_wx GROUP BY user_id),
+               diffs AS (SELECT post - pre AS dd, abs(post - pre) AS ad
+                         FROM per_user WHERE post <> pre),
+               cnts AS (SELECT ad, count(*) AS c,
+                          count(*) FILTER (WHERE dd > 0) AS cpos
+                        FROM diffs GROUP BY ad),
+               btot AS (SELECT ad DIV 4096 AS b, sum(c) AS tot FROM cnts GROUP BY ad DIV 4096),
+               boff AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                        FROM btot),
+               ranked AS (SELECT c.ad, c.c, c.cpos,
+                            o.off + COALESCE(SUM(c.c) OVER (PARTITION BY c.ad DIV 4096
+                              ORDER BY c.ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                          FROM cnts c JOIN boff o ON c.ad DIV 4096 = o.b),
+               st AS (SELECT sum(c) AS n,
+                        sum(CAST(cpos AS DECIMAL(38,0)) * (2 * k + c + 1)) AS wposx2,
+                        sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+                      FROM ranked)
+          SELECT CAST(n AS BIGINT) AS n_pairs,
+                 CAST(wposx2 AS BIGINT) AS wpos_x2,
+                 CAST(tie3 AS BIGINT) AS tie_cubes,
+                 round((CAST(wposx2 AS DOUBLE) / 2.0
+                        - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                   / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
+                        - CAST(tie3 AS DOUBLE) / 48.0), 6) AS z
+          FROM st"""))
+      },
+      Some(sql("""
+        WITH per_user AS (SELECT user_id,
+                 sum(CASE WHEN ts < timestamp'2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+                 sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+               FROM events GROUP BY user_id),
+             diffs AS (SELECT post - pre AS dd, abs(post - pre) AS ad
+                       FROM per_user WHERE post <> pre),
+             cnts AS (SELECT ad, count(*) AS c,
+                        count(*) FILTER (WHERE dd > 0) AS cpos
+                      FROM diffs GROUP BY ad),
+             ranked AS (SELECT ad, c, cpos,
+                          COALESCE(SUM(c) OVER (ORDER BY ad
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+                        FROM cnts),
+             st AS (SELECT sum(c) AS n,
+                      sum(CAST(cpos AS HUGEINT) * (2 * k + c + 1)) AS wposx2,
+                      sum(CAST(c AS HUGEINT) * c * c - c) AS tie3
+                    FROM ranked)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               CAST(wposx2 AS BIGINT) AS wpos_x2,
+               CAST(tie3 AS BIGINT) AS tie_cubes,
+               round((CAST(wposx2 AS DOUBLE) / 2.0
+                      - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
+                      - CAST(tie3 AS DOUBLE) / 48.0), 6) AS z
+        FROM st""")))
   )
 }
