@@ -988,6 +988,72 @@ object Ml8Queries {
                       - CAST(n AS DOUBLE) * (n + 1) / 4.0)
                  / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
                       - CAST(tie3 AS DOUBLE) / 48.0), 6) AS z
-        FROM st""")))
+        FROM st"""))),
+
+    // TOST EQUIVALENCE (two one-sided tests) — the "no-harm" A/B check:
+    // instead of asking whether the variants DIFFER, ask whether the
+    // per-user mean-spend difference is provably INSIDE ±δ (δ = 500
+    // cents). From the same per-variant exact sufficient statistics as
+    // ml_welch_t: t_lower = (diff+δ)/se, t_upper = (δ−diff)/se;
+    // equivalent at 5% iff BOTH exceed z=1.644854. One identical IEEE
+    // evaluation on both engines.
+    Q("ml_tost_equivalence",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_ts")
+        s.sql(sql("""
+          WITH per_user AS (SELECT user_id, user_id % 2 AS variant,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS y
+                 FROM graft_ev_ts GROUP BY user_id),
+               g AS (SELECT variant, count(*) AS n,
+                       sum(CAST(y AS DECIMAL(38,0))) AS s,
+                       sum(CAST(y AS DECIMAL(38,0)) * y) AS q
+                     FROM per_user GROUP BY variant),
+               w AS (SELECT
+                   max(CASE WHEN variant = 1 THEN CAST(n AS DOUBLE) END) AS n1,
+                   max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+                   max(CASE WHEN variant = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+                   max(CASE WHEN variant = 0 THEN CAST(n AS DOUBLE) END) AS n0,
+                   max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+                   max(CASE WHEN variant = 0 THEN CAST(q AS DOUBLE) END) AS q0
+                 FROM g),
+               f AS (SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+                   s1 / n1 - s0 / n0 AS diff,
+                   sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                      + (q0 - s0 * s0 / n0) / (n0 - 1) / n0) AS se
+                 FROM w)
+          SELECT n_treat, n_ctrl, round(diff / 100.0, 4) AS diff_d,
+                 round((diff + 500.0) / se, 6) AS t_lower,
+                 round((500.0 - diff) / se, 6) AS t_upper,
+                 ((diff + 500.0) / se > 1.644854
+                   AND (500.0 - diff) / se > 1.644854) AS equivalent
+          FROM f"""))
+      },
+      Some(sql("""
+        WITH per_user AS (SELECT user_id, user_id % 2 AS variant,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+             g AS (SELECT variant, count(*) AS n,
+                     sum(CAST(y AS HUGEINT)) AS s,
+                     sum(CAST(y AS HUGEINT) * y) AS q
+                   FROM per_user GROUP BY variant),
+             w AS (SELECT
+                 max(CASE WHEN variant = 1 THEN CAST(n AS DOUBLE) END) AS n1,
+                 max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+                 max(CASE WHEN variant = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+                 max(CASE WHEN variant = 0 THEN CAST(n AS DOUBLE) END) AS n0,
+                 max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+                 max(CASE WHEN variant = 0 THEN CAST(q AS DOUBLE) END) AS q0
+               FROM g),
+             f AS (SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+                 s1 / n1 - s0 / n0 AS diff,
+                 sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                    + (q0 - s0 * s0 / n0) / (n0 - 1) / n0) AS se
+               FROM w)
+        SELECT n_treat, n_ctrl, round(diff / 100.0, 4) AS diff_d,
+               round((diff + 500.0) / se, 6) AS t_lower,
+               round((500.0 - diff) / se, 6) AS t_upper,
+               ((diff + 500.0) / se > 1.644854
+                 AND (500.0 - diff) / se > 1.644854) AS equivalent
+        FROM f""")))
   )
 }
