@@ -1054,6 +1054,99 @@ object Ml8Queries {
                round((500.0 - diff) / se, 6) AS t_upper,
                ((diff + 500.0) / se > 1.644854
                  AND (500.0 - diff) / se > 1.644854) AS equivalent
+        FROM f"""))),
+
+    // MATTHEWS CORRELATION COEFFICIENT — the class-imbalance-robust
+    // binary metric ml_prf_metrics lacks: exact integer confusion cells
+    // (truth = purchase, prediction = high-value rule), one projection
+    // MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)); the
+    // products run in DOUBLE so the √ argument never overflows BIGINT.
+    Q("ml_mcc",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_mcc")
+        s.sql(sql("""
+          WITH cells AS (SELECT
+                   count(*) FILTER (WHERE event_type = 'purchase' AND value >= 100.0) AS tp,
+                   count(*) FILTER (WHERE event_type <> 'purchase' AND value < 100.0) AS tn,
+                   count(*) FILTER (WHERE event_type <> 'purchase' AND value >= 100.0) AS fp,
+                   count(*) FILTER (WHERE event_type = 'purchase' AND value < 100.0) AS fn
+                 FROM graft_ev_mcc)
+          SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+                 CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                 round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                   / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)), 6) AS mcc
+          FROM cells"""))
+      },
+      Some(sql("""
+        WITH cells AS (SELECT
+                 count(*) FILTER (WHERE event_type = 'purchase' AND value >= 100.0) AS tp,
+                 count(*) FILTER (WHERE event_type <> 'purchase' AND value < 100.0) AS tn,
+                 count(*) FILTER (WHERE event_type <> 'purchase' AND value >= 100.0) AS fp,
+                 count(*) FILTER (WHERE event_type = 'purchase' AND value < 100.0) AS fn
+               FROM events)
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                      * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)), 6) AS mcc
+        FROM cells"""))),
+
+    // COHEN'S D — the standardized mean-difference effect size that
+    // turns ml_welch_t's "significant?" into "how big?": pooled-SD d
+    // with Hedges' small-sample correction g = d·(1 − 3/(4(n1+n2)−9)),
+    // from the same exact per-group sufficient statistics.
+    Q("ml_cohens_d",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("graft_ev_cd")
+        s.sql(sql("""
+          WITH g AS (SELECT event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                   sum(CAST(round(value * 100) AS DECIMAL(38,0))
+                       * CAST(round(value * 100) AS BIGINT)) AS q
+                 FROM graft_ev_cd WHERE event_type IN ('purchase', 'click')
+                 GROUP BY event_type),
+               w AS (SELECT
+                   max(CASE WHEN event_type = 'purchase' THEN CAST(n AS DOUBLE) END) AS n1,
+                   max(CASE WHEN event_type = 'purchase' THEN CAST(s AS DOUBLE) END) AS s1,
+                   max(CASE WHEN event_type = 'purchase' THEN CAST(q AS DOUBLE) END) AS q1,
+                   max(CASE WHEN event_type = 'click' THEN CAST(n AS DOUBLE) END) AS n2,
+                   max(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
+                   max(CASE WHEN event_type = 'click' THEN CAST(q AS DOUBLE) END) AS q2
+                 FROM g),
+               f AS (SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+                   (s1 / n1 - s2 / n2)
+                     / sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                            / (n1 + n2 - 2)) AS d,
+                   n1 + n2 AS nt
+                 FROM w)
+          SELECT n_purchase, n_click, round(d, 6) AS cohens_d,
+                 round(d * (1.0 - 3.0 / (4.0 * nt - 9.0)), 6) AS hedges_g
+          FROM f"""))
+      },
+      Some(sql("""
+        WITH g AS (SELECT event_type, count(*) AS n,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                 sum(CAST(round(value * 100) AS HUGEINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS q
+               FROM events WHERE event_type IN ('purchase', 'click')
+               GROUP BY event_type),
+             w AS (SELECT
+                 max(CASE WHEN event_type = 'purchase' THEN CAST(n AS DOUBLE) END) AS n1,
+                 max(CASE WHEN event_type = 'purchase' THEN CAST(s AS DOUBLE) END) AS s1,
+                 max(CASE WHEN event_type = 'purchase' THEN CAST(q AS DOUBLE) END) AS q1,
+                 max(CASE WHEN event_type = 'click' THEN CAST(n AS DOUBLE) END) AS n2,
+                 max(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
+                 max(CASE WHEN event_type = 'click' THEN CAST(q AS DOUBLE) END) AS q2
+               FROM g),
+             f AS (SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+                 (s1 / n1 - s2 / n2)
+                   / sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                          / (n1 + n2 - 2)) AS d,
+                 n1 + n2 AS nt
+               FROM w)
+        SELECT n_purchase, n_click, round(d, 6) AS cohens_d,
+               round(d * (1.0 - 3.0 / (4.0 * nt - 9.0)), 6) AS hedges_g
         FROM f""")))
   )
 }
