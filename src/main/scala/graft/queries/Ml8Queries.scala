@@ -38,7 +38,8 @@ object Ml8Queries {
         table(s, d, "events").createOrReplaceTempView("graft_ev_mw")
         s.sql(sql("""
           WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
-                        FROM graft_ev_mw WHERE event_type IN ('purchase', 'click')),
+                        FROM graft_ev_mw WHERE event_type IN ('purchase', 'click')
+                          AND value IS NOT NULL),
                cnts AS (SELECT v, count(*) AS c,
                           count(*) FILTER (WHERE event_type = 'purchase') AS c1
                         FROM vals GROUP BY v),
@@ -67,7 +68,8 @@ object Ml8Queries {
       },
       Some(sql("""
         WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
-                      FROM events WHERE event_type IN ('purchase', 'click')),
+                      FROM events WHERE event_type IN ('purchase', 'click')
+                        AND value IS NOT NULL),
              cnts AS (SELECT v, count(*) AS c,
                         count(*) FILTER (WHERE event_type = 'purchase') AS c1
                       FROM vals GROUP BY v),
@@ -98,7 +100,7 @@ object Ml8Queries {
         table(s, d, "events").createOrReplaceTempView("graft_ev_kw")
         s.sql(sql("""
           WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
-                        FROM graft_ev_kw),
+                        FROM graft_ev_kw WHERE value IS NOT NULL),
                cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
                cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
                btot AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM cnt_v GROUP BY v DIV 1024),
@@ -128,7 +130,8 @@ object Ml8Queries {
           FROM tot t CROSS JOIN ties ti"""))
       },
       Some(sql("""
-        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                      FROM events WHERE value IS NOT NULL),
              cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
              cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
              ranked AS (SELECT v, c,
@@ -164,7 +167,9 @@ object Ml8Queries {
         s.sql(sql("""
           WITH rows_ AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
                            CAST(get_json_object(props, '$.k') AS BIGINT) AS kk
-                         FROM graft_ev_sp),
+                         FROM graft_ev_sp
+                         WHERE value IS NOT NULL
+                           AND get_json_object(props, '$.k') IS NOT NULL),
                xc AS (SELECT v, count(*) AS c FROM rows_ GROUP BY v),
                xbt AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM xc GROUP BY v DIV 1024),
                xbo AS (SELECT b, COALESCE(SUM(tot) OVER (ORDER BY b
@@ -196,7 +201,9 @@ object Ml8Queries {
       Some(sql("""
         WITH rows_ AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
-                       FROM events),
+                       FROM events
+                       WHERE value IS NOT NULL
+                         AND json_extract_string(props, '$.k') IS NOT NULL),
              xc AS (SELECT v, count(*) AS c FROM rows_ GROUP BY v),
              xr AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx2
@@ -521,7 +528,7 @@ object Ml8Queries {
         table(s, d, "events").createOrReplaceTempView("graft_ev_dn")
         s.sql(sql("""
           WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
-                        FROM graft_ev_dn),
+                        FROM graft_ev_dn WHERE value IS NOT NULL),
                cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
                cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
                btot AS (SELECT v DIV 1024 AS b, sum(c) AS tot FROM cnt_v GROUP BY v DIV 1024),
@@ -550,7 +557,8 @@ object Ml8Queries {
           FROM rg a JOIN rg b ON a.event_type < b.event_type CROSS JOIN s2"""))
       },
       Some(sql("""
-        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                      FROM events WHERE value IS NOT NULL),
              cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
              cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
              ranked AS (SELECT v, c,
@@ -686,7 +694,7 @@ object Ml8Queries {
         table(s, d, "events").createOrReplaceTempView("graft_ev_bh")
         s.sql(sql(s"""
           WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
-                        FROM graft_ev_bh),
+                        FROM graft_ev_bh WHERE value IS NOT NULL),
                cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
                cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
                ranked AS (SELECT v, c,
@@ -728,7 +736,8 @@ object Ml8Queries {
           FROM rk CROSS JOIN thr"""))
       },
       Some(sql("""
-        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+        WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+                      FROM events WHERE value IS NOT NULL),
              cnt_v AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
              cnt_vg AS (SELECT v, event_type, count(*) AS cg FROM vals GROUP BY v, event_type),
              ranked AS (SELECT v, c,
@@ -934,7 +943,7 @@ object Ml8Queries {
                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
                    sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
-                 FROM graft_ev_wx GROUP BY user_id),
+                 FROM graft_ev_wx WHERE value IS NOT NULL GROUP BY user_id),
                diffs AS (SELECT post - pre AS dd, abs(post - pre) AS ad
                          FROM per_user WHERE post <> pre),
                cnts AS (SELECT ad, count(*) AS c,
@@ -967,7 +976,7 @@ object Ml8Queries {
                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
                  sum(CASE WHEN ts >= timestamp'2024-01-16 00:00:00'
                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
-               FROM events GROUP BY user_id),
+               FROM events WHERE value IS NOT NULL GROUP BY user_id),
              diffs AS (SELECT post - pre AS dd, abs(post - pre) AS ad
                        FROM per_user WHERE post <> pre),
              cnts AS (SELECT ad, count(*) AS c,

@@ -30,7 +30,11 @@ object Pipeline7Queries {
   private val wSpark = W.map(_.toString + "L").mkString("array(", ",", ")")
   private val wDuck = W.mkString("[", ",", "]")
 
-  /** token → feature index, 0..63 (stableHash64 is non-negative). */
+  /** token → feature index, 0..63. Non-negativity holds because the
+    * inline conv(md5 …, 16, 10) takes only 15 hex digits (60 bits), so
+    * the BIGINT it parses to is always ≥ 0 and `% 64` never yields a
+    * negative element_at subscript. A signed hash (e.g. a full-width
+    * xxhash64) would NOT be safe here without an abs/pmod. */
   private val idxSpark =
     "CAST(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 64 AS INT) + 1"
   private val idxDuck =

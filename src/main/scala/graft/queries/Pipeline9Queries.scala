@@ -213,7 +213,7 @@ object Pipeline9Queries {
                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
                  FROM fmax)
           SELECT /*+ BROADCAST(c) */ p.o_custkey,
-                 CAST(p.freq AS BIGINT) AS freq, p.mon
+                 CAST(p.freq AS BIGINT) AS freq, CAST(p.mon AS BIGINT) AS mon
           FROM per_cust p JOIN cum c ON p.freq = c.freq
           WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx"""))
       },
@@ -226,7 +226,8 @@ object Pipeline9Queries {
                  max(mx) OVER (ORDER BY freq DESC
                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
                FROM fmax)
-        SELECT p.o_custkey, CAST(p.freq AS BIGINT) AS freq, p.mon
+        SELECT p.o_custkey, CAST(p.freq AS BIGINT) AS freq,
+               CAST(p.mon AS BIGINT) AS mon
         FROM per_cust p JOIN cum c ON p.freq = c.freq
         WHERE (c.hi IS NULL OR p.mon > c.hi) AND p.mon = c.mx"""))),
 

@@ -22,13 +22,17 @@ object Source3Queries {
         .select(col("_metadata.file_name").as("file_name"),
           col("_metadata.row_index").as("ri"))
         .groupBy(col("file_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("ri")).as("min_row_index"),
-          max(col("ri")).as("max_row_index")),
-      Some(sql("""SELECT 'events.parquet' AS file_name,
-                    count(*) AS n_rows,
+        .agg(count(lit(1)).as("n"), min(col("ri")).as("mn"), max(col("ri")).as("mx"))
+        // Collapse the per-file audit to LAYOUT-INDEPENDENT invariants
+        // (r11 advice: the old oracle hardcoded a single-file layout):
+        // every file's row_index runs 0..n_f−1, so min(mn)=0 and
+        // Σ(mx+1)=Σn=count(*) hold for ANY sharding of the fixture.
+        .agg(sum(col("n")).cast("long").as("n_rows"),
+          min(col("mn")).cast("long").as("min_row_index"),
+          sum(col("mx") + 1).cast("long").as("rowcount_via_index")),
+      Some(sql("""SELECT count(*) AS n_rows,
                     CAST(0 AS BIGINT) AS min_row_index,
-                    CAST(count(*) - 1 AS BIGINT) AS max_row_index
+                    count(*) AS rowcount_via_index
                   FROM events"""))),
 
     // Z-ORDER layout key (the Delta/Iceberg OPTIMIZE ZORDER curve): two

@@ -23,7 +23,12 @@ object Streaming2Queries {
     Q("stream_state_source",
       (s, d) => {
         val name = s"statesrc2_${math.abs(d.hashCode)}"
-        val ckpt = s"/tmp/graft_ckpt/$name-${System.nanoTime()}"
+        // Deterministic per-query checkpoint path, PRE-CLEANED on every
+        // invocation: the statestore reader is lazy, so the checkpoint
+        // cannot be deleted inside the query fn — a nanotime-suffixed dir
+        // would accumulate one copy per run forever (r11 advice).
+        val ckpt = s"/tmp/graft_ckpt/$name"
+        Registry.rmTree(new java.io.File(ckpt))
         val agg = StreamRunner.eventsStream(s, d)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -54,7 +59,9 @@ object Streaming2Queries {
     Q("stream_state_change_feed",
       (s, d) => {
         val name = s"statecf2_${math.abs(d.hashCode)}"
-        val ckpt = s"/tmp/graft_ckpt/$name-${System.nanoTime()}"
+        // Deterministic pre-cleaned checkpoint — see stream_state_source.
+        val ckpt = s"/tmp/graft_ckpt/$name"
+        Registry.rmTree(new java.io.File(ckpt))
         val agg = StreamRunner.eventsStream(s, d)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"))

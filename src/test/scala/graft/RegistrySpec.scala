@@ -29,6 +29,12 @@ class RegistrySpec extends AnyFunSuite {
     test(s"${q.name} runs and returns rows at sf0.001") {
       val df = q.fn(spark, TestSpark.Sf)
       assert(df.columns.nonEmpty)
+      // ORACLE TYPING LINT (r11 verdict #2): no raw integer sum() may be
+      // exposed to a BIGINT output column — DuckDB would hash it HUGEINT.
+      q.oracle.foreach { o =>
+        val v = queries.OracleLint.check(q.name, df.schema, o)
+        assert(v.isEmpty, v.mkString("; "))
+      }
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
     }
