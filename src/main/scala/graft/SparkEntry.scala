@@ -69,6 +69,8 @@ object SparkEntry {
       Window2Queries.all ++
       Streaming2Queries.all ++
       Source3Queries.all ++
+      Source4Queries.all ++
+      Sql18Queries.all ++
       Pipeline9Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{SaveMode, SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import Registry.sql
+
+/** Round-12 golden wave — the `ppr_pushdown` family (35 golden files):
+  * predicate pushdown into PARTITION pruning, including predicates that
+  * are EXPRESSIONS over partition columns (modulo arithmetic, string
+  * concat, IN/range disjunctions). The contract: such predicates must be
+  * evaluated against the partition VALUES at file-listing time
+  * (PartitionFilters on the scan node — PlanSpec-fenced), never as a
+  * per-row data filter — at 100 TB this is the difference between
+  * listing a handful of directories and scanning the lake.
+  *
+  * The fixture is orders re-laid-out as a two-level hive partitioning
+  * (o_year=YYYY/o_orderstatus=S) — the canonical warehouse layout. The
+  * staging write is per-sfDir and idempotent (overwrite); oracle SQL
+  * restates each predicate on the raw table via year(o_orderdate).
+  */
+object Source4Queries {
+
+  private def tmp(d: String, name: String) =
+    s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  /** Stage (once per invocation — overwrite keeps it current) and read
+    * back the hive-partitioned orders layout. */
+  private[queries] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val path = tmp(d, "orders_ppr")
+    table(s, d, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_year", "o_orderstatus").parquet(path)
+    s.read.parquet(path)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Arithmetic expression over the int partition column PLUS a plain
+    // partition equality PLUS a data predicate: the first two must land
+    // in PartitionFilters, the last in PushedFilters (fenced in
+    // PlanSpec) — three different pushdown channels in one query.
+    Q("src_ppr_expr",
+      (s, d) => partitionedOrders(s, d)
+        .filter(expr("(o_year % 2) = 1 AND o_orderstatus = 'F'"))
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price")),
+      Some(sql("""SELECT o_orderpriority, count(*) AS n,
+                    round(avg(o_totalprice), 4) AS avg_price
+                  FROM orders
+                  WHERE (year(o_orderdate) % 2) = 1 AND o_orderstatus = 'F'
+                    AND o_totalprice > 100000.0
+                  GROUP BY o_orderpriority"""))),
+
+    // String expression over the string partition column: concat +
+    // equality still prunes at listing time (deterministic expressions
+    // over partition attrs are evaluated against partition values).
+    Q("src_ppr_concat",
+      (s, d) => partitionedOrders(s, d)
+        .filter(expr("concat(o_orderstatus, '_tag') = 'F_tag'"))
+        .groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n")),
+      Some(sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                    count(*) AS n
+                  FROM orders WHERE o_orderstatus || '_tag' = 'F_tag'
+                  GROUP BY 1"""))),
+
+    // Disjunction of IN-list and range over the partition column only —
+    // the multi-directory prune (a handful of year=... dirs listed, the
+    // rest never touched).
+    Q("src_ppr_in_range",
+      (s, d) => partitionedOrders(s, d)
+        .filter(expr("o_year IN (1993, 1995) OR o_year >= 1997"))
+        .groupBy(col("o_year").cast("long").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents")),
+      Some(sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                    o_orderstatus, count(*) AS n,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                      AS cents
+                  FROM orders
+                  WHERE year(o_orderdate) IN (1993, 1995)
+                     OR year(o_orderdate) >= 1997
+                  GROUP BY 1, 2""")))
+  )
+}

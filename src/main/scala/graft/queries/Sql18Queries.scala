@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.SparkSession
+import Registry.sql
+
+/** Round-12 golden wave — the `join_nulls` / `join_nullsafe` family (the
+  * reference's single largest uncrossed golden-correctness surface:
+  * 60 + 42 golden files, HiveCompatibilitySuite.scala:246 whiteList
+  * entries join_nulls / join_nullsafe), plus `join_1to1` (40 files).
+  *
+  * One derived NULL-keyed pair of relations, shared verbatim by every
+  * row of the grid: the natural customer⋈orders FK with 2% of the keys
+  * NULLed on each side (DIFFERENT 2% per side, so each side contributes
+  * keys the other lacks). Every standard join type is then pinned on the
+  * same inputs — the NULL-key behavior is exactly what the golden family
+  * exercises:
+  *   - equality joins (inner/left/right/full/semi/anti): NULL keys never
+  *     match, but outer/anti sides must KEEP their NULL-key rows;
+  *   - NOT IN vs NOT EXISTS: one NULL in the subquery poisons NOT IN to
+  *     an empty result (Spark plans the null-aware anti join for this)
+  *     while NOT EXISTS is unaffected — the classic silent-data-loss bug
+  *     this family exists to catch;
+  *   - null-safe equality (`IS NOT DISTINCT FROM`): NULL keys DO match
+  *     each other, forming one (bounded-fraction) NULL bucket;
+  *   - composite keys: a NULL in ANY component kills the match.
+  *
+  * Scale posture: all joins are key-equi (shuffle-hash/SMJ on the FK);
+  * outputs are re-aggregated to the key's mod-10 class so the verified
+  * result stays compact at any SF. The null-safe rows concentrate every
+  * NULL into ONE join key — at 100 TB that bucket is the canonical skew
+  * key, which AQE skew-join splits (and a production job would pre-salt);
+  * here it is a bounded 2%×2% product, asserted linear by construction.
+  */
+object Sql18Queries {
+
+  private def views(s: SparkSession, d: String): Unit = {
+    table(s, d, "customer").createOrReplaceTempView("graft_jn_c")
+    table(s, d, "orders").createOrReplaceTempView("graft_jn_o")
+  }
+
+  /** The shared NULL-keyed pair: identical text on both engines, only
+    * the table names differ. `k`/`k2` are the FK with a 2% NULL stripe
+    * (different stripe per side); `kb`/`kb2` are a second, coarser
+    * nullable component for the composite-key row. */
+  private def withLR(body: String, c: String, o: String): String = sql(s"""
+    WITH l AS (SELECT c_custkey AS id,
+                      CASE WHEN c_custkey % 50 = 7 THEN NULL
+                           ELSE c_custkey END AS k,
+                      CASE WHEN c_custkey % 4 = 2 THEN NULL
+                           ELSE c_custkey % 4 END AS kb,
+                      c_acctbal AS bal
+               FROM $c),
+         r AS (SELECT o_orderkey AS oid,
+                      CASE WHEN o_custkey % 50 = 13 THEN NULL
+                           ELSE o_custkey END AS k2,
+                      CASE WHEN o_custkey % 4 = 2 THEN NULL
+                           ELSE o_custkey % 4 END AS kb2,
+                      o_totalprice AS price
+               FROM $o)
+    $body""")
+
+  private def q(name: String, sparkBody: String, oracleBody: String): Q =
+    Q(name,
+      (s, d) => { views(s, d); s.sql(withLR(sparkBody, "graft_jn_c", "graft_jn_o")) },
+      Some(withLR(oracleBody, "customer", "orders")))
+
+  /** Same body on both engines. */
+  private def q(name: String, body: String): Q = q(name, body, body)
+
+  val all: Seq[Q] = Seq(
+
+    // INNER: NULL keys on either side simply vanish — no NULL group may
+    // appear in the output.
+    q("jn_inner", """
+      SELECT k % 10 AS kg, count(*) AS n, count(DISTINCT k) AS n_keys
+      FROM l JOIN r ON l.k = r.k2 GROUP BY k % 10"""),
+
+    // LEFT OUTER: NULL-key customers survive null-extended (kg NULL
+    // group, matched = 0) — losing them is the bug the goldens catch.
+    q("jn_left", """
+      SELECT k % 10 AS kg, count(*) AS n, count(oid) AS matched
+      FROM l LEFT JOIN r ON l.k = r.k2 GROUP BY k % 10"""),
+
+    // RIGHT OUTER: symmetric — NULL-key orders survive.
+    q("jn_right", """
+      SELECT k2 % 10 AS kg, count(*) AS n, count(id) AS matched
+      FROM l RIGHT JOIN r ON l.k = r.k2 GROUP BY k2 % 10"""),
+
+    // FULL OUTER: both NULL stripes survive on their own side; the
+    // (NULL, NULL) cell collects BOTH sides' NULL-key rows (each
+    // unmatched, never joined to each other under `=`).
+    q("jn_full", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
+      FROM l FULL JOIN r ON l.k = r.k2 GROUP BY k % 10, k2 % 10"""),
+
+    // LEFT SEMI: existence filter; NULL keys can never pass.
+    q("jn_semi", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l LEFT SEMI JOIN r ON l.k = r.k2 GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k2 = l.k)
+      GROUP BY k % 10"""),
+
+    // LEFT ANTI: NULL-key left rows are KEPT (no match exists) — the
+    // NOT EXISTS spelling, NOT the NOT IN one.
+    q("jn_anti", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l LEFT ANTI JOIN r ON l.k = r.k2 GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k2 = l.k)
+      GROUP BY k % 10"""),
+
+    // The NOT IN trap, side by side with NOT EXISTS on identical data:
+    // one NULL in the subquery's column makes `k NOT IN (...)` UNKNOWN
+    // for every row → zero survivors, while NOT EXISTS counts the true
+    // anti-join. Spark plans the null-aware anti join
+    // (BroadcastNestedLoopJoin NAAJ) for the NOT IN side.
+    q("jn_not_in_vs_not_exists", """
+      SELECT (SELECT count(*) FROM l WHERE k NOT IN (SELECT k2 FROM r))
+               AS n_not_in,
+             (SELECT count(*) FROM l
+              WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k2 = l.k))
+               AS n_not_exists"""),
+
+    // NULL-SAFE inner join: the NULL stripes MATCH each other, forming
+    // exactly one extra group of size nulls_l × nulls_r (2% × 2% — the
+    // bounded skew bucket discussed in the header).
+    q("jn_nullsafe", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
+
+    // NULL-SAFE full outer: with NULL⇔NULL matching, NO row of either
+    // side is ever null-extended on the key itself — the (lg,rg) grid
+    // must contain no (x, NULL) cell for an x that exists on the right.
+    q("jn_nullsafe_full", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
+      FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      GROUP BY k % 10, k2 % 10"""),
+
+    // COMPOSITE key with one nullable component: NULL in EITHER
+    // component kills the match under `=` — only (kb = kb2) pairs with
+    // both components non-null join.
+    q("jn_composite", """
+      SELECT kb AS kbg, count(*) AS n
+      FROM l JOIN r ON l.k = r.k2 AND l.kb = r.kb2 GROUP BY kb"""),
+
+    // join_1to1 (40 golden files): unique ⋈ unique key must preserve
+    // cardinality exactly — n = n_keys = |customer| and the key checksum
+    // is invariant through the join.
+    Q("jn_1to1",
+      (s, d) => {
+        views(s, d)
+        s.sql(sql("""
+          SELECT count(*) AS n, count(DISTINCT a.id) AS n_keys,
+                 CAST(sum(a.id) AS BIGINT) AS key_sum
+          FROM (SELECT c_custkey AS id, c_acctbal FROM graft_jn_c) a
+          JOIN (SELECT c_custkey AS id2, c_nationkey FROM graft_jn_c) b
+            ON a.id = b.id2"""))
+      },
+      Some(sql("""
+        SELECT count(*) AS n, count(DISTINCT a.id) AS n_keys,
+               CAST(sum(a.id) AS BIGINT) AS key_sum
+        FROM (SELECT c_custkey AS id, c_acctbal FROM customer) a
+        JOIN (SELECT c_custkey AS id2, c_nationkey FROM customer) b
+          ON a.id = b.id2""")))
+  )
+}

@@ -459,6 +459,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("expression predicates over partition columns prune at listing time") {
+    // ppr_pushdown golden family: the three pushdown channels must land
+    // separately — expressions over partition cols (modulo / concat /
+    // IN∨range) in PartitionFilters, the data predicate in PushedFilters,
+    // and NO partition-column predicate may degrade to a row Filter.
+    val expr = plan("src_ppr_expr")
+    assert(expr.contains("PartitionFilters:"), expr)
+    assert(expr.contains("(o_year#") && expr.contains("% 2)"),
+      "modulo over the partition column did not reach PartitionFilters:\n" + expr)
+    assert(expr.contains("(o_orderstatus") || expr.contains("o_orderstatus#"),
+      expr)
+    assert(expr.contains("PushedFilters: [IsNotNull(o_totalprice)"),
+      "data predicate did not reach PushedFilters:\n" + expr)
+
+    val cc = plan("src_ppr_concat")
+    assert(cc.contains("PartitionFilters:") && cc.contains("concat"),
+      "concat over the partition column did not reach PartitionFilters:\n" + cc)
+
+    val ir = plan("src_ppr_in_range")
+    assert(ir.contains("PartitionFilters:") &&
+      (ir.contains("o_year#") && (ir.contains(" IN ") || ir.contains("in(o_year"))),
+      "IN/range disjunction did not reach PartitionFilters:\n" + ir)
+    // nothing partition-only may fall through to a data-side filter scan
+    assert(ir.contains("PushedFilters: []"), ir)
+  }
+
   test("as-of join is a single-shuffle window plan, not a per-key cross product") {
     val p = plan("join_asof")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
