@@ -74,10 +74,17 @@ object Bench {
     qs.foreach { q => try runOnce(q) catch { case _: Throwable => () } } // warm-up
 
     // One full measurement pass bracketed by calibration readings.
-    def measure(): (Double, Double, Seq[(String, Double, Seq[Double])]) = {
+    // Each row also carries its CacheOnce attribution (r11 verdict #4):
+    // which shared signature tables the trials touched, whether the swap
+    // was a reuse, and the keys' block-manager state BEFORE the trials —
+    // so a 0.4-vs-1.6 s spread on cache-sharing rows (text_tf feeds both
+    // text_tfidf and text_bm25_topk) is decidable from the artifact.
+    def measure(): (Double, Double, Seq[(String, Double, Seq[Double], String)]) = {
       val pre = calibrate()
-      // (best, all trials) per query — the raw draws travel in the JSON
-      val rs: Seq[(String, Double, Seq[Double])] = qs.map { q =>
+      // (best, all trials, cache attribution) per query
+      val rs: Seq[(String, Double, Seq[Double], String)] = qs.map { q =>
+        val preSnap = functions.CacheOnce.storageSnapshot()
+        functions.CacheOnce.drainEvents(): Unit
         val (t, trials) = try {
           val t1 = runOnce(q)
           val t2 = runOnce(q)
@@ -89,7 +96,21 @@ object Bench {
             (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
           } else (best2, Seq(t1, t2))
         } catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
-        (q.name, t, trials)
+        val ev = functions.CacheOnce.drainEvents()
+        val cache = if (ev.isEmpty) "" else {
+          val touched = ev.map(_._1).distinct.sorted
+          val swapMiss = ev.exists(!_._2)
+          // cache_hit = the trials re-used tables that were ALREADY fully
+          // materialized; false means this row paid (part of) the build
+          val hit = !swapMiss &&
+            touched.forall(k => preSnap.get(k).exists(_._1 >= 0.999))
+          val keys = touched.map { k =>
+            val (f, m, dk) = preSnap.getOrElse(k, (0.0, 0L, 0L))
+            f""""$k":{"pre_frac":$f%.3f,"pre_mem":$m,"pre_disk":$dk}"""
+          }.mkString(",")
+          s"""{"cache_hit":$hit,"swap_miss":$swapMiss,"keys":{$keys}}"""
+        }
+        (q.name, t, trials, cache)
       }
       (pre, calibrate(), rs)
     }
@@ -146,9 +167,13 @@ object Bench {
       s""""containment_diag":{"candidates":$candidates,"verify_rows":$verifyRows},"""
     } catch { case _: Throwable => "" }
     val diag = containmentDiag()
-    val qsJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsJson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val trialsJson = results
-      .map { case (k, _, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .map { case (k, _, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // only rows that touch a CacheOnce table carry an attribution entry
+    val cacheJson = results
+      .collect { case (k, _, _, c) if c.nonEmpty => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // the 8 queries benched in every round since r4 — the stable
@@ -159,7 +184,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","core8":$core8,""" +
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""quiet":$quiet,"attempts":$attempts,$diag""" +
-      s""""queries":$qsJson,"trials":$trialsJson,"sf":"$sfDir"}"""
+      s""""queries":$qsJson,"trials":$trialsJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     // The JSON travels on TWO channels: a file (sbt prefixes stdout with
     // [info] and interleaves WARNs, which broke the driver's parse in r1)
     // and stdout printed AFTER spark.stop() so it is the final clean line.

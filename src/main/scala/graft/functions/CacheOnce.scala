@@ -44,6 +44,45 @@ object CacheOnce {
   private val cached =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[String])]
 
+  /** Swap-event log for bench attribution: one (key, reused) entry per
+    * swap() call. Bench drains it around each query's timed trials so
+    * the artifact records whether a row re-used an already-registered
+    * signature table or paid a fresh persist (the r11 verdict's
+    * text_bm25_topk-vs-text_tfidf 0.44-vs-1.60 s ambiguity). */
+  private val events =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]
+
+  def drainEvents(): Seq[(String, Boolean)] = {
+    val b = Seq.newBuilder[(String, Boolean)]
+    var e = events.poll()
+    while (e != null) { b += e; e = events.poll() }
+    b.result()
+  }
+
+  /** Block-manager materialization state of every registered key:
+    * (fraction of cached partitions actually materialized, bytes in
+    * memory, bytes on disk). A key whose buffers were never loaded (or
+    * evicted wholesale) reads (0, 0, 0) — a trial that then touches it
+    * pays the rebuild even though swap() reports a reuse. Driver-side
+    * introspection only; no job. */
+  def storageSnapshot(): Map[String, (Double, Long, Long)] =
+    cached.toMap.map { case (key, (df, _)) =>
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val st = try {
+        df.queryExecution.withCachedData.collectFirst {
+          case i: InMemoryRelation => i.cacheBuilder
+        }.filter(_.isCachedColumnBuffersLoaded).flatMap { cb =>
+          val rdd = cb.cachedColumnBuffers
+          df.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == rdd.id)
+            .map(i => (if (i.numPartitions == 0) 0.0
+                       else i.numCachedPartitions.toDouble / i.numPartitions,
+                       i.memSize, i.diskSize))
+        }.getOrElse((0.0, 0L, 0L))
+      } catch { case _: Throwable => (0.0, 0L, 0L) }
+      key -> st
+    }
+
   /** Hard cap on listStatus calls per fingerprint — O(100) stats. */
   private val MaxDirs = 64
 
@@ -104,11 +143,13 @@ object CacheOnce {
       case Some((prev, prevFp))
           if prevFp == fp &&
             prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        events.add(key -> true): Unit
         prev
       case _ =>
         cached.remove(key).foreach(_._1.unpersist(blocking = false))
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         cached.put(key, (p, fp))
+        events.add(key -> false): Unit
         p
     }
   }
