@@ -40,6 +40,15 @@ object Pipeline7Queries {
   private val idxDuck =
     "CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 64 AS INT) + 1"
 
+  /** The classifier score as reusable SQL over a `text` column — the
+    * single definition the streaming curation census
+    * (stream_curation_census) shares with the batch rows above, so the
+    * incremental and batch quality gates can never drift. */
+  private[queries] def clfSpark: String =
+    s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + element_at($wSpark, $idxSpark))"
+  private[queries] def clfDuck: String =
+    s"CAST(list_sum(list_transform(string_split(text, ' '), t -> ($wDuck)[$idxDuck])) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
 
     Q("pipe_quality_classifier",

@@ -87,6 +87,64 @@ object Streaming2Queries {
           .select(col("user_id"), col("n_events"))
       },
       Some(sql("""SELECT user_id, count(*) AS n_events
-                  FROM events GROUP BY user_id""")))
+                  FROM events GROUP BY user_id"""))),
+
+    // STREAMING-NATIVE curation (r11 verdict #6): the incremental twin of
+    // pipe_curation_funnel. Documents arrive in deterministic waves
+    // (StreamRunner.documentsStream, wave = doc_id % 4); the stream
+    // applies exact-hash dedup with keep-FIRST semantics (streaming
+    // dropDuplicates state: one row per distinct md5 — a later wave's
+    // copy of an earlier wave's text is dropped) and flags each survivor
+    // with the Pipeline7 learned quality score (a pure scan-stage
+    // projection — streaming-safe, zero extra state). The result is the
+    // per-wave survival census: raw arrivals, dedup survivors first seen
+    // in that wave, quality keepers among them, and their token budget.
+    // The oracle restates keep-first as min(wave) per distinct hash.
+    //
+    // Scale posture: dedup state is the distinct-hash set — the exact
+    // semantics' irreducible state, hash-partitioned by Spark's state
+    // store (production would bound it with
+    // dropDuplicatesWithinWatermark when re-arrival is time-bounded, the
+    // stream_dedup_within_watermark row); the quality score adds no
+    // state; the census is a bounded-cardinality (4-row) aggregate.
+    Q("stream_curation_census",
+      (s, d) => {
+        val flagged = StreamRunner.documentsStream(s, d)
+          .withColumn("h", md5(col("text")))
+          .dropDuplicates("h")
+          .select(col("b"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            (expr(Pipeline7Queries.clfSpark) >= 0L).as("keep"))
+        val sink = StreamRunner.runToTable(s, flagged,
+          s"scur_${math.abs(d.hashCode)}", "append")
+        val survivors = sink.groupBy(col("b"))
+          .agg(count(lit(1)).as("n_dedup"),
+            expr("CAST(count_if(keep) AS BIGINT)").as("n_quality"),
+            expr("CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)")
+              .as("tok_quality"))
+        val raw = graft.Engine.table(s, d, "documents")
+          .groupBy(pmod(col("doc_id"), lit(4)).cast("int").as("b"))
+          .agg(count(lit(1)).as("n_raw"))
+        raw.join(survivors, Seq("b"))
+          .select(col("b").cast("long").as("b"), col("n_raw"),
+            col("n_dedup"), col("n_quality"), col("tok_quality"))
+      },
+      Some(sql(s"""
+        WITH waved AS (SELECT doc_id, text, doc_id % 4 AS b FROM documents),
+             firsts AS (SELECT min(b) AS b, min(text) AS text,
+                          CAST(min(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+                        FROM waved GROUP BY md5(text)),
+             flags AS (SELECT b, n_tok, ${Pipeline7Queries.clfDuck} >= 0 AS keep
+                       FROM firsts),
+             ded AS (SELECT b, count(*) AS n_dedup,
+                       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_quality,
+                       CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT)
+                         AS tok_quality
+                     FROM flags GROUP BY b),
+             raw AS (SELECT doc_id % 4 AS b, count(*) AS n_raw
+                     FROM documents GROUP BY 1)
+        SELECT CAST(r.b AS BIGINT) AS b, r.n_raw,
+               d.n_dedup, d.n_quality, d.tok_quality
+        FROM raw r JOIN ded d ON r.b = d.b""")))
   )
 }

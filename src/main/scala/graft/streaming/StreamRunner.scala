@@ -77,6 +77,58 @@ object StreamRunner {
     else raw
   }
 
+  /** Streaming Dataset over `$dir/documents.parquet`: the corpus staged
+    * as [[Batches]] arrival waves (wave = `doc_id % Batches`, one file
+    * per wave, ascending mtimes) so an INCREMENTAL curation pipeline
+    * sees documents arrive in a deterministic batch order both engines
+    * can restate. Each staged row carries its wave id in column `b`.
+    * Same fingerprint-keyed, atomically-renamed staging as
+    * [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Engine.configure(spark)
+    val path = s"$dir/documents.parquet"
+    val src = new java.io.File(path)
+    val fpFiles: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      fpFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
+    val d = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
+        val tmp = java.nio.file.Paths.get(s"${d.toString}_tmp_${System.nanoTime()}")
+        java.nio.file.Files.createDirectories(tmp): Unit
+        val docs = spark.read.parquet(path)
+          .withColumn("b", pmod(col("doc_id"), lit(Batches)).cast("int"))
+        (0 until Batches).foreach { i =>
+          val slice = java.nio.file.Paths.get(s"$tmp/_slice_$i")
+          docs.filter(col("b") === i).coalesce(1)
+            .write.mode("overwrite").parquet(slice.toString)
+          val part = new java.io.File(slice.toString).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dst = tmp.resolve(f"wave-$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst): Unit
+          dst.toFile.setLastModified(1000000000000L + i * 60000L): Unit
+          graft.queries.Registry.rmTree(slice.toFile)
+        }
+        java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
+        try java.nio.file.Files.move(tmp, d,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          if (java.nio.file.Files.exists(d.resolve("_STAGED"))) {
+            graft.queries.Registry.rmTree(tmp.toFile)
+          } else throw new IllegalStateException(s"staging rename to $d failed")
+        }
+      }
+    }
+    val schema = spark.read.parquet(s"$d/wave-0000.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+  }
+
   /** Run a streaming plan to completion (AvailableNow) into a memory sink
     * and return the sink as a DataFrame. */
   def runToTable(spark: SparkSession, df: DataFrame, name: String,

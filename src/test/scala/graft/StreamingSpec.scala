@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite {
       s"expected >= ${StreamRunner.Batches} data batches, saw $dataBatches")
   }
 
+  test("curation census stream processes the corpus as >= 4 arrival waves") {
+    // the oracle proves the VALUES; this pins the streaming-ness — the
+    // dedup state genuinely spans multiple micro-batches (keep-first
+    // across waves), not one batch swallowing the whole corpus
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamRunner.documentsStream(spark, TestSpark.Sf)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+      .groupBy(col("b")).count()
+      .writeStream.format("memory").queryName("spec_curation_waves")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-curation-${System.nanoTime()}")
+      .start()
+    assert(q.awaitTermination(300000))
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= StreamRunner.Batches,
+      s"expected >= ${StreamRunner.Batches} waves, saw $dataBatches")
+    // every wave contributed first-seen hashes
+    assert(spark.table("spec_curation_waves").count() === StreamRunner.Batches)
+  }
+
   test("rate source drives a non-file streaming input end-to-end") {
     // the non-file input path (reference external/ receivers analog):
     // the generator source feeds a windowless aggregate into a memory
