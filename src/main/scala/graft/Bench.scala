@@ -106,7 +106,11 @@ object Bench {
             touched.forall(k => preSnap.get(k).exists(_._1 >= 0.999))
           val keys = touched.map { k =>
             val (f, m, dk) = preSnap.getOrElse(k, (0.0, 0L, 0L))
-            f""""$k":{"pre_frac":$f%.3f,"pre_mem":$m,"pre_disk":$dk}"""
+            // Locale.ROOT: the f-interpolator's %.3f obeys the JVM default
+            // locale — a comma-decimal locale would render 0,997 and
+            // corrupt the JSON both downstream channels parse
+            val frac = String.format(java.util.Locale.ROOT, "%.3f", Double.box(f))
+            s""""$k":{"pre_frac":$frac,"pre_mem":$m,"pre_disk":$dk}"""
           }.mkString(",")
           s"""{"cache_hit":$hit,"swap_miss":$swapMiss,"keys":{$keys}}"""
         }

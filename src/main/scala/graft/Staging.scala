@@ -1,0 +1,59 @@
+package graft
+
+/** Shared stage-once fixture protocol (StreamRunner waves, the
+  * hive-partitioned ppr layout): staging dirs are KEYED BY the source
+  * fixture's fingerprint, so regenerated testdata can never be silently
+  * replayed stale, and the write lands in a temp dir that is atomically
+  * renamed into place, so a concurrent JVM (sbt test + Verify) either
+  * sees a complete staging or stages its own temp and adopts the
+  * winner's.
+  */
+object Staging {
+
+  /** Fingerprint of a source parquet path (file or directory):
+    * name + size + mtime of every part file. */
+  def fingerprint(path: String): String = {
+    val src = new java.io.File(path)
+    val fpFiles: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    java.lang.Long.toHexString(
+      fpFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
+  /** Run `write` into a temp dir and atomically rename it to `dest`,
+    * unless `dest/_STAGED` already exists (a completed prior staging —
+    * reused as-is). Returns `dest`. Races between JVMs resolve to
+    * whichever rename wins; the loser deletes its temp. */
+  def once(dest: java.nio.file.Path)(write: java.nio.file.Path => Unit): java.nio.file.Path =
+    synchronized {
+      if (!java.nio.file.Files.exists(dest.resolve("_STAGED"))) {
+        val tmp =
+          java.nio.file.Paths.get(s"${dest.toString}_tmp_${System.nanoTime()}")
+        write(tmp)
+        java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
+        try java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            // another JVM staged the same fingerprint first — use theirs
+            if (java.nio.file.Files.exists(dest.resolve("_STAGED"))) {
+              graft.queries.Registry.rmTree(tmp.toFile)
+            } else throw new IllegalStateException(s"staging rename to $dest failed")
+        }
+      }
+      dest
+    }
+
+  /** Deterministic mtime stamp for staged wave files. FileStreamSource
+    * orders files by modification time, and the keep-first dedup
+    * semantics of the incremental-curation rows depend on that order —
+    * a filesystem silently refusing the stamp would make wave replay
+    * nondeterministic, so fail the staging loudly instead (the temp dir
+    * is discarded, nothing partial is renamed into place). */
+  def stampMtime(f: java.io.File, t: Long): Unit =
+    if (!f.setLastModified(t))
+      throw new IllegalStateException(
+        s"setLastModified($t) failed on $f — staged wave order would be nondeterministic")
+}

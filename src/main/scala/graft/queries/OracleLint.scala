@@ -31,7 +31,12 @@ object OracleLint {
       schema.fields.filter(_.dataType == LongType).map(_.name.toLowerCase).toSet
     if (longCols.isEmpty) return Nil
     val o = oracle.toLowerCase
-    def recast(col: String): Boolean = o.contains(s"as bigint) as $col")
+    // identifier boundary after $col: without it, `... AS n` exempts a
+    // DIFFERENT column named `n_rows` (substring false negative); the
+    // optional `as` also accepts bare-identifier re-projections
+    def recast(col: String): Boolean =
+      ("as\\s+bigint\\s*\\)\\s+(as\\s+)?" + java.util.regex.Pattern.quote(col) +
+        "(?![a-z0-9_])").r.findFirstIn(o).isDefined
 
     val sumRe = "(?<![a-z0-9_])sum\\s*\\(".r
     sumRe.findAllMatchIn(o).toSeq.flatMap { m =>
@@ -71,13 +76,29 @@ object OracleLint {
     None
   }
 
-  /** The `AS <ident>` alias following position `from`, skipping an
-    * optional `FILTER (WHERE ...)` clause. None when the sum feeds a
-    * larger expression (`sum(x) / n`, `) + 1`, ...) — those are typed by
-    * the enclosing expression, not the bare sum. */
+  /** SQL keywords that may legally follow an un-aliased aggregate — a
+    * bare identifier here that is NOT one of these can only be an
+    * AS-less alias (`sum(x) mon`), which must be linted like `AS mon`. */
+  private val kw = Set(
+    "from", "where", "group", "order", "having", "union", "except",
+    "intersect", "limit", "offset", "fetch", "over", "filter", "and",
+    "or", "not", "is", "in", "between", "like", "then", "else", "end",
+    "when", "on", "join", "inner", "left", "right", "full", "cross",
+    "using", "qualify", "window", "asc", "desc", "as")
+
+  /** The alias following position `from` — `AS <ident>` or a bare
+    * non-keyword identifier (`sum(x) mon`) — skipping an optional
+    * `FILTER (WHERE ...)` clause. None when the sum feeds a larger
+    * expression (`sum(x) / n`, `) + 1`, ...) — those are typed by the
+    * enclosing expression, not the bare sum. */
   private def aliasAfter(s: String, from: Int): Option[String] = {
     var j = from
     def skipWs(): Unit = { while (j < s.length && s.charAt(j).isWhitespace) j += 1 }
+    def ident(): Option[String] = {
+      val start = j
+      while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+      if (j > start) Some(s.substring(start, j)) else None
+    }
     skipWs()
     if (s.startsWith("filter", j)) {
       j += 6; skipWs()
@@ -86,12 +107,12 @@ object OracleLint {
         case None => return None
       }
     }
-    if (!s.startsWith("as", j)) return None
-    j += 2
-    if (j >= s.length || !s.charAt(j).isWhitespace) return None
-    skipWs()
-    val start = j
-    while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
-    if (j > start) Some(s.substring(start, j)) else None
+    ident() match {
+      case Some("as") =>
+        skipWs()
+        ident()
+      case Some(bare) if !kw(bare) => Some(bare) // AS-less alias
+      case _ => None
+    }
   }
 }

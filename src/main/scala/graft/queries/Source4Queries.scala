@@ -16,23 +16,28 @@ import Registry.sql
   *
   * The fixture is orders re-laid-out as a two-level hive partitioning
   * (o_year=YYYY/o_orderstatus=S) — the canonical warehouse layout. The
-  * staging write is per-sfDir and idempotent (overwrite); oracle SQL
-  * restates each predicate on the raw table via year(o_orderdate).
+  * staging is fingerprint-keyed and staged once (graft.Staging); oracle
+  * SQL restates each predicate on the raw table via year(o_orderdate).
   */
 object Source4Queries {
 
   private def tmp(d: String, name: String) =
     s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
-  /** Stage (once per invocation — overwrite keeps it current) and read
-    * back the hive-partitioned orders layout. */
+  /** Stage ONCE per source fingerprint (graft.Staging: atomic rename, no
+    * mid-overwrite window for a concurrently-held DataFrame to read a
+    * path being deleted) and read back the hive-partitioned orders
+    * layout. */
   private[queries] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
-    val path = tmp(d, "orders_ppr")
-    table(s, d, "orders")
-      .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("o_year", "o_orderstatus").parquet(path)
-    s.read.parquet(path)
+    val fp = graft.Staging.fingerprint(s"$d/orders.parquet")
+    val path = graft.Staging.once(
+      java.nio.file.Paths.get(tmp(d, s"orders_ppr_$fp"))) { t =>
+      table(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_year", "o_orderstatus").parquet(t.toString)
+    }
+    s.read.parquet(path.toString)
   }
 
   val all: Seq[Q] = Seq(

@@ -25,12 +25,23 @@ import Registry.sql
   *     each other, forming one (bounded-fraction) NULL bucket;
   *   - composite keys: a NULL in ANY component kills the match.
   *
-  * Scale posture: all joins are key-equi (shuffle-hash/SMJ on the FK);
-  * outputs are re-aggregated to the key's mod-10 class so the verified
-  * result stays compact at any SF. The null-safe rows concentrate every
-  * NULL into ONE join key — at 100 TB that bucket is the canonical skew
-  * key, which AQE skew-join splits (and a production job would pre-salt);
-  * here it is a bounded 2%×2% product, asserted linear by construction.
+  * Scale posture: all equality joins are key-equi (shuffle-hash/SMJ on
+  * the FK); outputs are re-aggregated to the key's mod-10 class so the
+  * verified result stays compact at any SF. The null-safe rows are the
+  * one shape where a naive plan is QUADRATIC: under IS NOT DISTINCT
+  * FROM every NULL matches every NULL, so a 2% NULL stripe per side
+  * concentrates |nulls_l| × |nulls_r| pairs onto ONE join key — 100×
+  * data means 10,000× bucket rows (9e3 pairs at sf0.01 → 9e11 at
+  * sf100), which no skew-split saves because it is one logical key.
+  * The engine therefore NEVER materializes that bucket: the Spark plan
+  * splits `k IS NULL` out BEFORE the join and computes the NULL
+  * bucket's group contribution analytically (count_l_nulls ×
+  * count_r_nulls — the only thing any aggregate over the bucket can
+  * depend on), unioned with the plain non-null equi-join. The DuckDB
+  * oracle runs the VERBATIM null-safe join, so the driver's
+  * hash-compare is the machine-checked proof that the linear rewrite
+  * is semantically identical; ScaleGrowthSpec fences the materialized
+  * join volume to ~linear growth across a 10× corpus.
   */
 object Sql18Queries {
 
@@ -124,16 +135,43 @@ object Sql18Queries {
                AS n_not_exists"""),
 
     // NULL-SAFE inner join: the NULL stripes MATCH each other, forming
-    // exactly one extra group of size nulls_l × nulls_r (2% × 2% — the
-    // bounded skew bucket discussed in the header).
+    // exactly one extra group of size nulls_l × nulls_r — quadratic if
+    // materialized (see header). Spark plan: non-null equi-join UNION
+    // the analytic NULL bucket (count product; emitted only when both
+    // stripes are non-empty, exactly when the real bucket is non-empty).
+    // Oracle: the verbatim null-safe join — the hash-compare IS the
+    // equivalence proof.
     q("jn_nullsafe", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l JOIN r ON l.k = r.k2 GROUP BY k % 10
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS kg, nl * nr AS n
+      FROM (SELECT count(*) AS nl FROM l WHERE k IS NULL) a,
+           (SELECT count(*) AS nr FROM r WHERE k2 IS NULL) b
+      WHERE nl * nr > 0""", """
       SELECT k % 10 AS kg, count(*) AS n
       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
 
     // NULL-SAFE full outer: with NULL⇔NULL matching, NO row of either
     // side is ever null-extended on the key itself — the (lg,rg) grid
     // must contain no (x, NULL) cell for an x that exists on the right.
+    // Spark plan: full outer equi-join over the NON-NULL keys (their
+    // match/null-extension behavior is unchanged by removing the NULL
+    // rows) UNION the analytic (NULL, NULL) cell — nl×nr cross-matched
+    // pairs when both stripes are non-empty, else the nl+nr unmatched
+    // null-extended stragglers. Oracle: verbatim null-safe full join.
     q("jn_nullsafe_full", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
+      FROM (SELECT k FROM l WHERE k IS NOT NULL) ln
+      FULL JOIN (SELECT k2 FROM r WHERE k2 IS NOT NULL) rn
+        ON ln.k = rn.k2
+      GROUP BY k % 10, k2 % 10
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS lg, CAST(NULL AS BIGINT) AS rg,
+             CASE WHEN nl > 0 AND nr > 0 THEN nl * nr ELSE nl + nr END AS n
+      FROM (SELECT count(*) AS nl FROM l WHERE k IS NULL) a,
+           (SELECT count(*) AS nr FROM r WHERE k2 IS NULL) b
+      WHERE nl + nr > 0""", """
       SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
       FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
       GROUP BY k % 10, k2 % 10"""),

@@ -29,42 +29,18 @@ object StreamRunner {
     // time) replays them as a REAL micro-batch sequence in event-time
     // order — watermarks and state genuinely advance across batches
     // instead of one batch swallowing everything.
-    // The staging dir is KEYED BY the source fixture's fingerprint
-    // (name+size+mtime of every file): regenerating events.parquet yields
-    // a new fingerprint → a fresh staging dir, so streaming queries can
-    // never silently replay stale data. Staging writes to a temp dir that
-    // is atomically renamed into place, so a concurrent JVM (sbt test +
-    // Verify) either sees the complete dir or stages its own temp.
-    val src = new java.io.File(path)
-    val fpFiles: Seq[java.io.File] =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
-    val fp = java.lang.Long.toHexString(
-      fpFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong & 0xffffffffL)
-    val d = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp")
-    this.synchronized {
-      if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-        val tmp = java.nio.file.Paths.get(s"${d.toString}_tmp_${System.nanoTime()}")
-        spark.read.parquet(path)
-          .repartitionByRange(Batches, col("ts"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // part-file index = range-partition index = time order
-        val parts = new java.io.File(tmp.toString).listFiles()
-          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(1000000000000L + i * 60000L): Unit
-        }
-        java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
-        try java.nio.file.Files.move(tmp, d,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.FileSystemException =>
-          // another JVM staged the same fingerprint first — use theirs
-          if (java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-            graft.queries.Registry.rmTree(tmp.toFile)
-          } else throw new IllegalStateException(s"staging rename to $d failed")
-        }
+    // Fingerprint-keyed, atomically-renamed staging — see graft.Staging.
+    val d = graft.Staging.once(java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${graft.Staging.fingerprint(path)}")) { tmp =>
+      spark.read.parquet(path)
+        .repartitionByRange(Batches, col("ts"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      // part-file index = range-partition index = time order; a refused
+      // mtime stamp fails the staging (wave order would go nondeterministic)
+      val parts = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        graft.Staging.stampMtime(f, 1000000000000L + i * 60000L)
       }
     }
     val schema = spark.read.parquet(path).schema
@@ -87,40 +63,21 @@ object StreamRunner {
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.Engine.configure(spark)
     val path = s"$dir/documents.parquet"
-    val src = new java.io.File(path)
-    val fpFiles: Seq[java.io.File] =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
-    val fp = java.lang.Long.toHexString(
-      fpFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong & 0xffffffffL)
-    val d = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp")
-    this.synchronized {
-      if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-        val tmp = java.nio.file.Paths.get(s"${d.toString}_tmp_${System.nanoTime()}")
-        java.nio.file.Files.createDirectories(tmp): Unit
-        val docs = spark.read.parquet(path)
-          .withColumn("b", pmod(col("doc_id"), lit(Batches)).cast("int"))
-        (0 until Batches).foreach { i =>
-          val slice = java.nio.file.Paths.get(s"$tmp/_slice_$i")
-          docs.filter(col("b") === i).coalesce(1)
-            .write.mode("overwrite").parquet(slice.toString)
-          val part = new java.io.File(slice.toString).listFiles()
-            .filter(_.getName.startsWith("part-")).head
-          val dst = tmp.resolve(f"wave-$i%04d.parquet")
-          java.nio.file.Files.move(part.toPath, dst): Unit
-          dst.toFile.setLastModified(1000000000000L + i * 60000L): Unit
-          graft.queries.Registry.rmTree(slice.toFile)
-        }
-        java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
-        try java.nio.file.Files.move(tmp, d,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.FileSystemException =>
-          if (java.nio.file.Files.exists(d.resolve("_STAGED"))) {
-            graft.queries.Registry.rmTree(tmp.toFile)
-          } else throw new IllegalStateException(s"staging rename to $d failed")
-        }
+    val d = graft.Staging.once(java.nio.file.Paths.get(
+      s"/tmp/graft_stream/docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${graft.Staging.fingerprint(path)}")) { tmp =>
+      java.nio.file.Files.createDirectories(tmp): Unit
+      val docs = spark.read.parquet(path)
+        .withColumn("b", pmod(col("doc_id"), lit(Batches)).cast("int"))
+      (0 until Batches).foreach { i =>
+        val slice = java.nio.file.Paths.get(s"$tmp/_slice_$i")
+        docs.filter(col("b") === i).coalesce(1)
+          .write.mode("overwrite").parquet(slice.toString)
+        val part = new java.io.File(slice.toString).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = tmp.resolve(f"wave-$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst): Unit
+        graft.Staging.stampMtime(dst.toFile, 1000000000000L + i * 60000L)
+        graft.queries.Registry.rmTree(slice.toFile)
       }
     }
     val schema = spark.read.parquet(s"$d/wave-0000.parquet").schema

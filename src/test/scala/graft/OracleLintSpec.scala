@@ -64,4 +64,32 @@ class OracleLintSpec extends AnyFunSuite {
     val sch = StructType(Seq(StructField("pos", LongType)))
     assert(OracleLint.check("t", sch, bad).nonEmpty)
   }
+
+  test("recast exemption needs an identifier boundary (r12 advice)") {
+    // `... AS BIGINT) AS n_rows` must NOT exempt the DIFFERENT column
+    // `n` (`as bigint) as n` is a substring of `as bigint) as n_rows`):
+    // the raw `sum(y) AS n` is still a HUGEINT divergence
+    val bad = Registry.sql("""
+      WITH a AS (SELECT CAST(sum(x) AS BIGINT) AS n_rows, sum(y) AS n FROM t)
+      SELECT n, n_rows FROM a""")
+    val sch = StructType(Seq(
+      StructField("n", LongType), StructField("n_rows", LongType)))
+    val v = OracleLint.check("t", sch, bad)
+    assert(v.nonEmpty && v.head.contains("`n`"),
+      s"boundary-less recast match silently exempted n: $v")
+  }
+
+  test("AS-less bare aliases are visible (r12 advice)") {
+    val bad = Registry.sql("SELECT sum(x) mon FROM t")
+    val sch = StructType(Seq(StructField("mon", LongType)))
+    assert(OracleLint.check("t", sch, bad).nonEmpty,
+      "bare-identifier alias `sum(x) mon` must be linted like `AS mon`")
+  }
+
+  test("un-aliased sums followed by a keyword are not misread as aliases") {
+    val ok = Registry.sql(
+      "SELECT k FROM t GROUP BY k HAVING sum(x) FILTER (WHERE x > 0) > 5")
+    val sch = StructType(Seq(StructField("k", LongType)))
+    assert(OracleLint.check("t", sch, ok).isEmpty)
+  }
 }

@@ -277,4 +277,22 @@ class ScaleGrowthSpec extends AnyFunSuite {
       c.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
     }
   }
+
+  test("null-safe join rows materialize only the linear equi-join — NULL bucket stays analytic") {
+    // the naive IS NOT DISTINCT FROM plan funnels the 2%×2% NULL stripes
+    // through ONE join key: 9e3 pairs at sf0.01 → 9e5 at sf0.1 → 9e11 at
+    // sf100 (100× data = 10,000× pairs), and no skew-split saves one
+    // logical key. The shipped plan computes that bucket analytically
+    // (count_l_nulls × count_r_nulls) and equi-joins only non-null keys,
+    // so the largest materialized join must track the FK — linear. A
+    // regression back to the verbatim null-safe join trips this at sf0.1
+    // (~1.05M joined rows vs the ~147k linear bound).
+    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full")) {
+      val small = maxJoinRows(name, "/root/testdata/sf0.01")
+      val big = maxJoinRows(name, "/root/testdata/sf0.1")
+      info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
+      assert(big <= 30L * math.max(small, 50L),
+        s"$name join volume grew superlinearly (quadratic NULL-bucket regression): sf0.01=$small → sf0.1=$big")
+    }
+  }
 }
