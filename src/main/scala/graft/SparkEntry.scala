@@ -71,6 +71,7 @@ object SparkEntry {
       Source3Queries.all ++
       Source4Queries.all ++
       Sql18Queries.all ++
+      Sql19Queries.all ++
       Pipeline9Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++

@@ -40,6 +40,25 @@ object Source4Queries {
     s.read.parquet(path.toString)
   }
 
+  /** The partition_date golden fixture (45 files): orders re-laid-out
+    * under a DATE-TYPED partition column (dt = month of o_orderdate,
+    * ~84 directories). Partition values print as `dt=1995-03-01` and the
+    * read-back path must INFER DateType for dt (partition-column type
+    * inference) — date-typed partition predicates then exercise a
+    * distinct discovery/pruning path (string→date casting at listing
+    * time) that the int `o_year` fixture above cannot reach. */
+  private[queries] def datePartitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.Staging.fingerprint(s"$d/orders.parquet")
+    val path = graft.Staging.once(
+      java.nio.file.Paths.get(tmp(d, s"orders_pdate_$fp"))) { t =>
+      table(s, d, "orders")
+        .withColumn("dt", date_trunc("month", col("o_orderdate")).cast("date"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("dt").parquet(t.toString)
+    }
+    s.read.parquet(path.toString)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Arithmetic expression over the int partition column PLUS a plain
@@ -89,6 +108,46 @@ object Source4Queries {
                   FROM orders
                   WHERE year(o_orderdate) IN (1993, 1995)
                      OR year(o_orderdate) >= 1997
-                  GROUP BY 1, 2""")))
+                  GROUP BY 1, 2"""))),
+
+    // DATE-typed partition equality — both the DATE-literal and the
+    // STRING-literal spelling (the golden family tests both: the string
+    // must cast to the partition's DATE type at listing time, not
+    // degrade to a row filter).
+    Q("src_pdate_eq",
+      (s, d) => datePartitionedOrders(s, d)
+        .filter(expr("dt = DATE '1995-03-01' OR dt = '1996-06-01'"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents")),
+      Some(sql("""SELECT o_orderstatus, count(*) AS n,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                      AS cents
+                  FROM orders
+                  WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+                          IN (DATE '1995-03-01', DATE '1996-06-01')
+                  GROUP BY 1"""))),
+
+    // DATE-typed partition range algebra: BETWEEN two date literals OR a
+    // string-literal lower bound, <> exclusion — the multi-directory
+    // date prune (a handful of month dirs listed, the rest never
+    // touched).
+    Q("src_pdate_range",
+      (s, d) => datePartitionedOrders(s, d)
+        .filter(expr(
+          "(dt BETWEEN DATE '1994-01-01' AND DATE '1994-06-01' OR dt >= '1998-01-01') AND dt <> DATE '1994-03-01'"))
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n")),
+      Some(sql("""SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+                      AS dt, count(*) AS n
+                  FROM orders
+                  WHERE (CAST(date_trunc('month', o_orderdate) AS DATE)
+                           BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+                         OR CAST(date_trunc('month', o_orderdate) AS DATE)
+                              >= DATE '1998-01-01')
+                    AND CAST(date_trunc('month', o_orderdate) AS DATE)
+                          <> DATE '1994-03-01'
+                  GROUP BY 1""")))
   )
 }

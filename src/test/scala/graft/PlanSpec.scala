@@ -485,6 +485,27 @@ class PlanSpec extends AnyFunSuite {
     assert(ir.contains("PushedFilters: []"), ir)
   }
 
+  test("date-typed partition predicates prune at listing time (partition_date)") {
+    // the dt partition column must be INFERRED DateType from the
+    // `dt=1995-03-01` directory names, and both the DATE-literal and the
+    // STRING-literal predicate spellings must land in PartitionFilters
+    // (string cast to date at listing time) — never in PushedFilters or
+    // a row Filter.
+    val df = SparkEntry.queries("src_pdate_eq")(spark, TestSpark.Sf)
+    val dtField = df.sparkSession.read
+      .parquet("/tmp/graft_io/_root_testdata_sf0_001/orders_pdate_" +
+        graft.Staging.fingerprint(s"${TestSpark.Sf}/orders.parquet"))
+      .schema("dt")
+    assert(dtField.dataType == org.apache.spark.sql.types.DateType,
+      s"partition column dt inferred as ${dtField.dataType}, not DateType")
+    val eq = df.queryExecution.executedPlan.toString
+    assert(eq.contains("PartitionFilters:") && eq.contains("dt#"), eq)
+    assert(eq.contains("PushedFilters: []"), eq)
+    val rng = plan("src_pdate_range")
+    assert(rng.contains("PartitionFilters:") && rng.contains("dt#"), rng)
+    assert(rng.contains("PushedFilters: []"), rng)
+  }
+
   test("as-of join is a single-shuffle window plan, not a per-key cross product") {
     val p = plan("join_asof")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
