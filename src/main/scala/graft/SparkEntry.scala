@@ -72,6 +72,7 @@ object SparkEntry {
       Source4Queries.all ++
       Sql18Queries.all ++
       Sql19Queries.all ++
+      Sql20Queries.all ++
       Pipeline9Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++

@@ -148,6 +148,44 @@ object Source4Queries {
                               >= DATE '1998-01-01')
                     AND CAST(date_trunc('month', o_orderdate) AS DATE)
                           <> DATE '1994-03-01'
-                  GROUP BY 1""")))
+                  GROUP BY 1"""))),
+
+    // date_serde golden family (41 files): a DATE column must survive a
+    // write→read roundtrip IDENTICALLY through every storage format —
+    // the reference runs the same date table through its serde matrix;
+    // here the matrix is parquet (INT32 days), ORC, CSV (text
+    // yyyy-MM-dd), JSON (text). All four read-backs are unioned with a
+    // format tag and must agree row-for-row with the raw computation.
+    Q("src_date_roundtrip_formats",
+      (s, d) => {
+        val dates = table(s, d, "orders")
+          .select(date_trunc("month", col("o_orderdate")).cast("date").as("dt"))
+          .distinct()
+        val fmts = Seq("parquet", "orc", "csv", "json")
+        val staged = fmts.map { fmt =>
+          val fp = graft.Staging.fingerprint(s"$d/orders.parquet")
+          val p = graft.Staging.once(
+            java.nio.file.Paths.get(tmp(d, s"dates_${fmt}_$fp"))) { t =>
+            dates.write.format(fmt).option("header", "true").save(t.toString)
+          }
+          s.read.format(fmt).option("header", "true").schema("dt DATE")
+            .load(p.toString).withColumn("fmt", lit(fmt))
+        }
+        staged.reduce(_.unionAll(_))
+          .groupBy(col("fmt"))
+          .agg(count(lit(1)).as("n"),
+            min(col("dt")).cast("string").as("min_dt"),
+            max(col("dt")).cast("string").as("max_dt"),
+            expr("CAST(sum(day(dt) + month(dt) * 100) AS BIGINT)").as("dsum"))
+      },
+      Some(sql("""
+        WITH dates AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+                         AS dt FROM orders),
+             agg AS (SELECT count(*) AS n, CAST(min(dt) AS VARCHAR) AS min_dt,
+                       CAST(max(dt) AS VARCHAR) AS max_dt,
+                       CAST(sum(day(dt) + month(dt) * 100) AS BIGINT) AS dsum
+                     FROM dates)
+        SELECT f.fmt, agg.* FROM agg
+        CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt)""")))
   )
 }

@@ -506,6 +506,52 @@ class PlanSpec extends AnyFunSuite {
     assert(rng.contains("PushedFilters: []"), rng)
   }
 
+  test("co-bucketed joins run shuffle-free and key-adjacent aggs reuse partitioning") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    def shape(name: String): (Int, Int, Int) = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect() // AQE: inspect the FINAL executed plan
+      val ns = nodes(df.queryExecution.executedPlan)
+      (ns.count(_.isInstanceOf[ShuffleExchangeLike]),
+        ns.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+          n.isInstanceOf[ShuffledHashJoinExec]),
+        ns.count(_.isInstanceOf[BroadcastHashJoinExec]))
+    }
+    // smb_mapjoin/auto_sortmerge_join contract: the bucket layout IS the
+    // join partitioning — the only exchange in each plan belongs to the
+    // re-aggregation ABOVE the join, never to the join itself.
+    val (exFo, _, _) = shape("smb_outer_grid")
+    assert(exFo == 1, s"smb_outer_grid: expected 1 exchange (the rollup), got $exFo")
+    val (exTw, _, _) = shape("smb_three_way")
+    assert(exTw == 1, s"smb_three_way: expected 1 exchange (the rollup), got $exTw")
+    val (exJg, _, _) = shape("smb_join_then_gby")
+    assert(exJg == 1, s"smb_join_then_gby: expected 1 exchange (the mod-10 rollup " +
+      s"only — join AND per-key agg ride the buckets), got $exJg")
+    // correlationoptimizer1 contract on unbucketed inputs: forced SMJ =
+    // one exchange per side, per-key agg adds NONE, mod-10 rollup adds 1.
+    val (exJa, smjJa, _) = shape("sql_join_agg_adjacent")
+    assert(smjJa >= 1, "sql_join_agg_adjacent must keep the forced sort-merge join")
+    assert(exJa == 3, s"sql_join_agg_adjacent: expected 3 exchanges (2 join sides " +
+      s"+ rollup; key-adjacent agg must add none), got $exJa")
+    // multiMapJoin contract: a broadcast CHAIN stays in one map stage.
+    val (exBc, shuffleJoinsBc, bhjBc) = shape("join_broadcast_chain")
+    assert(bhjBc == 3 && shuffleJoinsBc == 0,
+      s"join_broadcast_chain: expected 3 BroadcastHashJoin / 0 shuffled joins, " +
+        s"got $bhjBc/$shuffleJoinsBc")
+    assert(exBc <= 1, s"join_broadcast_chain: the only exchange may be the final " +
+      s"aggregation's, got $exBc")
+  }
+
   test("as-of join is a single-shuffle window plan, not a per-key cross product") {
     val p = plan("join_asof")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
