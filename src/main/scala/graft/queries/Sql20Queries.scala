@@ -298,6 +298,97 @@ object Sql20Queries {
               UNION ALL
               SELECT 'o' AS side, o_custkey FROM orders WHERE o_orderstatus = 'O') u
         JOIN customer c ON u.o_custkey = c.c_custkey
-        GROUP BY side, c.c_mktsegment""")))
+        GROUP BY side, c.c_mktsegment"""))),
+
+    // alter3 / alter_rename_partition (60 golden files) +
+    // drop_partitions (26): the partition lifecycle — load three status
+    // partitions, RENAME one (data must follow the new spec), DROP one
+    // (its rows must vanish), probing EAGERLY after each step (the
+    // documented DDL-lifecycle exception class).
+    Q("sql_partition_lifecycle",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_plc_src")
+        dropManaged(s, "graft_plc")
+        s.sql("CREATE TABLE graft_plc (k BIGINT) USING parquet PARTITIONED BY (st STRING)")
+        Seq("F", "O", "P").foreach { st =>
+          s.sql(sql(s"""INSERT INTO graft_plc PARTITION (st='$st')
+                        SELECT o_orderkey FROM graft_plc_src
+                        WHERE o_orderstatus = '$st'"""))
+        }
+        s.sql("ALTER TABLE graft_plc PARTITION (st='F') RENAME TO PARTITION (st='FIN')")
+        val renamedParts = s.sql("SHOW PARTITIONS graft_plc").count()
+        val finRows = s.table("graft_plc").filter(col("st") === "FIN").count()
+        s.sql("ALTER TABLE graft_plc DROP PARTITION (st='P')")
+        val afterDropParts = s.sql("SHOW PARTITIONS graft_plc").count()
+        val afterDropRows = s.table("graft_plc").count()
+        val sq = s; import sq.implicits._
+        Seq(("after_rename_parts", renamedParts), ("fin_rows", finRows),
+          ("after_drop_parts", afterDropParts), ("after_drop_rows", afterDropRows))
+          .toDF("metric", "value")
+      },
+      Some(sql("""
+        SELECT 'after_rename_parts' AS metric, CAST(3 AS BIGINT) AS value
+        UNION ALL SELECT 'fin_rows',
+          (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL SELECT 'after_drop_parts', CAST(2 AS BIGINT)
+        UNION ALL SELECT 'after_drop_rows',
+          (SELECT count(*) FROM orders WHERE o_orderstatus IN ('F', 'O'))"""))),
+
+    // create_like_view (28 golden files): CREATE TABLE LIKE a VIEW —
+    // the clone takes the view's RESOLVED schema but none of its rows;
+    // an insert then fills it independently of the view's definition.
+    Q("sql_create_like_view",
+      (s, d) => {
+        dropManaged(s, "graft_clv_t")
+        s.sql("DROP VIEW IF EXISTS graft_clv_v")
+        // a PERSISTENT view may not reference a temp view — define it
+        // over the parquet path directly
+        s.sql(sql(s"""CREATE VIEW graft_clv_v AS
+                      SELECT o_orderkey AS k, o_totalprice AS p
+                      FROM parquet.`$d/orders.parquet`
+                      WHERE o_orderkey % 2 = 0"""))
+        s.sql("CREATE TABLE graft_clv_t LIKE graft_clv_v USING parquet")
+        val emptyN = s.table("graft_clv_t").count()
+        val sig = s.table("graft_clv_t").schema.simpleString
+        s.sql(sql("""INSERT INTO graft_clv_t
+                     SELECT * FROM graft_clv_v WHERE k <= 100"""))
+        val filledN = s.table("graft_clv_t").count()
+        val sq = s; import sq.implicits._
+        Seq(("empty_clone", emptyN, sig), ("after_insert", filledN, sig))
+          .toDF("phase", "n", "schema_sig")
+      },
+      Some(sql("""
+        SELECT 'empty_clone' AS phase, CAST(0 AS BIGINT) AS n,
+               'struct<k:bigint,p:double>' AS schema_sig
+        UNION ALL
+        SELECT 'after_insert',
+          (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 100),
+          'struct<k:bigint,p:double>'"""))),
+
+    // correlationoptimizer6 (59 golden files): two IDENTICAL aggregation
+    // branches self-joined on the group key — the second branch must
+    // REUSE the first's shuffle (ReusedExchange, PlanSpec-pinned), not
+    // recompute it; at 100 TB this halves the scan+shuffle cost of every
+    // self-comparison query.
+    Q("sql_selfjoin_exchange_reuse",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_sxr_o")
+        s.sql(sql("""
+          SELECT a.k % 10 AS kg, count(*) AS n
+          FROM (SELECT o_custkey AS k, count(*) AS c FROM graft_sxr_o
+                GROUP BY o_custkey) a
+          JOIN (SELECT o_custkey AS k, count(*) AS c FROM graft_sxr_o
+                GROUP BY o_custkey) b
+            ON a.k = b.k AND a.c = b.c
+          GROUP BY a.k % 10"""))
+      },
+      Some(sql("""
+        SELECT a.k % 10 AS kg, count(*) AS n
+        FROM (SELECT o_custkey AS k, count(*) AS c FROM orders
+              GROUP BY o_custkey) a
+        JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders
+              GROUP BY o_custkey) b
+          ON a.k = b.k AND a.c = b.c
+        GROUP BY a.k % 10""")))
   )
 }

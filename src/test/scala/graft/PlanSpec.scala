@@ -550,6 +550,13 @@ class PlanSpec extends AnyFunSuite {
         s"got $bhjBc/$shuffleJoinsBc")
     assert(exBc <= 1, s"join_broadcast_chain: the only exchange may be the final " +
       s"aggregation's, got $exBc")
+    // correlationoptimizer6 contract: identical agg branches self-joined
+    // must REUSE one shuffle, not recompute the scan+exchange twice.
+    val reuse = SparkEntry.queries("sql_selfjoin_exchange_reuse")(spark, TestSpark.Sf)
+    reuse.collect()
+    val rp = reuse.queryExecution.executedPlan.toString
+    assert(rp.contains("ReusedExchange") || rp.contains("ReusedQueryStage"),
+      "identical agg branches did not reuse the exchange:\n" + rp)
   }
 
   test("as-of join is a single-shuffle window plan, not a per-key cross product") {
