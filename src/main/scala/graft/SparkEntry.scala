@@ -73,6 +73,7 @@ object SparkEntry {
       Sql18Queries.all ++
       Sql19Queries.all ++
       Sql20Queries.all ++
+      Sql21Queries.all ++
       Pipeline9Queries.all ++
       Ml3Queries.all ++
       Ml4Queries.all ++

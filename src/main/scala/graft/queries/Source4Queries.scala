@@ -186,6 +186,36 @@ object Source4Queries {
                        CAST(sum(day(dt) + month(dt) * 100) AS BIGINT) AS dsum
                      FROM dates)
         SELECT f.fmt, agg.* FROM agg
-        CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt)""")))
+        CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt)"""))),
+
+    // partition_varchar1 golden family (20 files) + the path-escaping
+    // trap: partition VALUES containing spaces, '=', ':', ';' and '%'
+    // must round-trip exactly through the hive directory layout (Spark
+    // URL-escapes them to `pv=x%3Ay` etc. on disk) — at 100 TB a
+    // warehouse's partition values are user data and silent path mangling
+    // corrupts routing.
+    Q("src_partition_escaping",
+      (s, d) => {
+        val fp = graft.Staging.fingerprint(s"$d/customer.parquet")
+        val mapped = table(s, d, "customer")
+          .selectExpr("c_custkey AS k",
+            """CASE c_custkey % 5 WHEN 0 THEN 'a b' WHEN 1 THEN 'x:y'
+               WHEN 2 THEN 'p=q' WHEN 3 THEN 'semi;colon'
+               ELSE 'per%cent' END AS pv""")
+        val path = graft.Staging.once(
+          java.nio.file.Paths.get(tmp(d, s"esc_$fp"))) { t =>
+          mapped.write.mode(SaveMode.Overwrite).partitionBy("pv").parquet(t.toString)
+        }
+        s.read.parquet(path.toString)
+          .groupBy(col("pv"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(k) AS BIGINT)").as("ksum"))
+      },
+      Some(sql("""
+        SELECT CASE c_custkey % 5 WHEN 0 THEN 'a b' WHEN 1 THEN 'x:y'
+                 WHEN 2 THEN 'p=q' WHEN 3 THEN 'semi;colon'
+                 ELSE 'per%cent' END AS pv,
+               count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ksum
+        FROM customer GROUP BY 1""")))
   )
 }

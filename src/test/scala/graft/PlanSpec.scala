@@ -559,6 +559,17 @@ class PlanSpec extends AnyFunSuite {
       "identical agg branches did not reuse the exchange:\n" + rp)
   }
 
+  test("join filters propagate to the other side's scan (ppd_join_filter)") {
+    // constraint inference: `c.c_custkey < 100` with `o_custkey =
+    // c_custkey` must reach the ORDERS scan as PushedFilters — at 100 TB
+    // this is the difference between scanning one key range and the
+    // whole fact table.
+    val p = plan("sql_ppd_join_filter")
+    assert(p.contains("LessThan(o_custkey,100)"),
+      "c-side filter did not propagate to the orders scan:\n" + p)
+    assert(p.contains("LessThan(c_custkey,100)"), p)
+  }
+
   test("as-of join is a single-shuffle window plan, not a per-key cross product") {
     val p = plan("join_asof")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
