@@ -126,6 +126,53 @@ object Pipeline7Queries {
                  + CAST(lm_pass AS INT) AS BIGINT) AS votes,
                (CAST(gopher_pass AS INT) + CAST(clf_pass AS INT)
                  + CAST(lm_pass AS INT)) >= 2 AS keep
-        FROM flags""")))
+        FROM flags"""))),
+
+    /** Quality-drift monitor — Population Stability Index between a
+      * reference corpus half and an incoming half (doc_id parity) over
+      * the classifier-score distribution:
+      *   PSI = Σ_buckets (p_new − p_ref) · ln(p_new / p_ref)
+      * The industry alarm thresholds are 0.1 (investigate) / 0.25
+      * (retrain the filter); iid halves read ≈0. Buckets are
+      * DOMAIN-BOUNDED by construction (score div 50 clamped to ±4 → ≤9
+      * buckets regardless of corpus size) and Laplace-smoothed (+1)
+      * so empty cells never produce ln(0). Scale posture: one scan +
+      * one ≤9-group aggregate — the canonical streaming-ingest drift
+      * check, zero driver state. */
+    Q("pipe_quality_psi",
+      (s, d) => {
+        graft.Engine.table(s, d, "documents")
+          .createOrReplaceTempView("graft_psi_docs")
+        s.sql(sql(s"""
+          WITH scored AS (SELECT doc_id % 2 AS half, $clfSpark AS score
+                          FROM graft_psi_docs),
+               b AS (SELECT least(greatest(CAST(floor(score / 50.0) AS INT), -4), 4)
+                              AS bkt,
+                            count(*) FILTER (WHERE half = 0) AS nr,
+                            count(*) FILTER (WHERE half = 1) AS nn
+                     FROM scored GROUP BY 1),
+               t AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
+                            CAST(sum(nn) AS DOUBLE) AS tn FROM b)
+          SELECT count(*) AS n_buckets,
+                 sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+                      * ln(((nn + 1.0) / (tn + 9.0))
+                           / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+          FROM b CROSS JOIN t"""))
+      },
+      Some(sql(s"""
+        WITH scored AS (SELECT doc_id % 2 AS half, $clfDuck AS score
+                        FROM documents),
+             b AS (SELECT least(greatest(CAST(floor(score / 50.0) AS INT), -4), 4)
+                            AS bkt,
+                          count(*) FILTER (WHERE half = 0) AS nr,
+                          count(*) FILTER (WHERE half = 1) AS nn
+                   FROM scored GROUP BY 1),
+             t AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
+                          CAST(sum(nn) AS DOUBLE) AS tn FROM b)
+        SELECT count(*) AS n_buckets,
+               sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+                    * ln(((nn + 1.0) / (tn + 9.0))
+                         / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+        FROM b CROSS JOIN t""")))
   )
 }

@@ -299,6 +299,38 @@ object Pipeline9Queries {
                CAST(p50.v AS BIGINT) AS p50_count,
                CAST(p99.v AS BIGINT) AS p99_count,
                round(CAST(top10.rows10 AS DOUBLE) / tot.n_rows, 6) AS top10_share
-        FROM tot CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN top10""")))
+        FROM tot CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN top10"""))),
+
+    /** Corpus snapshot diff — dataset versioning's core census: two
+      * snapshot views of the corpus (doc_id mod-3 slices with an
+      * overlap; the overlap's odd half carries a simulated edit) are
+      * FULL-OUTER joined on doc_id and classified added / removed /
+      * changed / unchanged by content hash. This is the audit a managed
+      * training-data pipeline runs between every two corpus releases.
+      * Scale posture: content hashes are computed scan-side, the diff
+      * is one key-equi full join on doc_id (linear, shuffle-partitioned
+      * by id), and the verified output is the 4-row census. */
+    Q("pipeline_snapshot_diff",
+      (s, d) => {
+        table(s, d, "documents").createOrReplaceTempView("graft_snap_docs")
+        s.sql(sql(snapDiffBody("graft_snap_docs")))
+      },
+      Some(sql(snapDiffBody("documents"))))
   )
+
+  /** Shared snapshot-diff body — identical text on both engines. */
+  private def snapDiffBody(docs: String): String = s"""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM $docs
+                WHERE doc_id % 3 IN (0, 1)),
+         v2 AS (SELECT doc_id,
+                       md5(CASE WHEN doc_id % 6 = 1 THEN text || '!'
+                                ELSE text END) AS h
+                FROM $docs WHERE doc_id % 3 IN (1, 2))
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h = v2.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n
+    FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1"""
 }

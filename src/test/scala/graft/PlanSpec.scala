@@ -559,6 +559,21 @@ class PlanSpec extends AnyFunSuite {
       "identical agg branches did not reuse the exchange:\n" + rp)
   }
 
+  test("semijoin grid rows plan as equi semi/anti joins, never nested-loop") {
+    // the sj_* family's scale posture: every row is a key-equi
+    // semi/anti (build side deduplicates to an existence set; output
+    // never exceeds the probe side). A regression to
+    // BroadcastNestedLoopJoin or CartesianProduct (e.g. the join
+    // condition degrading to non-equi) would be quadratic at 100 TB.
+    for (name <- Seq("sj_dup_preserve", "sj_build_pred", "sj_expr_key",
+      "sj_outer_then_semi", "sj_semi_then_full", "sj_chain2",
+      "sj_composite", "sql_union_join_gby")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to a nested-loop shape:\n" + p)
+    }
+  }
+
   test("join filters propagate to the other side's scan (ppd_join_filter)") {
     // constraint inference: `c.c_custkey < 100` with `o_custkey =
     // c_custkey` must reach the ORDERS scan as PushedFilters — at 100 TB
