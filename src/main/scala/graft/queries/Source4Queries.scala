@@ -216,6 +216,36 @@ object Source4Queries {
                  WHEN 2 THEN 'p=q' WHEN 3 THEN 'semi;colon'
                  ELSE 'per%cent' END AS pv,
                count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ksum
-        FROM customer GROUP BY 1""")))
+        FROM customer GROUP BY 1"""))),
+
+    // ppr_pushdown2 golden family (22 files): string partition values
+    // where one value is a PREFIX of another ('2' vs '22' vs '222') —
+    // pruning must be exact-match, never prefix-match — plus a filter on
+    // the INNER level only of a two-level partitioning (every outer dir
+    // listed, inner dirs pruned).
+    Q("src_ppr_prefix_vals",
+      (s, d) => {
+        val fp = graft.Staging.fingerprint(s"$d/customer.parquet")
+        val path = graft.Staging.once(
+          java.nio.file.Paths.get(tmp(d, s"ppr2_$fp"))) { t =>
+          table(s, d, "customer")
+            .selectExpr("c_custkey AS k",
+              "CASE c_custkey % 2 WHEN 0 THEN '1' ELSE '11' END AS pa",
+              """CASE c_custkey % 3 WHEN 0 THEN '2' WHEN 1 THEN '22'
+                 ELSE '222' END AS pb""")
+            .write.mode(SaveMode.Overwrite).partitionBy("pa", "pb")
+            .parquet(t.toString)
+        }
+        s.read.parquet(path.toString)
+          .filter(expr("pb = '22'")) // inner level only + prefix trap
+          .groupBy(col("pa"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(k) AS BIGINT)").as("ksum"))
+      },
+      Some(sql("""
+        SELECT CASE c_custkey % 2 WHEN 0 THEN '1' ELSE '11' END AS pa,
+               count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ksum
+        FROM customer WHERE c_custkey % 3 = 1
+        GROUP BY 1""")))
   )
 }

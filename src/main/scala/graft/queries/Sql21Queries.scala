@@ -150,6 +150,60 @@ object Sql21Queries {
         SELECT c.c_mktsegment AS seg, count(*) AS n
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_custkey < 100
-        GROUP BY c.c_mktsegment""")))
+        GROUP BY c.c_mktsegment"""))),
+
+    // groupby_position golden family (14 files): GROUP BY / ORDER BY by
+    // ordinal, including the REORDERED `GROUP BY 2, 1` and a
+    // count(DISTINCT substr(...)) aggregate — ordinals must bind to the
+    // SELECT list positions, not the scan order.
+    Q("sql_groupby_ordinal",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_gbo_c")
+        s.sql(sql("""
+          SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng,
+                 count(DISTINCT substr(c_name, -2)) AS n_suffixes, count(*) AS n
+          FROM graft_gbo_c WHERE c_custkey < 500
+          GROUP BY 2, 1 ORDER BY 1, 2"""))
+      },
+      Some(sql("""
+        SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng,
+               count(DISTINCT substr(c_name, -2)) AS n_suffixes, count(*) AS n
+        FROM customer WHERE c_custkey < 500
+        GROUP BY 2, 1 ORDER BY 1, 2"""))),
+
+    // view golden family (24 files): layered views — a view over a join,
+    // a second view over the first with an aggregation, and a third with
+    // ORDER BY + LIMIT baked into the definition (the top-k must be
+    // evaluated INSIDE the view).
+    Q("sql_view_layers",
+      (s, d) => {
+        Seq("graft_vl3", "graft_vl2", "graft_vl1").foreach { v =>
+          s.sql(s"DROP VIEW IF EXISTS $v")
+        }
+        s.sql(sql(s"""CREATE VIEW graft_vl1 AS
+                      SELECT o.o_custkey AS k, c.c_mktsegment AS seg,
+                             o.o_totalprice AS price
+                      FROM parquet.`$d/orders.parquet` o
+                      JOIN parquet.`$d/customer.parquet` c
+                        ON o.o_custkey = c.c_custkey"""))
+        s.sql(sql("""CREATE VIEW graft_vl2 AS
+                     SELECT seg, count(*) AS n,
+                            CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                              AS cents
+                     FROM graft_vl1 GROUP BY seg"""))
+        s.sql(sql("""CREATE VIEW graft_vl3 AS
+                     SELECT seg, n, cents FROM graft_vl2
+                     ORDER BY cents DESC, seg LIMIT 3"""))
+        s.sql("SELECT seg, n, cents FROM graft_vl3")
+      },
+      Some(sql("""
+        WITH vl1 AS (SELECT o.o_custkey AS k, c.c_mktsegment AS seg,
+                            o.o_totalprice AS price
+                     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             vl2 AS (SELECT seg, count(*) AS n,
+                            CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                              AS cents
+                     FROM vl1 GROUP BY seg)
+        SELECT seg, n, cents FROM vl2 ORDER BY cents DESC, seg LIMIT 3""")))
   )
 }
