@@ -183,6 +183,32 @@ object Sql18Queries {
       SELECT kb AS kbg, count(*) AS n
       FROM l JOIN r ON l.k = r.k2 AND l.kb = r.kb2 GROUP BY kb"""),
 
+    // auto_join_nulls (25 files) + auto_join_filters (64): the NULL-key
+    // semantics grid re-run under AUTOMATIC map-join conversion — the
+    // golden families exist because Hive's mapjoin path historically
+    // diverged from the shuffle path on NULL keys and ON-clause build
+    // predicates. Here the BROADCAST hints force the BroadcastHashJoin
+    // path (PlanSpec pins 3 BHJ / 0 shuffled joins) and the oracle is
+    // the engine-neutral restatement — identical answers to the
+    // shuffle-path jn_* rows above.
+    q("jn_auto_broadcast", """
+      SELECT /*+ BROADCAST(r) */ 'inner' AS shape, count(*) AS n
+      FROM l JOIN r ON l.k = r.k2
+      UNION ALL
+      SELECT /*+ BROADCAST(r) */ 'left_on_pred', count(price)
+      FROM l LEFT JOIN r ON l.k = r.k2 AND r.price > 10000
+      UNION ALL
+      SELECT /*+ BROADCAST(r) */ 'semi', count(*)
+      FROM l LEFT SEMI JOIN r ON l.k = r.k2""", """
+      SELECT 'inner' AS shape, count(*) AS n
+      FROM l JOIN r ON l.k = r.k2
+      UNION ALL
+      SELECT 'left_on_pred', count(price)
+      FROM l LEFT JOIN r ON l.k = r.k2 AND r.price > 10000
+      UNION ALL
+      SELECT 'semi', count(*)
+      FROM l SEMI JOIN r ON l.k = r.k2"""),
+
     // join_1to1 (40 golden files): unique ⋈ unique key must preserve
     // cardinality exactly — n = n_keys = |customer| and the key checksum
     // is invariant through the join.

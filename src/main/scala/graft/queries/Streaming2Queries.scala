@@ -145,6 +145,55 @@ object Streaming2Queries {
                      FROM documents GROUP BY 1)
         SELECT CAST(r.b AS BIGINT) AS b, r.n_raw,
                d.n_dedup, d.n_quality, d.tok_quality
-        FROM raw r JOIN ded d ON r.b = d.b""")))
+        FROM raw r JOIN ded d ON r.b = d.b"""))),
+
+    // Streaming twin of pipe_quality_psi — drift monitoring ON INGEST:
+    // each arrival wave's classifier-score distribution is compared to
+    // wave 0 (the reference release) by Population Stability Index. The
+    // STREAMING side keeps only the (wave, bucket) count histogram —
+    // ≤ 4×9 rows of state regardless of corpus size (bucket =
+    // score div 50 clamped to ±4, Laplace-smoothed downstream) — and
+    // the PSI itself is a bounded batch post-process over the sink.
+    // The oracle recomputes the identical grid from the raw table.
+    Q("stream_quality_psi",
+      (s, d) => {
+        val scored = StreamRunner.documentsStream(s, d)
+          .select(col("b"), expr(
+            s"least(greatest(CAST(floor((${Pipeline7Queries.clfSpark}) / 50.0) AS INT), -4), 4)")
+            .as("bkt"))
+        val hist = scored.groupBy(col("b"), col("bkt")).count()
+        val sink = StreamRunner.runToTable(s, hist,
+          s"spsi_${math.abs(d.hashCode)}", "complete")
+        sink.createOrReplaceTempView("graft_spsi_hist")
+        s.sql(sql(psiOverHist(
+          "SELECT CAST(b AS INT) AS b, bkt, CAST(count AS DOUBLE) AS n FROM graft_spsi_hist")))
+      },
+      Some(sql(psiOverHist(s"""
+        SELECT CAST(doc_id % 4 AS INT) AS b,
+               least(greatest(CAST(floor((${Pipeline7Queries.clfDuck}) / 50.0) AS INT), -4), 4) AS bkt,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY 1, 2"""))))
   )
+
+  /** Per-wave PSI vs wave 0 over a (b, bkt, n) histogram — identical
+    * text on both engines; only the histogram source differs. */
+  private def psiOverHist(histSql: String): String = s"""
+    WITH hist AS ($histSql),
+         t AS (SELECT b, sum(n) AS tot FROM hist GROUP BY b),
+         bkts AS (SELECT DISTINCT bkt FROM hist),
+         wv AS (SELECT DISTINCT b FROM hist WHERE b > 0),
+         grid AS (SELECT wv.b, bkts.bkt FROM wv CROSS JOIN bkts),
+         j AS (SELECT g.b, g.bkt,
+                 coalesce(hn.n, 0) AS nn, coalesce(hr.n, 0) AS nr,
+                 tn.tot AS tn, tr.tot AS tr
+               FROM grid g
+               LEFT JOIN hist hn ON hn.b = g.b AND hn.bkt = g.bkt
+               LEFT JOIN hist hr ON hr.b = 0 AND hr.bkt = g.bkt
+               JOIN t tn ON tn.b = g.b
+               JOIN t tr ON tr.b = 0)
+    SELECT CAST(b AS BIGINT) AS b,
+           sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+                * ln(((nn + 1.0) / (tn + 9.0))
+                     / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+    FROM j GROUP BY b"""
 }

@@ -572,6 +572,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name degraded to a nested-loop shape:\n" + p)
     }
+    // auto_join_nulls/auto_join_filters contract: the hinted grid runs
+    // the BROADCAST join path for all three shapes.
+    val bc = plan("jn_auto_broadcast")
+    val nBhj = "BroadcastHashJoin".r.findAllIn(bc).length
+    assert(nBhj >= 3 && !bc.contains("SortMergeJoin"),
+      s"jn_auto_broadcast: expected 3 BroadcastHashJoin / no SMJ, got $nBhj:\n" + bc)
   }
 
   test("join filters propagate to the other side's scan (ppd_join_filter)") {
