@@ -44,9 +44,9 @@ object Pipeline7Queries {
     * single definition the streaming curation census
     * (stream_curation_census) shares with the batch rows above, so the
     * incremental and batch quality gates can never drift. */
-  private[queries] def clfSpark: String =
+  private[graft] def clfSpark: String =
     s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + element_at($wSpark, $idxSpark))"
-  private[queries] def clfDuck: String =
+  private[graft] def clfDuck: String =
     s"CAST(list_sum(list_transform(string_split(text, ' '), t -> ($wDuck)[$idxDuck])) AS BIGINT)"
 
   val all: Seq[Q] = Seq(

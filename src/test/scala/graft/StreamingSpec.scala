@@ -67,6 +67,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("spec_curation_waves").count() === StreamRunner.Batches)
   }
 
+  test("quality-PSI histogram stream processes >= 4 waves with bounded state") {
+    // stream_quality_psi's streaming-ness + state bound: the (wave,
+    // bucket) histogram accumulates across >= 4 genuine micro-batches
+    // and never exceeds the 4×9 bucket-domain cardinality.
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamRunner.documentsStream(spark, TestSpark.Sf)
+      .select(col("b"), expr(
+        s"least(greatest(CAST(floor((${graft.queries.Pipeline7Queries.clfSpark}) / 50.0) AS INT), -4), 4)")
+        .as("bkt"))
+      .groupBy(col("b"), col("bkt")).count()
+      .writeStream.format("memory").queryName("spec_psi_waves")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-psi-${System.nanoTime()}")
+      .start()
+    assert(q.awaitTermination(300000))
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= StreamRunner.Batches,
+      s"expected >= ${StreamRunner.Batches} waves, saw $dataBatches")
+    val hist = spark.table("spec_psi_waves").count()
+    assert(hist <= 4L * 9L, s"histogram state exceeded the bucket domain: $hist rows")
+    assert(hist >= 4L, s"expected at least one bucket per wave, got $hist")
+  }
+
   test("rate source drives a non-file streaming input end-to-end") {
     // the non-file input path (reference external/ receivers analog):
     // the generator source feeds a windowless aggregate into a memory
