@@ -38,7 +38,9 @@ object OracleLint {
       ("as\\s+bigint\\s*\\)\\s+(as\\s+)?" + java.util.regex.Pattern.quote(col) +
         "(?![a-z0-9_])").r.findFirstIn(o).isDefined
 
-    val sumRe = "(?<![a-z0-9_])sum\\s*\\(".r
+    // every DuckDB aggregate that silently widens integers to HUGEINT:
+    // sum (the class that bit twice), product, and list_sum
+    val sumRe = "(?<![a-z0-9_])(sum|product|list_sum)\\s*\\(".r
     sumRe.findAllMatchIn(o).toSeq.flatMap { m =>
       val open = o.indexOf('(', m.start)
       closeOf(o, open) match {
