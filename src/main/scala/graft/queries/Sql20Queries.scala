@@ -389,6 +389,38 @@ object Sql20Queries {
         JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders
               GROUP BY o_custkey) b
           ON a.k = b.k AND a.c = b.c
-        GROUP BY a.k % 10""")))
+        GROUP BY a.k % 10"""))),
+
+    // correlationoptimizer2/3 class (~100 golden files): a whole PIPELINE
+    // sharing one key — join on custkey, aggregate by custkey, join BACK
+    // to the same dimension on custkey, final rollup. The plan contract
+    // (PlanSpec): EXACTLY 4 exchanges — 3 scan-side + the rollup — i.e.
+    // the join → agg → join chain itself adds NONE, every stage riding
+    // the shared custkey partitioning. (Exchange REUSE between the two
+    // customer scans is unavailable by design: column pruning gives them
+    // different ReadSchemas — the count pin is the honest contract.)
+    Q("sql_shared_key_pipeline",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_skp_o")
+        table(s, d, "customer").createOrReplaceTempView("graft_skp_c")
+        s.sql(sql("""
+          WITH per_key AS (
+            SELECT /*+ MERGE(c) */ o.o_custkey AS k, count(*) AS n
+            FROM graft_skp_o o JOIN graft_skp_c c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey)
+          SELECT /*+ MERGE(c2) */ c2.c_mktsegment AS seg,
+                 count(*) AS n_cust, CAST(sum(p.n) AS BIGINT) AS n_orders
+          FROM per_key p JOIN graft_skp_c c2 ON p.k = c2.c_custkey
+          GROUP BY c2.c_mktsegment"""))
+      },
+      Some(sql("""
+        WITH per_key AS (
+          SELECT o.o_custkey AS k, count(*) AS n
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey)
+        SELECT c2.c_mktsegment AS seg,
+               count(*) AS n_cust, CAST(sum(p.n) AS BIGINT) AS n_orders
+        FROM per_key p JOIN customer c2 ON p.k = c2.c_custkey
+        GROUP BY c2.c_mktsegment""")))
   )
 }

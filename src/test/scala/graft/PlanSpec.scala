@@ -557,6 +557,18 @@ class PlanSpec extends AnyFunSuite {
     val rp = reuse.queryExecution.executedPlan.toString
     assert(rp.contains("ReusedExchange") || rp.contains("ReusedQueryStage"),
       "identical agg branches did not reuse the exchange:\n" + rp)
+    // correlationoptimizer2/3 class: the shared-key PIPELINE (join → agg
+    // → join back → rollup). The two customer scans prune to DIFFERENT
+    // columns (only the second needs c_mktsegment), so exchange REUSE is
+    // not available — the contract that does hold is the exchange
+    // COUNT: 3 scan-side exchanges + the final rollup and NOTHING
+    // between the first join, the key-adjacent agg, and the second join
+    // (all share the custkey partitioning).
+    val (exSkp, smjSkp, _) = shape("sql_shared_key_pipeline")
+    assert(smjSkp >= 2,
+      s"forced merge joins missing from the shared-key pipeline ($smjSkp)")
+    assert(exSkp == 4, s"sql_shared_key_pipeline: expected 4 exchanges (3 scan-side " +
+      s"+ rollup; the whole key-sharing pipeline adds none), got $exSkp")
   }
 
   test("semijoin grid rows plan as equi semi/anti joins, never nested-loop") {
