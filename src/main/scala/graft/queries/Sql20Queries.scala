@@ -421,6 +421,65 @@ object Sql20Queries {
         SELECT c2.c_mktsegment AS seg,
                count(*) AS n_cust, CAST(sum(p.n) AS BIGINT) AS n_orders
         FROM per_key p JOIN customer c2 ON p.k = c2.c_custkey
-        GROUP BY c2.c_mktsegment""")))
+        GROUP BY c2.c_mktsegment"""))),
+
+    // join_reorder 1-4 golden families (~40 files): Hive reordered
+    // multi-way joins by STREAMTABLE hints and size; the Spark-native
+    // restatement is COST-BASED join reorder — with table + column
+    // stats ANALYZEd, `spark.sql.cbo.joinReorder` rewrites the
+    // syntactically fact-first join (orders ⋈ customer) ⋈ nation into
+    // dims-first (customer ⋈ nation) ⋈ orders. PlanSpec pins the leaf
+    // order flip; the answer is order-independent and oracled. At
+    // 100 TB this is the optimizer feature that keeps a mis-written
+    // 5-way join from shuffling the fact table twice.
+    Q("sql_cbo_join_reorder",
+      (s, d) => {
+        cboTables(s, d)
+        val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+        val savedRe = s.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          // eager: the plan must be optimized (and executed) UNDER the
+          // CBO confs, not at the caller's later materialization time
+          val sq = s; import sq.implicits._
+          s.sql(sql("""
+            SELECT n.n_name, count(*) AS cnt
+            FROM graft_cbo_o o
+            JOIN graft_cbo_c c ON o.o_custkey = c.c_custkey
+            JOIN graft_cbo_n n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""")).collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1))).toDF("n_name", "cnt")
+        } finally {
+          savedCbo.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+            s.conf.set("spark.sql.cbo.enabled", _))
+          savedRe.fold(s.conf.unset("spark.sql.cbo.joinReorder.enabled"))(
+            s.conf.set("spark.sql.cbo.joinReorder.enabled", _))
+        }
+      },
+      Some(sql("""
+        SELECT n.n_name, count(*) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")))
   )
+
+  /** Stage + ANALYZE the three CBO tables once per fixture fingerprint
+    * per JVM (stats live in the catalog; same guard as [[smbTables]]). */
+  @volatile private var cboStaged: String = ""
+  private[graft] def cboTables(s: SparkSession, d: String): Unit = this.synchronized {
+    val fp = d + "|" + graft.Staging.fingerprint(s"$d/orders.parquet")
+    val names = Map("graft_cbo_o" -> "orders", "graft_cbo_c" -> "customer",
+      "graft_cbo_n" -> "nation")
+    if (cboStaged != fp || !names.keys.forall(s.catalog.tableExists)) {
+      names.foreach { case (t, src) =>
+        dropManaged(s, t)
+        table(s, d, src).write.saveAsTable(t)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      cboStaged = fp
+    }
+  }
 }

@@ -592,6 +592,41 @@ class PlanSpec extends AnyFunSuite {
       s"jn_auto_broadcast: expected 3 BroadcastHashJoin / no SMJ, got $nBhj:\n" + bc)
   }
 
+  test("CBO join reorder puts the dims first (join_reorder goldens)") {
+    // with stats in the catalog, the syntactically fact-first
+    // (orders ⋈ customer) ⋈ nation must optimize to dims-first — the
+    // fact table's leaf moves from FIRST to LAST in the optimized plan.
+    graft.queries.Sql20Queries.cboTables(spark, TestSpark.Sf)
+    def leaves(reorder: Boolean): Seq[String] = {
+      val c = spark.conf
+      val saved = (c.getOption("spark.sql.cbo.enabled"),
+        c.getOption("spark.sql.cbo.joinReorder.enabled"))
+      try {
+        c.set("spark.sql.cbo.enabled", "true")
+        c.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        spark.sql("""
+          SELECT n.n_name, count(*) AS cnt
+          FROM graft_cbo_o o
+          JOIN graft_cbo_c c ON o.o_custkey = c.c_custkey
+          JOIN graft_cbo_n n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name""")
+          .queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString.split("\n").head)
+      } finally {
+        saved._1.fold(c.unset("spark.sql.cbo.enabled"))(
+          c.set("spark.sql.cbo.enabled", _))
+        saved._2.fold(c.unset("spark.sql.cbo.joinReorder.enabled"))(
+          c.set("spark.sql.cbo.joinReorder.enabled", _))
+      }
+    }
+    val off = leaves(reorder = false)
+    val on = leaves(reorder = true)
+    assert(off.head.contains("graft_cbo_o"),
+      s"syntactic order should lead with the fact table: $off")
+    assert(!on.head.contains("graft_cbo_o") && on.last.contains("graft_cbo_o"),
+      s"CBO did not reorder the fact table last: $on")
+  }
+
   test("join filters propagate to the other side's scan (ppd_join_filter)") {
     // constraint inference: `c.c_custkey < 100` with `o_custkey =
     // c_custkey` must reach the ORDERS scan as PushedFilters — at 100 TB
