@@ -79,7 +79,9 @@ object SparkEntry {
       Ml4Queries.all ++
       Ml5Queries.all ++
       Ml6Queries.all ++
-      Ml7Queries.all
+      Ml7Queries.all ++
+      Sql22Queries.all ++
+      Sql23Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1213,4 +1213,71 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"df join is not a shuffle join:\n$p")
   }
+
+  test("union-shared-key agg shuffles once on the key and broadcasts the dim") {
+    // correlationoptimizer4 contract: UNION ALL branches flow into ONE
+    // custkey shuffle for the agg; the customer dim joins broadcast; the
+    // only other exchange is the final segment re-aggregation's.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    val df = SparkEntry.queries("sql_union_shared_key_agg")(spark, TestSpark.Sf)
+    df.collect()
+    val ns = nodes(df.queryExecution.executedPlan)
+    val ex = ns.count(_.isInstanceOf[ShuffleExchangeLike])
+    val bhj = ns.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val shuffled = ns.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec])
+    assert(bhj == 1 && shuffled == 0,
+      s"customer dim must broadcast (got bhj=$bhj shuffled=$shuffled):\n" +
+        df.queryExecution.executedPlan)
+    assert(ex == 2, s"expected 2 exchanges (custkey agg + segment agg), got $ex:\n" +
+      df.queryExecution.executedPlan)
+  }
+
+  test("broadcast joins preserve partitioning: agg → BHJ → agg costs one shuffle") {
+    // correlationoptimizer7/8 contract (sql_bhj_partitioning_chain): the
+    // custkey agg's hash partitioning survives the broadcast join, and
+    // the (k, seg) re-agg rides it because k ⊆ {k, seg} — at 100 TB the
+    // whole chain shuffles the fact side exactly once. Also
+    // mapjoin_distinct: DISTINCT over a BHJ = the dedup's exchange only.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    def shape(name: String): (Int, Int, Int) = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val ns = nodes(df.queryExecution.executedPlan)
+      (ns.count(_.isInstanceOf[ShuffleExchangeLike]),
+        ns.count(_.isInstanceOf[BroadcastHashJoinExec]),
+        ns.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+          n.isInstanceOf[ShuffledHashJoinExec]))
+    }
+    val (exCh, bhjCh, shCh) = shape("sql_bhj_partitioning_chain")
+    assert(bhjCh == 1 && shCh == 0,
+      s"dim must broadcast: bhj=$bhjCh shuffled=$shCh")
+    assert(exCh == 1, s"agg → BHJ → agg must cost exactly 1 exchange " +
+      s"(the custkey agg's; the re-agg rides it), got $exCh")
+    val (exMd, bhjMd, shMd) = shape("sql_mapjoin_distinct")
+    assert(bhjMd == 1 && shMd == 0,
+      s"mapjoin_distinct: dim must broadcast: bhj=$bhjMd shuffled=$shMd")
+    assert(exMd == 1,
+      s"mapjoin_distinct: only the DISTINCT may exchange, got $exMd")
+  }
 }
