@@ -246,6 +246,54 @@ object Source4Queries {
         SELECT CASE c_custkey % 2 WHEN 0 THEN '1' ELSE '11' END AS pa,
                count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ksum
         FROM customer WHERE c_custkey % 3 = 1
-        GROUP BY 1""")))
+        GROUP BY 1"""))),
+
+    // combine2/merge golden class, Spark-first: FileSourceScan BIN-PACKS
+    // small files — 64 tiny parquet files must NOT become 64 tasks (the
+    // 100 TB small-file death spiral: a billion 1 MB files ≠ a billion
+    // tasks). Under the DEFAULTS they DO become 64 tasks: openCostInBytes
+    // (4 MB) pads every file past the split size, and minPartitionNum
+    // (= parallelism) shrinks maxSplitBytes to bytes/cores — both knobs
+    // exist for big scans and invert on tiny ones. The row performs the
+    // real-world tuning (openCost → 0, minPartitionNum → 1 for this
+    // read, saved/restored) and pins the INVARIANT n_partitions ≤
+    // files/4 rather than a brittle constant.
+    Q("src_small_files_combine",
+      (s, d) => {
+        val fp = graft.Staging.fingerprint(s"$d/customer.parquet")
+        val path = graft.Staging.once(
+          java.nio.file.Paths.get(tmp(d, s"smallfiles_$fp"))) { t =>
+          table(s, d, "customer").repartition(64)
+            .write.mode(SaveMode.Overwrite).parquet(t.toString)
+        }
+        val savedCost = s.conf.getOption("spark.sql.files.openCostInBytes")
+        val savedMin = s.conf.getOption("spark.sql.files.minPartitionNum")
+        val (nParts, nFiles, census) =
+          try {
+            s.conf.set("spark.sql.files.openCostInBytes", "0")
+            s.conf.set("spark.sql.files.minPartitionNum", "1")
+            val df = s.read.parquet(path.toString)
+            (df.rdd.getNumPartitions,
+              new java.io.File(path.toString).listFiles()
+                .count(f => f.getName.endsWith(".parquet")),
+              df.agg(count(lit(1)).as("n"),
+                expr("CAST(sum(c_custkey) AS BIGINT)").as("ksum")).collect()(0))
+          } finally {
+            def restore(k: String, v: Option[String]): Unit = v match {
+              case Some(x) => s.conf.set(k, x)
+              case None => s.conf.unset(k)
+            }
+            restore("spark.sql.files.openCostInBytes", savedCost)
+            restore("spark.sql.files.minPartitionNum", savedMin)
+          }
+        val sq = s; import sq.implicits._
+        Seq((census.getLong(0), census.getLong(1), nFiles >= 32,
+          nParts <= nFiles / 4))
+          .toDF("n", "ksum", "many_files", "combined")
+      },
+      Some(sql("""
+        SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ksum,
+               true AS many_files, true AS combined
+        FROM customer""")))
   )
 }

@@ -84,6 +84,34 @@ object MemTableStore {
           tables.put(name, (schema.add(field), rows.map(_ :+ null))): Unit
       }
     }
+
+  /** Rename one column in place — data untouched, field order kept (the
+    * v2 RENAME COLUMN contract the rename_column goldens exercise). */
+  def renameColumn(name: String, from: String, to: String): Unit =
+    tables.synchronized {
+      tables.get(name).foreach { case (schema, rows) =>
+        require(schema.fieldNames.contains(from), s"no column '$from' in '$name'")
+        require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+        val ns = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        tables.put(name, (ns, rows)): Unit
+      }
+    }
+
+  /** Table rename: data and schema move atomically to the new name. */
+  def renameTable(from: String, to: String): Unit =
+    tables.synchronized {
+      require(!tables.contains(to), s"mem table '$to' already exists")
+      tables.remove(from).foreach(v => tables.put(to, v): Unit)
+    }
+
+  /** Metadata-only CREATE (the SQL `CREATE TABLE cat.t (…)` path —
+    * distinct from the format-API write path, which creates on write). */
+  def create(name: String, schema: StructType): Unit =
+    tables.synchronized {
+      require(!tables.contains(name), s"mem table '$name' already exists")
+      tables.put(name, (schema, Vector.empty)): Unit
+    }
 }
 
 /** Driver-side evaluator for the connector Predicates a DELETE WHERE
@@ -169,24 +197,35 @@ class MemCatalog extends TableCatalog {
     new MemTable(n, MemTableStore.schemaOf(n))
   }
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "mem tables are created by the format-API write path")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // SQL CREATE TABLE path; partition transforms stay loudly
+    // unsupported (mem tables are a single unpartitioned buffer)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "mem tables do not support partition transforms")
+    MemTableStore.create(ident.name(), schema)
+    new MemTable(ident.name(), schema)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    // AddColumn is the one change schema evolution needs; everything
-    // else stays loudly unsupported
+    // the schema-evolution changes the goldens exercise (AddColumn for
+    // MERGE WITH SCHEMA EVOLUTION, RenameColumn for the rename_column
+    // family); everything else stays loudly unsupported
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         MemTableStore.addColumn(ident.name(),
           StructField(add.fieldNames().head, add.dataType(), nullable = true))
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        MemTableStore.renameColumn(ident.name(), ren.fieldNames().head, ren.newName())
       case other => throw new UnsupportedOperationException(
         s"ALTER change not supported: $other")
     }
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean = MemTableStore.drop(ident.name())
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!MemTableStore.names.contains(oldIdent.name()))
+      throw new NoSuchTableException(oldIdent)
+    MemTableStore.renameTable(oldIdent.name(), newIdent.name())
+  }
   override def tableExists(ident: Identifier): Boolean =
     MemTableStore.names.contains(ident.name())
 }
