@@ -81,7 +81,8 @@ object SparkEntry {
       Ml6Queries.all ++
       Ml7Queries.all ++
       Sql22Queries.all ++
-      Sql23Queries.all
+      Sql23Queries.all ++
+      Sql24Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
