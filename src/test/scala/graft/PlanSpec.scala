@@ -584,6 +584,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name degraded to a nested-loop shape:\n" + p)
     }
+    // join_filters contract (jn_on_vs_where): every ON-vs-WHERE variant
+    // — including both FULL joins, whose extra ON predicates must ride
+    // the equi-join rather than degrade it — stays a hash-partitioned
+    // equi-join. Output is 6 aggregate rows; input volume is linear in
+    // the SF (equi-join on custkey, per-key multiplicity bounded by the
+    // generator's orders-per-customer).
+    val ovw = plan("jn_on_vs_where")
+    assert(!ovw.contains("CartesianProduct") &&
+      !ovw.contains("BroadcastNestedLoopJoin"),
+      s"jn_on_vs_where degraded to a nested-loop shape:\n" + ovw)
     // auto_join_nulls/auto_join_filters contract: the hinted grid runs
     // the BROADCAST join path for all three shapes.
     val bc = plan("jn_auto_broadcast")
