@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import Registry.{dropManaged, sql}
 
 /** Round-13 golden wave 7 — the largest still-uncrossed HiveCompatibility
-  * families after wave 6:
+  * families after wave 6 (reference HiveCompatibilitySuite.scala:246
+  * whiteList; golden files under sql/hive/src/test/resources/golden/):
   *
   *   - `join_filters` (123 golden files, the single biggest family): the
   *     ON-vs-WHERE predicate-placement grid for outer joins. A predicate

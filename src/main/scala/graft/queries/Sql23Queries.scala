@@ -4,7 +4,10 @@ import graft.Engine.table
 import org.apache.spark.sql.functions._
 import Registry.{arrStr, dropManaged, sql}
 
-/** Round-13 golden wave 8 — mid-tail HiveCompatibility families:
+/** Round-13 golden wave 8 — mid-tail HiveCompatibility families
+  * (reference sql/hive/src/test/scala/org/apache/spark/sql/hive/
+  * execution/HiveCompatibilitySuite.scala:246 whiteList; golden files
+  * under sql/hive/src/test/resources/golden/):
   *
   *   - `correlationoptimizer7`/`8` (~35 files): a map-join (broadcast)
   *     must not break the streamed side's partitioning — an aggregation

@@ -4,7 +4,9 @@ import graft.Engine.table
 import org.apache.spark.sql.functions._
 import Registry.{dropManaged, sql}
 
-/** Round-13 golden wave 9 — remaining mid-tail families:
+/** Round-13 golden wave 9 — remaining mid-tail families (reference
+  * HiveCompatibilitySuite.scala:246 whiteList; golden files under
+  * sql/hive/src/test/resources/golden/):
   *
   *   - `union_remove_1..25` (~150 files in aggregate): Hive's
   *     UnionRemove optimization writes union branches straight into the
