@@ -82,7 +82,8 @@ object SparkEntry {
       Ml7Queries.all ++
       Sql22Queries.all ++
       Sql23Queries.all ++
-      Sql24Queries.all
+      Sql24Queries.all ++
+      Sql25Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

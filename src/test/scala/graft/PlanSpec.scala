@@ -1290,4 +1290,47 @@ class PlanSpec extends AnyFunSuite {
     assert(exMd == 1,
       s"mapjoin_distinct: only the DISTINCT may exchange, got $exMd")
   }
+
+  test("DISTRIBUTE BY k then GROUP BY k costs one exchange (RS-dedup)") {
+    // reduce_deduplicate_extended contract (sql_rs_dedup_chain's first
+    // branch): Hive collapses a reduce-sink followed by a compatible
+    // reduce-sink; Spark's EnsureRequirements reuses the child's
+    // hashpartitioning(k) for ClusteredDistribution(k) — the aggregation
+    // adds NO second shuffle. At 100 TB a pre-partitioned pipeline stage
+    // feeds its aggregation for free.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    graft.Engine.table(spark, TestSpark.Sf, "customer")
+      .createOrReplaceTempView("graft_rsd_fence")
+    val df = spark.sql(
+      """SELECT c_nationkey, CAST(sum(c_custkey) AS BIGINT) AS sk
+        |FROM (SELECT c_custkey, c_nationkey FROM graft_rsd_fence
+        |      DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_custkey)
+        |GROUP BY c_nationkey""".stripMargin)
+    df.collect()
+    val ex = nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(ex == 1, s"GROUP BY must ride the DISTRIBUTE BY partitioning " +
+      s"(expected 1 exchange, got $ex):\n" + df.queryExecution.executedPlan)
+    // correlationoptimizer14 contract (sql_rs_dedup_join): two subqueries
+    // DISTRIBUTE BY the join key, joined on it, re-aggregated on it —
+    // the join AND the agg reuse the two repartitions (2 exchanges
+    // total). NOTE the key must be distributed by its post-projection
+    // ALIAS: distributing by the pre-alias column loses the partitioning
+    // when the projection drops it, costing a third shuffle.
+    val dj = SparkEntry.queries("sql_rs_dedup_join")(spark, TestSpark.Sf)
+    dj.collect()
+    val exJ = nodes(dj.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exJ == 2, s"join + agg must ride the two DISTRIBUTE BYs " +
+      s"(expected 2 exchanges, got $exJ):\n" + dj.queryExecution.executedPlan)
+  }
 }
