@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine.table
-import Registry.sql
+import Registry.{dropManaged, sql}
 
 /** Round-13 golden wave 11 — the last untouched scalar families
   * (reference HiveCompatibilitySuite.scala:246 whiteList):
@@ -12,6 +12,10 @@ import Registry.sql
   *     to static methods of whitelisted-classpath classes.
   *   - `udf_acos`/`udf_asin`/`udf_atan`/`udf_degrees` (~16): the inverse
   *     trig grid (forward trig + radians long crossed in Geo/Expr rows).
+  *   - `mapreduce1..8` (mapreduce1.q): Hive's MAP ... USING / REDUCE ...
+  *     USING keyword spellings of ScriptTransformation, composed with
+  *     FROM-first INSERT and DISTRIBUTE BY/SORT BY, string outputs
+  *     implicitly cast on insert into a typed table.
   */
 object Sql26Queries {
 
@@ -59,6 +63,48 @@ object Sql26Queries {
                CAST(floor(1e6 * atan(r_regionkey / 10.0)) AS BIGINT) AS atan_v,
                CAST(floor(1e6 * atan2(CAST(r_regionkey AS DOUBLE), 3.0)) AS BIGINT) AS atan2_v,
                CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0))) AS BIGINT) AS deg_v
-        FROM region""")))
+        FROM region"""))),
+
+    // ── mapreduce1: MAP/REDUCE keyword ScriptTransformation ───────────
+    // The Hive-dialect spellings of SELECT TRANSFORM (mapreduce1.q's
+    // FROM-first INSERT + MAP ... USING 'cat' + DISTRIBUTE BY/SORT BY;
+    // a REDUCE leg besides). The MAP clause declares TYPED output
+    // columns (the script emits strings; ScriptTransformation casts to
+    // the declared types — Spark's ANSI store-assignment would reject
+    // Hive's untyped-string implicit insert cast), so the round-trip
+    // proves the serde + cast chain, not just the pipe.
+    Q("sql_map_reduce_syntax",
+      (s, d) => {
+        table(s, d, "nation").createOrReplaceTempView("graft_mr_src")
+        dropManaged(s, "graft_mr")
+        s.sql(sql("""CREATE TABLE graft_mr
+                     (tkey BIGINT, ten BIGINT, one BIGINT, tvalue STRING)
+                     USING parquet"""))
+        s.sql(sql("""
+          FROM graft_mr_src
+          INSERT OVERWRITE TABLE graft_mr
+          MAP n_nationkey, CAST(n_nationkey / 10 AS INT),
+              CAST(n_nationkey % 10 AS INT), n_name
+          USING 'cat' AS (tkey BIGINT, ten BIGINT, one BIGINT, tvalue STRING)
+          DISTRIBUTE BY tvalue, tkey
+          SORT BY ten, one"""))
+        s.sql(sql("""
+          SELECT 'map_insert' AS tag, count(*) AS n,
+                 CAST(sum(tkey * 131 + ten * 17 + one) AS BIGINT) AS chk
+          FROM graft_mr
+          UNION ALL
+          SELECT 'reduce', count(*), CAST(sum(CAST(k AS BIGINT)) AS BIGINT)
+          FROM (REDUCE n_nationkey, n_name USING 'cat' AS (k STRING, v STRING)
+                FROM graft_mr_src)"""))
+      },
+      Some(sql("""
+        SELECT 'map_insert' AS tag, count(*) AS n,
+               CAST(sum(n_nationkey * 131
+                        + CAST(floor(n_nationkey / 10.0) AS BIGINT) * 17
+                        + n_nationkey % 10) AS BIGINT) AS chk
+        FROM nation
+        UNION ALL
+        SELECT 'reduce', count(*), CAST(sum(n_nationkey) AS BIGINT)
+        FROM nation""")))
   )
 }
