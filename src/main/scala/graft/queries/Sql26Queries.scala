@@ -65,6 +65,30 @@ object Sql26Queries {
                CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0))) AS BIGINT) AS deg_v
         FROM region"""))),
 
+    // ── udf_log/udf_log2/udf_nvl: the last whiteList scalar tail ──────
+    // log(base, x) and log2 close the log family (ln/log10 long
+    // crossed); nvl/nvl2 are the Hive null-default spellings on top of
+    // the already-crossed coalesce/ifnull grid.
+    Q("expr_log_nvl_grid",
+      (s, d) => {
+        table(s, d, "region").createOrReplaceTempView("graft_ln_r")
+        s.sql(sql("""
+          SELECT r_regionkey AS k,
+                 CAST(floor(1e6 * log(3.0, r_regionkey + 2.0)) AS BIGINT) AS logb_v,
+                 CAST(floor(1e6 * log2(r_regionkey + 2.0)) AS BIGINT) AS log2_v,
+                 nvl(nullif(r_regionkey, 2), -1) AS nvl_v,
+                 nvl2(nullif(r_regionkey, 2), 'present', 'was_null') AS nvl2_v
+          FROM graft_ln_r"""))
+      },
+      Some(sql("""
+        SELECT r_regionkey AS k,
+               CAST(floor(1e6 * log(r_regionkey + 2.0) / log(3.0)) AS BIGINT) AS logb_v,
+               CAST(floor(1e6 * log2(r_regionkey + 2.0)) AS BIGINT) AS log2_v,
+               coalesce(nullif(r_regionkey, 2), -1) AS nvl_v,
+               CASE WHEN nullif(r_regionkey, 2) IS NOT NULL
+                    THEN 'present' ELSE 'was_null' END AS nvl2_v
+        FROM region"""))),
+
     // ── mapreduce1: MAP/REDUCE keyword ScriptTransformation ───────────
     // The Hive-dialect spellings of SELECT TRANSFORM (mapreduce1.q's
     // FROM-first INSERT + MAP ... USING 'cat' + DISTRIBUTE BY/SORT BY;
