@@ -1333,4 +1333,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exJ == 2, s"join + agg must ride the two DISTRIBUTE BYs " +
       s"(expected 2 exchanges, got $exJ):\n" + dj.queryExecution.executedPlan)
   }
+
+  test("ppd grid: generator pushdown, OR pushdown, rand stays above the scan") {
+    // lateral_view_ppd / push_or / ppd_random contracts (sql_ppd_grid).
+    graft.Engine.table(spark, TestSpark.Sf, "supplier")
+      .createOrReplaceTempView("graft_ppdf_s")
+    graft.Engine.table(spark, TestSpark.Sf, "part")
+      .createOrReplaceTempView("graft_ppdf_p")
+    // parent-column predicate pushes BELOW the LATERAL VIEW generator
+    val lv = spark.sql(
+      """SELECT s_suppkey, w FROM graft_ppdf_s
+        |LATERAL VIEW explode(split(s_name, ' ')) t AS w
+        |WHERE s_suppkey <= 50 AND w <> ''""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(lv.contains("PushedFilters: [IsNotNull(s_suppkey), LessThanOrEqual(s_suppkey,50)"),
+      "parent predicate must push below Generate into the scan:\n" + lv)
+    // OR-of-key predicates push to the scan
+    val or = spark.sql(
+      "SELECT count(*) FROM graft_ppdf_p WHERE p_size = 5 OR p_size = 10")
+      .queryExecution.executedPlan.toString
+    assert(or.contains("Or(EqualTo(p_size,5),EqualTo(p_size,10))") ||
+      or.contains("In(p_size, [5,10])"),
+      "OR predicate must reach PushedFilters:\n" + or)
+    // a nondeterministic predicate must NOT push — re-evaluating rand at
+    // the scan would re-draw per row; the deterministic conjunct still does
+    val rnd = spark.sql(
+      "SELECT count(*) FROM graft_ppdf_p WHERE rand(7) < CAST(p_size AS DOUBLE) + 2.0 AND p_size > 10")
+      .queryExecution.executedPlan.toString
+    assert(rnd.contains("GreaterThan(p_size,10)"),
+      "deterministic conjunct must still push:\n" + rnd)
+    assert(!rnd.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,10), rand"),
+      "rand must never appear in PushedFilters:\n" + rnd)
+    assert(rnd.contains("Filter") && rnd.contains("rand("),
+      "the rand predicate must survive as a post-scan Filter:\n" + rnd)
+  }
 }
