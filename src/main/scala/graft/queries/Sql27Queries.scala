@@ -13,14 +13,17 @@ import Registry.{dropManaged, sql}
   *     NONDETERMINISTIC predicate (rand) must NOT push — evaluating it
   *     at the scan would re-draw per pushed row and change results.
   *     Plan side PlanSpec-fenced; this row pins the answers (the rand
-  *     predicate is `rand(seed) < 2.0`, always true, so the result is
-  *     deterministic while the plan still must keep it above the scan;
-  *     the bound is data-dependent — rand < p_size + 2 — because Spark 4
-  *     constant-folds statically-decidable rand comparisons).
+  *     predicate is `rand(seed) < p_size + 2`, always true since
+  *     p_size ≥ 1, so the result is deterministic while the plan still
+  *     must keep it above the scan; the bound is data-dependent because
+  *     Spark 4 constant-folds statically-decidable rand comparisons).
   *   - `default_partition_name` / `dynamic_partition_skip_default`:
   *     NULL dynamic-partition values land in the
   *     `__HIVE_DEFAULT_PARTITION__` directory and read back as NULL
   *     (prunable with IS NULL / IS NOT NULL).
+  *   - `join_array` / `decimal_join` / `nullgroup4_multi_distinct`:
+  *     ARRAY columns through FULL OUTER joins, decimal-arithmetic join
+  *     keys (HIVE-5292), multi-DISTINCT aggregates over empty input.
   *   - `show_functions` / `show_tblproperties` /
   *     `desc_non_existent_tbl`: catalog introspection — SHOW FUNCTIONS
   *     LIKE, DESCRIBE FUNCTION, SHOW TBLPROPERTIES, and the error class
@@ -97,6 +100,68 @@ object Sql27Queries {
           (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
         UNION ALL SELECT 'not_null_rows',
           (SELECT count(*) FROM customer WHERE c_custkey % 7 <> 0)"""))),
+
+    // ── join_array / decimal_join / nullgroup4_multi_distinct ─────────
+    // Three one-file stragglers in one grid: an ARRAY column rides a
+    // FULL OUTER join (NULL-extended to a NULL list, never an empty
+    // one); a join keyed on DECIMAL ARITHMETIC (a.k = b.k + 10,
+    // HIVE-5292's class — precision-promoted equality; both sides
+    // pre-DISTINCTed to the bounded size domain — the raw self-join is
+    // a quadratic many-to-many on a 50-value key, the jn_nullsafe
+    // scale-killer class); and multiple
+    // count(DISTINCT) over EMPTY input (global agg yields the one
+    // all-zeros row).
+    Q("jn_misc_grid",
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("graft_jm_c")
+        table(s, d, "supplier").createOrReplaceTempView("graft_jm_s")
+        table(s, d, "part").createOrReplaceTempView("graft_jm_p")
+        table(s, d, "orders").createOrReplaceTempView("graft_jm_o")
+        s.sql(sql("""
+          SELECT 'array_fo' AS tag, count(*) AS n,
+                 CAST(sum(CASE WHEN blist IS NULL THEN -1
+                               ELSE size(blist) END) AS BIGINT) AS chk
+          FROM (SELECT c_custkey AS a FROM graft_jm_c WHERE c_custkey <= 15) x
+          FULL OUTER JOIN
+               (SELECT s_suppkey AS a, split(s_name, ' ') AS blist
+                FROM graft_jm_s WHERE s_suppkey BETWEEN 10 AND 25) y
+          ON x.a = y.a
+          UNION ALL
+          SELECT 'decimal_arith_key', count(*),
+                 CAST(sum(CAST(ka AS BIGINT)) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(p_size AS DECIMAL(6,2)) AS ka
+                FROM graft_jm_p) a
+          JOIN (SELECT DISTINCT CAST(p_size AS DECIMAL(6,2)) AS kb
+                FROM graft_jm_p) b
+          ON a.ka = b.kb + 10
+          UNION ALL
+          SELECT 'multi_distinct_empty', count(*),
+                 CAST(sum(c1 * 100 + c2 * 10 + c3) AS BIGINT)
+          FROM (SELECT count(1) AS c1, count(DISTINCT o_orderstatus) AS c2,
+                       count(DISTINCT substr(o_orderpriority, 1, 1)) AS c3
+                FROM graft_jm_o WHERE o_orderkey = -1)"""))
+      },
+      Some(sql("""
+        SELECT 'array_fo' AS tag, count(*) AS n,
+               CAST(sum(CASE WHEN blist IS NULL THEN -1
+                             ELSE len(blist) END) AS BIGINT) AS chk
+        FROM (SELECT c_custkey AS a FROM customer WHERE c_custkey <= 15) x
+        FULL OUTER JOIN
+             (SELECT s_suppkey AS a, string_split(s_name, ' ') AS blist
+              FROM supplier WHERE s_suppkey BETWEEN 10 AND 25) y
+        ON x.a = y.a
+        UNION ALL
+        SELECT 'decimal_arith_key', count(*),
+               CAST(sum(CAST(ka AS BIGINT)) AS BIGINT)
+        FROM (SELECT DISTINCT CAST(p_size AS DECIMAL(6,2)) AS ka FROM part) a
+        JOIN (SELECT DISTINCT CAST(p_size AS DECIMAL(6,2)) AS kb FROM part) b
+        ON a.ka = b.kb + 10
+        UNION ALL
+        SELECT 'multi_distinct_empty', count(*),
+               CAST(sum(c1 * 100 + c2 * 10 + c3) AS BIGINT)
+        FROM (SELECT count(1) AS c1, count(DISTINCT o_orderstatus) AS c2,
+                     count(DISTINCT substr(o_orderpriority, 1, 1)) AS c3
+              FROM orders WHERE o_orderkey = -1)"""))),
 
     // ── catalog introspection tail ────────────────────────────────────
     Q("sql_show_catalog_grid",
