@@ -13,8 +13,19 @@ object BenchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val n = args.headOption.map(_.toInt).getOrElse(6)
+    val n = args.headOption.map { a =>
+      try a.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"first arg must be the trial count, got '$a' — " +
+            "usage: runMain graft.BenchProbe <trials> <query>...")
+      }
+    }.getOrElse(6)
     val names = args.drop(1).toSeq
+    val known = SparkEntry.benchQueries.map(_.name).toSet
+    val unknown = names.filterNot(known)
+    if (unknown.nonEmpty) sys.error(
+      s"unknown bench queries: ${unknown.mkString(", ")} — " +
+        s"benched names: ${known.toSeq.sorted.mkString(", ")}")
     val spark = Engine.withHive(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -21,16 +21,31 @@ object Staging {
         .mkString("|").hashCode.toLong & 0xffffffffL)
   }
 
+  /** In-JVM lock per staging destination: concurrent threads staging the
+    * SAME dest serialize (second thread reuses the first's result), but
+    * unrelated fixtures stage in parallel — one global lock would make a
+    * multi-second orders repartition block an unrelated stream-wave
+    * staging. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Run `write` into a temp dir and atomically rename it to `dest`,
     * unless `dest/_STAGED` already exists (a completed prior staging —
     * reused as-is). Returns `dest`. Races between JVMs resolve to
-    * whichever rename wins; the loser deletes its temp. */
+    * whichever rename wins; the loser deletes its temp. A `write` that
+    * throws has its temp dir deleted before the exception propagates —
+    * failed stagings must not accumulate partial parquet in /tmp. */
   def once(dest: java.nio.file.Path)(write: java.nio.file.Path => Unit): java.nio.file.Path =
-    synchronized {
+    locks.computeIfAbsent(dest.toString, _ => new Object).synchronized {
       if (!java.nio.file.Files.exists(dest.resolve("_STAGED"))) {
         val tmp =
           java.nio.file.Paths.get(s"${dest.toString}_tmp_${System.nanoTime()}")
-        write(tmp)
+        try write(tmp)
+        catch {
+          case e: Throwable =>
+            graft.queries.Registry.rmTree(tmp.toFile)
+            throw e
+        }
         java.nio.file.Files.createFile(tmp.resolve("_STAGED")): Unit
         try java.nio.file.Files.move(tmp, dest,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

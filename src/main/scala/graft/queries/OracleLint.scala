@@ -86,7 +86,8 @@ object OracleLint {
     "intersect", "limit", "offset", "fetch", "over", "filter", "and",
     "or", "not", "is", "in", "between", "like", "then", "else", "end",
     "when", "on", "join", "inner", "left", "right", "full", "cross",
-    "using", "qualify", "window", "asc", "desc", "as")
+    "using", "qualify", "window", "asc", "desc", "as",
+    "nulls", "ignore", "respect")
 
   /** The alias following position `from` — `AS <ident>` or a bare
     * non-keyword identifier (`sum(x) mon`) — skipping an optional

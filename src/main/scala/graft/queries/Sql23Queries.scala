@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Engine.table
 import org.apache.spark.sql.functions._
-import Registry.{arrStr, dropManaged, sql}
+import Registry.{dropManaged, sql}
 
 /** Round-13 golden wave 8 — mid-tail HiveCompatibility families
   * (reference sql/hive/src/test/scala/org/apache/spark/sql/hive/

@@ -103,11 +103,7 @@ object Sql24Queries {
         // the location can survive from a previous JVM whose in-memory
         // metastore is gone (the dropManaged rationale, db-shaped):
         // CREATE TABLE refuses to reuse it, so clear it first
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(loc))
+        Registry.rmTree(new java.io.File(loc))
         s.sql(sql(s"""CREATE DATABASE graft_dbp LOCATION '$loc'
                       WITH DBPROPERTIES ('team' = 'graft', 'tier' = 'gold')"""))
         s.sql("CREATE TABLE graft_dbp.t1 (k BIGINT) USING parquet")

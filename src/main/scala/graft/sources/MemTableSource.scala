@@ -5,7 +5,7 @@ import java.util
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
@@ -202,6 +202,10 @@ class MemCatalog extends TableCatalog {
     // unsupported (mem tables are a single unpartitioned buffer)
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "mem tables do not support partition transforms")
+    // TableCatalog contract: an existing target is the typed catalog
+    // error (TABLE_OR_VIEW_ALREADY_EXISTS), not a bare require failure
+    if (MemTableStore.names.contains(ident.name()))
+      throw new TableAlreadyExistsException(ident)
     MemTableStore.create(ident.name(), schema)
     new MemTable(ident.name(), schema)
   }
@@ -224,6 +228,8 @@ class MemCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!MemTableStore.names.contains(oldIdent.name()))
       throw new NoSuchTableException(oldIdent)
+    if (MemTableStore.names.contains(newIdent.name()))
+      throw new TableAlreadyExistsException(newIdent)
     MemTableStore.renameTable(oldIdent.name(), newIdent.name())
   }
   override def tableExists(ident: Identifier): Boolean =

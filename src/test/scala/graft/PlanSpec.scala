@@ -12,6 +12,21 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
 
+  /** Walk an executed plan INCLUDING AQE-materialized subtrees (final
+    * plans, query stages, reused exchanges) — the single shared copy for
+    * every exchange/join-counting fence in this suite. */
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    (p +: p.children.flatMap(nodes)) ++ (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case r: ReusedExchangeExec => nodes(r.child)
+      case _ => Seq.empty
+    })
+  }
+
   test("filter predicates are pushed into the parquet scan") {
     val p = plan("filter")
     // the plan string truncates the filter list; the leading entries prove
@@ -508,16 +523,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("co-bucketed joins run shuffle-free and key-adjacent aggs reuse partitioning") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
     def shape(name: String): (Int, Int, Int) = {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect() // AQE: inspect the FINAL executed plan
@@ -1229,16 +1236,8 @@ class PlanSpec extends AnyFunSuite {
     // custkey shuffle for the agg; the customer dim joins broadcast; the
     // only other exchange is the final segment re-aggregation's.
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
     val df = SparkEntry.queries("sql_union_shared_key_agg")(spark, TestSpark.Sf)
     df.collect()
     val ns = nodes(df.queryExecution.executedPlan)
@@ -1260,16 +1259,8 @@ class PlanSpec extends AnyFunSuite {
     // whole chain shuffles the fact side exactly once. Also
     // mapjoin_distinct: DISTINCT over a BHJ = the dedup's exchange only.
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
     def shape(name: String): (Int, Int, Int) = {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
@@ -1299,15 +1290,7 @@ class PlanSpec extends AnyFunSuite {
     // adds NO second shuffle. At 100 TB a pre-partitioned pipeline stage
     // feeds its aggregation for free.
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     graft.Engine.table(spark, TestSpark.Sf, "customer")
       .createOrReplaceTempView("graft_rsd_fence")
     val df = spark.sql(

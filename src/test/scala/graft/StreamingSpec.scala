@@ -87,8 +87,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(dataBatches >= StreamRunner.Batches,
       s"expected >= ${StreamRunner.Batches} waves, saw $dataBatches")
     val hist = spark.table("spec_psi_waves").count()
-    assert(hist <= 4L * 9L, s"histogram state exceeded the bucket domain: $hist rows")
-    assert(hist >= 4L, s"expected at least one bucket per wave, got $hist")
+    assert(hist <= StreamRunner.Batches * 9L,
+      s"histogram state exceeded the bucket domain: $hist rows")
+    assert(hist >= StreamRunner.Batches.toLong,
+      s"expected at least one bucket per wave, got $hist")
   }
 
   test("rate source drives a non-file streaming input end-to-end") {
