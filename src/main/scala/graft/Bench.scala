@@ -91,10 +91,27 @@ object Bench {
           val best2 = math.min(t1, t2)
           // the extra trial for slow/noisy rows must not discard two valid
           // timings if it fails transiently — fall back to best2
-          if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
-            val t3 = try Some(runOnce(q)) catch { case _: Throwable => None }
-            (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
-          } else (best2, Seq(t1, t2))
+          val (best, ts) =
+            if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
+              val t3 = try Some(runOnce(q)) catch { case _: Throwable => None }
+              (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
+            } else (best2, Seq(t1, t2))
+          // RISING-curve diagnostic (r13 verdict #3): min-of-trials
+          // assumes later trials are never systematically slower (the
+          // JIT-warm-up model) — q1_agg's inverted 0.39→0.70→0.81 curve
+          // in BENCH_r13 showed in-run degradation (GC/neighbor
+          // pressure) that the calibration bracket cannot see and that
+          // biases min toward one lucky first draw. A row whose trials
+          // RISE >1.5× first→last reports the MEDIAN of its trials
+          // instead of the min, and is named in the artifact's "rising"
+          // list so the curve is adjudicable downstream.
+          if (ts.size >= 2 && ts.last > 1.5 * ts.head) {
+            val sorted = ts.sorted
+            val med =
+              if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+              else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+            (med, ts)
+          } else (best, ts)
         } catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
         val ev = functions.CacheOnce.drainEvents()
         val cache = if (ev.isEmpty) "" else {
@@ -179,6 +196,12 @@ object Bench {
     val cacheJson = results
       .collect { case (k, _, _, c) if c.nonEmpty => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
+    // rows whose trial curve ROSE >1.5× first→last (reported as median
+    // of trials, not min — see measure())
+    val risingJson = results
+      .collect { case (k, _, ts, _) if ts.size >= 2 && ts.last > 1.5 * ts.head =>
+        "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // the 8 queries benched in every round since r4 — the stable
     // round-over-round comparison core
@@ -188,7 +211,8 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","core8":$core8,""" +
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""quiet":$quiet,"attempts":$attempts,$diag""" +
-      s""""queries":$qsJson,"trials":$trialsJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+      s""""queries":$qsJson,"trials":$trialsJson,"rising":$risingJson,""" +
+      s""""cache":$cacheJson,"sf":"$sfDir"}"""
     // The JSON travels on TWO channels: a file (sbt prefixes stdout with
     // [info] and interleaves WARNs, which broke the driver's parse in r1)
     // and stdout printed AFTER spark.stop() so it is the final clean line.

@@ -37,14 +37,24 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.benchQueries.filter(q => names.contains(q.name))
     val ordered = names.flatMap(nm => qs.find(_.name == nm))
+    // per-trial DRIVER GC time (all collector beans summed): a trial
+    // curve that rises in step with gcDelta names GC pressure as the
+    // cause; a rising curve with flat GC points at neighbors/clock.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val out = ordered.map { q =>
       val ts = (1 to n).map { _ =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
       }
-      val fmt = ts.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-      s""""${q.name}":[${fmt.mkString(",")}]"""
+      val fmt = ts.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t._1)))
+      val gcs = ts.map(_._2)
+      s""""${q.name}":[${fmt.mkString(",")}],"${q.name}_gc_ms":[${gcs.mkString(",")}]"""
     }
     spark.stop()
     println("BENCHPROBE {" + out.mkString(",") + "}")

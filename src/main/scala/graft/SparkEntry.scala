@@ -85,7 +85,8 @@ object SparkEntry {
       Sql24Queries.all ++
       Sql25Queries.all ++
       Sql26Queries.all ++
-      Sql27Queries.all
+      Sql27Queries.all ++
+      Sql28Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,10 +47,16 @@ object Source4Queries {
     * inference) — date-typed partition predicates then exercise a
     * distinct discovery/pruning path (string→date casting at listing
     * time) that the int `o_year` fixture above cannot reach. */
+  /** Staged location of the date-partitioned fixture — exposed so tests
+    * (PlanSpec's DateType-inference probe) derive the path through the
+    * same mangling as tmp() instead of duplicating the sanitized
+    * literal. */
+  private[graft] def datePartitionedPath(d: String): String =
+    tmp(d, s"orders_pdate_${graft.Staging.fingerprint(s"$d/orders.parquet")}")
+
   private[queries] def datePartitionedOrders(s: SparkSession, d: String): DataFrame = {
-    val fp = graft.Staging.fingerprint(s"$d/orders.parquet")
     val path = graft.Staging.once(
-      java.nio.file.Paths.get(tmp(d, s"orders_pdate_$fp"))) { t =>
+      java.nio.file.Paths.get(datePartitionedPath(d))) { t =>
       table(s, d, "orders")
         .withColumn("dt", date_trunc("month", col("o_orderdate")).cast("date"))
         .write.mode(SaveMode.Overwrite)

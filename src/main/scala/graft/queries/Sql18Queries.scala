@@ -33,15 +33,23 @@ import Registry.sql
   * concentrates |nulls_l| × |nulls_r| pairs onto ONE join key — 100×
   * data means 10,000× bucket rows (9e3 pairs at sf0.01 → 9e11 at
   * sf100), which no skew-split saves because it is one logical key.
-  * The engine therefore NEVER materializes that bucket: the Spark plan
-  * splits `k IS NULL` out BEFORE the join and computes the NULL
-  * bucket's group contribution analytically (count_l_nulls ×
-  * count_r_nulls — the only thing any aggregate over the bucket can
-  * depend on), unioned with the plain non-null equi-join. The DuckDB
-  * oracle runs the VERBATIM null-safe join, so the driver's
-  * hash-compare is the machine-checked proof that the linear rewrite
-  * is semantically identical; ScaleGrowthSpec fences the materialized
-  * join volume to ~linear growth across a 10× corpus.
+  * The jn_nullsafe rows therefore never materialize that bucket: the
+  * QUERY ITSELF is a hand-written linear rewrite (this is a query-level
+  * rewrite, NOT an engine rule — Spark still executes a verbatim
+  * `<=>` join as BroadcastNestedLoop/cartesian) that splits `k IS NULL`
+  * out BEFORE the join and computes the NULL bucket's group
+  * contribution analytically (count_l_nulls × count_r_nulls — the only
+  * thing any aggregate over the bucket can depend on), unioned with the
+  * plain non-null equi-join. The DuckDB oracle runs the VERBATIM
+  * null-safe join, so the driver's hash-compare is the machine-checked
+  * proof that the linear rewrite is semantically identical;
+  * ScaleGrowthSpec fences the materialized join volume to ~linear
+  * growth across a 10× corpus. Because the rewrite lives in the query,
+  * an engine regression in verbatim null-safe EXECUTION would be
+  * invisible to those rows — jn_nullsafe_verbatim below keeps a
+  * BOUNDED-size verbatim `IS NOT DISTINCT FROM` crossing (absolute key
+  * bounds, so its NULL stripes stay ≤ tens × hundreds at ANY SF) with
+  * duplicate NULL keys on both sides, oracle-checked engine-side.
   */
 object Sql18Queries {
 
@@ -136,11 +144,14 @@ object Sql18Queries {
 
     // NULL-SAFE inner join: the NULL stripes MATCH each other, forming
     // exactly one extra group of size nulls_l × nulls_r — quadratic if
-    // materialized (see header). Spark plan: non-null equi-join UNION
-    // the analytic NULL bucket (count product; emitted only when both
-    // stripes are non-empty, exactly when the real bucket is non-empty).
-    // Oracle: the verbatim null-safe join — the hash-compare IS the
-    // equivalence proof.
+    // materialized (see header). The rewrite below is QUERY-LEVEL (hand
+    // written in this row's SQL, not an engine rule): non-null equi-join
+    // UNION the analytic NULL bucket (count product; emitted only when
+    // both stripes are non-empty, exactly when the real bucket is
+    // non-empty). Oracle: the verbatim null-safe join — the
+    // hash-compare IS the equivalence proof. Verbatim ENGINE execution
+    // of <=> under duplicate NULL keys is covered by
+    // jn_nullsafe_verbatim below.
     q("jn_nullsafe", """
       SELECT k % 10 AS kg, count(*) AS n
       FROM l JOIN r ON l.k = r.k2 GROUP BY k % 10
@@ -175,6 +186,26 @@ object Sql18Queries {
       SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
       FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
       GROUP BY k % 10, k2 % 10"""),
+
+    // VERBATIM null-safe join, BOUNDED (r13 ADVICE): the engine itself
+    // executes `IS NOT DISTINCT FROM` — Spark's ExtractEquiJoinKeys
+    // treats EqualNullSafe as an equi-join key, so the NULL stripes
+    // genuinely collide on one hash key with DUPLICATE NULLs on both
+    // sides (the semantics jn_nullsafe's query-level rewrite never asks
+    // the engine to execute). Both inputs carry ABSOLUTE key bounds
+    // (id ≤ 600, oid ≤ 6000 — fixed key populations, not fractions), so
+    // the NULL bucket stays ≤ ~12 × ~30 pairs at ANY scale factor: safe
+    // to materialize verbatim, while keeping the engine's null-safe
+    // hash-join path oracle-checked. The distinct-side counts pin the
+    // cross-match structure of the NULL bucket (n = n_l_ids × n_r_oids
+    // for the NULL group).
+    q("jn_nullsafe_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             count(DISTINCT id) AS n_l_ids, count(DISTINCT oid) AS n_r_oids
+      FROM (SELECT id, k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
 
     // COMPOSITE key with one nullable component: NULL in EITHER
     // component kills the match under `=` — only (kb = kb2) pairs with

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import Registry.{dropManaged, sql}
+
+/** Round-14 adversarial validation of the round-13 whiteList closing
+  * sweep (COVERAGE.md "Round 13 whiteList closing sweep") — the r13
+  * verdict's top demand. The sweep DISMISSED two golden classes as
+  * "config-variant re-runs, no new semantics":
+  *
+  *   - `groupby1-8_{map,map_skew,noskew}` (~30 whiteList entries,
+  *     reference HiveCompatibilitySuite.scala:246): the same GROUP BYs
+  *     re-run under hive.map.aggr / hive.groupby.skewindata on/off —
+  *     execution-strategy knobs that historically CHANGED ANSWERS in
+  *     Hive (that is why the goldens exist).
+  *   - `load_dyn_part1-15`: dynamic-partition INSERT semantics under
+  *     partition-mode settings (overwrite scope, partition-count
+  *     limits).
+  *
+  * These rows MEASURE the dismissal instead of asserting it: the same
+  * aggregation/join answers are computed engine-side under FORCED
+  * execution-config extremes (reducer counts 1 and 109, whole-stage
+  * codegen off, AQE off, AQE skew-join splits actually firing on a
+  * salted-hot fixture — PlanSpec fences the split), and every variant
+  * must hash-match ONE unforced DuckDB oracle. The load_dyn_part
+  * contract is measured as the observable semantics of
+  * `spark.sql.sources.partitionOverwriteMode` static vs dynamic plus a
+  * 211-partition single-statement dynamic insert.
+  *
+  * Each variant runs EAGERLY (collect) under its conf set and restores
+  * the session conf in `finally` — conf mutations must never leak into
+  * the shared Verify/Bench/spec sessions. Collected results are
+  * re-wrapped as local DataFrames (bounded: ≤ tens of rows — the same
+  * pattern as the catalog-probe rows).
+  */
+object Sql28Queries {
+
+  /** Run `body` with `confs` set, restoring previous values (or
+    * unsetting) afterwards. */
+  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, prev) =>
+      prev.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
+
+  /** The execution-strategy variants that must not change answers —
+    * the modern restatement of Hive's map-aggr/skew-groupby config
+    * grid. Reducer-count extremes, codegen off, AQE off. */
+  private val ExecVariants: Seq[(String, Map[String, String])] = Seq(
+    "baseline" -> Map.empty,
+    "reducers_1" -> Map("spark.sql.shuffle.partitions" -> "1"),
+    "reducers_109" -> Map("spark.sql.shuffle.partitions" -> "109"),
+    "no_codegen" -> Map("spark.sql.codegen.wholeStage" -> "false"),
+    "no_aqe" -> Map("spark.sql.adaptive.enabled" -> "false"))
+
+  private def tagsValuesSql(tags: Seq[String]): String =
+    tags.map(t => s"('$t')").mkString("(VALUES ", ", ", ") t(tag)")
+
+  /** Collect `df` once per variant and union the rows under a leading
+    * `tag` column, preserving the aggregate's schema. */
+  private def perVariant(s: SparkSession, variants: Seq[(String, Map[String, String])],
+      df: => DataFrame): DataFrame = {
+    var schema: org.apache.spark.sql.types.StructType = null
+    val rows = variants.flatMap { case (tag, confs) =>
+      withConfs(s, confs) {
+        val d = df
+        schema = d.schema
+        d.collect().toSeq.map(r => Row.fromSeq(tag +: r.toSeq))
+      }
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = false) +: schema.fields))
+  }
+
+  /** The salted-hot join (PlanSpec fences the AQE skew split on it):
+    * half of lineitem collapses onto join key 1 (one hot SHUFFLE
+    * partition), the build side stays UNIQUE on the key (orders PK), so
+    * the join output is linear — the skewed-partition shape AQE's
+    * skew-join split exists for, without the many-to-many blowup this
+    * repo's nullsafe rows exist to avoid. */
+  private[graft] def skewedJoin(s: SparkSession, d: String): DataFrame = {
+    table(s, d, "lineitem").createOrReplaceTempView("graft_sk_l")
+    table(s, d, "orders").createOrReplaceTempView("graft_sk_o")
+    // the projection deliberately carries VARIED columns (partkey,
+    // extendedprice) — a (constant-key, quantity)-only hot partition
+    // compresses to almost nothing in the shuffle and ducks under any
+    // realistic skew threshold at test scale. The REPARTITION(16) hint
+    // recreates production's multi-mapper reality on the one-file test
+    // fixture: AQE splits a skewed REDUCE partition by MAPPER ranges,
+    // so a single-map-task scan (sf0.01 lineitem is one 1 MB file) is
+    // structurally unsplittable no matter how skewed the key is.
+    s.sql(sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS sq,
+             round(sum(l_extendedprice), 2) AS sp,
+             CAST(sum(l_partkey) AS BIGINT) AS spk
+      FROM (SELECT /*+ REPARTITION(16) */
+                   CASE WHEN l_orderkey % 2 = 0 THEN 1
+                        ELSE l_orderkey END AS jk,
+                   l_quantity, l_extendedprice, l_partkey
+            FROM graft_sk_l) l
+      JOIN graft_sk_o ON l.jk = o_orderkey
+      GROUP BY o_orderstatus"""))
+  }
+
+  /** Conf set that forces the skew machinery to actually fire at test
+    * scale: broadcast off (skew split only exists for shuffle joins),
+    * thresholds shrunk so the ~50%-of-lineitem hot partition trips the
+    * split. PlanSpec asserts isSkewJoin on the executed plan under
+    * exactly these confs. */
+  private[graft] val SkewSplitConfs: Map[String, String] = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384")
+
+  val all: Seq[Q] = Seq(
+
+    // ── groupby*_{map,map_skew,noskew} measured: q1-class agg × 5
+    //    execution-config variants, every variant vs ONE plain oracle ──
+    Q("sql_agg_config_grid",
+      (s, d) => perVariant(s, ExecVariants, {
+        import org.apache.spark.sql.functions._
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") <=
+            lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+      }),
+      Some(sql(s"""
+        WITH a AS (SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS sum_disc_price,
+                     count(*) AS count_order
+                   FROM lineitem
+                   WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                   GROUP BY 1, 2)
+        SELECT t.tag, a.* FROM ${tagsValuesSql(ExecVariants.map(_._1))}
+        CROSS JOIN a"""))),
+
+    // ── groupby skew variants measured on a SALTED-HOT fixture: one
+    //    group key holds ~33% of all rows (the skew-groupby shape), and
+    //    the reducer-count/codegen/AQE extremes still agree with the
+    //    unforced oracle. The summary projects the inner ~998-group agg
+    //    to a 1-row digest so the verified result stays compact. ──────
+    Q("sql_agg_forced_skew",
+      (s, d) => perVariant(s, ExecVariants, {
+        table(s, d, "lineitem").createOrReplaceTempView("graft_fs_l")
+        s.sql(sql("""
+          SELECT count(*) AS n_groups,
+                 CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 CAST(max(cnt) AS BIGINT) AS hot_rows,
+                 CAST(sum(k * cnt) AS BIGINT) AS key_checksum
+          FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN -1
+                            ELSE l_orderkey % 997 END AS k,
+                       count(*) AS cnt
+                FROM graft_fs_l GROUP BY 1)"""))
+      }),
+      Some(sql(s"""
+        WITH g AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN -1
+                               ELSE l_orderkey % 997 END AS k,
+                          count(*) AS cnt
+                   FROM lineitem GROUP BY 1),
+             s AS (SELECT count(*) AS n_groups,
+                          CAST(sum(cnt) AS BIGINT) AS total_rows,
+                          CAST(max(cnt) AS BIGINT) AS hot_rows,
+                          CAST(sum(k * cnt) AS BIGINT) AS key_checksum
+                   FROM g)
+        SELECT t.tag, s.* FROM ${tagsValuesSql(ExecVariants.map(_._1))}
+        CROSS JOIN s"""))),
+
+    // ── AQE skew-join split fires AND answers stay put: the salted-hot
+    //    join under (a) broadcast allowed, (b) plain SMJ (AQE off), and
+    //    (c) forced skew-split SMJ — one oracle. PlanSpec separately
+    //    pins that (c) really executes a SortMergeJoin(isSkewJoin=true)
+    //    so this row can never silently degrade into re-testing the
+    //    broadcast path three times. ───────────────────────────────────
+    Q("sql_join_skew_aqe_split",
+      (s, d) => perVariant(s, Seq(
+        "broadcast" -> Map.empty,
+        "plain_smj" -> Map(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false"),
+        "skew_split_smj" -> SkewSplitConfs),
+        skewedJoin(s, d)),
+      Some(sql(s"""
+        WITH j AS (SELECT o_orderstatus, count(*) AS n,
+                          round(sum(l_quantity), 2) AS sq,
+                          round(sum(l_extendedprice), 2) AS sp,
+                          CAST(sum(l_partkey) AS BIGINT) AS spk
+                   FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                                     ELSE l_orderkey END AS jk,
+                                l_quantity, l_extendedprice, l_partkey
+                         FROM lineitem) l
+                   JOIN orders ON l.jk = o_orderkey
+                   GROUP BY 1)
+        SELECT t.tag, j.*
+        FROM ${tagsValuesSql(Seq("broadcast", "plain_smj", "skew_split_smj"))}
+        CROSS JOIN j"""))),
+
+    // ── load_dyn_part measured, part 1: partitionOverwriteMode STATIC
+    //    vs DYNAMIC are OBSERVABLY different contracts — dynamic
+    //    replaces only the partitions the insert writes, static drops
+    //    the whole table first. ────────────────────────────────────────
+    Q("sql_dynpart_overwrite_modes",
+      (s, d) => {
+        dropManaged(s, "graft_dpo")
+        table(s, d, "customer").createOrReplaceTempView("graft_dpo_src")
+        s.sql(sql("""CREATE TABLE graft_dpo (k BIGINT)
+                     USING parquet PARTITIONED BY (seg STRING)"""))
+        def counts(): (Long, Long) = (
+          s.sql("SELECT count(*) FROM graft_dpo").collect()(0).getLong(0),
+          s.sql("SHOW PARTITIONS graft_dpo").count())
+        // seed: every customer, one partition per segment
+        s.sql(sql("""INSERT OVERWRITE TABLE graft_dpo PARTITION (seg)
+                     SELECT c_custkey, c_mktsegment FROM graft_dpo_src"""))
+        val (seedRows, seedParts) = counts()
+        // the re-load: only BUILDING, and only its even keys
+        val reload = sql("""INSERT OVERWRITE TABLE graft_dpo PARTITION (seg)
+                     SELECT c_custkey, c_mktsegment FROM graft_dpo_src
+                     WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0""")
+        val (dynRows, dynParts) = withConfs(s,
+          Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+          s.sql(reload); counts()
+        }
+        val (statRows, statParts) = withConfs(s,
+          Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
+          s.sql(reload); counts()
+        }
+        val sq = s; import sq.implicits._
+        Seq(("seed_rows", seedRows), ("seed_parts", seedParts),
+          ("dyn_rows", dynRows), ("dyn_parts", dynParts),
+          ("static_rows", statRows), ("static_parts", statParts))
+          .toDF("metric", "value")
+      },
+      Some(sql("""
+        SELECT 'seed_rows' AS metric, count(*) AS value FROM customer
+        UNION ALL SELECT 'seed_parts',
+          (SELECT count(DISTINCT c_mktsegment) FROM customer)
+        UNION ALL SELECT 'dyn_rows',
+          (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING')
+          + (SELECT count(*) FROM customer
+             WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
+        UNION ALL SELECT 'dyn_parts',
+          (SELECT count(DISTINCT c_mktsegment) FROM customer)
+        UNION ALL SELECT 'static_rows',
+          (SELECT count(*) FROM customer
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
+        UNION ALL SELECT 'static_parts', 1"""))),
+
+    // ── load_dyn_part measured, part 2: a single-statement dynamic
+    //    insert fanning out to 211 partitions (the load_dyn_part volume
+    //    shape), partition-pruned read-back, per-partition integrity. ──
+    Q("sql_dynpart_many_partitions",
+      (s, d) => {
+        dropManaged(s, "graft_dpm")
+        table(s, d, "orders").createOrReplaceTempView("graft_dpm_src")
+        s.sql(sql("""CREATE TABLE graft_dpm (ok BIGINT, price DOUBLE)
+                     USING parquet PARTITIONED BY (pk BIGINT)"""))
+        s.sql(sql("""INSERT OVERWRITE TABLE graft_dpm PARTITION (pk)
+                     SELECT o_orderkey, o_totalprice, o_custkey % 211
+                     FROM graft_dpm_src"""))
+        val sq = s; import sq.implicits._
+        val nParts = s.sql("SHOW PARTITIONS graft_dpm").count()
+        val total = s.sql("SELECT count(*) FROM graft_dpm").collect()(0).getLong(0)
+        val one = s.sql(
+          "SELECT count(*) FROM graft_dpm WHERE pk = 7").collect()(0).getLong(0)
+        Seq(("n_partitions", nParts), ("total_rows", total), ("pk7_rows", one))
+          .toDF("metric", "value")
+      },
+      Some(sql("""
+        SELECT 'n_partitions' AS metric,
+               (SELECT count(DISTINCT o_custkey % 211) FROM orders) AS value
+        UNION ALL SELECT 'total_rows', (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'pk7_rows',
+          (SELECT count(*) FROM orders WHERE o_custkey % 211 = 7)""")))
+  )
+}

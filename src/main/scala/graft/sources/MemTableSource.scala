@@ -98,18 +98,27 @@ object MemTableStore {
       }
     }
 
-  /** Table rename: data and schema move atomically to the new name. */
+  private def ident(name: String): Identifier =
+    Identifier.of(Array.empty[String], name)
+
+  /** Table rename: existence checks and the move happen atomically under
+    * the store lock, throwing the TYPED catalog errors the TableCatalog
+    * contract promises — a check in MemCatalog followed by a mutation
+    * here would let a concurrent racer see a bare require failure. */
   def renameTable(from: String, to: String): Unit =
     tables.synchronized {
-      require(!tables.contains(to), s"mem table '$to' already exists")
+      if (!tables.contains(from)) throw new NoSuchTableException(ident(from))
+      if (tables.contains(to)) throw new TableAlreadyExistsException(ident(to))
       tables.remove(from).foreach(v => tables.put(to, v): Unit)
     }
 
   /** Metadata-only CREATE (the SQL `CREATE TABLE cat.t (…)` path —
-    * distinct from the format-API write path, which creates on write). */
+    * distinct from the format-API write path, which creates on write).
+    * Check-and-put is atomic under the lock; an existing target is the
+    * typed TABLE_OR_VIEW_ALREADY_EXISTS error (see renameTable). */
   def create(name: String, schema: StructType): Unit =
     tables.synchronized {
-      require(!tables.contains(name), s"mem table '$name' already exists")
+      if (tables.contains(name)) throw new TableAlreadyExistsException(ident(name))
       tables.put(name, (schema, Vector.empty)): Unit
     }
 }
@@ -203,9 +212,8 @@ class MemCatalog extends TableCatalog {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "mem tables do not support partition transforms")
     // TableCatalog contract: an existing target is the typed catalog
-    // error (TABLE_OR_VIEW_ALREADY_EXISTS), not a bare require failure
-    if (MemTableStore.names.contains(ident.name()))
-      throw new TableAlreadyExistsException(ident)
+    // error (TABLE_OR_VIEW_ALREADY_EXISTS) — thrown ATOMICALLY inside
+    // the store lock, so a concurrent racer gets the typed error too
     MemTableStore.create(ident.name(), schema)
     new MemTable(ident.name(), schema)
   }
@@ -225,13 +233,10 @@ class MemCatalog extends TableCatalog {
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean = MemTableStore.drop(ident.name())
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!MemTableStore.names.contains(oldIdent.name()))
-      throw new NoSuchTableException(oldIdent)
-    if (MemTableStore.names.contains(newIdent.name()))
-      throw new TableAlreadyExistsException(newIdent)
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    // typed NoSuchTable/TableAlreadyExists errors thrown atomically
+    // under the store lock (see MemTableStore.renameTable)
     MemTableStore.renameTable(oldIdent.name(), newIdent.name())
-  }
   override def tableExists(ident: Identifier): Boolean =
     MemTableStore.names.contains(ident.name())
 }

@@ -51,6 +51,30 @@ object ProfileContain {
     Thread.sleep(1000)
     println(s"=== EXECUTED PLAN ($name) ===")
     println(df.queryExecution.executedPlan.toString.take(8000))
+    println(s"=== NODE METRICS ($name) ===")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case _ => Seq.empty
+      })
+    // a noop WRITE plans its own QueryExecution (metrics land there, not
+    // on df) — run one collect() pass so THIS df's metrics fill
+    val dfm = q(spark, sfDir)
+    dfm.collect(): Unit
+    nodes(dfm.queryExecution.executedPlan).foreach { n =>
+      val ms = n.metrics.collect {
+        case (k, m) if m.value > 0 &&
+          (k.contains("time") || k == "numOutputRows" || k.contains("numPartitions")) =>
+          s"$k=${m.value}"
+      }
+      if (ms.nonEmpty)
+        println(s"  ${n.nodeName.take(40)}: ${ms.mkString(", ")}")
+    }
     println(f"TOTAL: $total%.2f s")
     stages.sortBy(-_._2).take(15).foreach { case (id, ms, nm, sw, sr) =>
       println(f"stage $id%4d  ${ms / 1000.0}%7.2f s  shufW=${sw / 1e6}%8.1f MB shufR=${sr / 1e6}%8.1f MB  $nm")

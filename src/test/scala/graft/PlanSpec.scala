@@ -508,8 +508,7 @@ class PlanSpec extends AnyFunSuite {
     // a row Filter.
     val df = SparkEntry.queries("src_pdate_eq")(spark, TestSpark.Sf)
     val dtField = df.sparkSession.read
-      .parquet("/tmp/graft_io/_root_testdata_sf0_001/orders_pdate_" +
-        graft.Staging.fingerprint(s"${TestSpark.Sf}/orders.parquet"))
+      .parquet(graft.queries.Source4Queries.datePartitionedPath(TestSpark.Sf))
       .schema("dt")
     assert(dtField.dataType == org.apache.spark.sql.types.DateType,
       s"partition column dt inferred as ${dtField.dataType}, not DateType")
@@ -1349,5 +1348,31 @@ class PlanSpec extends AnyFunSuite {
       "rand must never appear in PushedFilters:\n" + rnd)
     assert(rnd.contains("Filter") && rnd.contains("rand("),
       "the rand predicate must survive as a post-scan Filter:\n" + rnd)
+  }
+
+  test("AQE skew-join split FIRES on the salted-hot join (sql_join_skew_aqe_split)") {
+    // the r14 adversarial-whiteList row proves answers match under the
+    // skew-split confs; THIS fence proves the split machinery actually
+    // engaged (SortMergeJoin(isSkewJoin=true) in the final plan) so the
+    // row can never silently degrade into re-testing the normal SMJ
+    // path. sf0.01: the hot partition (~50% of lineitem on one key)
+    // must exceed the shrunken 128 KB threshold — sf0.001 is too small
+    // to trip it.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = graft.queries.Sql28Queries.SkewSplitConfs
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.queries.Sql28Queries.skewedJoin(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val smj = nodes(df.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "expected a SortMergeJoin under broadcast=-1:\n" +
+        df.queryExecution.executedPlan)
+      assert(smj.exists(_.isSkewJoin),
+        "AQE skew split did not fire (no SortMergeJoin(isSkewJoin=true)):\n" +
+          df.queryExecution.executedPlan)
+    } finally saved.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
 }
