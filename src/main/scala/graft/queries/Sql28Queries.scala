@@ -284,6 +284,99 @@ object Sql28Queries {
                (SELECT count(DISTINCT o_custkey % 211) FROM orders) AS value
         UNION ALL SELECT 'total_rows', (SELECT count(*) FROM orders)
         UNION ALL SELECT 'pk7_rows',
-          (SELECT count(*) FROM orders WHERE o_custkey % 211 = 7)""")))
+          (SELECT count(*) FROM orders WHERE o_custkey % 211 = 7)"""))),
+
+    // ── rcfile_* crossed (r13 verdict #5 — previously documented
+    //    deliberately-not-crossed): full RCFile lifecycle through the
+    //    REAL Hive serde — partitioned CREATE STORED AS RCFILE, dynamic
+    //    INSERT (the load_dyn_part × RCFile cross), aggregating
+    //    read-back, partition-pruned read, and serde introspection
+    //    (DESCRIBE FORMATTED must name RCFileInputFormat /
+    //    LazyBinaryColumnarSerDe — proving this is the columnar Hive
+    //    format, not a silently-converted parquet table). Probe result
+    //    pinned in COVERAGE: hive.exec.max.dynamic.partitions is NOT
+    //    enforced by Spark 4's insert path even for RCFile tables
+    //    (measured: 7 partitions written under limit 4). ──────────────
+    Q("src_rcfile_roundtrip",
+      (s, d) => {
+        dropManaged(s, "graft_rcf")
+        table(s, d, "supplier").createOrReplaceTempView("graft_rcf_src")
+        s.sql(sql("""CREATE TABLE graft_rcf (k BIGINT, name STRING, bal DOUBLE)
+                     PARTITIONED BY (nk BIGINT) STORED AS RCFILE"""))
+        withConfs(s, Map("hive.exec.dynamic.partition.mode" -> "nonstrict")) {
+          s.sql(sql("""INSERT OVERWRITE TABLE graft_rcf PARTITION (nk)
+                       SELECT s_suppkey, s_name, s_acctbal, s_nationkey % 5
+                       FROM graft_rcf_src""")): Unit
+        }
+        val sq = s; import sq.implicits._
+        val rows = s.sql("SELECT count(*) FROM graft_rcf").collect()(0).getLong(0)
+        val sumK = s.sql("SELECT CAST(sum(k) AS BIGINT) FROM graft_rcf")
+          .collect()(0).getLong(0)
+        val parts = s.sql("SHOW PARTITIONS graft_rcf").count()
+        val pruned = s.sql("SELECT count(*) FROM graft_rcf WHERE nk = 2")
+          .collect()(0).getLong(0)
+        val desc = s.sql("DESCRIBE FORMATTED graft_rcf").collect()
+          .map(_.toString).mkString(" ")
+        Seq(("rows", rows.toString), ("sum_k", sumK.toString),
+          ("n_parts", parts.toString), ("nk2_rows", pruned.toString),
+          ("serde_rcfile", (desc.contains("RCFileInputFormat") &&
+            desc.contains("LazyBinaryColumnarSerDe")).toString))
+          .toDF("metric", "value")
+      },
+      Some(sql("""
+        SELECT 'rows' AS metric, CAST(count(*) AS VARCHAR) AS value FROM supplier
+        UNION ALL SELECT 'sum_k',
+          CAST(CAST(sum(s_suppkey) AS BIGINT) AS VARCHAR) FROM supplier
+        UNION ALL SELECT 'n_parts',
+          CAST(count(DISTINCT s_nationkey % 5) AS VARCHAR) FROM supplier
+        UNION ALL SELECT 'nk2_rows',
+          CAST((SELECT count(*) FROM supplier WHERE s_nationkey % 5 = 2) AS VARCHAR)
+        UNION ALL SELECT 'serde_rcfile', 'true'"""))),
+
+    // ── Spark 4 SQL pipe syntax (beyond-reference modern-dialect row,
+    //    r13 verdict #7): |> WHERE / EXTEND / AGGREGATE GROUP BY /
+    //    ORDER BY / LIMIT chain, oracled by the plain-SQL equivalent.
+    //    LIMIT is deterministic: ordered by the (unique) group key. ───
+    Q("sql_pipe_syntax",
+      (s, d) => {
+        table(s, d, "part").createOrReplaceTempView("graft_pipe_p")
+        s.sql(sql("""
+          FROM graft_pipe_p
+          |> WHERE p_size > 10
+          |> EXTEND p_size * 2 AS ds
+          |> AGGREGATE count(*) AS n, CAST(sum(ds) AS BIGINT) AS sds
+             GROUP BY p_type
+          |> ORDER BY p_type
+          |> LIMIT 20"""))
+      },
+      Some(sql("""
+        SELECT p_type, count(*) AS n,
+               CAST(sum(p_size * 2) AS BIGINT) AS sds
+        FROM part WHERE p_size > 10
+        GROUP BY p_type ORDER BY p_type LIMIT 20"""))),
+
+    // ── escape_{order,sort,cluster,distribute}by measured (the sweep's
+    //    "parser trivia" class): RESERVED WORDS as backtick-escaped
+    //    identifiers flow through GROUP BY / ORDER BY and a
+    //    DISTRIBUTE BY + SORT BY leg re-aggregated to an
+    //    order-independent digest. The oracle spells the same
+    //    identifiers with ANSI double quotes. ──────────────────────────
+    Q("sql_escaped_by_grid",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_esc_o")
+        s.sql(sql("""
+          SELECT `order`, `by`, count(*) AS n
+          FROM (SELECT o_orderstatus AS `order`, o_orderpriority AS `by`
+                FROM graft_esc_o
+                DISTRIBUTE BY o_orderstatus SORT BY o_orderpriority)
+          GROUP BY `order`, `by`
+          ORDER BY `order`, `by`"""))
+      },
+      Some(sql("""
+        SELECT "order", "by", count(*) AS n
+        FROM (SELECT o_orderstatus AS "order", o_orderpriority AS "by"
+              FROM orders)
+        GROUP BY "order", "by"
+        ORDER BY "order", "by"""")))
   )
 }

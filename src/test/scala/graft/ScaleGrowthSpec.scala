@@ -52,15 +52,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // O(answer + corpus) with a bounded overhead factor — on gram-
     // diverse corpora (the 100 TB web case) the same bound collapses to
     // linear candidates, which is what the pre-regeneration corpus
-    // measured (~1× over 10× docs). Measured overhead here: ~35× at
-    // BOTH SFs (constant factor, i.e. the blocking tracks the answer);
-    // bound 80×.
+    // measured (~1× over 10× docs). Measured overhead: ~35× at BOTH SFs
+    // through r13; ~21× since the r14 smaller-side-probes direction
+    // filter (constant factor, i.e. the blocking tracks the answer);
+    // bound tightened 80× → 50× accordingly.
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val cand = maxJoinRows("dedup_containment", sf)
       val answer = SparkEntry.queries("dedup_containment")(spark, sf).count()
       val docs = spark.read.parquet(s"$sf/documents.parquet").count()
       info(s"dedup_containment at $sf: candidates=$cand answer=$answer docs=$docs")
-      assert(cand <= 80L * math.max(answer, docs),
+      assert(cand <= 50L * math.max(answer, docs),
         s"$sf: candidate volume $cand not O(answer=$answer + corpus=$docs)")
     }
   }
@@ -325,7 +326,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val ans1 = SparkEntry.queries("dedup_containment")(spark, sf1).count()
     info(s"containment at 3×: candidates=$cand3 answer=$ans3 docs=$docs3 " +
       f"(overhead ${cand3.toDouble / math.max(ans3, 1)}%.1f× vs ${cand1.toDouble / math.max(ans1, 1)}%.1f× at sf0.1)")
-    assert(cand3 <= 80L * math.max(ans3, docs3),
+    assert(cand3 <= 50L * math.max(ans3, docs3),
       s"3×: candidate volume $cand3 not O(answer=$ans3 + corpus=$docs3)")
     // constant-factor blocking: the overhead factor must not drift up
     // with the corpus (a superlinear blocking regression shows here
