@@ -79,13 +79,13 @@ object Bench {
     // was a reuse, and the keys' block-manager state BEFORE the trials —
     // so a 0.4-vs-1.6 s spread on cache-sharing rows (text_tf feeds both
     // text_tfidf and text_bm25_topk) is decidable from the artifact.
-    def measure(): (Double, Double, Seq[(String, Double, Seq[Double], String)]) = {
+    def measure(): (Double, Double, Seq[(String, Double, Seq[Double], String, Boolean)]) = {
       val pre = calibrate()
-      // (best, all trials, cache attribution) per query
-      val rs: Seq[(String, Double, Seq[Double], String)] = qs.map { q =>
+      // (best, all trials, cache attribution, rising flag) per query
+      val rs: Seq[(String, Double, Seq[Double], String, Boolean)] = qs.map { q =>
         val preSnap = functions.CacheOnce.storageSnapshot()
         functions.CacheOnce.drainEvents(): Unit
-        val (t, trials) = try {
+        val (t, trials, rising) = try {
           val t1 = runOnce(q)
           val t2 = runOnce(q)
           val best2 = math.min(t1, t2)
@@ -104,15 +104,18 @@ object Bench {
           // biases min toward one lucky first draw. A row whose trials
           // RISE >1.5× first→last reports the MEDIAN of its trials
           // instead of the min, and is named in the artifact's "rising"
-          // list so the curve is adjudicable downstream.
-          if (ts.size >= 2 && ts.last > 1.5 * ts.head) {
+          // list so the curve is adjudicable downstream. The flag is
+          // computed ONCE here and carried in the tuple — the JSON list
+          // and the median decision can never disagree.
+          val rising = ts.size >= 2 && ts.last > 1.5 * ts.head
+          if (rising) {
             val sorted = ts.sorted
             val med =
               if (sorted.size % 2 == 1) sorted(sorted.size / 2)
               else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-            (med, ts)
-          } else (best, ts)
-        } catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
+            (med, ts, rising)
+          } else (best, ts, rising)
+        } catch { case _: Throwable => (-1.0, Seq.empty[Double], false) }
         val ev = functions.CacheOnce.drainEvents()
         val cache = if (ev.isEmpty) "" else {
           val touched = ev.map(_._1).distinct.sorted
@@ -131,7 +134,7 @@ object Bench {
           }.mkString(",")
           s"""{"cache_hit":$hit,"swap_miss":$swapMiss,"keys":{$keys}}"""
         }
-        (q.name, t, trials, cache)
+        (q.name, t, trials, cache, rising)
       }
       (pre, calibrate(), rs)
     }
@@ -162,23 +165,13 @@ object Bench {
     // actually scores) makes draw-variance vs code-regression decidable
     // from the artifact alone.
     def containmentDiag(): String = try {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
       import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
       val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
       // collect() (not a noop write) so execution flows through THIS
       // DataFrame's QueryExecution — a write plans its own, leaving
       // df.queryExecution's metrics at zero (the r11 bug)
       df.collect()
-      def nodes(p: SparkPlan): Seq[SparkPlan] =
-        (p +: p.children.flatMap(nodes)) ++ (p match {
-          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-          case qse: QueryStageExec => nodes(qse.plan)
-          case r: ReusedExchangeExec => nodes(r.child)
-          case _ => Seq.empty
-        })
-      val joinRows = nodes(df.queryExecution.executedPlan).collect {
+      val joinRows = plans.PlanWalk.nodes(df.queryExecution.executedPlan).collect {
         case j: SortMergeJoinExec => j.metrics.get("numOutputRows")
         case j: ShuffledHashJoinExec => j.metrics.get("numOutputRows")
         case j: BroadcastHashJoinExec => j.metrics.get("numOutputRows")
@@ -188,19 +181,19 @@ object Bench {
       s""""containment_diag":{"candidates":$candidates,"verify_rows":$verifyRows},"""
     } catch { case _: Throwable => "" }
     val diag = containmentDiag()
-    val qsJson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsJson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val trialsJson = results
-      .map { case (k, _, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // only rows that touch a CacheOnce table carry an attribution entry
     val cacheJson = results
-      .collect { case (k, _, _, c) if c.nonEmpty => "\"" + k + "\":" + c }
+      .collect { case (k, _, _, c, _) if c.nonEmpty => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // rows whose trial curve ROSE >1.5× first→last (reported as median
-    // of trials, not min — see measure())
+    // of trials, not min) — the SAME flag measure() decided with, so
+    // the list and the reported numbers cannot disagree
     val risingJson = results
-      .collect { case (k, _, ts, _) if ts.size >= 2 && ts.last > 1.5 * ts.head =>
-        "\"" + k + "\"" }
+      .collect { case (k, _, _, _, r) if r => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // the 8 queries benched in every round since r4 — the stable

@@ -564,10 +564,16 @@ object DedupQueries {
         // redundant — every unordered pair was generated from BOTH
         // directions before this predicate (ties broken by doc_id), so
         // it removes ≥ half the candidate join volume while the emitted
-        // pair set (after least/greatest + distinct) is provably
-        // unchanged. The hot-gram contract is untouched: hotness is
-        // gram-level and global, so the smaller side's surviving prefix
-        // still pigeonholes a common NON-HOT gram for non-residue docs.
+        // pair set (after least/greatest + distinct) is unchanged
+        // WITHIN the hot-gram contract: for non-residue docs the
+        // smaller side's surviving prefix still pigeonholes a common
+        // NON-HOT gram (hotness is gram-level and global). A RESIDUE
+        // smaller doc (more than half its grams hot — excluded by
+        // contract, HotGramSpec) could previously surface incidentally
+        // via the larger side's probe; single-direction probing makes
+        // the contract's exclusion deterministic instead of
+        // draw-dependent. At the shipped SFs hotDf never engages, so
+        // the output is measured byte-identical.
         val cand = probe.as("p").join(index.as("i"),
           col("p.h") === col("i.h") && col("p.source") === col("i.source")
             && (col("p.n") < col("i.n") ||

@@ -52,21 +52,11 @@ object ProfileContain {
     println(s"=== EXECUTED PLAN ($name) ===")
     println(df.queryExecution.executedPlan.toString.take(8000))
     println(s"=== NODE METRICS ($name) ===")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
     // a noop WRITE plans its own QueryExecution (metrics land there, not
     // on df) — run one collect() pass so THIS df's metrics fill
     val dfm = q(spark, sfDir)
     dfm.collect(): Unit
-    nodes(dfm.queryExecution.executedPlan).foreach { n =>
+    graft.plans.PlanWalk.nodes(dfm.queryExecution.executedPlan).foreach { n =>
       val ms = n.metrics.collect {
         case (k, m) if m.value > 0 &&
           (k.contains("time") || k == "numOutputRows" || k.contains("numPartitions")) =>

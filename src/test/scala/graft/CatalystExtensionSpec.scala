@@ -324,4 +324,33 @@ class CatalystExtensionSpec extends AnyFunSuite {
       .selectExpr("graft_overlap64(a, b) AS o").as[Long].collect().toSeq
     assert(got === Seq(2L))
   }
+
+  test("mem store throws TYPED catalog errors atomically under its lock (r13 ADVICE)") {
+    // the TableCatalog error contract: create-over-existing and
+    // rename-to-existing/rename-missing are the typed analysis errors,
+    // decided inside the store's synchronized block — a racer can never
+    // see a bare require failure (the pre-r14 window: names.contains
+    // check in MemCatalog, require in the store)
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("k", LongType)))
+    val a = s"spec_typed_a_${System.nanoTime()}"
+    val b = s"spec_typed_b_${System.nanoTime()}"
+    graft.sources.MemTableStore.create(a, sch)
+    try {
+      intercept[TableAlreadyExistsException] {
+        graft.sources.MemTableStore.create(a, sch)
+      }
+      intercept[NoSuchTableException] {
+        graft.sources.MemTableStore.renameTable(b, s"${b}_new")
+      }
+      graft.sources.MemTableStore.create(b, sch)
+      intercept[TableAlreadyExistsException] {
+        graft.sources.MemTableStore.renameTable(b, a)
+      }
+    } finally {
+      graft.sources.MemTableStore.drop(a): Unit
+      graft.sources.MemTableStore.drop(b): Unit
+    }
+  }
 }

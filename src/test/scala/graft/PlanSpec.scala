@@ -12,20 +12,12 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
 
-  /** Walk an executed plan INCLUDING AQE-materialized subtrees (final
-    * plans, query stages, reused exchanges) — the single shared copy for
-    * every exchange/join-counting fence in this suite. */
+  /** Walk an executed plan INCLUDING AQE-materialized subtrees —
+    * delegates to the single shared copy (graft.plans.PlanWalk, also
+    * used by Bench's diagnostics, ProfileContain and ScaleGrowthSpec). */
   private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    (p +: p.children.flatMap(nodes)) ++ (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    })
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.plans.PlanWalk.nodes(p)
 
   test("filter predicates are pushed into the parquet scan") {
     val p = plan("filter")

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * two-point (sf0.01 → sf0.1) growth checks cannot distinguish linear
   * from n·log n or from small-quadratic-with-offset. The driver ships no
   * sf0.3, so this fixture DERIVES one deterministically from sf0.1 —
-  * three replicas with disjoint key ranges (offset 10^7, divisible by
-  * every modulus the queries take: 2, 4, 10, 50, 211, 997):
+  * three replicas with disjoint key ranges (offset 10^7 = 2^7·5^7,
+  * divisible by every modulus the FENCED queries take over these
+  * tables: 2, 4, 10, 50 — NOT by 211 or 997, so the dynpart/%997 rows
+  * must not be pointed at this fixture without changing the offset):
   *
   *   - customer/orders: key-offset copies. FK structure, NULL-stripe
   *     fractions (c_custkey % 50 = 7 etc.) and group moduli are
@@ -39,8 +41,11 @@ object ScaleFixture {
 
   /** Stage (if absent) and return the sf0.3-equivalent directory. */
   def dir(spark: SparkSession, src: String = "/root/testdata/sf0.1"): String = {
-    val fp = Staging.fingerprint(s"$src/documents.parquet") + "_" +
-      Staging.fingerprint(s"$src/orders.parquet")
+    // every replicated source participates in the staging key — a
+    // regenerated customer.parquet must re-stage even when documents/
+    // orders are untouched (review finding r14)
+    val fp = Seq("documents", "customer", "orders")
+      .map(t => Staging.fingerprint(s"$src/$t.parquet")).mkString("_")
     val dest = java.nio.file.Paths.get(s"/tmp/graft_scale/sf0p3_$fp")
     Staging.once(dest) { t =>
       def replicate(name: String, keyCols: Seq[String],

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -26,14 +23,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private def maxJoinRows(name: String, sf: String): Long = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // fills the SQL metrics of this exact QueryExecution
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
-    nodes(df.queryExecution.executedPlan)
+    graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
       .collect {
         case j: SortMergeJoinExec => j.metrics.get("numOutputRows")
         case j: ShuffledHashJoinExec => j.metrics.get("numOutputRows")
@@ -217,14 +207,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private def maxBroadcastRows(name: String, sf: String): Long = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(nodes)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-        case q: QueryStageExec => nodes(q.plan)
-        case r: ReusedExchangeExec => nodes(r.child)
-        case _ => Seq.empty
-      })
-    nodes(df.queryExecution.executedPlan)
+    graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
       .collect { case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
         b.metrics.get("numOutputRows") }
       .flatten.map(_.value).foldLeft(0L)(math.max)

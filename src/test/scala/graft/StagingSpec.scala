@@ -73,4 +73,47 @@ class StagingSpec extends AnyFunSuite {
       "per-dest lock must serialize same-dest staging to one write")
     assert(java.nio.file.Files.exists(dest.resolve("_STAGED")))
   }
+
+  test("fingerprint() fails loudly on a missing source and tracks content changes") {
+    // r13 ADVICE: a missing source must be an explicit error, never an
+    // NPE from listFiles; and the digest must change when any part
+    // file's size/mtime changes (the stale-replay guard).
+    val e = intercept[IllegalArgumentException] {
+      Staging.fingerprint("/tmp/graft_staging_spec/definitely_absent_xyz")
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+
+    val src = freshDest("fpsrc")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.writeString(src.resolve("part-0"), "aaaa")
+    val fp1 = Staging.fingerprint(src.toString)
+    assert(fp1.matches("[0-9a-f]{16}"), s"expected a 64-bit hex digest, got $fp1")
+    assert(fp1 === Staging.fingerprint(src.toString), "digest must be stable")
+    java.nio.file.Files.writeString(src.resolve("part-0"), "aaaabbbb")
+    graft.Staging.stampMtime(src.resolve("part-0").toFile,
+      System.currentTimeMillis() + 5000)
+    assert(Staging.fingerprint(src.toString) !== fp1,
+      "changed part-file size/mtime must change the fingerprint")
+  }
+
+  test("failed _STAGED marker creation deletes the temp dir (r13 ADVICE cleanup gap)") {
+    // write() succeeds but leaves no directory for the marker — the
+    // createFile(_STAGED) throws, and the extended cleanup must still
+    // remove whatever write() left behind (here: a FILE at the temp
+    // path, the degenerate case the old cleanup never reached).
+    val dest = freshDest("marker")
+    intercept[java.nio.file.FileSystemException] {
+      Staging.once(dest) { tmp =>
+        // a plain file where a directory is expected: marker creation
+        // under it must fail
+        java.nio.file.Files.writeString(tmp, "not-a-dir"): Unit
+      }
+    }
+    val leftovers = Option(dest.getParent.toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(dest.getFileName.toString + "_tmp_"))
+    assert(leftovers.isEmpty,
+      s"non-adopted temp must be deleted, found: ${leftovers.mkString(",")}")
+    assert(!java.nio.file.Files.exists(dest), "dest must not be adopted")
+  }
 }
