@@ -318,6 +318,32 @@ class ScaleGrowthSpec extends AnyFunSuite {
       2.0 * math.max(cand1.toDouble / math.max(ans1, 1), 4.0),
       s"containment blocking overhead drifted up at the third point: " +
         s"$cand3/$ans3 vs $cand1/$ans1 at sf0.1")
+    // the whole documents-only dedup family rides the same third point:
+    // candidate/duplicated-window volumes must grow ~3× (the Caesar
+    // shift keeps replica gram/signature spaces disjoint, so blocking
+    // keys keep growing with the corpus — a corpus-independent key
+    // collapses buckets and lands ~9×). dedup_incremental's %3
+    // batch/corpus split survives the 10^7 offset (10^7 ≡ 1 mod 3:
+    // classes permute per replica, the 1/3-vs-2/3 split is preserved).
+    for (name <- Seq("dedup_minhash_lsh", "dedup_edit_distance",
+        "dedup_paragraph_common", "dedup_incremental")) {
+      val big = maxJoinRows(name, sf1)
+      val big3 = maxJoinRows(name, sf3)
+      info(s"$name max equi-join rows: sf0.1=$big 3×=$big3")
+      assert(big3 <= math.max((4.5 * big).toLong, 150L),
+        s"$name candidate volume grew superlinearly over the 3× span: $big → $big3")
+    }
+    def dupWindows(sf: String): Long =
+      SparkEntry.queries("dedup_exact_substr")(spark, sf)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_windows"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0)
+    val dw1 = dupWindows(sf1)
+    val dw3 = dupWindows(sf3)
+    info(s"dedup_exact_substr duplicated windows: sf0.1=$dw1 3×=$dw3")
+    assert(dw3 <= math.max((4.5 * dw1).toLong, 150L),
+      s"duplicated-window volume grew superlinearly over the 3× span: $dw1 → $dw3")
     // retrieval broadcasts stay QUERY-bounded at the third point —
     // corpus-independent build sides are what keeps the driver alive at
     // 100 TB (same conf guard as the two-point fence above).
