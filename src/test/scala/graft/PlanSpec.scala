@@ -1342,6 +1342,39 @@ class PlanSpec extends AnyFunSuite {
       "the rand predicate must survive as a post-scan Filter:\n" + rnd)
   }
 
+  test("exec-config variants actually bind: the reducer count reaches the exchange") {
+    // the adversarial reading of sql_agg_config_grid's eager-collect
+    // pattern is "did the conf apply, or did laziness escape the conf
+    // scope?" — this fence executes the same agg under two variant
+    // reducer counts and reads the EXCHANGE partition counts from the
+    // executed plans: 1 under reducers_1, 109 under reducers_109. A
+    // conf that failed to bind would leave both at the session default.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def aggExchangeParts(parts: String): Seq[Int] = {
+      val saved = (spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"))
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = graft.Engine.table(spark, TestSpark.Sf, "lineitem")
+          .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        df.collect()
+        nodes(df.queryExecution.executedPlan)
+          .collect { case e: ShuffleExchangeExec =>
+            e.outputPartitioning.numPartitions }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", saved._1)
+        spark.conf.set("spark.sql.adaptive.enabled", saved._2)
+      }
+    }
+    assert(aggExchangeParts("1") === Seq(1),
+      "reducers_1 variant must execute with a 1-partition exchange")
+    assert(aggExchangeParts("109") === Seq(109),
+      "reducers_109 variant must execute with a 109-partition exchange")
+  }
+
   test("AQE skew-join split FIRES on the salted-hot join (sql_join_skew_aqe_split)") {
     // the r14 adversarial-whiteList row proves answers match under the
     // skew-split confs; THIS fence proves the split machinery actually
