@@ -377,6 +377,55 @@ object Sql28Queries {
         FROM (SELECT o_orderstatus AS "order", o_orderpriority AS "by"
               FROM orders)
         GROUP BY "order", "by"
-        ORDER BY "order", "by"""")))
+        ORDER BY "order", "by""""))),
+
+    // ── notable_alias / alias_casted_column / literal_* measured (the
+    //    rest of the sweep's "parser trivia" class): AS-less bare
+    //    aliases flow through GROUP BY and re-aggregation; LITERAL
+    //    TYPING is pinned via typeof() against the expected Spark types
+    //    (int / bigint / double / decimal(1,1) / string / boolean /
+    //    date — the literal_double/ints/string golden semantics); a
+    //    CAST alias reusing the source column's own name resolves to
+    //    the casted value; and Spark 4 LATERAL COLUMN ALIASES (a
+    //    same-SELECT alias referenced by later expressions) compute
+    //    left-to-right. One string-typed digest per sub-case. ──────────
+    Q("sql_alias_literal_trivia",
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("graft_alt_o")
+        s.sql(sql("""
+          SELECT 'bare_alias' AS tag,
+                 concat_ws('|', sort_array(collect_list(concat(k, ':', cnt)))) AS val
+          FROM (SELECT o_orderstatus k, count(*) cnt
+                FROM graft_alt_o GROUP BY o_orderstatus) t
+          UNION ALL
+          SELECT 'literal_types',
+                 concat_ws(',', typeof(100), typeof(2147483648), typeof(1e2),
+                           typeof(0.1), typeof('x'), typeof(true),
+                           typeof(DATE '1996-01-02'))
+          UNION ALL
+          SELECT 'alias_casted',
+                 CAST(count(DISTINCT o_orderkey) AS STRING)
+          FROM (SELECT CAST(o_orderkey AS STRING) o_orderkey
+                FROM graft_alt_o WHERE o_orderkey <= 100)
+          UNION ALL
+          SELECT 'lateral_alias', CAST(c AS STRING)
+          FROM (SELECT 2 AS a, a * 10 AS b, b + a AS c)"""))
+      },
+      Some(sql("""
+        SELECT 'bare_alias' AS tag,
+               array_to_string(list_sort(list(k || ':' || cnt)), '|') AS val
+        FROM (SELECT o_orderstatus k, count(*) cnt
+              FROM orders GROUP BY o_orderstatus) t
+        UNION ALL
+        SELECT 'literal_types',
+               'int,bigint,double,decimal(1,1),string,boolean,date'
+        UNION ALL
+        SELECT 'alias_casted',
+               CAST(count(DISTINCT o_orderkey) AS VARCHAR)
+        FROM (SELECT CAST(o_orderkey AS VARCHAR) o_orderkey
+              FROM orders WHERE o_orderkey <= 100)
+        UNION ALL
+        SELECT 'lateral_alias', CAST(c AS VARCHAR)
+        FROM (SELECT 2 AS a, a * 10 AS b, b + a AS c)""")))
   )
 }
