@@ -297,7 +297,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
-      assert(big3 <= math.max((4.5 * big).toLong, 150L),
+      assert(big3 <= math.max((3.5 * big).toLong, 150L),
         s"$name join volume grew superlinearly over the 3× span: $big → $big3")
     }
     // containment: the candidate-tracks-answer contract must hold at
@@ -315,7 +315,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // with the corpus (a superlinear blocking regression shows here
     // even while the absolute 80× bound still holds)
     assert(cand3.toDouble / math.max(ans3, 1) <=
-      2.0 * math.max(cand1.toDouble / math.max(ans1, 1), 4.0),
+      1.5 * math.max(cand1.toDouble / math.max(ans1, 1), 4.0),
       s"containment blocking overhead drifted up at the third point: " +
         s"$cand3/$ans3 vs $cand1/$ans1 at sf0.1")
     // the whole documents-only dedup family rides the same third point:
@@ -330,7 +330,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3")
-      assert(big3 <= math.max((4.5 * big).toLong, 150L),
+      assert(big3 <= math.max((3.5 * big).toLong, 150L),
         s"$name candidate volume grew superlinearly over the 3× span: $big → $big3")
     }
     def dupWindows(sf: String): Long =
@@ -342,7 +342,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val dw1 = dupWindows(sf1)
     val dw3 = dupWindows(sf3)
     info(s"dedup_exact_substr duplicated windows: sf0.1=$dw1 3×=$dw3")
-    assert(dw3 <= math.max((4.5 * dw1).toLong, 150L),
+    assert(dw3 <= math.max((3.5 * dw1).toLong, 150L),
       s"duplicated-window volume grew superlinearly over the 3× span: $dw1 → $dw3")
     // retrieval broadcasts stay QUERY-bounded at the third point —
     // corpus-independent build sides are what keeps the driver alive at
