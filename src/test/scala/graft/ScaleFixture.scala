@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Third scale point for the ScaleGrowthSpec fences (r13 verdict #2):
@@ -16,37 +16,60 @@ import org.apache.spark.sql.functions._
   *     fractions (c_custkey % 50 = 7 etc.) and group moduli are
   *     preserved exactly, so the null-safe join fences see a genuine 3×
   *     corpus.
-  *   - documents: doc_id-offset copies with the TEXT of replicas 1 and 2
-  *     Caesar-shifted (translate over [a-z]; spaces/digits untouched).
-  *     Token structure, lengths and per-replica gram statistics are
-  *     identical to sf0.1, but the three replicas occupy (mostly)
-  *     disjoint gram spaces — so containment/BM25 see a 3×-bigger corpus
-  *     of the same generative character, NOT 3 exact copies of every doc
-  *     (exact replication would triple every gram's df and multiply
-  *     same-source pair groups ~9×, turning the fence's "answer" term
-  *     quadratic in the replica count — a fixture artifact, not a
-  *     property of the engine under test).
+  *   - documents, in TWO text modes:
   *
-  * Staged once per source fingerprint via the shared Staging protocol
-  * (atomic rename; concurrent JVMs converge on one copy).
+  *     DISJOINT (default): replicas 1 and 2 Caesar-shifted (translate
+  *     over [a-z] AND [A-Z] — r14 ADVICE #3: uppercase passing through
+  *     unshifted left grams containing them shared across replicas).
+  *     Token structure, lengths and per-replica gram statistics are
+  *     identical to sf0.1, but the three replicas occupy disjoint gram
+  *     spaces — a 3×-bigger corpus of the same generative character,
+  *     NOT 3 exact copies of every doc (exact replication would triple
+  *     every gram's df and multiply same-source pair groups ~9×,
+  *     turning the fence's "answer" term quadratic in the replica
+  *     count — a fixture artifact, not a property of the engine).
+  *
+  *     OVERLAP (r14 verdict #3): docs with doc_id % 10 < 3 keep their
+  *     ORIGINAL text in every replica (the offset is divisible by 10,
+  *     so the class is replica-stable); the other 70% shift as above.
+  *     The shared 30% triples its grams' document frequencies — the
+  *     df-GROWTH regime of a real 3× web corpus, where rarity-ordered
+  *     prefixes shift — and creates genuine cross-replica duplicate
+  *     pairs, so the ANSWER grows faster than 3× while candidates must
+  *     track it (the disjoint mode cannot see df-growth effects at
+  *     all; ScaleGrowthSpec fences both modes).
+  *
+  * Staged once per (mode, source fingerprint) via the shared Staging
+  * protocol (atomic rename; concurrent JVMs converge on one copy). The
+  * staging key carries a fixture VERSION — staging is keyed by source
+  * fingerprint, so a semantic change to the derivation (like the
+  * uppercase shift fix) must bump it or stale stagings replay.
   */
 object ScaleFixture {
 
   val Offset = 10000000L
 
-  private def shift(c: org.apache.spark.sql.Column, by: Int): org.apache.spark.sql.Column = {
+  private val Version = 2 // v2: shift covers [A-Z]; overlap mode added
+
+  private def shift(c: Column, by: Int): Column = {
     val abc = "abcdefghijklmnopqrstuvwxyz"
-    translate(c, abc, abc.drop(by) + abc.take(by))
+    val ABC = abc.toUpperCase(java.util.Locale.ROOT)
+    translate(c, abc + ABC,
+      abc.drop(by) + abc.take(by) + ABC.drop(by) + ABC.take(by))
   }
 
-  /** Stage (if absent) and return the sf0.3-equivalent directory. */
-  def dir(spark: SparkSession, src: String = "/root/testdata/sf0.1"): String = {
+  /** Stage (if absent) and return the derived-3× directory.
+    * `overlap = true` selects the shared-vocabulary text mode. */
+  def dir(spark: SparkSession, src: String = "/root/testdata/sf0.1",
+      overlap: Boolean = false): String = {
     // every replicated source participates in the staging key — a
     // regenerated customer.parquet must re-stage even when documents/
     // orders are untouched (review finding r14)
     val fp = Seq("documents", "customer", "orders")
       .map(t => Staging.fingerprint(s"$src/$t.parquet")).mkString("_")
-    val dest = java.nio.file.Paths.get(s"/tmp/graft_scale/sf0p3_$fp")
+    val mode = if (overlap) "ov" else "dj"
+    val dest = java.nio.file.Paths.get(
+      s"/tmp/graft_scale/sf0p3_v${Version}_${mode}_$fp")
     Staging.once(dest) { t =>
       def replicate(name: String, keyCols: Seq[String],
           textShift: Boolean): Unit = {
@@ -54,12 +77,16 @@ object ScaleFixture {
         val reps = (0 to 2).map { r =>
           val keyed = keyCols.foldLeft(base) { (df, k) =>
             df.withColumn(k, col(k) + lit(r * Offset)) }
-          if (textShift && r > 0)
-            keyed.withColumn("text", shift(col("text"), 5 * r))
-          else keyed
+          if (textShift && r > 0) {
+            val shifted = shift(col("text"), 5 * r)
+            keyed.withColumn("text",
+              if (overlap)
+                when(col("doc_id") % 10 < 3, col("text")).otherwise(shifted)
+              else shifted)
+          } else keyed
         }
-        reps.reduce(_ unionAll _).write.mode(SaveMode.Overwrite)
-          .parquet(s"$t/$name.parquet")
+        reps.reduce((a: DataFrame, b: DataFrame) => a.unionAll(b))
+          .write.mode(SaveMode.Overwrite).parquet(s"$t/$name.parquet")
       }
       replicate("documents", Seq("doc_id"), textShift = true)
       replicate("customer", Seq("c_custkey"), textShift = false)

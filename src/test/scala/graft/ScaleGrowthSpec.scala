@@ -313,7 +313,21 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"3×: candidate volume $cand3 not O(answer=$ans3 + corpus=$docs3)")
     // constant-factor blocking: the overhead factor must not drift up
     // with the corpus (a superlinear blocking regression shows here
-    // even while the absolute 80× bound still holds)
+    // even while the absolute 80× bound still holds).
+    //
+    // CONSTANT REGENERATION PROCEDURE (r14 ADVICE #1: these drift/slack
+    // constants are calibrated to the current testdata's measured band;
+    // candidate counts are draw-dependent, so a testdata regeneration or
+    // stableHash64 change can move them without any engine regression).
+    // To re-derive: run `sbt "testOnly graft.ScaleGrowthSpec"` and read
+    // the info() lines — each fence's constant is set ~15% above the
+    // measured ratio (e.g. the r14 band measured overhead 21.0× (sf0.1)
+    // vs 21.2× (3×) → drift factor 1.01, fenced at 1.5; family volumes
+    // measured 3.00-3.09× → fenced at 3.5×). The ABSOLUTE
+    // O(answer + corpus) bound (50×) is the hard scale contract and
+    // should survive any regeneration; if a regenerated corpus trips
+    // ONLY a ratio fence while the absolute bound holds, recalibrate
+    // the ratio from the new info() band rather than loosening 50×.
     assert(cand3.toDouble / math.max(ans3, 1) <=
       1.5 * math.max(cand1.toDouble / math.max(ans1, 1), 4.0),
       s"containment blocking overhead drifted up at the third point: " +
@@ -362,5 +376,49 @@ class ScaleGrowthSpec extends AnyFunSuite {
       c.set("spark.sql.adaptive.enabled", savedAqe)
       c.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
     }
+  }
+
+  test("shared-vocabulary third point: containment candidates track the answer under genuine df growth") {
+    // r14 verdict #3: the disjoint Caesar mode keeps replica gram
+    // spaces apart, so it fences corpus-independent blocking keys
+    // (~9× signature) but cannot see DF-GROWTH effects — a real 3× web
+    // corpus triples shared grams' document frequencies, shifting the
+    // rarity-ordered prefixes every probe is built from. The OVERLAP
+    // fixture mode keeps 30% of docs unshifted across all three
+    // replicas: their grams' df triples, and genuine cross-replica
+    // duplicate pairs appear, so the ANSWER grows superlinearly BY
+    // CONSTRUCTION (each all-unshifted qualifying pair appears ~9×,
+    // plus 3 self-duplicate pairs per shared doc). The fence is
+    // therefore NOT a ~3× volume ratio — it is that candidates keep
+    // TRACKING the answer: the blocking overhead factor stays within
+    // the same 1.5× drift bound as the disjoint mode, and the absolute
+    // O(answer + corpus) contract holds. A prefix scheme whose
+    // selectivity degrades under df growth (e.g. one keyed on
+    // pre-growth rarity ranks) would inflate overhead here while
+    // passing the disjoint-mode fence.
+    //
+    // Measured band (r15, v2 fixture): candidates=48,197,815
+    // answer=2,270,985 (4.82× the sf0.1 answer — the cross-replica
+    // duplicate regime engaged), overhead 21.2× vs 21.0× at sf0.1 and
+    // 21.2× in the disjoint mode — the blocking factor is INVARIANT to
+    // df growth because rarity ranks are recomputed per corpus.
+    val sf1 = "/root/testdata/sf0.1"
+    val sfo = ScaleFixture.dir(spark, overlap = true)
+    val cand1 = maxJoinRows("dedup_containment", sf1)
+    val ans1 = SparkEntry.queries("dedup_containment")(spark, sf1).count()
+    val cando = maxJoinRows("dedup_containment", sfo)
+    val anso = SparkEntry.queries("dedup_containment")(spark, sfo).count()
+    val docso = spark.read.parquet(s"$sfo/documents.parquet").count()
+    val ov1 = cand1.toDouble / math.max(ans1, 1)
+    val ovo = cando.toDouble / math.max(anso, 1)
+    info(f"containment under df growth: candidates=$cando answer=$anso docs=$docso " +
+      f"(overhead $ovo%.1f× vs $ov1%.1f× at sf0.1; answer grew ${anso.toDouble / math.max(ans1, 1)}%.2f×)")
+    assert(anso > 3L * ans1,
+      s"overlap fixture did not create the df-growth regime (answer $ans1 → $anso)")
+    assert(cando <= 50L * math.max(anso, docso),
+      s"df-growth: candidate volume $cando not O(answer=$anso + corpus=$docso)")
+    assert(ovo <= 1.5 * math.max(ov1, 4.0),
+      s"containment blocking overhead degraded under df growth: " +
+        s"$cando/$anso = $ovo vs $ov1 at sf0.1")
   }
 }
