@@ -564,16 +564,21 @@ object DedupQueries {
         // redundant — every unordered pair was generated from BOTH
         // directions before this predicate (ties broken by doc_id), so
         // it removes ≥ half the candidate join volume while the emitted
-        // pair set (after least/greatest + distinct) is unchanged
-        // WITHIN the hot-gram contract: for non-residue docs the
-        // smaller side's surviving prefix still pigeonholes a common
-        // NON-HOT gram (hotness is gram-level and global). A RESIDUE
-        // smaller doc (more than half its grams hot — excluded by
-        // contract, HotGramSpec) could previously surface incidentally
-        // via the larger side's probe; single-direction probing makes
-        // the contract's exclusion deterministic instead of
-        // draw-dependent. At the shipped SFs hotDf never engages, so
-        // the output is measured byte-identical.
+        // pair set (after least/greatest + distinct) is unchanged in
+        // EVERY regime, hot-engaged included (r15, sharpening the r14
+        // wording): a qualifying pair's globally-FIRST common gram g1
+        // is non-hot whenever ANY common non-hot gram exists (non-hot
+        // sorts before hot in the df-asc order), sits within the
+        // smaller side's ⌊n/2⌋+1 prefix bound (at most ov−1 common
+        // grams can rank after it), and passes the positional filter
+        // (≥ ov−1 remain on both sides) — so the smaller side's own
+        // probe finds every pair the larger side's could. The contract
+        // exclusion is exactly "all common grams hot" (gram-level,
+        // direction-independent); residue-ness costs no recall beyond
+        // that. HotGramSpec pins both sides: a residue smaller doc
+        // sharing one non-hot gram IS found under an engaged hotDf.
+        // At the shipped SFs hotDf never engages and the output is
+        // additionally measured byte-identical.
         val cand = probe.as("p").join(index.as("i"),
           col("p.h") === col("i.h") && col("p.source") === col("i.source")
             && (col("p.n") < col("i.n") ||

@@ -629,7 +629,13 @@ object Pipeline5Queries {
         // texts across the split are the true dups to catch)
         val corpus = docs.filter(col("doc_id") % 2 === 0)
         val batch = docs.filter(col("doc_id") % 2 === 1)
-        val bloom = corpus.stat.bloomFilter("h", 1000, 0.03)
+        // size the filter from the ACTUAL corpus cardinality — a fixed
+        // expectedNumItems overloads the bloom as the corpus grows
+        // (r15: hardcoded 1000 blew the FP rate past the bound at
+        // sf0.1's ~5k corpus — the exact fragility this row exists to
+        // catch; at 100 TB the seen-corpus count is pipeline-maintained
+        // state, so the one count() here stands in for a lookup)
+        val bloom = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1000L), 0.03)
         val bcast = s.sparkContext.broadcast(bloom)
         val might = udf((h: Long) => bcast.value.mightContain(h))
         val maybe = batch.filter(might(col("h")))
@@ -767,10 +773,17 @@ object Pipeline5Queries {
           .crossJoin(broadcast(obs.agg(count(lit(1)).as("n_total"))))
           .select(col("t"), col("d"),
             (col("n_total") - sum(col("c")).over(w) + col("c")).as("n_risk"))
+        // half-up micro-scaling (floor(x·1e6 + 0.5), spelled identically
+        // in the oracle): floor alone puts the discretization knife-edge
+        // AT integer micros, exactly where decimal-nice survival values
+        // land — at sf0.1 the t=428 product is precisely 0.654000 and a
+        // 1-ULP exp/ln difference between the JVM and DuckDB flipped
+        // floor to 653999 (r15 sf0.1 sweep). Half-up moves the edge to
+        // half-steps, the middle of the cell for such values.
         withRisk
           .select(col("t"), col("d"), col("n_risk"),
             expr("""CAST(floor(1000000.0 * exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
-                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) AS BIGINT)""")
+                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) + 0.5) AS BIGINT)""")
               .as("survival_micro"))
           .filter(col("d") > 0)
       },
@@ -789,7 +802,7 @@ object Pipeline5Queries {
                     FROM grid CROSS JOIN tot)
                   SELECT t, d, n_risk,
                     CAST(floor(1000000.0 * exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
-                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) AS BIGINT)
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) + 0.5) AS BIGINT)
                       AS survival_micro
                   FROM risk WHERE d > 0"""))),
 

@@ -104,23 +104,36 @@ object MemTableStore {
   /** Table rename: existence checks and the move happen atomically under
     * the store lock, throwing the TYPED catalog errors the TableCatalog
     * contract promises — a check in MemCatalog followed by a mutation
-    * here would let a concurrent racer see a bare require failure. */
-  def renameTable(from: String, to: String): Unit =
+    * here would let a concurrent racer see a bare require failure.
+    * Errors carry the CALLER'S identifiers, so a namespaced lookup's
+    * message names the path the user wrote, not a bare table name
+    * (r14 review finding). */
+  def renameTable(from: Identifier, to: Identifier): Unit =
     tables.synchronized {
-      if (!tables.contains(from)) throw new NoSuchTableException(ident(from))
-      if (tables.contains(to)) throw new TableAlreadyExistsException(ident(to))
-      tables.remove(from).foreach(v => tables.put(to, v): Unit)
+      if (!tables.contains(from.name()))
+        throw new NoSuchTableException(from)
+      if (tables.contains(to.name()))
+        throw new TableAlreadyExistsException(to)
+      tables.remove(from.name()).foreach(v => tables.put(to.name(), v): Unit)
     }
+
+  def renameTable(from: String, to: String): Unit =
+    renameTable(ident(from), ident(to))
 
   /** Metadata-only CREATE (the SQL `CREATE TABLE cat.t (…)` path —
     * distinct from the format-API write path, which creates on write).
     * Check-and-put is atomic under the lock; an existing target is the
-    * typed TABLE_OR_VIEW_ALREADY_EXISTS error (see renameTable). */
-  def create(name: String, schema: StructType): Unit =
+    * typed TABLE_OR_VIEW_ALREADY_EXISTS error carrying the caller's
+    * identifier (see renameTable). */
+  def create(tableIdent: Identifier, schema: StructType): Unit =
     tables.synchronized {
-      if (tables.contains(name)) throw new TableAlreadyExistsException(ident(name))
-      tables.put(name, (schema, Vector.empty)): Unit
+      if (tables.contains(tableIdent.name()))
+        throw new TableAlreadyExistsException(tableIdent)
+      tables.put(tableIdent.name(), (schema, Vector.empty)): Unit
     }
+
+  def create(name: String, schema: StructType): Unit =
+    create(ident(name), schema)
 }
 
 /** Driver-side evaluator for the connector Predicates a DELETE WHERE
@@ -214,7 +227,7 @@ class MemCatalog extends TableCatalog {
     // TableCatalog contract: an existing target is the typed catalog
     // error (TABLE_OR_VIEW_ALREADY_EXISTS) — thrown ATOMICALLY inside
     // the store lock, so a concurrent racer gets the typed error too
-    MemTableStore.create(ident.name(), schema)
+    MemTableStore.create(ident, schema)
     new MemTable(ident.name(), schema)
   }
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -236,7 +249,7 @@ class MemCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     // typed NoSuchTable/TableAlreadyExists errors thrown atomically
     // under the store lock (see MemTableStore.renameTable)
-    MemTableStore.renameTable(oldIdent.name(), newIdent.name())
+    MemTableStore.renameTable(oldIdent, newIdent)
   override def tableExists(ident: Identifier): Boolean =
     MemTableStore.names.contains(ident.name())
 }
