@@ -158,6 +158,43 @@ object Bench {
       } else (first._1, first._2, first._3, 1)
     val quiet = !loaded(calibPre, calibPost)
 
+    // bench_3x (r14 verdict #5): the three-point fences check LOGICAL
+    // volumes; constant-factor scale-killers (a stage whose parallelism
+    // doesn't grow, driver-side planning blowup) only show in seconds.
+    // Run every bench row once against the derived 3× corpus (one
+    // warm-up + one timed pass — the 3× plans are cold in this JVM,
+    // and an unwarmed reading would measure codegen compilation, not
+    // scaling) and report the wall ratio vs the row's reported sf0.1
+    // time. Rows over 4.5× (3× data × log-factor headroom) are named
+    // in "bench_3x_over" for BENCHNOTES root-causing — reported, not
+    // crashed, so one noisy draw cannot kill the whole artifact.
+    // Emitted only for the standard sf0.1 run; SPARK_GRAFT_BENCH_3X=0
+    // skips (dev iteration).
+    def bench3x(): String = try {
+      if (!sfDir.endsWith("sf0.1") ||
+        sys.env.get("SPARK_GRAFT_BENCH_3X").contains("0")) ""
+      else {
+        val dir3 = ScaleFixture.dir(spark, sfDir)
+        def once3(q: queries.Q): Double = {
+          val t0 = System.nanoTime()
+          q.fn(spark, dir3).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val base = results.collect { case (k, v, _, _, _) if v > 0 => k -> v }.toMap
+        val rows = qs.map { q =>
+          val t = try { once3(q); once3(q) } catch { case _: Throwable => -1.0 }
+          (q.name, t, base.get(q.name).map(b => t / b))
+        }
+        val times = rows.map { case (k, t, _) => "\"" + k + "\":" + t }
+          .mkString("{", ",", "}")
+        val ratios = rows.collect { case (k, t, Some(r)) if t >= 0 =>
+          "\"" + k + "\":" + math.rint(r * 100) / 100 }.mkString("{", ",", "}")
+        val over = rows.collect { case (k, t, Some(r)) if t >= 0 && r > 4.5 =>
+          "\"" + k + "\"" }.mkString("[", ",", "]")
+        s""""bench_3x":$times,"bench_3x_ratio":$ratios,"bench_3x_over":$over,"""
+      }
+    } catch { case _: Throwable => "" }
+
     // dedup_containment variance diagnostics (r10 task 5): its 1.5-4.4 s
     // trial spread is draw-dependent; emitting the candidate-pair count
     // (largest equi-join output) and the verify-stage input rows
@@ -181,6 +218,7 @@ object Bench {
       s""""containment_diag":{"candidates":$candidates,"verify_rows":$verifyRows},"""
     } catch { case _: Throwable => "" }
     val diag = containmentDiag()
+    val diag3x = bench3x()
     val qsJson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val trialsJson = results
       .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -203,7 +241,7 @@ object Bench {
     val core8 = results.filter(r => core8Names(r._1) && r._2 >= 0).map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","core8":$core8,""" +
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
-      s""""quiet":$quiet,"attempts":$attempts,$diag""" +
+      s""""quiet":$quiet,"attempts":$attempts,$diag$diag3x""" +
       s""""queries":$qsJson,"trials":$trialsJson,"rising":$risingJson,""" +
       s""""cache":$cacheJson,"sf":"$sfDir"}"""
     // The JSON travels on TWO channels: a file (sbt prefixes stdout with

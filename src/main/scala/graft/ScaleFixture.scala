@@ -49,7 +49,12 @@ object ScaleFixture {
 
   val Offset = 10000000L
 
-  private val Version = 2 // v2: shift covers [A-Z]; overlap mode added
+  // v2: shift covers [A-Z]; overlap mode added.
+  // v3: COMPLETE corpus — lineitem/events/embeddings replicated with
+  //     FK-preserving key offsets, dims copied as-is — so bench_3x can
+  //     run every headline row, not just the documents/customer/orders
+  //     families (6 of 12 bench rows errored on the v2 fixture).
+  private val Version = 3
 
   private def shift(c: Column, by: Int): Column = {
     val abc = "abcdefghijklmnopqrstuvwxyz"
@@ -64,9 +69,17 @@ object ScaleFixture {
       overlap: Boolean = false): String = {
     // every replicated source participates in the staging key — a
     // regenerated customer.parquet must re-stage even when documents/
-    // orders are untouched (review finding r14)
-    val fp = Seq("documents", "customer", "orders")
-      .map(t => Staging.fingerprint(s"$src/$t.parquet")).mkString("_")
+    // orders are untouched (review finding r14). Digested, not
+    // concatenated: six fingerprints would make the /tmp dir name
+    // unwieldy.
+    val fp = {
+      val all = Seq("documents", "customer", "orders",
+        "lineitem", "events", "embeddings")
+        .map(t => Staging.fingerprint(s"$src/$t.parquet")).mkString("_")
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(all.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+    }
     val mode = if (overlap) "ov" else "dj"
     val dest = java.nio.file.Paths.get(
       s"/tmp/graft_scale/sf0p3_v${Version}_${mode}_$fp")
@@ -91,6 +104,18 @@ object ScaleFixture {
       replicate("documents", Seq("doc_id"), textShift = true)
       replicate("customer", Seq("c_custkey"), textShift = false)
       replicate("orders", Seq("o_orderkey", "o_custkey"), textShift = false)
+      // facts: keys offset in step with their FK parents (l_orderkey
+      // tracks o_orderkey); l_partkey/l_suppkey and the nation keys stay
+      // unchanged — dimensions do NOT grow with the corpus, which is the
+      // realistic 3× shape (3× fact rows per supplier/part, not 3× more
+      // suppliers)
+      replicate("lineitem", Seq("l_orderkey"), textShift = false)
+      replicate("events", Seq("event_id", "user_id"), textShift = false)
+      replicate("embeddings", Seq("vec_id"), textShift = false)
+      // dimensions copied verbatim
+      for (name <- Seq("region", "nation", "supplier", "part"))
+        Engine.table(spark, src, name).write.mode(SaveMode.Overwrite)
+          .parquet(s"$t/$name.parquet")
     }
     dest.toString
   }
