@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -26,11 +28,148 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
     }
 }
 
+/** Linearize the quadratic NULL bucket of a null-safe equi-join feeding
+  * a count-structure aggregate (r14 verdict #7 — promoting the
+  * jn_nullsafe QUERY-level rewrite to an ENGINE rule).
+  *
+  * Under `l.k IS NOT DISTINCT FROM r.k2`, every NULL key matches every
+  * NULL key: a p-fraction NULL stripe per side concentrates
+  * |nulls_l| × |nulls_r| pairs onto ONE join key — 100× data means
+  * 10,000× bucket rows, and no AQE skew split saves one logical key.
+  * When the ONLY thing consumed above the join is count structure
+  * grouped by functions of the key, the bucket's contribution is
+  * computable analytically: it is a single group (every key in it is
+  * NULL) whose count is the product of the two stripe counts. So:
+  *
+  *   Aggregate(g(k), count(*), Join(l, r, k <=> k2))
+  *     ⇒ Aggregate(g(k), count(*), Join(σ(k≠NULL) l, σ(k2≠NULL) r, k = k2))
+  *       UNION Project(g(NULL), nl·nr, σ(nl>0 ∧ nr>0)(count nulls l × count nulls r))
+  *
+  * SCOPE — deliberately narrow, every condition load-bearing for
+  * exactness (a general rewrite is not provable; r14 verdict's words):
+  *   - inner join, condition EXACTLY one EqualNullSafe over one bare
+  *     attribute per side (no extra conjuncts: they could filter
+  *     bucket rows asymmetrically);
+  *   - at most one pure-pruning Project between Aggregate and Join;
+  *   - every grouping expression is a join-key attribute or
+  *     Remainder/Pmod(key, non-zero foldable) — shapes that are
+  *     provably NULL-iff-input-NULL, so the bucket is ONE group and
+  *     never collides with a non-null group (a general expression may
+  *     map non-null keys to NULL, e.g. a non-ANSI overflowing cast,
+  *     which would split one output group across the two branches);
+  *   - every aggregate is a non-DISTINCT, unfiltered count of a
+  *     foldable (count(*)/count(1)) — the only aggregates whose bucket
+  *     value depends on nothing but the pair COUNT. count(DISTINCT id)
+  *     and friends keep the verbatim join (jn_nullsafe_verbatim stays
+  *     a genuine verbatim-execution crossing because of this guard).
+  *
+  * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
+  * runs the verbatim null-safe join, so the driver hash-compare is the
+  * semantic-equivalence proof; PlanSpec pins that the rewrite actually
+  * fired (Union present, no EqualNullSafe condition left) and that the
+  * guard HOLDS where it must not fire; ScaleGrowthSpec fences the
+  * executed join volume to the linear band at three scale points.
+  */
+object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
+
+  /** Grouping shapes that are NULL exactly when the key is NULL. */
+  private def groupingOk(e: Expression, keys: AttributeSet): Boolean = e match {
+    case a: AttributeReference => keys.contains(a)
+    case r: Remainder => (r.left, r.right) match {
+      case (a: AttributeReference, l @ Literal(v, _)) =>
+        keys.contains(a) && v != null && !l.toString.startsWith("0")
+      case _ => false
+    }
+    case p: Pmod => (p.left, p.right) match {
+      case (a: AttributeReference, l @ Literal(v, _)) =>
+        keys.contains(a) && v != null && !l.toString.startsWith("0")
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def isCountOnly(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Count(children) => children.forall(c => c.foldable && !c.nullable)
+      case _ => false
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(grouping, aggExprs, child, _) =>
+      // unwrap at most one deterministic Project above the join — by
+      // this point PullOutGroupingExpressions has hoisted `k % 10`
+      // into exactly such a Project as `_groupingexpression#N`
+      val (projOpt, below) = child match {
+        case p @ Project(ps, j: Join) if ps.forall(_.deterministic) => (Some(p), j)
+        case other => (None, other)
+      }
+      below match {
+        case join @ Join(l, r, Inner, Some(EqualNullSafe(
+            lk: AttributeReference, rk: AttributeReference)), hint)
+          if lk.references.subsetOf(l.outputSet) &&
+            rk.references.subsetOf(r.outputSet) => {
+          // resolve grouping/output shapes through the Project's aliases
+          val aliasMap: Map[ExprId, Expression] = projOpt
+            .map(_.projectList.collect { case a: Alias => a.exprId -> a.child }.toMap)
+            .getOrElse(Map.empty)
+          def expand(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
+          }
+          val keys = AttributeSet(Seq(lk, rk))
+          val groupsOk = grouping.forall(g => groupingOk(expand(g), keys))
+          val aggsOk = aggExprs.forall {
+            case Alias(ae: AggregateExpression, _) => isCountOnly(ae)
+            case ne => // non-aggregate outputs must be grouping shapes
+              ne.collectFirst { case ae: AggregateExpression => ae }.isEmpty &&
+                groupingOk(expand(ne match { case Alias(c, _) => c; case o => o }), keys)
+          }
+          if (!groupsOk || !aggsOk) agg
+          else {
+            // branch 1: the non-null equi-join, SAME aggregate (and SAME
+            // output exprIds — the parent's references flow through
+            // Union's head-child attributes)
+            val nnJoin = Join(Filter(IsNotNull(lk), l), Filter(IsNotNull(rk), r),
+              Inner, Some(EqualTo(lk, rk)), hint)
+            val nnChild = projOpt.map(p => p.copy(child = nnJoin)).getOrElse(nnJoin)
+            val nnAgg = agg.copy(child = nnChild)
+            // branch 2: the analytic bucket — one row iff both stripes
+            // are non-empty, counts multiplied, keys at NULL
+            def stripeCount(side: LogicalPlan, key: Attribute, n: String) = {
+              val al = Alias(Count(Literal(1)).toAggregateExpression(), n)()
+              (Aggregate(Nil, Seq(al), Filter(IsNull(key), side)), al.toAttribute)
+            }
+            val (nlPlan, nl) = stripeCount(l, lk, "graft_nsc_nl")
+            val (nrPlan, nr) = stripeCount(r, rk, "graft_nsc_nr")
+            val nonEmpty = Filter(
+              And(GreaterThan(nl, Literal(0L)), GreaterThan(nr, Literal(0L))),
+              Join(nlPlan, nrPlan, Inner, None, JoinHint.NONE))
+            val keyIds = Set(lk.exprId, rk.exprId)
+            val bucketCols: Seq[NamedExpression] = aggExprs.map {
+              case Alias(_: AggregateExpression, name) =>
+                Alias(Multiply(nl, nr), name)()
+              case ne =>
+                val base = ne match { case al: Alias => al.child; case o => o }
+                val nulled = expand(base).transformUp {
+                  case a: AttributeReference if keyIds.contains(a.exprId) =>
+                    Literal(null, a.dataType)
+                }
+                Alias(nulled, ne.name)()
+            }
+            Union(Seq(nnAgg, Project(bucketCols, nonEmpty)))
+          }
+        }
+        case _ => agg
+      }
+  }
+}
+
 object GraftRules {
   /** Idempotently install the graft optimizer rules on a session. */
   def install(spark: SparkSession): Unit = {
     val current = spark.experimental.extraOptimizations
-    if (!current.contains(SimplifySelfHamming))
-      spark.experimental.extraOptimizations = current :+ SimplifySelfHamming
+    val mine = Seq(SimplifySelfHamming, LinearizeNullSafeCountAgg)
+    val missing = mine.filterNot(current.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = current ++ missing
   }
 }

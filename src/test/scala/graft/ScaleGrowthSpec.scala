@@ -271,7 +271,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // so the largest materialized join must track the FK — linear. A
     // regression back to the verbatim null-safe join trips this at sf0.1
     // (~1.05M joined rows vs the ~147k linear bound).
-    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full")) {
+    // jn_nullsafe_engine rides the same fence: its query text is the
+    // VERBATIM quadratic spelling and only the LinearizeNullSafeCountAgg
+    // engine rule keeps it linear — this is the volume proof that the
+    // rule's rewrite (not just its oracle equality) holds at scale.
+    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
@@ -293,7 +297,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // null-safe rows: materialized join volume must grow ~3× (the FK is
     // replicated 3×), never ~9× (the NULL-stripe pair product under a
     // verbatim-join regression: 3× nulls per side ⇒ 9× bucket pairs).
-    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full")) {
+    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
