@@ -106,7 +106,23 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
       below match {
         case join @ Join(l, r, Inner, Some(EqualNullSafe(
             lk: AttributeReference, rk: AttributeReference)), hint)
-          if lk.references.subsetOf(l.outputSet) &&
+          if grouping.nonEmpty &&
+            // EMPTY grouping means ONE global output row; the rewrite's
+            // two-branch Union would emit two (or one when the bucket is
+            // empty but the equi-join also is — a global count yields a
+            // 0 row, not no row). Grouped aggregates are immune: the
+            // bucket is its own group.
+            !join.isStreaming &&
+            // both sides are re-evaluated by the bucket branch — a
+            // nondeterministic expression ANYWHERE in either subtree
+            // could diverge between branches
+            l.collectFirst {
+              case p if p.expressions.exists(e => !e.deterministic) => p
+            }.isEmpty &&
+            r.collectFirst {
+              case p if p.expressions.exists(e => !e.deterministic) => p
+            }.isEmpty &&
+            lk.references.subsetOf(l.outputSet) &&
             rk.references.subsetOf(r.outputSet) => {
           // resolve grouping/output shapes through the Project's aliases
           val aliasMap: Map[ExprId, Expression] = projOpt

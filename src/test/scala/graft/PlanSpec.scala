@@ -1436,5 +1436,31 @@ class PlanSpec extends AnyFunSuite {
       "guard failed: jn_nullsafe_verbatim no longer executes a verbatim " +
         "null-safe join — count(DISTINCT) aggregates must block the rewrite:\n" +
         guard.queryExecution.optimizedPlan)
+
+    // empty-grouping guard: a GLOBAL count over <=> must stay verbatim —
+    // the two-branch Union would emit two rows (or a missing 0-row)
+    // where a global aggregate emits exactly one. Cross-checked
+    // semantically: the verbatim global count must equal the sum of
+    // the rewritten grouped counts over identical inputs.
+    Engine.table(spark, TestSpark.Sf, "customer").createOrReplaceTempView("graft_nsc_c")
+    Engine.table(spark, TestSpark.Sf, "orders").createOrReplaceTempView("graft_nsc_o")
+    val global = spark.sql("""
+      SELECT count(*) AS n FROM
+        (SELECT CASE WHEN c_custkey % 50 = 7 THEN NULL ELSE c_custkey END AS k
+         FROM graft_nsc_c) l
+        JOIN
+        (SELECT CASE WHEN o_custkey % 50 = 13 THEN NULL ELSE o_custkey END AS k2
+         FROM graft_nsc_o) r
+        ON l.k <=> r.k2""")
+    assert(global.queryExecution.optimizedPlan.collect { case u: Union => u }.isEmpty,
+      "empty-grouping guard failed: the global <=> count was rewritten:\n" +
+        global.queryExecution.optimizedPlan)
+    val globalRows = global.collect()
+    assert(globalRows.length === 1)
+    val groupedTotal = fired
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(globalRows(0).getLong(0) === groupedTotal,
+      s"verbatim global count ${globalRows(0).getLong(0)} != sum of rewritten " +
+        s"grouped counts $groupedTotal")
   }
 }
