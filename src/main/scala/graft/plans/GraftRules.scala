@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -45,11 +45,29 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     ⇒ Aggregate(g(k), count(*), Join(σ(k≠NULL) l, σ(k2≠NULL) r, k = k2))
   *       UNION Project(g(NULL), nl·nr, σ(nl>0 ∧ nr>0)(count nulls l × count nulls r))
   *
+  * Outer joins (r15 widening) carry the same structure with a
+  * per-type bucket count — the null-extension cases fold into it:
+  *   FULL : both stripes non-empty → nl·nr cross-matches; one empty →
+  *          the other's nl+nr rows null-extend (bucket = nl+nr);
+  *   LEFT : nr>0 → nl·nr matches; nr=0 → the nl left rows null-extend
+  *          (right-null rows never surface in a left join otherwise);
+  *   RIGHT: symmetric.
+  * The extra exactness hazard for outer types is GROUP COLLISION:
+  * branch 1's null-EXTENDED rows produce NULL grouping values (a left
+  * join's unmatched rows have g(k2) = NULL), and if the whole grouping
+  * tuple can be all-NULL in branch 1 it would duplicate the bucket's
+  * group across the Union instead of merging into one output row. The
+  * guard: the grouping must cover every side that branch 1 filters but
+  * cannot null-extend — LEFT requires a left-key shape (left rows are
+  * non-null there), RIGHT a right-key shape, FULL both (each branch-1
+  * row keeps its OWN side's key non-null); INNER needs none (no
+  * extension at all).
+  *
   * SCOPE — deliberately narrow, every condition load-bearing for
   * exactness (a general rewrite is not provable; r14 verdict's words):
-  *   - inner join, condition EXACTLY one EqualNullSafe over one bare
-  *     attribute per side (no extra conjuncts: they could filter
-  *     bucket rows asymmetrically);
+  *   - inner/left/right/full join, condition EXACTLY one EqualNullSafe
+  *     over one bare attribute per side (no extra conjuncts: they
+  *     could filter bucket rows asymmetrically);
   *   - at most one pure-pruning Project between Aggregate and Join;
   *   - every grouping expression is a join-key attribute or
   *     Remainder/Pmod(key, non-zero foldable) — shapes that are
@@ -104,8 +122,9 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
         case other => (None, other)
       }
       below match {
-        case join @ Join(l, r, Inner, Some(EqualNullSafe(
-            lk: AttributeReference, rk: AttributeReference)), hint)
+        case join @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter | FullOuter),
+            Some(EqualNullSafe(
+              lk: AttributeReference, rk: AttributeReference)), hint)
           if grouping.nonEmpty &&
             // EMPTY grouping means ONE global output row; the rewrite's
             // two-branch Union would emit two (or one when the bucket is
@@ -139,30 +158,53 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               ne.collectFirst { case ae: AggregateExpression => ae }.isEmpty &&
                 groupingOk(expand(ne match { case Alias(c, _) => c; case o => o }), keys)
           }
-          if (!groupsOk || !aggsOk) agg
+          // group-collision guard (outer types): branch 1's null-EXTENDED
+          // rows must never form the all-NULL grouping tuple the bucket
+          // owns — require a grouping shape over each side branch 1
+          // keeps non-null (its filtered own key) per join type
+          def coversKey(key: Attribute): Boolean =
+            grouping.exists(g => expand(g).references.contains(key))
+          val collisionOk = jt match {
+            case Inner => true
+            case LeftOuter => coversKey(lk)
+            case RightOuter => coversKey(rk)
+            case FullOuter => coversKey(lk) && coversKey(rk)
+            case _ => false
+          }
+          if (!groupsOk || !aggsOk || !collisionOk) agg
           else {
-            // branch 1: the non-null equi-join, SAME aggregate (and SAME
-            // output exprIds — the parent's references flow through
-            // Union's head-child attributes)
+            // branch 1: the non-null equi-join of the SAME type, SAME
+            // aggregate (and SAME output exprIds — the parent's
+            // references flow through Union's head-child attributes)
             val nnJoin = Join(Filter(IsNotNull(lk), l), Filter(IsNotNull(rk), r),
-              Inner, Some(EqualTo(lk, rk)), hint)
+              jt, Some(EqualTo(lk, rk)), hint)
             val nnChild = projOpt.map(p => p.copy(child = nnJoin)).getOrElse(nnJoin)
             val nnAgg = agg.copy(child = nnChild)
-            // branch 2: the analytic bucket — one row iff both stripes
-            // are non-empty, counts multiplied, keys at NULL
+            // branch 2: the analytic bucket — per-type count and
+            // emission condition (see the class doc's outer-join table)
             def stripeCount(side: LogicalPlan, key: Attribute, n: String) = {
               val al = Alias(Count(Literal(1)).toAggregateExpression(), n)()
               (Aggregate(Nil, Seq(al), Filter(IsNull(key), side)), al.toAttribute)
             }
             val (nlPlan, nl) = stripeCount(l, lk, "graft_nsc_nl")
             val (nrPlan, nr) = stripeCount(r, rk, "graft_nsc_nr")
-            val nonEmpty = Filter(
-              And(GreaterThan(nl, Literal(0L)), GreaterThan(nr, Literal(0L))),
+            val nlPos = GreaterThan(nl, Literal(0L))
+            val nrPos = GreaterThan(nr, Literal(0L))
+            val cross = Multiply(nl, nr)
+            val (emitCond: Expression, bucketCount: Expression) = jt match {
+              case Inner => (And(nlPos, nrPos), cross)
+              case FullOuter => (Or(nlPos, nrPos),
+                If(And(nlPos, nrPos), cross, Add(nl, nr)))
+              case LeftOuter => (nlPos, If(nrPos, cross, nl))
+              case RightOuter => (nrPos, If(nlPos, cross, nr))
+              case _ => (And(nlPos, nrPos), cross) // unreachable (matched above)
+            }
+            val nonEmpty = Filter(emitCond,
               Join(nlPlan, nrPlan, Inner, None, JoinHint.NONE))
             val keyIds = Set(lk.exprId, rk.exprId)
             val bucketCols: Seq[NamedExpression] = aggExprs.map {
               case Alias(_: AggregateExpression, name) =>
-                Alias(Multiply(nl, nr), name)()
+                Alias(bucketCount, name)()
               case ne =>
                 val base = ne match { case al: Alias => al.child; case o => o }
                 val nulled = expand(base).transformUp {

@@ -204,6 +204,29 @@ object Sql18Queries {
       SELECT k % 10 AS kg, count(*) AS n
       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
 
+    // FULL-OUTER variant of the engine rewrite (r15 widening): verbatim
+    // quadratic spelling, per-type analytic bucket (nl·nr cross-matches
+    // when both stripes are non-empty; nl+nr null-extended stragglers
+    // when one is). Grouping covers BOTH keys — the rule's
+    // group-collision guard for FULL (branch 1's null-extended rows can
+    // zero either key alone, never both).
+    q("jn_nullsafe_full_engine", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
+      FROM l FULL JOIN r ON l.k <=> r.k2 GROUP BY k % 10, k2 % 10""", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg, count(*) AS n
+      FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      GROUP BY k % 10, k2 % 10"""),
+
+    // LEFT-OUTER variant: grouping over the LEFT key satisfies the
+    // collision guard (branch 1 keeps every left row's key non-null);
+    // bucket = nl·nr when the right stripe is non-empty, else the nl
+    // null-extended left rows.
+    q("jn_nullsafe_left_engine", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l LEFT JOIN r ON l.k <=> r.k2 GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n
+      FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
+
     // VERBATIM null-safe join, BOUNDED (r13 ADVICE): the engine itself
     // executes `IS NOT DISTINCT FROM` — Spark's ExtractEquiJoinKeys
     // treats EqualNullSafe as an equi-join key, so the NULL stripes

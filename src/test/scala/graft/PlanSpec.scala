@@ -1415,19 +1415,24 @@ class PlanSpec extends AnyFunSuite {
     //     "verbatim engine execution" crossing silently evaporates.
     import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
     import org.apache.spark.sql.catalyst.plans.logical.Union
-    val fired = SparkEntry.queries("jn_nullsafe_engine")(spark, TestSpark.Sf)
-    val opt = fired.queryExecution.optimizedPlan
-    assert(opt.collect { case u: Union => u }.nonEmpty,
-      s"rule did not fire (no Union in the optimized plan):\n$opt")
-    val leftoverNs = opt.flatMap(n => n.expressions.flatMap(_.collect {
-      case e: EqualNullSafe => e
-    }))
-    assert(leftoverNs.isEmpty,
-      s"null-safe condition survived optimization (quadratic bucket still planned):\n$opt")
-    // the rewritten plan must also EXECUTE correctly right here (the
+    for (name <- Seq("jn_nullsafe_engine", "jn_nullsafe_full_engine",
+        "jn_nullsafe_left_engine")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case u: Union => u }.nonEmpty,
+        s"$name: rule did not fire (no Union in the optimized plan):\n$opt")
+      val leftoverNs = opt.flatMap(n => n.expressions.flatMap(_.collect {
+        case e: EqualNullSafe => e
+      }))
+      assert(leftoverNs.isEmpty,
+        s"$name: null-safe condition survived optimization (quadratic bucket still planned):\n$opt")
+    }
+    // the rewritten plans must also EXECUTE correctly right here (the
     // oracle runs driver-side; keep an in-suite execution witness):
     // non-null groups 0-9 plus the analytic NULL-bucket row
+    val fired = SparkEntry.queries("jn_nullsafe_engine")(spark, TestSpark.Sf)
     assert(fired.count() === 11)
+    assert(SparkEntry.queries("jn_nullsafe_left_engine")(spark, TestSpark.Sf).count() === 11)
 
     val guard = SparkEntry.queries("jn_nullsafe_verbatim")(spark, TestSpark.Sf)
     val guardNs = guard.queryExecution.optimizedPlan.flatMap(n =>

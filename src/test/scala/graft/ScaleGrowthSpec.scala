@@ -275,7 +275,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // VERBATIM quadratic spelling and only the LinearizeNullSafeCountAgg
     // engine rule keeps it linear — this is the volume proof that the
     // rule's rewrite (not just its oracle equality) holds at scale.
-    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine")) {
+    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
+        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
