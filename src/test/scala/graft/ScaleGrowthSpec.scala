@@ -298,7 +298,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // null-safe rows: materialized join volume must grow ~3× (the FK is
     // replicated 3×), never ~9× (the NULL-stripe pair product under a
     // verbatim-join regression: 3× nulls per side ⇒ 9× bucket pairs).
-    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine")) {
+    for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
+        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
