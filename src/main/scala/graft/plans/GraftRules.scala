@@ -90,17 +90,28 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   */
 object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
 
+  /** The divisor must be provably non-zero NUMERICALLY — a zero (or
+    * negative zero, which a string test misses) divisor makes
+    * Remainder/Pmod return NULL for NON-null keys under non-ANSI
+    * semantics, colliding a real group with the bucket's. */
+  private def nonZeroLiteral(v: Any): Boolean = v match {
+    case null => false
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble != 0.0
+    case n: java.lang.Number => n.doubleValue() != 0.0
+    case _ => false
+  }
+
   /** Grouping shapes that are NULL exactly when the key is NULL. */
   private def groupingOk(e: Expression, keys: AttributeSet): Boolean = e match {
     case a: AttributeReference => keys.contains(a)
     case r: Remainder => (r.left, r.right) match {
-      case (a: AttributeReference, l @ Literal(v, _)) =>
-        keys.contains(a) && v != null && !l.toString.startsWith("0")
+      case (a: AttributeReference, Literal(v, _)) =>
+        keys.contains(a) && nonZeroLiteral(v)
       case _ => false
     }
     case p: Pmod => (p.left, p.right) match {
-      case (a: AttributeReference, l @ Literal(v, _)) =>
-        keys.contains(a) && v != null && !l.toString.startsWith("0")
+      case (a: AttributeReference, Literal(v, _)) =>
+        keys.contains(a) && nonZeroLiteral(v)
       case _ => false
     }
     case _ => false
