@@ -182,7 +182,11 @@ object Bench {
         }
         val base = results.collect { case (k, v, _, _, _) if v > 0 => k -> v }.toMap
         val rows = qs.map { q =>
-          val t = try { once3(q); once3(q) } catch { case _: Throwable => -1.0 }
+          // warm-up + best-of-2 timed: the main rows report best-of-2/3,
+          // so a single 3× draw would compare a noisy reading against a
+          // best — one GC hiccup could flag a phantom >4.5× outlier
+          val t = try { once3(q); math.min(once3(q), once3(q)) }
+          catch { case _: Throwable => -1.0 }
           (q.name, t, base.get(q.name).map(b => t / b))
         }
         val times = rows.map { case (k, t, _) => "\"" + k + "\":" + t }
