@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the bench-flagged headline queries (BDB-analog
   * set — scan-agg, star join, top-k, window, dedup, ANN) at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  * SPARK_GRAFT_SF_DIR and prints JSON for the driver.
   *
   * Protocol mirrors the reference's trial policy (README.md:75-80: first
   * trial discarded as warm-up): one warm-up pass, then two timed trials
@@ -19,9 +19,21 @@ import org.apache.spark.sql.SparkSession
   * 8-query set benched since round 4, so round-over-round comparisons
   * survive additions to the bench list.
   *
+  * OUTPUT SHAPE (r15 postmortem: the bench_3x fields grew the single
+  * metric line past the driver's stdout tail-capture window, truncating
+  * its head — BENCH_r15.json shipped `parsed: null`): the artifact is now
+  * TWO JSON lines. A `{"metric":"bench_detail",…}` line carries the bulky
+  * self-diagnosis payload (per-trial times, cache attribution,
+  * containment diag, the full bench_3x section) and is printed FIRST; the
+  * compact `{"metric":"total",…}` summary is printed LAST, after
+  * spark.stop(), so the driver's tail capture always sees a complete
+  * summary line no matter how the detail payload grows. The legacy out
+  * files (bench.json etc.) keep their one-line shape with the compact
+  * summary only; the detail line additionally lands in bench_detail.json.
+  *
   * SELF-DIAGNOSING artifact (r7 postmortem: a driver run landed 2-3×
   * slower than two controlled runs of identical code, and only an
-  * out-of-band re-run could adjudicate): the JSON now carries
+  * out-of-band re-run could adjudicate): the JSON carries
   * (a) `trials` — EVERY trial timing per query, not just the best, so
   * uniform inflation across trials (machine load) is distinguishable
   * from one noisy draw (GC); and (b) `calib_pre` / `calib_post` — a
@@ -51,6 +63,72 @@ object Bench {
     }
     (1 to 3).map(_ => once()).min
   }
+
+  /** Cumulative driver GC time across all collector beans (BenchProbe's
+    * diagnostic, promoted here for the 3× pass): a trial whose wall time
+    * inflates in step with its gcDelta names GC pressure as the cause; an
+    * inflated wall with flat GC points at neighbors/clock. */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Bench rows whose INPUT does not grow under the 3× fixture: the
+    * fixture replicates facts and copies dimensions verbatim (the
+    * realistic 3× shape — 3× fact rows per supplier, not 3× suppliers),
+    * and graph_pagerank derives its star graph from `nation` alone
+    * (fixed 25 rows at EVERY scale factor — TPC-H dims). Its 3× ratio
+    * therefore measures two draws of fixed scheduling overhead, not
+    * scaling — ScaleGrowthSpec pins the edge count equal at sf0.01,
+    * sf0.1 AND the 3× fixture, and pins THIS set against that fence. A
+    * >4.5× draw on such a row is an ENVIRONMENT signal (GC/neighbor load
+    * on a ~0.35 s reading), so it is reported under
+    * "bench_3x_env_suspect", not "bench_3x_over" — the over-list is
+    * reserved for rows where input actually tripled and a scale-killer
+    * is a live hypothesis. (Driver r15 flagged pagerank at 5.39× — a
+    * category error this split removes; the reading itself stays in the
+    * artifact either way.) */
+  val constInput3x: Set[String] = Set("graph_pagerank")
+
+  /** Shared per-row trial policy (main pass and 3× pass use the SAME
+    * rules, so their numbers are comparable): best-of-2, a third trial
+    * when the best is >2 s or the two disagree by >25%, and — the r13
+    * RISING-curve diagnostic — a row whose trials RISE >1.5× first→last
+    * reports the MEDIAN of its trials instead of the min (min-of-trials
+    * assumes later trials are never systematically slower; q1_agg's
+    * inverted 0.39→0.70→0.81 curve in BENCH_r13 showed in-run
+    * degradation that biases min toward one lucky first draw).
+    * Returns (reported, trials, rising, perTrialGcMs); (-1, empty,
+    * false, empty) when every trial threw. */
+  private def timedTrials(run: () => Double): (Double, Seq[Double], Boolean, Seq[Long]) =
+    try {
+      val gs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def timed(): Double = {
+        val g0 = gcMs()
+        val t = run()
+        gs += gcMs() - g0
+        t
+      }
+      val t1 = timed()
+      val t2 = timed()
+      val best2 = math.min(t1, t2)
+      // the extra trial for slow/noisy rows must not discard two valid
+      // timings if it fails transiently — fall back to best2
+      val (best, ts) =
+        if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
+          val t3 = try Some(timed()) catch { case _: Throwable => None }
+          (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
+        } else (best2, Seq(t1, t2))
+      val rising = ts.size >= 2 && ts.last > 1.5 * ts.head
+      val reported = if (rising) {
+        val sorted = ts.sorted
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      } else best
+      (reported, ts, rising, gs.toSeq)
+    } catch { case _: Throwable => (-1.0, Seq.empty, false, Seq.empty) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,9 +142,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(q: queries.Q): Double = {
+    def runOnce(q: queries.Q, dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
-      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -79,61 +157,35 @@ object Bench {
     // was a reuse, and the keys' block-manager state BEFORE the trials —
     // so a 0.4-vs-1.6 s spread on cache-sharing rows (text_tf feeds both
     // text_tfidf and text_bm25_topk) is decidable from the artifact.
+    def cacheAttribution(
+        preSnap: Map[String, (Double, Long, Long)],
+        ev: Seq[(String, Boolean)]): String =
+      if (ev.isEmpty) "" else {
+        val touched = ev.map(_._1).distinct.sorted
+        val swapMiss = ev.exists(!_._2)
+        // cache_hit = the trials re-used tables that were ALREADY fully
+        // materialized; false means this row paid (part of) the build
+        val hit = !swapMiss &&
+          touched.forall(k => preSnap.get(k).exists(_._1 >= 0.999))
+        val keys = touched.map { k =>
+          val (f, m, dk) = preSnap.getOrElse(k, (0.0, 0L, 0L))
+          // Locale.ROOT: the f-interpolator's %.3f obeys the JVM default
+          // locale — a comma-decimal locale would render 0,997 and
+          // corrupt the JSON both downstream channels parse
+          val frac = String.format(java.util.Locale.ROOT, "%.3f", Double.box(f))
+          s""""$k":{"pre_frac":$frac,"pre_mem":$m,"pre_disk":$dk}"""
+        }.mkString(",")
+        s"""{"cache_hit":$hit,"swap_miss":$swapMiss,"keys":{$keys}}"""
+      }
+
     def measure(): (Double, Double, Seq[(String, Double, Seq[Double], String, Boolean)]) = {
       val pre = calibrate()
       // (best, all trials, cache attribution, rising flag) per query
       val rs: Seq[(String, Double, Seq[Double], String, Boolean)] = qs.map { q =>
         val preSnap = functions.CacheOnce.storageSnapshot()
         functions.CacheOnce.drainEvents(): Unit
-        val (t, trials, rising) = try {
-          val t1 = runOnce(q)
-          val t2 = runOnce(q)
-          val best2 = math.min(t1, t2)
-          // the extra trial for slow/noisy rows must not discard two valid
-          // timings if it fails transiently — fall back to best2
-          val (best, ts) =
-            if (best2 > 2.0 || math.abs(t1 - t2) > 0.25 * best2) {
-              val t3 = try Some(runOnce(q)) catch { case _: Throwable => None }
-              (math.min(best2, t3.getOrElse(best2)), Seq(t1, t2) ++ t3)
-            } else (best2, Seq(t1, t2))
-          // RISING-curve diagnostic (r13 verdict #3): min-of-trials
-          // assumes later trials are never systematically slower (the
-          // JIT-warm-up model) — q1_agg's inverted 0.39→0.70→0.81 curve
-          // in BENCH_r13 showed in-run degradation (GC/neighbor
-          // pressure) that the calibration bracket cannot see and that
-          // biases min toward one lucky first draw. A row whose trials
-          // RISE >1.5× first→last reports the MEDIAN of its trials
-          // instead of the min, and is named in the artifact's "rising"
-          // list so the curve is adjudicable downstream. The flag is
-          // computed ONCE here and carried in the tuple — the JSON list
-          // and the median decision can never disagree.
-          val rising = ts.size >= 2 && ts.last > 1.5 * ts.head
-          if (rising) {
-            val sorted = ts.sorted
-            val med =
-              if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-              else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-            (med, ts, rising)
-          } else (best, ts, rising)
-        } catch { case _: Throwable => (-1.0, Seq.empty[Double], false) }
-        val ev = functions.CacheOnce.drainEvents()
-        val cache = if (ev.isEmpty) "" else {
-          val touched = ev.map(_._1).distinct.sorted
-          val swapMiss = ev.exists(!_._2)
-          // cache_hit = the trials re-used tables that were ALREADY fully
-          // materialized; false means this row paid (part of) the build
-          val hit = !swapMiss &&
-            touched.forall(k => preSnap.get(k).exists(_._1 >= 0.999))
-          val keys = touched.map { k =>
-            val (f, m, dk) = preSnap.getOrElse(k, (0.0, 0L, 0L))
-            // Locale.ROOT: the f-interpolator's %.3f obeys the JVM default
-            // locale — a comma-decimal locale would render 0,997 and
-            // corrupt the JSON both downstream channels parse
-            val frac = String.format(java.util.Locale.ROOT, "%.3f", Double.box(f))
-            s""""$k":{"pre_frac":$frac,"pre_mem":$m,"pre_disk":$dk}"""
-          }.mkString(",")
-          s"""{"cache_hit":$hit,"swap_miss":$swapMiss,"keys":{$keys}}"""
-        }
+        val (t, trials, rising, _) = timedTrials(() => runOnce(q))
+        val cache = cacheAttribution(preSnap, functions.CacheOnce.drainEvents())
         (q.name, t, trials, cache, rising)
       }
       (pre, calibrate(), rs)
@@ -161,43 +213,99 @@ object Bench {
     // bench_3x (r14 verdict #5): the three-point fences check LOGICAL
     // volumes; constant-factor scale-killers (a stage whose parallelism
     // doesn't grow, driver-side planning blowup) only show in seconds.
-    // Run every bench row once against the derived 3× corpus (one
-    // warm-up + one timed pass — the 3× plans are cold in this JVM,
-    // and an unwarmed reading would measure codegen compilation, not
-    // scaling) and report the wall ratio vs the row's reported sf0.1
-    // time. Rows over 4.5× (3× data × log-factor headroom) are named
-    // in "bench_3x_over" for BENCHNOTES root-causing — reported, not
-    // crashed, so one noisy draw cannot kill the whole artifact.
+    // Run every bench row against the derived 3× corpus (one warm-up +
+    // best-of-2 timed passes — the 3× plans are cold in this JVM, and an
+    // unwarmed reading would measure codegen compilation AND the
+    // CacheOnce swap to the 3× keys, not scaling) and report the wall
+    // ratio vs the row's reported sf0.1 time. Rows over 4.5× (3× data ×
+    // log-factor headroom) are named in "bench_3x_over" for BENCHNOTES
+    // root-causing — reported, not crashed, so one noisy draw cannot
+    // kill the whole artifact.
+    //
+    // r16 (r15 postmortem: the driver's run flagged containment 6.96× /
+    // pagerank 5.39× against the builder's own ≤3.08× closing runs, with
+    // nothing in the artifact to adjudicate): the 3× pass now gets the
+    // SAME measurement hygiene as the main pass —
+    //   (a) its own calibration bracket + re-measure-once-if-loaded +
+    //       "bench_3x_quiet" self-certification (the main pass's bracket
+    //       ended at calib_post, leaving bench_3x entirely unbracketed —
+    //       load arriving late in the driver's run was invisible);
+    //   (b) the shared timedTrials policy (third-trial-when-noisy,
+    //       rising→median) instead of a bare best-of-2;
+    //   (c) per-trial times AND per-trial driver-GC deltas in the detail
+    //       artifact, so GC-debt inflation is decidable from the JSON;
+    //   (d) CacheOnce attribution per row, so a timed window that paid a
+    //       3×-key swap/build (warm-up is supposed to absorb it) is
+    //       visible as cache_hit:false;
+    //   (e) an explicit System.gc() before the pass, so the 3× readings
+    //       don't start by collecting the main pass's accumulated
+    //       garbage inside some row's timed window.
     // Emitted only for the standard sf0.1 run; SPARK_GRAFT_BENCH_3X=0
     // skips (dev iteration).
-    def bench3x(): String = try {
+    def bench3x(): (String, String) = try {
       if (!sfDir.endsWith("sf0.1") ||
-        sys.env.get("SPARK_GRAFT_BENCH_3X").contains("0")) ""
+        sys.env.get("SPARK_GRAFT_BENCH_3X").contains("0")) ("", "")
       else {
         val dir3 = ScaleFixture.dir(spark, sfDir)
-        def once3(q: queries.Q): Double = {
-          val t0 = System.nanoTime()
-          q.fn(spark, dir3).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
         val base = results.collect { case (k, v, _, _, _) if v > 0 => k -> v }.toMap
-        val rows = qs.map { q =>
-          // warm-up + best-of-2 timed: the main rows report best-of-2/3,
-          // so a single 3× draw would compare a noisy reading against a
-          // best — one GC hiccup could flag a phantom >4.5× outlier
-          val t = try { once3(q); math.min(once3(q), once3(q)) }
-          catch { case _: Throwable => -1.0 }
-          (q.name, t, base.get(q.name).map(b => t / b))
+        System.gc()
+        def measure3(): (Double, Double, Seq[(String, Double, Seq[Double], Seq[Long], String, Boolean)]) = {
+          val pre = calibrate()
+          val rows = qs.map { q =>
+            try { runOnce(q, dir3) } catch { case _: Throwable => () } // warm-up
+            val preSnap = functions.CacheOnce.storageSnapshot()
+            functions.CacheOnce.drainEvents(): Unit
+            val (t, trials, rising, gcs) = timedTrials(() => runOnce(q, dir3))
+            val cache = cacheAttribution(preSnap, functions.CacheOnce.drainEvents())
+            (q.name, t, trials, gcs, cache, rising)
+          }
+          (pre, calibrate(), rows)
         }
-        val times = rows.map { case (k, t, _) => "\"" + k + "\":" + t }
-          .mkString("{", ",", "}")
-        val ratios = rows.collect { case (k, t, Some(r)) if t >= 0 =>
-          "\"" + k + "\":" + math.rint(r * 100) / 100 }.mkString("{", ",", "}")
-        val over = rows.collect { case (k, t, Some(r)) if t >= 0 && r > 4.5 =>
-          "\"" + k + "\"" }.mkString("[", ",", "]")
-        s""""bench_3x":$times,"bench_3x_ratio":$ratios,"bench_3x_over":$over,"""
+        val f1 = measure3()
+        val (pre3, post3, rows, attempts3) =
+          if (loaded(f1._1, f1._2)) {
+            val f2 = measure3()
+            val pick = if (loaded(f2._1, f2._2) &&
+              math.abs(f1._2 - f1._1) <= math.abs(f2._2 - f2._1)) f1
+            else f2
+            (pick._1, pick._2, pick._3, 2)
+          } else (f1._1, f1._2, f1._3, 1)
+        val quiet3 = !loaded(pre3, post3)
+        def jmap(f: ((String, Double, Seq[Double], Seq[Long], String, Boolean)) => Option[String]): String =
+          rows.flatMap(f(_)).mkString("{", ",", "}")
+        val times = jmap { case (k, t, _, _, _, _) => Some("\"" + k + "\":" + t) }
+        val ratios = jmap { case (k, t, _, _, _, _) =>
+          base.get(k).collect { case b if t >= 0 =>
+            "\"" + k + "\":" + math.rint(t / b * 100) / 100 } }
+        val trials3 = jmap { case (k, _, ts, _, _, _) =>
+          Some("\"" + k + "\":" + ts.mkString("[", ",", "]")) }
+        val gc3 = jmap { case (k, _, _, gs, _, _) =>
+          Some("\"" + k + "\":" + gs.mkString("[", ",", "]")) }
+        val cache3 = jmap { case (k, _, _, _, c, _) =>
+          if (c.nonEmpty) Some("\"" + k + "\":" + c) else None }
+        val rising3 = rows.collect { case (k, _, _, _, _, r) if r => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
+        def flagged(const: Boolean): String = rows.collect {
+          case (k, t, _, _, _, _)
+              if t >= 0 && constInput3x(k) == const &&
+                base.get(k).exists(b => t / b > 4.5) => "\"" + k + "\""
+        }.mkString("[", ",", "]")
+        val over = flagged(const = false)
+        val env = flagged(const = true)
+        val detail =
+          s""""bench_3x":$times,"bench_3x_ratio":$ratios,""" +
+          s""""bench_3x_trials":$trials3,"bench_3x_gc_ms":$gc3,""" +
+          s""""bench_3x_cache":$cache3,"bench_3x_rising":$rising3,""" +
+          s""""bench_3x_calib_pre":$pre3,"bench_3x_calib_post":$post3,""" +
+          s""""bench_3x_quiet":$quiet3,"bench_3x_attempts":$attempts3,""" +
+          s""""bench_3x_over":$over,"bench_3x_env_suspect":$env,"""
+        // the compact summary carries only the graded signals
+        val summary =
+          s""""bench_3x_over":$over,"bench_3x_env_suspect":$env,""" +
+          s""""bench_3x_quiet":$quiet3,"""
+        (detail, summary)
       }
-    } catch { case _: Throwable => "" }
+    } catch { case _: Throwable => ("", "") }
 
     // dedup_containment variance diagnostics (r10 task 5): its 1.5-4.4 s
     // trial spread is draw-dependent; emitting the candidate-pair count
@@ -222,7 +330,7 @@ object Bench {
       s""""containment_diag":{"candidates":$candidates,"verify_rows":$verifyRows},"""
     } catch { case _: Throwable => "" }
     val diag = containmentDiag()
-    val diag3x = bench3x()
+    val (diag3xDetail, diag3xSummary) = bench3x()
     val qsJson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val trialsJson = results
       .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -243,25 +351,35 @@ object Bench {
     val core8Names = Set("q1_agg", "join_star", "topk", "win_running_sum",
       "text_tokens", "text_tfidf", "dedup_minhash_lsh", "sim_topk_brute")
     val core8 = results.filter(r => core8Names(r._1) && r._2 >= 0).map(_._2).sum
+    // Compact summary — the line the driver parses. Everything bulky
+    // (trials, cache, diag, the 3× section) lives on the detail line;
+    // this one stays well inside any plausible tail-capture window.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","core8":$core8,""" +
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
-      s""""quiet":$quiet,"attempts":$attempts,$diag$diag3x""" +
-      s""""queries":$qsJson,"trials":$trialsJson,"rising":$risingJson,""" +
-      s""""cache":$cacheJson,"sf":"$sfDir"}"""
-    // The JSON travels on TWO channels: a file (sbt prefixes stdout with
-    // [info] and interleaves WARNs, which broke the driver's parse in r1)
-    // and stdout printed AFTER spark.stop() so it is the final clean line.
+      s""""quiet":$quiet,"attempts":$attempts,$diag3xSummary""" +
+      s""""queries":$qsJson,"rising":$risingJson,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"bench_detail",$diag$diag3xDetail""" +
+      s""""trials":$trialsJson,"cache":$cacheJson,"sf":"$sfDir"}"""
+    // The summary travels on TWO channels: a file (sbt prefixes stdout
+    // with [info] and interleaves WARNs, which broke the driver's parse
+    // in r1) and stdout printed AFTER spark.stop() so it is the FINAL
+    // clean line (the detail line prints before it and may be truncated
+    // by a tail window — it is supplementary and also lands in its own
+    // file).
     val outFiles = Seq(
       sys.env.get("SPARK_GRAFT_BENCH_OUT"),
       if (args.nonEmpty) Some(args(0)) else None,
       Some("bench.json"), Some("/tmp/graft_bench.json")).flatten.distinct
-    outFiles.foreach { f =>
+    def writeLine(f: String, s: String): Unit =
       try {
         val w = new java.io.PrintWriter(new java.io.File(f))
-        try w.println(line) finally w.close()
+        try w.println(s) finally w.close()
       } catch { case _: Throwable => () }
-    }
+    outFiles.foreach(writeLine(_, line))
+    Seq("bench_detail.json", "/tmp/graft_bench_detail.json")
+      .foreach(writeLine(_, detailLine))
     spark.stop()
+    println(detailLine)
     println(line)
   }
 }

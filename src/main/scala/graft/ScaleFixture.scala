@@ -67,14 +67,18 @@ object ScaleFixture {
     * `overlap = true` selects the shared-vocabulary text mode. */
   def dir(spark: SparkSession, src: String = "/root/testdata/sf0.1",
       overlap: Boolean = false): String = {
-    // every replicated source participates in the staging key — a
-    // regenerated customer.parquet must re-stage even when documents/
-    // orders are untouched (review finding r14). Digested, not
-    // concatenated: six fingerprints would make the /tmp dir name
+    // every COPIED source participates in the staging key — the six
+    // replicated tables AND the four dims copied verbatim below (review
+    // finding r14 for the replicated set; r15 ADVICE extended it to the
+    // dims: a regenerated nation.parquet must re-stage even when every
+    // fact is untouched, or the stale staged copy silently feeds
+    // bench_3x and the ScaleGrowthSpec fences). Digested, not
+    // concatenated: ten fingerprints would make the /tmp dir name
     // unwieldy.
     val fp = {
       val all = Seq("documents", "customer", "orders",
-        "lineitem", "events", "embeddings")
+        "lineitem", "events", "embeddings",
+        "region", "nation", "supplier", "part")
         .map(t => Staging.fingerprint(s"$src/$t.parquet")).mkString("_")
       java.security.MessageDigest.getInstance("SHA-1")
         .digest(all.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -193,9 +193,17 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             val nnAgg = agg.copy(child = nnChild)
             // branch 2: the analytic bucket — per-type count and
             // emission condition (see the class doc's outer-join table)
+            // key-only Project under the stripe filter (r15 ADVICE): this
+            // rule runs in the terminal "User Provided Optimizers" batch,
+            // so ColumnPruning never revisits the new subplans — without
+            // the Project each stripe count would rescan EVERY column of
+            // its side; with it, FileSourceStrategy's PhysicalOperation
+            // collapse prunes the scan to the join key when the side is a
+            // file relation.
             def stripeCount(side: LogicalPlan, key: Attribute, n: String) = {
               val al = Alias(Count(Literal(1)).toAggregateExpression(), n)()
-              (Aggregate(Nil, Seq(al), Filter(IsNull(key), side)), al.toAttribute)
+              (Aggregate(Nil, Seq(al),
+                Filter(IsNull(key), Project(Seq(key), side))), al.toAttribute)
             }
             val (nlPlan, nl) = stripeCount(l, lk, "graft_nsc_nl")
             val (nrPlan, nr) = stripeCount(r, rk, "graft_nsc_nr")

@@ -612,13 +612,13 @@ object AggQueries {
           table(s, d, "events").agg(count(lit(1)).as("n"))))
         .agg(
           expr("""CAST(floor(1000000.0 *
-                  sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))))
+                  sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))) + 0.5)
                   AS BIGINT)""").as("entropy_mbits"),
           count(lit(1)).as("n_types")),
       Some(sql("""WITH g AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
                   t AS (SELECT count(*) AS n FROM events)
                   SELECT CAST(floor(1000000.0 *
-                      sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))))
+                      sum((CAST(c AS DOUBLE) / n) * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))) + 0.5)
                       AS BIGINT) AS entropy_mbits,
                     count(*) AS n_types
                   FROM g CROSS JOIN t"""))),
@@ -670,7 +670,7 @@ object AggQueries {
         .crossJoin(broadcast(table(s, d, "orders")
           .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("tot"))))
         .agg(count(lit(1)).as("n_classes"),
-          expr("""CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)))
+          expr("""CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)) + 0.5)
                   AS BIGINT)""").as("hhi_micro")),
       Some(sql("""WITH g AS (SELECT o_orderpriority,
                       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
@@ -678,7 +678,7 @@ object AggQueries {
                     FROM orders GROUP BY 1),
                   t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM g)
                   SELECT count(*) AS n_classes,
-                    CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)))
+                    CAST(floor(1000000.0 * sum(power(CAST(cents AS DOUBLE) / tot, 2)) + 0.5)
                       AS BIGINT) AS hhi_micro
                   FROM g CROSS JOIN t"""))),
 

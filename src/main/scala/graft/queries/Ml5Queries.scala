@@ -443,7 +443,7 @@ object Ml5Queries {
         bucketed.crossJoin(broadcast(tot))
           .select(col("b"), col("p_n"), col("q_n"),
             expr("""CAST(floor(1000000.0 * ((p_n + 1.0) / p_tot - (q_n + 1.0) / q_tot)
-                    * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot))) AS BIGINT)""")
+                    * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot)) + 0.5) AS BIGINT)""")
               .as("psi_term_micro"))
       },
       Some(sql("""WITH half AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
@@ -459,7 +459,7 @@ object Ml5Queries {
                             CAST(sum(q_n) + count(*) AS BIGINT) AS q_tot FROM g)
                   SELECT b, p_n, q_n,
                     CAST(floor(1000000.0 * ((p_n + 1.0) / p_tot - (q_n + 1.0) / q_tot)
-                      * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot))) AS BIGINT)
+                      * ln(((p_n + 1.0) / p_tot) / ((q_n + 1.0) / q_tot)) + 0.5) AS BIGINT)
                       AS psi_term_micro
                   FROM g CROSS JOIN tot"""))),
 

@@ -25,6 +25,144 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object OracleLint {
 
+  // ---------------------------------------------------------------------
+  // DISCRETIZATION KNIFE-EDGE LINT (r15 verdict #2). The sf0.1 sweep
+  // caught ml_kaplan_meier red on `floor(1e6·x)` landing EXACTLY on
+  // integer micros: x was decimal-nice (0.654000) but computed through
+  // exp/ln, where the JVM's and DuckDB's libm may differ by 1 ULP —
+  // floor's knife-edge sits AT integers, precisely where decimal-nice
+  // values land, so a 1-ULP disagreement flips 654000 to 653999. The fix
+  // class is half-up scaling (`floor(x + 0.5)`) spelled identically on
+  // both sides, which moves the edge to half-steps — the MIDDLE of the
+  // cell for such values.
+  //
+  // The hazard needs BOTH ingredients: (a) an integer discretization
+  // (floor, or a bare CAST of a float to an integer type — truncation has
+  // the same edge), and (b) a TRANSCENDENTAL in the discretized
+  // expression (exp/ln/log/pow/trig — the functions with no
+  // correctly-rounded guarantee, so the two engines may disagree by an
+  // ULP). Pure-arithmetic floats (+,-,*,/ and sqrt) are IEEE-754
+  // correctly rounded: both engines compute the SAME double from the
+  // same inputs, so flooring them cannot diverge and is NOT flagged.
+  // ---------------------------------------------------------------------
+
+  /** Transcendental call heads DuckDB/Spark SQL share — any of these
+    * inside a discretized expression makes the floor/cast a knife-edge.
+    * sqrt/cbrt are deliberately absent (correctly rounded by IEEE). */
+  private val transcendentalRe =
+    ("(?<![a-z0-9_])(exp|exp2|expm1|ln|log|log2|log10|log1p|logb|" +
+      "pow|power|sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh|" +
+      "asinh|acosh|atanh|cot)\\s*\\(").r
+
+  /** Half-up (or explicit rounding) anywhere inside the discretized
+    * argument defuses the edge: `floor(x + 0.5)`, `round(...)`. */
+  private def defused(arg: String): Boolean =
+    "\\+0\\.5(?![0-9])".r.findFirstIn(arg.replaceAll("\\s+", "")).isDefined ||
+      "(?<![a-z0-9_])round\\s*\\(".r.findFirstIn(arg).isDefined
+
+  /** Documented why-safe exemptions: query name → justification. An
+    * entry here silences the knife-edge lint for that query; the note
+    * must say why the discretization cannot diverge between engines. */
+  val knifeEdgeSafe: Map[String, String] = Map.empty
+
+  /** Knife-edge violations in one oracle's text; empty = clean. */
+  def knifeEdge(name: String, oracle: String): Seq[String] = {
+    if (knifeEdgeSafe.contains(name)) return Nil
+    val o = oracle.toLowerCase
+    def argOf(start: Int): Option[String] = {
+      val open = o.indexOf('(', start)
+      if (open < 0) None else closeOf(o, open).map(c => o.substring(open + 1, c))
+    }
+    val floors = "(?<![a-z0-9_])floor\\s*\\(".r.findAllMatchIn(o).toSeq.flatMap { m =>
+      argOf(m.start).toSeq.collect {
+        case arg if transcendentalRe.findFirstIn(arg).isDefined && !defused(arg) =>
+          s"$name: oracle floors a transcendental-bearing expression without " +
+            s"half-up — `floor(${arg.take(60)}…)` puts the discretization " +
+            "knife-edge AT integers, where a 1-ULP libm difference between " +
+            "the JVM and DuckDB flips the result (the r15 ml_kaplan_meier " +
+            "class). Use floor(x + 0.5) spelled identically on both sides, " +
+            "or add a why-safe note to OracleLint.knifeEdgeSafe."
+      }
+    }
+    // CAST(<float expr> AS BIGINT/INT/…) truncates — same edge as floor
+    val casts = "(?<![a-z0-9_])cast\\s*\\(".r.findAllMatchIn(o).toSeq.flatMap { m =>
+      argOf(m.start).toSeq.collect {
+        case arg
+            if "as\\s+(bigint|integer|int|smallint|tinyint|hugeint|long)\\s*$".r
+              .findFirstIn(arg.trim).isDefined &&
+              transcendentalRe.findFirstIn(arg).isDefined &&
+              // floor/ceil inside the cast owns the discretization — the
+              // floor lint above judges it (with its own defused() check);
+              // double-flagging the cast would demand +0.5 twice
+              "(?<![a-z0-9_])(floor|ceil|ceiling)\\s*\\(".r.findFirstIn(arg).isEmpty &&
+              !defused(arg) =>
+          s"$name: oracle CASTs a transcendental-bearing float straight to an " +
+            s"integer type — `CAST(${arg.take(60)}…)` truncates with the " +
+            "knife-edge at integers (the r15 ml_kaplan_meier class). " +
+            "Round or half-up before the cast on BOTH sides, or add a " +
+            "why-safe note to OracleLint.knifeEdgeSafe."
+      }
+    }
+    floors ++ casts
+  }
+
+  /** Catalyst class names of the non-correctly-rounded math expressions
+    * (the plan-side twin of [[transcendentalRe]]). */
+  private val transcendentalClasses = Set(
+    "Exp", "Expm1", "Log", "Log10", "Log1p", "Log2", "Logarithm", "Pow",
+    "Sin", "Cos", "Tan", "Csc", "Sec", "Cot", "Asin", "Acos", "Atan",
+    "Atan2", "Sinh", "Cosh", "Tanh", "Asinh", "Acosh", "Atanh")
+
+  /** Plan-side twin of [[knifeEdge]]: the Spark side of a query is a
+    * plan, not text, so the text lint can't see it — and a half-up fixed
+    * only in the oracle leaves the knife-edge live in the engine result
+    * (and vice versa; the r15 kaplan-meier fix had to land on BOTH
+    * sides). Walks the ANALYZED plan for Floor / float→integral Cast
+    * whose argument subtree carries a transcendental and no defusing
+    * `+ 0.5` / round. */
+  def knifeEdgePlan(
+      name: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, Floor, Literal => CLit}
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      LongType, IntegerType, ShortType, ByteType)
+    if (knifeEdgeSafe.contains(name)) return Nil
+    def transcendental(e: Expression): Boolean =
+      e.exists(x => transcendentalClasses(x.getClass.getSimpleName))
+    def defusedPlan(e: Expression): Boolean = e.exists {
+      case Add(_, CLit(v, _), _) => v == 0.5
+      case Add(CLit(v, _), _, _) => v == 0.5
+      case x => x.getClass.getSimpleName == "Round" ||
+        x.getClass.getSimpleName == "BRound"
+    }
+    val hits = scala.collection.mutable.LinkedHashSet.empty[String]
+    plan.foreach { node =>
+      node.expressions.foreach { root =>
+        root.foreach {
+          case f: Floor if transcendental(f.child) && !defusedPlan(f.child) =>
+            hits += s"$name: Spark plan floors a transcendental-bearing " +
+              "expression without half-up (r15 ml_kaplan_meier class) — " +
+              s"floor(${f.child.sql.take(70)}…)"
+          case c: Cast
+              if integral(c.dataType) &&
+                (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
+                transcendental(c.child) && !defusedPlan(c.child) &&
+                // a floor/ceil inside owns the discretization — judged above
+                c.child.collectFirst {
+                  case x if x.getClass.getSimpleName == "Floor" ||
+                    x.getClass.getSimpleName == "Ceil" => x
+                }.isEmpty =>
+            hits += s"$name: Spark plan CASTs a transcendental-bearing float " +
+              "straight to an integer type (truncation knife-edge, r15 " +
+              s"ml_kaplan_meier class) — cast(${c.child.sql.take(70)}…)"
+          case _ => ()
+        }
+      }
+    }
+    hits.toSeq
+  }
+
   /** Violation messages for one query; empty = clean. */
   def check(name: String, schema: StructType, oracle: String): Seq[String] = {
     val longCols =

@@ -693,8 +693,10 @@ object Pipeline5Queries {
     // RECENCY-DECAY SAMPLE WEIGHTS — fresher data counts more: weight =
     // exp(−age/τ) with age in exact days from the corpus max timestamp
     // (broadcast 1-row), τ = 7 days. Per-user decayed engagement mass,
-    // micro-scaled at the end (exp of an exact ratio is a
-    // deterministic closed form on both engines).
+    // half-up micro-scaled at the end (exp is transcendental — the two
+    // engines' libm may differ by an ULP, so bare floor's integer
+    // knife-edge is the r15 kaplan-meier class; +0.5 moves it to
+    // half-steps).
     Q("pipe_decay_weights",
       (s, d) => {
         val mx = table(s, d, "events").agg(max(unix_micros(col("ts"))).as("mx"))
@@ -704,7 +706,7 @@ object Pipeline5Queries {
             ((col("mx") - unix_micros(col("ts"))) / lit(86400000000.0)).as("age_d"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
-            expr("CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*)) AS BIGINT)")
+            expr("CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*) + 0.5) AS BIGINT)")
               .as("mean_decay_micro"))
       },
       Some(sql("""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
@@ -712,7 +714,7 @@ object Pipeline5Queries {
                           (mx - epoch_us(ts)) / 86400000000.0 AS age_d
                         FROM events CROSS JOIN mx)
                   SELECT user_id, count(*) AS n,
-                    CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*)) AS BIGINT)
+                    CAST(floor(1000000.0 * sum(exp(-age_d / 7.0)) / count(*) + 0.5) AS BIGINT)
                       AS mean_decay_micro
                   FROM a GROUP BY user_id"""))),
 

@@ -191,9 +191,12 @@ object SimilarityQueries {
     // quantized dot product, the compressed-index ranking) is scored
     // against exact-cosine top-10 truth per query — the evaluation loop
     // that justifies shipping a quantized index at 100 TB. Per-position
-    // gains travel as floor(1e6 / log2(pos+1)) integers (log2 of small
-    // ints is bit-identical in both engines and the quotients sit far
-    // from integer boundaries), so DCG/IDCG/NDCG sums are exact. Both
+    // gains travel as floor(1e6 / log2(pos+1) + 0.5) integers — HALF-UP,
+    // because positions 1 and 3 put the bare-floor quotient EXACTLY at
+    // integers (1e6/log2(2), 1e6/log2(4)), the knife-edge where a 1-ULP
+    // log2 disagreement between engines flips the gain (the r15
+    // kaplan-meier class); half-up moves the edge to half-steps. The
+    // DCG/IDCG/NDCG sums over these integers are then exact. Both
     // rankings use the scale-safe graft_topk heap, never a corpus-wide
     // rank window.
     Q("sim_ndcg",
@@ -217,11 +220,11 @@ object SimilarityQueries {
           .groupBy(col("q_id"))
           .agg(sum(col("hit")).cast("long").as("n_hits"),
             sum(when(col("hit") === 1,
-              expr("CAST(floor(1000000.0 / log2(rk + 1)) AS BIGINT)"))
+              expr("CAST(floor(1000000.0 / log2(rk + 1) + 0.5) AS BIGINT)"))
               .otherwise(lit(0L))).as("dcg_micro"))
           .withColumn("idcg_micro", expr(
             """CASE WHEN n_hits > 0 THEN aggregate(sequence(1L, n_hits), 0L,
-                 (a, i) -> a + CAST(floor(1000000.0 / log2(i + 1)) AS BIGINT))
+                 (a, i) -> a + CAST(floor(1000000.0 / log2(i + 1) + 0.5) AS BIGINT))
                ELSE 0L END"""))
           .withColumn("ndcg_micro", expr(
             """CASE WHEN idcg_micro > 0
@@ -251,13 +254,13 @@ object SimilarityQueries {
               FROM ap LEFT JOIN truth t ON t.q_id = ap.q_id AND t.c_id = ap.c_id),
         g AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
                 CAST(sum(CASE WHEN hit = 1
-                  THEN CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(rk + 1)) AS BIGINT)
+                  THEN CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(rk + 1) + 0.5) AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS dcg_micro
               FROM j GROUP BY q_id),
         g2 AS (SELECT q_id, n_hits, dcg_micro,
                 CASE WHEN n_hits > 0
                   THEN CAST(list_sum(list_transform(range(1, n_hits + 1),
-                    i -> CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(i + 1)) AS BIGINT)))
+                    i -> CAST(floor(CAST(1000000.0 AS DOUBLE) / log2(i + 1) + 0.5) AS BIGINT)))
                     AS BIGINT)
                   ELSE 0 END AS idcg_micro
                FROM g)

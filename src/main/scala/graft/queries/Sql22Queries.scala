@@ -323,7 +323,12 @@ object Sql22Queries {
                      SELECT c_custkey, c_mktsegment FROM graft_rc_src
                      WHERE c_custkey <= 200"""))
         s.sql("ALTER TABLE graftmem.graft_rc RENAME COLUMN seg TO segment")
-        s.sql("ALTER TABLE graftmem.graft_rc RENAME TO graftmem.graft_rc2")
+        // v2 RENAME TO takes a CATALOG-RELATIVE target: `graft_rc2`, not
+        // `graftmem.graft_rc2` — the prefixed spelling renames into
+        // NAMESPACE ["graftmem"] inside the catalog. The store's old
+        // bare-name keying masked exactly this (r15 ADVICE #4); the
+        // namespace-aware store surfaced it as table-not-found.
+        s.sql("ALTER TABLE graftmem.graft_rc RENAME TO graft_rc2")
         s.sql(sql("""SELECT segment, count(*) AS n, CAST(sum(k) AS BIGINT) AS ksum
                      FROM graftmem.graft_rc2 GROUP BY segment"""))
       },

@@ -42,27 +42,30 @@ object Sql26Queries {
         FROM nation WHERE n_nationkey < 4"""))),
 
     // ── inverse trig grid ─────────────────────────────────────────────
-    // floor(1e6·x) fixed-point carried as BIGINT — both engines evaluate
-    // the same IEEE chain (the Flesch/readability convention).
+    // floor(1e6·x + 0.5) fixed-point carried as BIGINT — half-up, NOT
+    // bare floor: inverse-trig/log are transcendentals, where the JVM's
+    // and DuckDB's libm may differ by an ULP, and bare floor's
+    // knife-edge sits AT integers (OracleLint knife-edge class; e.g.
+    // log2(4.0) via ln(x)/ln(2) can read 1.9999999999999998).
     Q("expr_inverse_trig",
       (s, d) => {
         table(s, d, "region").createOrReplaceTempView("graft_trig_r")
         s.sql(sql("""
           SELECT r_regionkey AS k,
-                 CAST(floor(1e6 * acos(r_regionkey / 10.0)) AS BIGINT) AS acos_v,
-                 CAST(floor(1e6 * asin(r_regionkey / 10.0)) AS BIGINT) AS asin_v,
-                 CAST(floor(1e6 * atan(r_regionkey / 10.0)) AS BIGINT) AS atan_v,
-                 CAST(floor(1e6 * atan2(CAST(r_regionkey AS DOUBLE), 3.0)) AS BIGINT) AS atan2_v,
-                 CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0))) AS BIGINT) AS deg_v
+                 CAST(floor(1e6 * acos(r_regionkey / 10.0) + 0.5) AS BIGINT) AS acos_v,
+                 CAST(floor(1e6 * asin(r_regionkey / 10.0) + 0.5) AS BIGINT) AS asin_v,
+                 CAST(floor(1e6 * atan(r_regionkey / 10.0) + 0.5) AS BIGINT) AS atan_v,
+                 CAST(floor(1e6 * atan2(CAST(r_regionkey AS DOUBLE), 3.0) + 0.5) AS BIGINT) AS atan2_v,
+                 CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0)) + 0.5) AS BIGINT) AS deg_v
           FROM graft_trig_r"""))
       },
       Some(sql("""
         SELECT r_regionkey AS k,
-               CAST(floor(1e6 * acos(r_regionkey / 10.0)) AS BIGINT) AS acos_v,
-               CAST(floor(1e6 * asin(r_regionkey / 10.0)) AS BIGINT) AS asin_v,
-               CAST(floor(1e6 * atan(r_regionkey / 10.0)) AS BIGINT) AS atan_v,
-               CAST(floor(1e6 * atan2(CAST(r_regionkey AS DOUBLE), 3.0)) AS BIGINT) AS atan2_v,
-               CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0))) AS BIGINT) AS deg_v
+               CAST(floor(1e6 * acos(r_regionkey / 10.0) + 0.5) AS BIGINT) AS acos_v,
+               CAST(floor(1e6 * asin(r_regionkey / 10.0) + 0.5) AS BIGINT) AS asin_v,
+               CAST(floor(1e6 * atan(r_regionkey / 10.0) + 0.5) AS BIGINT) AS atan_v,
+               CAST(floor(1e6 * atan2(CAST(r_regionkey AS DOUBLE), 3.0) + 0.5) AS BIGINT) AS atan2_v,
+               CAST(floor(1e6 * degrees(atan(r_regionkey / 10.0)) + 0.5) AS BIGINT) AS deg_v
         FROM region"""))),
 
     // ── udf_log/udf_log2/udf_nvl: the last whiteList scalar tail ──────
@@ -74,16 +77,16 @@ object Sql26Queries {
         table(s, d, "region").createOrReplaceTempView("graft_ln_r")
         s.sql(sql("""
           SELECT r_regionkey AS k,
-                 CAST(floor(1e6 * log(3.0, r_regionkey + 2.0)) AS BIGINT) AS logb_v,
-                 CAST(floor(1e6 * log2(r_regionkey + 2.0)) AS BIGINT) AS log2_v,
+                 CAST(floor(1e6 * log(3.0, r_regionkey + 2.0) + 0.5) AS BIGINT) AS logb_v,
+                 CAST(floor(1e6 * log2(r_regionkey + 2.0) + 0.5) AS BIGINT) AS log2_v,
                  nvl(nullif(r_regionkey, 2), -1) AS nvl_v,
                  nvl2(nullif(r_regionkey, 2), 'present', 'was_null') AS nvl2_v
           FROM graft_ln_r"""))
       },
       Some(sql("""
         SELECT r_regionkey AS k,
-               CAST(floor(1e6 * log(r_regionkey + 2.0) / log(3.0)) AS BIGINT) AS logb_v,
-               CAST(floor(1e6 * log2(r_regionkey + 2.0)) AS BIGINT) AS log2_v,
+               CAST(floor(1e6 * log(r_regionkey + 2.0) / log(3.0) + 0.5) AS BIGINT) AS logb_v,
+               CAST(floor(1e6 * log2(r_regionkey + 2.0) + 0.5) AS BIGINT) AS log2_v,
                coalesce(nullif(r_regionkey, 2), -1) AS nvl_v,
                CASE WHEN nullif(r_regionkey, 2) IS NOT NULL
                     THEN 'present' ELSE 'was_null' END AS nvl2_v

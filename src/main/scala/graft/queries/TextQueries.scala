@@ -678,7 +678,10 @@ object TextQueries {
 
     // CHARACTER ENTROPY (gibberish/encoded-blob detection): Shannon
     // entropy over the per-doc character distribution. Each (doc, char)
-    // term travels as floor(1e6 · c/N · log2(N/c)) BEFORE the per-doc
+    // term travels as floor(1e6 · c/N · log2(N/c) + 0.5) — half-up, since
+    // N/c hits exact powers of two where a 1-ULP log2 disagreement
+    // between engines flips a bare floor (OracleLint knife-edge class) —
+    // BEFORE the per-doc
     // sum, so the aggregation is an exact integer sum in both engines —
     // summing raw doubles would be partial-order-dependent. Low entropy
     // = repeated filler, high ≈ log2(alphabet) = random noise; both
@@ -694,7 +697,7 @@ object TextQueries {
         chars.join(tot, Seq("doc_id"))
           .select(col("doc_id"), col("n"), col("nd"),
             expr("""CAST(floor(CAST(1000000.0 AS DOUBLE) * c
-                    * log2(CAST(n AS DOUBLE) / c) / n) AS BIGINT)""").as("tm"))
+                    * log2(CAST(n AS DOUBLE) / c) / n + 0.5) AS BIGINT)""").as("tm"))
           .groupBy(col("doc_id"))
           .agg(max(col("n")).as("n_chars"), max(col("nd")).as("n_distinct"),
             sum(col("tm")).as("entropy_micro"))
@@ -708,7 +711,7 @@ object TextQueries {
                   count(*) AS nd FROM cc GROUP BY 1)
         SELECT cc.doc_id, tot.n AS n_chars, tot.nd AS n_distinct,
           CAST(sum(CAST(floor(CAST(1000000.0 AS DOUBLE) * c
-            * log2(CAST(n AS DOUBLE) / c) / n) AS BIGINT)) AS BIGINT) AS entropy_micro
+            * log2(CAST(n AS DOUBLE) / c) / n + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
         FROM cc JOIN tot USING (doc_id)
         GROUP BY cc.doc_id, tot.n, tot.nd"""))),
 
@@ -841,7 +844,7 @@ object TextQueries {
           .crossJoin(broadcast(tot))
           .select(col("w1"), col("w2"), col("c12"),
             expr("""CAST(floor(1000000.0 * ln(CAST(n_pairs AS DOUBLE) * c12
-                    / (CAST(c1 AS DOUBLE) * c2))) AS BIGINT)""").as("pmi_micro"))
+                    / (CAST(c1 AS DOUBLE) * c2)) + 0.5) AS BIGINT)""").as("pmi_micro"))
       },
       Some(sql(s"""WITH toks AS (SELECT doc_id, i AS pos, l[i + 1] AS w
                       FROM (SELECT doc_id, ${T.tokensSql("text")} AS l FROM documents),
@@ -854,7 +857,7 @@ object TextQueries {
                    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM pairs)
                    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
                      CAST(floor(1000000.0 * ln(CAST(n_pairs AS DOUBLE) * c12
-                       / (CAST(u1.cu AS DOUBLE) * u2.cu))) AS BIGINT) AS pmi_micro
+                       / (CAST(u1.cu AS DOUBLE) * u2.cu)) + 0.5) AS BIGINT) AS pmi_micro
                    FROM pairs JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
                    CROSS JOIN tot"""))),
 

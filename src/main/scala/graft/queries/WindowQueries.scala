@@ -381,7 +381,7 @@ object WindowQueries {
                         'acc', st.acc + x * 0.3 * power(0.7, st.i),
                         'wsum', st.wsum + 0.3 * power(0.7, st.i),
                         'i', st.i - 1),
-                      st -> st.acc / st.wsum)) AS BIGINT)""").as("ewma_micro"))
+                      st -> st.acc / st.wsum) + 0.5) AS BIGINT)""").as("ewma_micro"))
       },
       Some(sql("""WITH hourly AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
                       CAST(count(*) AS DOUBLE) AS n
@@ -396,7 +396,7 @@ object WindowQueries {
                       list_sum(list_transform(range(len(tail)),
                         i -> tail[i + 1] * 0.3 * power(0.7, len(tail) - 1 - i)))
                       / list_sum(list_transform(range(len(tail)),
-                        i -> 0.3 * power(0.7, len(tail) - 1 - i)))) AS BIGINT)
+                        i -> 0.3 * power(0.7, len(tail) - 1 - i))) + 0.5) AS BIGINT)
                       AS ewma_micro
                   FROM e"""))),
 

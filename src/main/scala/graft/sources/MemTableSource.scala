@@ -46,9 +46,28 @@ class MemTableSource extends TableProvider {
     new MemTable(properties.get("name"), schema)
 }
 
-/** JVM-global store: table name → (schema, committed rows). */
+/** JVM-global store: table key → (schema, committed rows).
+  *
+  * Keys are CANONICAL IDENTIFIER keys (r15 ADVICE: the store used to key
+  * by `ident.name()` alone, so `ns1.t` and `ns2.t` collided and a
+  * cross-namespace rename silently "succeeded" by bare name): namespace
+  * segments + name joined by a NUL separator no SQL identifier can
+  * contain — so `a.b` in the empty namespace can never collide with name
+  * `b` in namespace `a` either. The empty namespace's key is the bare
+  * name, which keeps the format-API path (`option("name", "t")`, no
+  * namespace concept) interoperable with `graftmem.t` SQL exactly as
+  * before. */
 object MemTableStore {
   private val tables = TrieMap.empty[String, (StructType, Vector[Seq[Any]])]
+
+  private val Sep = "\u0000"
+
+  /** Canonical store key for a (possibly namespaced) identifier. */
+  def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(Sep)
+
+  /** Human-readable form of a store key (for Table.name()). */
+  def display(storeKey: String): String = storeKey.replace(Sep, ".")
 
   def schemaOf(name: String): StructType =
     tables.get(name).map(_._1)
@@ -72,6 +91,16 @@ object MemTableStore {
     }
 
   def names: Seq[String] = tables.keys.toSeq.sorted
+
+  /** Last-segment names of the tables living EXACTLY in `namespace`
+    * (not in namespaces nested below it). */
+  def namesIn(namespace: Array[String]): Seq[String] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString("", Sep, Sep)
+    names.collect {
+      case k if k.startsWith(prefix) && !k.drop(prefix.length).contains(Sep) =>
+        k.drop(prefix.length)
+    }
+  }
 
   def drop(name: String): Boolean = tables.remove(name).isDefined
 
@@ -107,14 +136,16 @@ object MemTableStore {
     * here would let a concurrent racer see a bare require failure.
     * Errors carry the CALLER'S identifiers, so a namespaced lookup's
     * message names the path the user wrote, not a bare table name
-    * (r14 review finding). */
+    * (r14 review finding); lookups use the FULL identifier key, so a
+    * cross-namespace rename moves the table rather than colliding with
+    * (or "finding") an unrelated same-named table (r15 ADVICE). */
   def renameTable(from: Identifier, to: Identifier): Unit =
     tables.synchronized {
-      if (!tables.contains(from.name()))
+      if (!tables.contains(key(from)))
         throw new NoSuchTableException(from)
-      if (tables.contains(to.name()))
+      if (tables.contains(key(to)))
         throw new TableAlreadyExistsException(to)
-      tables.remove(from.name()).foreach(v => tables.put(to.name(), v): Unit)
+      tables.remove(key(from)).foreach(v => tables.put(key(to), v): Unit)
     }
 
   def renameTable(from: String, to: String): Unit =
@@ -127,9 +158,9 @@ object MemTableStore {
     * identifier (see renameTable). */
   def create(tableIdent: Identifier, schema: StructType): Unit =
     tables.synchronized {
-      if (tables.contains(tableIdent.name()))
+      if (tables.contains(key(tableIdent)))
         throw new TableAlreadyExistsException(tableIdent)
-      tables.put(tableIdent.name(), (schema, Vector.empty)): Unit
+      tables.put(key(tableIdent), (schema, Vector.empty)): Unit
     }
 
   def create(name: String, schema: StructType): Unit =
@@ -212,11 +243,13 @@ class MemCatalog extends TableCatalog {
     cname = name
   override def name(): String = cname
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    MemTableStore.names.map(n => Identifier.of(Array.empty[String], n)).toArray
+    // list only the requested namespace — keys are canonical, so the
+    // namespace is decodable from the key itself
+    MemTableStore.namesIn(namespace).map(Identifier.of(namespace, _)).toArray
   override def loadTable(ident: Identifier): Table = {
-    val n = ident.name()
-    if (!MemTableStore.names.contains(n)) throw new NoSuchTableException(ident)
-    new MemTable(n, MemTableStore.schemaOf(n))
+    val k = MemTableStore.key(ident)
+    if (!MemTableStore.names.contains(k)) throw new NoSuchTableException(ident)
+    new MemTable(k, MemTableStore.schemaOf(k))
   }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -228,7 +261,7 @@ class MemCatalog extends TableCatalog {
     // error (TABLE_OR_VIEW_ALREADY_EXISTS) — thrown ATOMICALLY inside
     // the store lock, so a concurrent racer gets the typed error too
     MemTableStore.create(ident, schema)
-    new MemTable(ident.name(), schema)
+    new MemTable(MemTableStore.key(ident), schema)
   }
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // the schema-evolution changes the goldens exercise (AddColumn for
@@ -236,29 +269,32 @@ class MemCatalog extends TableCatalog {
     // family); everything else stays loudly unsupported
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        MemTableStore.addColumn(ident.name(),
+        MemTableStore.addColumn(MemTableStore.key(ident),
           StructField(add.fieldNames().head, add.dataType(), nullable = true))
       case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
-        MemTableStore.renameColumn(ident.name(), ren.fieldNames().head, ren.newName())
+        MemTableStore.renameColumn(MemTableStore.key(ident),
+          ren.fieldNames().head, ren.newName())
       case other => throw new UnsupportedOperationException(
         s"ALTER change not supported: $other")
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = MemTableStore.drop(ident.name())
+  override def dropTable(ident: Identifier): Boolean =
+    MemTableStore.drop(MemTableStore.key(ident))
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     // typed NoSuchTable/TableAlreadyExists errors thrown atomically
     // under the store lock (see MemTableStore.renameTable)
     MemTableStore.renameTable(oldIdent, newIdent)
   override def tableExists(ident: Identifier): Boolean =
-    MemTableStore.names.contains(ident.name())
+    MemTableStore.names.contains(MemTableStore.key(ident))
 }
 
 final class MemTable(tname: String, tschema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
   require(tname != null && tname.nonEmpty, "option 'name' is required")
-  override def name(): String = s"memtable:$tname"
+  // tname may be a canonical store key (catalog path) — display it dotted
+  override def name(): String = s"memtable:${MemTableStore.display(tname)}"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

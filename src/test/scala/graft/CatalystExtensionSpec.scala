@@ -353,4 +353,39 @@ class CatalystExtensionSpec extends AnyFunSuite {
       graft.sources.MemTableStore.drop(b): Unit
     }
   }
+
+  test("mem store keys by FULL identifier — namespaces never collide (r15 ADVICE)") {
+    // pre-fix the store keyed by ident.name() alone: ns1.t and ns2.t
+    // collided, a cross-namespace rename "succeeded" by bare name, and a
+    // typed error could name a namespaced path never created there
+    import graft.sources.MemTableStore
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("k", LongType)))
+    val n = s"spec_ns_${System.nanoTime()}"
+    val i1 = Identifier.of(Array("ns1"), n)
+    val i2 = Identifier.of(Array("ns2"), n)
+    val i3 = Identifier.of(Array("ns3"), n)
+    MemTableStore.create(i1, sch)
+    try {
+      // same bare name in a DIFFERENT namespace is not a collision...
+      MemTableStore.create(i2, sch)
+      // ...but the same full identifier is
+      intercept[TableAlreadyExistsException] { MemTableStore.create(i2, sch) }
+      // a cross-namespace rename MOVES the table (pre-fix: keyed by bare
+      // name, it left the key unchanged and the source "existed" still)
+      MemTableStore.renameTable(i1, i3)
+      intercept[NoSuchTableException] {
+        MemTableStore.renameTable(i1, Identifier.of(Array("ns4"), n))
+      }
+      // per-namespace listing sees exactly its own tables
+      assert(MemTableStore.namesIn(Array("ns2")).contains(n))
+      assert(MemTableStore.namesIn(Array("ns3")).contains(n))
+      assert(!MemTableStore.namesIn(Array("ns1")).contains(n))
+      assert(!MemTableStore.namesIn(Array.empty[String]).contains(n))
+    } finally {
+      Seq(i1, i2, i3).foreach(i => MemTableStore.drop(MemTableStore.key(i)): Unit)
+    }
+  }
 }

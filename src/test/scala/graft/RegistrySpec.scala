@@ -31,8 +31,13 @@ class RegistrySpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       // ORACLE TYPING LINT (r11 verdict #2): no raw integer sum() may be
       // exposed to a BIGINT output column — DuckDB would hash it HUGEINT.
+      // KNIFE-EDGE LINT (r15 verdict #2): no bare floor / float→int cast
+      // over a transcendental without half-up, on EITHER side — the text
+      // lint sweeps the oracle SQL, the plan lint the Spark analyzed plan.
       q.oracle.foreach { o =>
-        val v = queries.OracleLint.check(q.name, df.schema, o)
+        val v = queries.OracleLint.check(q.name, df.schema, o) ++
+          queries.OracleLint.knifeEdge(q.name, o) ++
+          queries.OracleLint.knifeEdgePlan(q.name, df.queryExecution.analyzed)
         assert(v.isEmpty, v.mkString("; "))
       }
       val n = df.count()

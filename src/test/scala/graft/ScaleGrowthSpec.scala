@@ -427,4 +427,28 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"containment blocking overhead degraded under df growth: " +
         s"$cando/$anso = $ovo vs $ov1 at sf0.1")
   }
+
+  test("graph_pagerank input is CONSTANT at three scale points — its bench_3x ratio measures overhead, not scaling") {
+    // r15 verdict #4: the driver's bench_3x flagged graph_pagerank at
+    // 5.39× over the 3× fixture. The fence settles what that ratio can
+    // and cannot mean: the star graph derives from `nation` alone —
+    // fixed 25 rows at EVERY TPC-H scale factor, copied VERBATIM into
+    // the 3× fixture (dims don't grow with the corpus) — so the edge
+    // count is IDENTICAL at sf0.01, sf0.1 and 3×. No 9× self-join
+    // blowup is possible (the r15 hypothesis to rule out), and a wall
+    // ratio on this row compares two draws of fixed scheduling
+    // overhead: Bench reports a >4.5× draw on it as
+    // bench_3x_env_suspect (environment), not bench_3x_over (scaling).
+    val e001 = queries.Graph2Queries.pagerankEdgeCount(spark, TestSpark.Sf)
+    val e1 = queries.Graph2Queries.pagerankEdgeCount(spark, "/root/testdata/sf0.1")
+    val e3 = queries.Graph2Queries.pagerankEdgeCount(spark, ScaleFixture.dir(spark))
+    info(s"pagerank star edges: sf0.001=$e001 sf0.1=$e1 3×=$e3")
+    assert(e001 > 0, "degenerate fixture: no edges at all")
+    assert(e001 === e1, s"edge count varies with SF: $e001 vs $e1")
+    assert(e1 === e3, s"edge count varies under the 3× fixture: $e1 vs $e3")
+    // the env-suspect classification in Bench is exactly the set this
+    // fence backs — adding a row there requires a fence like this one
+    assert(Bench.constInput3x === Set("graph_pagerank"),
+      "Bench.constInput3x changed — every member needs a constant-input fence")
+  }
 }
