@@ -75,11 +75,22 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     never collides with a non-null group (a general expression may
   *     map non-null keys to NULL, e.g. a non-ANSI overflowing cast,
   *     which would split one output group across the two branches);
-  *   - every aggregate is a non-DISTINCT, unfiltered count of a
-  *     foldable (count(*)/count(1)) — the only aggregates whose bucket
-  *     value depends on nothing but the pair COUNT. count(DISTINCT id)
-  *     and friends keep the verbatim join (jn_nullsafe_verbatim stays
-  *     a genuine verbatim-execution crossing because of this guard).
+  *   - every aggregate is a non-DISTINCT, unfiltered count of either a
+  *     non-null foldable (count(*)/count(1)) or — the r16 widening —
+  *     ONE bare attribute that is provably non-null (nullable=false) in
+  *     its own side's output. Both have bucket values that depend on
+  *     nothing but the pair STRUCTURE: count(*) counts all bucket rows;
+  *     count(side attr) counts the rows where that side is present —
+  *     the full nl·nr cross product in the matched case, the own-side
+  *     stripe count for that side's null-extension case, and ZERO for
+  *     the opposite side's extension (a LEFT join's null-extended rows
+  *     carry NULL for every right attribute, so a right-side count
+  *     gains nothing from them). A NULLABLE attribute's bucket count
+  *     would depend on the DATA (how many nulls sit inside the stripe
+  *     rows), not the structure — not analytic, guard keeps verbatim.
+  *     count(DISTINCT id) and friends likewise keep the verbatim join
+  *     (jn_nullsafe_verbatim stays a genuine verbatim-execution
+  *     crossing because of this guard).
   *
   * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
   * runs the verbatim null-safe join, so the driver hash-compare is the
@@ -117,11 +128,33 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def isCountOnly(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Count(children) => children.forall(c => c.foldable && !c.nullable)
-      case _ => false
-    })
+  /** How a count aggregate's bucket value is derived analytically. */
+  private sealed trait CountKind
+  /** count(*) / count(non-null foldable): counts every bucket row. */
+  private case object CountStar extends CountKind
+  /** count(a) where `a` is nullable=false in ONE side's own output:
+    * counts the bucket rows where that side is present (not
+    * null-extended). */
+  private final case class CountSide(left: Boolean) extends CountKind
+
+  private def countKind(ae: AggregateExpression,
+      l: LogicalPlan, r: LogicalPlan): Option[CountKind] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case Count(children)
+          if children.forall(c => c.foldable && !c.nullable) =>
+        Some(CountStar) // count(*) / count(1); empty children counts rows too
+      case Count(Seq(a: AttributeReference)) =>
+        // nullability must come from the attribute's OWN side (an outer
+        // join's output re-marks the other side nullable; the bucket
+        // math needs the pre-join guarantee)
+        def nonNullIn(side: LogicalPlan): Boolean =
+          side.output.exists(o => o.exprId == a.exprId && !o.nullable)
+        if (nonNullIn(l)) Some(CountSide(left = true))
+        else if (nonNullIn(r)) Some(CountSide(left = false))
+        else None
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(grouping, aggExprs, child, _) =>
@@ -163,12 +196,17 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
           }
           val keys = AttributeSet(Seq(lk, rk))
           val groupsOk = grouping.forall(g => groupingOk(expand(g), keys))
-          val aggsOk = aggExprs.forall {
-            case Alias(ae: AggregateExpression, _) => isCountOnly(ae)
+          // per-output count kind (None on any non-conforming output)
+          val aggKinds: Seq[Option[Either[CountKind, Unit]]] = aggExprs.map {
+            case Alias(ae: AggregateExpression, _) =>
+              countKind(ae, l, r).map(scala.util.Left(_))
             case ne => // non-aggregate outputs must be grouping shapes
-              ne.collectFirst { case ae: AggregateExpression => ae }.isEmpty &&
-                groupingOk(expand(ne match { case Alias(c, _) => c; case o => o }), keys)
+              if (ne.collectFirst { case ae: AggregateExpression => ae }.isEmpty &&
+                groupingOk(expand(ne match { case Alias(c, _) => c; case o => o }), keys))
+                Some(scala.util.Right(()))
+              else None
           }
+          val aggsOk = aggKinds.forall(_.isDefined)
           // group-collision guard (outer types): branch 1's null-EXTENDED
           // rows must never form the all-NULL grouping tuple the bucket
           // owns — require a grouping shape over each side branch 1
@@ -210,7 +248,7 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             val nlPos = GreaterThan(nl, Literal(0L))
             val nrPos = GreaterThan(nr, Literal(0L))
             val cross = Multiply(nl, nr)
-            val (emitCond: Expression, bucketCount: Expression) = jt match {
+            val (emitCond: Expression, bucketCountStar: Expression) = jt match {
               case Inner => (And(nlPos, nrPos), cross)
               case FullOuter => (Or(nlPos, nrPos),
                 If(And(nlPos, nrPos), cross, Add(nl, nr)))
@@ -218,13 +256,33 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               case RightOuter => (nrPos, If(nlPos, cross, nr))
               case _ => (And(nlPos, nrPos), cross) // unreachable (matched above)
             }
+            // count(side attr) bucket value: nl·nr cross-matched pairs
+            // carry BOTH sides, so side counts equal count(*) there; a
+            // null-EXTENSION case contributes its own side's stripe
+            // count and ZERO to the opposite side's count (every
+            // opposite-side attribute is NULL on extended rows)
+            def bucketCountFor(kind: CountKind): Expression = kind match {
+              case CountStar => bucketCountStar
+              case CountSide(isLeft) => jt match {
+                case Inner => cross
+                case FullOuter =>
+                  If(And(nlPos, nrPos), cross,
+                    if (isLeft) If(nlPos, nl, Literal(0L))
+                    else If(nrPos, nr, Literal(0L)))
+                case LeftOuter =>
+                  If(nrPos, cross, if (isLeft) nl else Literal(0L))
+                case RightOuter =>
+                  If(nlPos, cross, if (isLeft) Literal(0L) else nr)
+                case _ => cross // unreachable (matched above)
+              }
+            }
             val nonEmpty = Filter(emitCond,
               Join(nlPlan, nrPlan, Inner, None, JoinHint.NONE))
             val keyIds = Set(lk.exprId, rk.exprId)
-            val bucketCols: Seq[NamedExpression] = aggExprs.map {
-              case Alias(_: AggregateExpression, name) =>
-                Alias(bucketCount, name)()
-              case ne =>
+            val bucketCols: Seq[NamedExpression] = aggExprs.zip(aggKinds).map {
+              case (Alias(_: AggregateExpression, name), Some(scala.util.Left(kind))) =>
+                Alias(bucketCountFor(kind), name)()
+              case (ne, _) =>
                 val base = ne match { case al: Alias => al.child; case o => o }
                 val nulled = expand(base).transformUp {
                   case a: AttributeReference if keyIds.contains(a.exprId) =>

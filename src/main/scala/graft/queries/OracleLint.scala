@@ -130,9 +130,20 @@ object OracleLint {
     if (knifeEdgeSafe.contains(name)) return Nil
     def transcendental(e: Expression): Boolean =
       e.exists(x => transcendentalClasses(x.getClass.getSimpleName))
+    // the analyzed form of `+ 0.5` is Add(x, Cast(Literal(0.5BD) AS
+    // DOUBLE)) — a DECIMAL literal behind an implicit cast, so the
+    // half-up probe must strip casts and compare numerically
+    def halfLit(e: Expression): Boolean = e match {
+      case c: Cast => halfLit(c.child)
+      case CLit(v, _) => v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble == 0.5
+        case n: java.lang.Number => n.doubleValue() == 0.5
+        case _ => false
+      }
+      case _ => false
+    }
     def defusedPlan(e: Expression): Boolean = e.exists {
-      case Add(_, CLit(v, _), _) => v == 0.5
-      case Add(CLit(v, _), _, _) => v == 0.5
+      case Add(a, b, _) => halfLit(a) || halfLit(b)
       case x => x.getClass.getSimpleName == "Round" ||
         x.getClass.getSimpleName == "BRound"
     }

@@ -227,6 +227,90 @@ object Sql18Queries {
       SELECT k % 10 AS kg, count(*) AS n
       FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
 
+    // r16 widening: count(<provably non-null side attribute>) joins the
+    // rewrite's aggregate scope. The counted column must be
+    // nullable=false in its OWN side's output (here: a COALESCE-derived
+    // projection — a bare parquet column is nullable in-schema even
+    // when its values never are, and the guard demands the PROOF, not
+    // the data). Bucket math per the rule doc: side counts equal
+    // count(*) on cross-matched pairs; a null-extension case
+    // contributes its own side's stripe count and ZERO to the opposite
+    // side's count. Oracles are the verbatim null-safe joins — the
+    // hash-compare proves the per-kind bucket table.
+    q("jn_nullsafe_cnt_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON l.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON l.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // LEFT variant with the right stripe non-empty: the bucket's
+    // right-side count takes the CROSS branch (nl·nr), same as count(*).
+    q("jn_nullsafe_left_cnt_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l LEFT JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON l.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l LEFT JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON l.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // LEFT variant with the right stripe EMPTY (right side pre-filtered
+    // to non-null keys): the bucket is the nl null-EXTENDED left rows —
+    // count(*) = nl while count(right attr) = 0, the zero branch of the
+    // per-kind table, value-proven here (the other rows never take it).
+    q("jn_nullsafe_left_cnt0_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l LEFT JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r
+                        WHERE k2 IS NOT NULL) rn
+        ON l.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, count(price0) AS n_priced
+      FROM l LEFT JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r
+                        WHERE k2 IS NOT NULL) rn
+        ON l.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // FULL variant counting BOTH sides (plus count(*)) — the matched
+    // branch of the per-kind FULL table on real data, with the
+    // group-collision guard still requiring both keys in the grouping.
+    q("jn_nullsafe_full_cnt_engine", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             count(bal0) AS n_left, count(price0) AS n_right, count(*) AS n
+      FROM (SELECT k, coalesce(bal, 0.0) AS bal0 FROM l) ln
+      FULL JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON ln.k <=> rn.k2
+      GROUP BY k % 10, k2 % 10""", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             count(bal0) AS n_left, count(price0) AS n_right, count(*) AS n
+      FROM (SELECT k, coalesce(bal, 0.0) AS bal0 FROM l) ln
+      FULL JOIN (SELECT k2, coalesce(price, 0.0) AS price0 FROM r) rn
+        ON ln.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10, k2 % 10"""),
+
+    // GUARD row for the widening: count of a NULLABLE attribute (bal =
+    // c_acctbal, nullable in the parquet schema) is NOT analytic — its
+    // bucket value would depend on how many nulls sit inside the stripe
+    // rows, so the rewrite must keep the verbatim join (PlanSpec pins
+    // EqualNullSafe survives). Bounded key populations (the
+    // jn_nullsafe_verbatim pattern) keep the genuine quadratic bucket
+    // ≤ ~360 pairs at ANY scale factor.
+    q("jn_nullsafe_cntn_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n, count(bal) AS n_bal
+      FROM (SELECT k, bal FROM l WHERE id <= 600) lb
+      JOIN (SELECT k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k <=> rb.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, count(bal) AS n_bal
+      FROM (SELECT k, bal FROM l WHERE id <= 600) lb
+      JOIN (SELECT k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
+
     // VERBATIM null-safe join, BOUNDED (r13 ADVICE): the engine itself
     // executes `IS NOT DISTINCT FROM` — Spark's ExtractEquiJoinKeys
     // treats EqualNullSafe as an equi-join key, so the NULL stripes

@@ -92,4 +92,58 @@ class OracleLintSpec extends AnyFunSuite {
     val sch = StructType(Seq(StructField("k", LongType)))
     assert(OracleLint.check("t", sch, ok).isEmpty)
   }
+
+  // ── knife-edge lint (r15 verdict #2) ────────────────────────────────
+
+  test("knife-edge: flags bare floor over a transcendental (the r15 ml_kaplan_meier class)") {
+    // the EXACT shape that went red at sf0.1 in r15, pre-fix
+    val bad = Registry.sql("""SELECT t,
+      CAST(floor(1000000.0 * exp(sum(ln(1.0 - d / n_risk)) OVER w)) AS BIGINT)
+        AS survival_micro FROM g WINDOW w AS (ORDER BY t)""")
+    val v = OracleLint.knifeEdge("km", bad)
+    assert(v.nonEmpty && v.head.contains("half-up"), v.mkString("; "))
+  }
+
+  test("knife-edge: half-up (+ 0.5) defuses the floor") {
+    val ok = Registry.sql("""SELECT t,
+      CAST(floor(1000000.0 * exp(sum(ln(1.0 - d / n_risk)) OVER w) + 0.5) AS BIGINT)
+        AS survival_micro FROM g WINDOW w AS (ORDER BY t)""")
+    assert(OracleLint.knifeEdge("km", ok).isEmpty)
+  }
+
+  test("knife-edge: pure-arithmetic floors are NOT flagged (IEEE-deterministic)") {
+    // +,-,*,/ are correctly rounded: both engines compute the SAME
+    // double from the same inputs — gini's rational micro-scaling is safe
+    val ok = Registry.sql("""SELECT n,
+      CAST(floor(1000000.0 * (2.0 * iw / (n * tot) - (n + 1.0) / n)) AS BIGINT)
+        AS gini_micro FROM a""")
+    assert(OracleLint.knifeEdge("gini", ok).isEmpty)
+  }
+
+  test("knife-edge: +0.51 is not mistaken for half-up") {
+    val bad = Registry.sql(
+      "SELECT CAST(floor(1e6 * ln(x) + 0.51) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", bad).nonEmpty)
+  }
+
+  test("knife-edge: bare CAST of a transcendental float to BIGINT is the same edge") {
+    val bad = Registry.sql("SELECT CAST(1e6 * exp(x) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", bad).nonEmpty)
+    val ok = Registry.sql("SELECT CAST(round(1e6 * exp(x)) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", ok).isEmpty)
+  }
+
+  test("knife-edge plan lint: flags a bare Floor(Exp) Spark plan and passes the half-up twin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(1.0, 2.0).toDF("x")
+    val bad = df.selectExpr("CAST(floor(1e6 * exp(x)) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", bad.queryExecution.analyzed).nonEmpty,
+      "plan lint missed Floor over Exp")
+    val good = df.selectExpr("CAST(floor(1e6 * exp(x) + 0.5) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", good.queryExecution.analyzed).isEmpty)
+    val arith = df.selectExpr("CAST(floor(1e6 * (x / 7.0)) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", arith.queryExecution.analyzed).isEmpty,
+      "plan lint must not flag pure arithmetic")
+  }
 }

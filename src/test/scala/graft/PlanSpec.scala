@@ -1416,7 +1416,12 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
     import org.apache.spark.sql.catalyst.plans.logical.Union
     for (name <- Seq("jn_nullsafe_engine", "jn_nullsafe_full_engine",
-        "jn_nullsafe_left_engine")) {
+        "jn_nullsafe_left_engine",
+        // r16 widening: count(<provably non-null side attribute>) rows —
+        // the rule must fire on all four (inner, left × {live, empty
+        // right stripe}, full-both-sides)
+        "jn_nullsafe_cnt_engine", "jn_nullsafe_left_cnt_engine",
+        "jn_nullsafe_left_cnt0_engine", "jn_nullsafe_full_cnt_engine")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       val opt = df.queryExecution.optimizedPlan
       assert(opt.collect { case u: Union => u }.nonEmpty,
@@ -1441,6 +1446,29 @@ class PlanSpec extends AnyFunSuite {
       "guard failed: jn_nullsafe_verbatim no longer executes a verbatim " +
         "null-safe join — count(DISTINCT) aggregates must block the rewrite:\n" +
         guard.queryExecution.optimizedPlan)
+
+    // r16 widening guard: count of a NULLABLE attribute is data-
+    // dependent (nulls may sit inside the stripe rows), never analytic —
+    // the rewrite must keep the verbatim join
+    val guardN = SparkEntry.queries("jn_nullsafe_cntn_verbatim")(spark, TestSpark.Sf)
+    val guardNNs = guardN.queryExecution.optimizedPlan.flatMap(n =>
+      n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    assert(guardNNs.nonEmpty,
+      "guard failed: jn_nullsafe_cntn_verbatim no longer executes a " +
+        "verbatim null-safe join — count(<nullable attr>) must block the " +
+        "rewrite:\n" + guardN.queryExecution.optimizedPlan)
+
+    // r16 zero-branch witness: with the right stripe EMPTY, the bucket
+    // row's count(*) is the LEFT stripe count while count(right attr)
+    // is exactly 0 — read the NULL-group row and pin both
+    val cnt0 = SparkEntry.queries("jn_nullsafe_left_cnt0_engine")(spark, TestSpark.Sf)
+    assert(cnt0.queryExecution.optimizedPlan.collect { case u: Union => u }.nonEmpty)
+    val bucketRow = cnt0.collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(bucketRow.getLong(2) === 0L,
+      s"zero branch: count(right attr) over null-extended rows must be 0, got $bucketRow")
+    assert(bucketRow.getLong(1) > 0L,
+      s"zero branch: count(*) over the null-extended left stripe must be positive, got $bucketRow")
 
     // empty-grouping guard: a GLOBAL count over <=> must stay verbatim —
     // the two-branch Union would emit two rows (or a missing 0-row)

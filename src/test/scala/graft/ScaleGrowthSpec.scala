@@ -276,7 +276,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // engine rule keeps it linear — this is the volume proof that the
     // rule's rewrite (not just its oracle equality) holds at scale.
     for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
-        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine")) {
+        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine",
+        // r16 widening rows: count(<non-null side attr>) must ride the
+        // same linear band — the wider aggregate scope may not reopen
+        // the quadratic bucket
+        "jn_nullsafe_cnt_engine", "jn_nullsafe_left_cnt_engine",
+        "jn_nullsafe_left_cnt0_engine", "jn_nullsafe_full_cnt_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
@@ -299,7 +304,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // replicated 3×), never ~9× (the NULL-stripe pair product under a
     // verbatim-join regression: 3× nulls per side ⇒ 9× bucket pairs).
     for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
-        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine")) {
+        "jn_nullsafe_full_engine", "jn_nullsafe_left_engine",
+        "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
