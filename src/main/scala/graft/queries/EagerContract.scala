@@ -113,10 +113,12 @@ object EagerContract {
       "cache_columnar" -> ("proves InMemoryColumnarTableScan state: the " +
         "declaration count() materializes the columnar cache the row exists " +
         "to exercise"),
-      "dedup_clusters" -> ("iterative duplicate-cluster closure: each " +
-        "union-find round is a job, iterations bounded by cluster diameter"),
-      "dedup_keep_best" -> ("builds on the dedup_clusters closure loop " +
-        "(same bounded union-find iterations) before ranking survivors"),
+      "dedup_clusters" -> ("GraphX connectedComponents over the LSH " +
+        "candidate-pair graph — Pregel iterations are RDD jobs that run " +
+        "when the algorithm is invoked (same mechanism as the graph_* " +
+        "family)"),
+      "dedup_keep_best" -> ("builds on dedup_clusters' GraphX " +
+        "connected-components pass before ranking survivors"),
       "df_transpose" -> ("DataFrame.transpose() collects the (3-row) " +
         "aggregate spine eagerly to derive the transposed schema — Spark " +
         "API contract"),
