@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   * OUTPUT SHAPE (r15 postmortem: the bench_3x fields grew the single
   * metric line past the driver's stdout tail-capture window, truncating
   * its head — BENCH_r15.json shipped `parsed: null`): the artifact is now
-  * TWO JSON lines. A `{"metric":"bench_detail",…}` line carries the bulky
+  * TWO JSON lines. A `{"detail":"bench",…}` line carries the bulky
   * self-diagnosis payload (per-trial times, cache attribution,
   * containment diag, the full bench_3x section) and is printed FIRST; the
   * compact `{"metric":"total",…}` summary is printed LAST, after
@@ -358,7 +358,9 @@ object Bench {
       s""""calib_pre":$calibPre,"calib_post":$calibPost,""" +
       s""""quiet":$quiet,"attempts":$attempts,$diag3xSummary""" +
       s""""queries":$qsJson,"rising":$risingJson,"sf":"$sfDir"}"""
-    val detailLine = s"""{"metric":"bench_detail",$diag$diag3xDetail""" +
+    // deliberately NOT shaped {"metric":…}: a parser keyed on the first
+    // "metric" match in a tail window must only ever find the summary
+    val detailLine = s"""{"detail":"bench",$diag$diag3xDetail""" +
       s""""trials":$trialsJson,"cache":$cacheJson,"sf":"$sfDir"}"""
     // The summary travels on TWO channels: a file (sbt prefixes stdout
     // with [info] and interleaves WARNs, which broke the driver's parse
