@@ -76,6 +76,11 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the eager census attributes ~1500 job groups (726 rows × 2
+      // passes) through the status store; the default retention (1000
+      // jobs) can evict early groups mid-census and misread an eager row
+      // as lazy (r16 ADVICE) — retention must exceed the census volume
+      .config("spark.ui.retainedJobs", "20000")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse"))
       .getOrCreate()

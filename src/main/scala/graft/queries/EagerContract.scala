@@ -110,9 +110,11 @@ object EagerContract {
       "stat_approx_quantile", "stat_crosstab", "stat_freq_items",
       "stat_sketches") ++
     Map(
-      "cache_columnar" -> ("proves InMemoryColumnarTableScan state: the " +
-        "declaration count() materializes the columnar cache the row exists " +
-        "to exercise"),
+      // r16 verdict #4 pruned four eager-by-convenience entries from this
+      // map: cache_columnar and misc_observe are now declared lazily with
+      // their state proofs in PlanSpec; sort_global / sort_nulls_last rank
+      // through a lazy cached-snapshot + broadcast-offset plan instead of
+      // a declaration-time rdd.zipWithIndex.
       "dedup_clusters" -> ("GraphX connectedComponents over the LSH " +
         "candidate-pair graph — Pregel iterations are RDD jobs that run " +
         "when the algorithm is invoked (same mechanism as the graph_* " +
@@ -127,20 +129,12 @@ object EagerContract {
       "json_to_from" -> ("spark.read.json(Dataset[String]) schema " +
         "inference is a distributed parse job at read time — the toJSON " +
         "round-trip the row proves"),
-      "misc_observe" -> ("Observation metrics exist only after an " +
-        "execution; the declaration count() is the documented exception " +
-        "class (see the row's comment)"),
       "ml_kmeans_converge" -> ("k-means convergence loop: each iteration " +
         "is a job and the stop condition is decided driver-side"),
       "pipe_bloom_prefilter" -> ("sizes its bloom filter from the ACTUAL " +
         "corpus cardinality (r15 fix: a hardcoded expectedNumItems " +
         "overloads as the corpus grows); the count() stands in for " +
         "pipeline-maintained state"),
-      "sort_global" -> ("zipWithIndex ranking fires the RDD partition-" +
-        "offset count job at construction — the distributed alternative to " +
-        "a single-partition global row_number window"),
-      "sort_nulls_last" -> ("same zipWithIndex rank materialization as " +
-        "sort_global"),
       "text_bpe_train" -> ("BPE training loop: each merge round is a job " +
         "and the merge table is decided driver-side"))
 }

@@ -14,6 +14,12 @@ import Registry.sql
   */
 object MiscQueries {
 
+  /** The most recent misc_observe declaration's Observation — the hook
+    * PlanSpec uses to prove the observe side effect after executing the
+    * (lazily declared) row. */
+  val lastObservation =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Observation]()
+
   val all: Seq[Q] = Seq(
 
     // JSON extraction (get_json_object + from_json round-trip).
@@ -235,10 +241,14 @@ object MiscQueries {
     // df.cache): cached re-aggregation must equal the uncached oracle.
     Q("cache_columnar",
       (s, d) => {
-        val cached = table(s, d, "lineitem")
+        // cache() is a lazy plan annotation — the columnar cache
+        // materializes at the row's own first action (r16 verdict #4:
+        // the old declaration-time count() was eager-by-convenience).
+        // The InMemoryTableScan/materialization PROOF lives in PlanSpec
+        // ("cache_columnar plans an InMemoryTableScan …").
+        table(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_quantity")).cache()
-        cached.count() // materialize the columnar cache
-        cached.groupBy(col("l_returnflag"))
+          .groupBy(col("l_returnflag"))
           .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
       },
       Some(sql("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
@@ -614,25 +624,28 @@ object MiscQueries {
     // a SIDE EFFECT of whatever action runs the frame — the pipeline
     // telemetry surface (row counts, checksums, null rates) that costs
     // no extra pass at 100 TB because it piggybacks on the job already
-    // running. The declaration-time count() is the documented exception
-    // class: observation metrics exist only after an execution.
+    // running. r16 verdict #4 de-eagered this row: the declared DF is
+    // now a LAZY restatement of the same three metrics (one aggregate
+    // over the observed frame, unpivoted with stack) — executing it
+    // fills the Observation as a side effect of the same job, and the
+    // observe PROOF (obs.get equals the returned values) moved into
+    // PlanSpec, which reaches the Observation via `lastObservation`.
     Q("misc_observe",
       (s, d) => {
         val obs = new org.apache.spark.sql.Observation(s"graft_obs_${System.nanoTime()}")
-        val df = table(s, d, "orders")
+        lastObservation.set(obs)
+        table(s, d, "orders")
           .filter(col("o_totalprice") > 100000.0)
           .observe(obs,
             count(lit(1)).as("n"),
             round(sum(col("o_totalprice")), 4).as("total"),
             max(col("o_orderkey")).as("max_key"))
-        df.count(): Unit
-        val m = obs.get
-        val sq = s; import sq.implicits._
-        Seq(
-          ("n", m("n").asInstanceOf[Long].toDouble),
-          ("total", m("total").asInstanceOf[Double]),
-          ("max_key", m("max_key").asInstanceOf[Long].toDouble))
-          .toDF("metric", "value")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 4).as("total"),
+            max(col("o_orderkey")).as("max_key"))
+          .selectExpr("stack(3, 'n', CAST(n AS DOUBLE), 'total', total, " +
+            "'max_key', CAST(max_key AS DOUBLE)) AS (metric, value)")
       },
       Some(sql("""SELECT 'n' AS metric, CAST(count(*) AS DOUBLE) AS value
                   FROM orders WHERE o_totalprice > 100000.0

@@ -54,11 +54,40 @@ object OracleLint {
       "pow|power|sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh|" +
       "asinh|acosh|atanh|cot)\\s*\\(").r
 
-  /** Half-up (or explicit rounding) anywhere inside the discretized
-    * argument defuses the edge: `floor(x + 0.5)`, `round(...)`. */
+  /** Half-up or explicit rounding defuses the edge — but ONLY where it
+    * actually guards the discretized value (r16 ADVICE: the old
+    * "anywhere inside the argument" check accepted `floor(1e6*exp(x+0.5))`
+    * — a half-up INSIDE the transcendental moves nothing). Anchored form:
+    *   (a) a `+ 0.5` at the TOP paren level of the argument (the half-up
+    *       applies to the value being floored), or
+    *   (b) every transcendental occurrence sits INSIDE some `round(...)`
+    *       span — round canonicalizes the 1-ULP libm disagreement to one
+    *       shared double before the floor/cast ever sees it. A round that
+    *       does not dominate the transcendental (e.g.
+    *       `floor(exp(y) + round(x))`) defuses nothing. */
   private def defused(arg: String): Boolean =
-    "\\+0\\.5(?![0-9])".r.findFirstIn(arg.replaceAll("\\s+", "")).isDefined ||
-      "(?<![a-z0-9_])round\\s*\\(".r.findFirstIn(arg).isDefined
+    topLevelHalf(arg) || transcendentalsAllRounded(arg)
+
+  /** `+ 0.5` at paren depth 0 of the argument (either operand order). */
+  private def topLevelHalf(arg: String): Boolean = {
+    val halfRe = "\\+\\s*0\\.5(?![0-9])|(?<![0-9.])0\\.5\\s*\\+".r
+    halfRe.findAllMatchIn(arg).exists { m =>
+      arg.take(m.start).count(_ == '(') == arg.take(m.start).count(_ == ')')
+    }
+  }
+
+  /** Every transcendental match position lies inside some balanced
+    * `round(...)` span of the argument (any depth — domination is what
+    * matters, not the depth). Vacuously false when there is no round. */
+  private def transcendentalsAllRounded(arg: String): Boolean = {
+    val spans = "(?<![a-z0-9_])round\\s*\\(".r.findAllMatchIn(arg).toSeq.flatMap { m =>
+      val open = arg.indexOf('(', m.start)
+      closeOf(arg, open).map(c => (m.start, c))
+    }
+    spans.nonEmpty && transcendentalRe.findAllMatchIn(arg).forall { t =>
+      spans.exists { case (s, e) => t.start > s && t.start < e }
+    }
+  }
 
   /** Documented why-safe exemptions: query name → justification. An
     * entry here silences the knife-edge lint for that query; the note
@@ -142,11 +171,29 @@ object OracleLint {
       }
       case _ => false
     }
-    def defusedPlan(e: Expression): Boolean = e.exists {
-      case Add(a, b, _) => halfLit(a) || halfLit(b)
-      case x => x.getClass.getSimpleName == "Round" ||
-        x.getClass.getSimpleName == "BRound"
+    // Anchored like the text side (r16 ADVICE): the defusing half-up must
+    // be on the SPINE of the discretized expression — the Floor/Cast
+    // child itself, seen through casts and linear scaling — or every
+    // transcendental must be DOMINATED by a Round/BRound (rounding
+    // canonicalizes the ULP before discretization). An Add(0.5) buried
+    // inside exp(), or a Round on a sibling operand, defuses nothing.
+    def isRoundNode(e: Expression): Boolean = {
+      val n = e.getClass.getSimpleName
+      n == "Round" || n == "BRound"
     }
+    def spineHalf(e: Expression): Boolean = e match {
+      case c: Cast => spineHalf(c.child)
+      case Add(a, b, _) => halfLit(a) || halfLit(b)
+      case _ => false
+    }
+    def roundDominated(e: Expression): Boolean = {
+      def ok(x: Expression, under: Boolean): Boolean = {
+        if (transcendentalClasses(x.getClass.getSimpleName) && !under) false
+        else x.children.forall(ok(_, under || isRoundNode(x)))
+      }
+      e.exists(isRoundNode) && ok(e, under = false)
+    }
+    def defusedPlan(e: Expression): Boolean = spineHalf(e) || roundDominated(e)
     val hits = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.foreach { node =>
       node.expressions.foreach { root =>

@@ -80,19 +80,54 @@ object RelationalQueries {
 
     // Global Sort (basicOperators.scala:144): order materialized as a rank
     // column so the (row-order-insensitive) oracle can still verify it.
-    // Rank via zipWithIndex over the range-partitioned sort — a global
-    // row_number window would collapse everything into ONE partition;
-    // zipWithIndex ranks distributed (per-partition counts + offsets).
+    // Rank stays DISTRIBUTED (a global row_number window would collapse
+    // everything into ONE partition) and — r16 verdict #4 — LAZY: the old
+    // rdd.zipWithIndex fired its partition-count job at declaration. The
+    // lazy restatement persists the range-partitioned sort (persist is a
+    // plan annotation, no job), derives per-partition positions with a
+    // mapPartitions local index, re-scans the SAME cached snapshot for
+    // partition sizes, folds sizes into exclusive running offsets over
+    // the ≤#partitions-row table (a DOMAIN-bounded unpartitioned window —
+    // declared in DomainBoundedWindows), and broadcasts them back. The
+    // persist is the price of one consistent snapshot across the two
+    // scans — at 100 TB it holds only (key, sortcol) for the filtered
+    // set, the same footprint zipWithIndex's two passes re-read.
+    //
+    // Partition identity comes from the DATA (the partition head row's
+    // unique key), NOT TaskContext.getPartitionId: a downstream narrow
+    // coalesce(1) — e.g. Verify's single-file write — merges many
+    // structural partitions into ONE task, where every partition reports
+    // task-partition-id 0 while the per-partition local index still
+    // restarts, silently flattening all offsets to zero. The head key is
+    // computed per STRUCTURAL partition (the mapPartitions lambda runs
+    // once per parent partition even under a coalesce), is unique (one
+    // row leads exactly one partition), and its sort key orders the
+    // heads exactly like the range-partitioning orders the partitions.
     Q("sort_global",
       (s, d) => {
         import s.implicits._
-        table(s, d, "orders")
+        val sorted = table(s, d, "orders")
           .filter(col("o_totalprice") > 250000.0)
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-          .rdd.zipWithIndex
-          .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1) }
-          .toDF("o_orderkey", "o_totalprice", "rn")
+          .persist()
+        val local = sorted.as[(Long, Double)].mapPartitions { it =>
+          val buf = it.buffered
+          if (!buf.hasNext) Iterator.empty
+          else {
+            val (hk, hp) = buf.head
+            buf.zipWithIndex.map { case ((k, v), i) => (k, v, hk, hp, i + 1L) }
+          }
+        }.toDF("o_orderkey", "o_totalprice", "hk", "hp", "pos")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("hp").desc, col("hk").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offs = local.groupBy("hk", "hp").agg(count(lit(1)).as("cnt"))
+          .select(col("hk").as("ohk"),
+            coalesce(sum(col("cnt")).over(w), lit(0L)).as("off"))
+        local.join(broadcast(offs), col("hk") === col("ohk"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("off") + col("pos")).as("rn"))
       },
       Some(sql("""SELECT o_orderkey, o_totalprice,
                    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
@@ -135,19 +170,36 @@ object RelationalQueries {
 
     // Sort with explicit null ordering (SortOrder.scala:32 — NULLS
     // FIRST/LAST was NOT expressible in 1.3; beyond-ref extension).
-    // Same distributed zipWithIndex rank materialization as sort_global.
+    // Same lazy distributed rank materialization as sort_global (cached
+    // sorted snapshot + local index + data-derived partition heads +
+    // broadcast offsets); the offsets window replays asc_nulls_last over
+    // the heads' status, and the join key is the head's UNIQUE non-null
+    // o_orderkey, so all-NULL-status partitions join fine.
     Q("sort_nulls_last",
       (s, d) => {
         import s.implicits._
-        table(s, d, "orders")
+        val sorted = table(s, d, "orders")
           .filter(col("o_totalprice") > 350000.0)
           .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("status"))
           .orderBy(col("status").asc_nulls_last, col("o_orderkey").asc)
-          .rdd.zipWithIndex
-          .map { case (r, i) =>
-            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), i + 1)
+          .persist()
+        val local = sorted.as[(Long, String)].mapPartitions { it =>
+          val buf = it.buffered
+          if (!buf.hasNext) Iterator.empty
+          else {
+            val (hk, hs) = buf.head
+            buf.zipWithIndex.map { case ((k, v), i) => (k, v, hk, hs, i + 1L) }
           }
-          .toDF("o_orderkey", "status", "rn")
+        }.toDF("o_orderkey", "status", "hk", "hs", "pos")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("hs").asc_nulls_last, col("hk").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offs = local.groupBy("hk", "hs").agg(count(lit(1)).as("cnt"))
+          .select(col("hk").as("ohk"),
+            coalesce(sum(col("cnt")).over(w), lit(0L)).as("off"))
+        local.join(broadcast(offs), col("hk") === col("ohk"))
+          .select(col("o_orderkey"), col("status"),
+            (col("off") + col("pos")).as("rn"))
       },
       Some(sql("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status,
                    CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'P') ASC NULLS LAST,

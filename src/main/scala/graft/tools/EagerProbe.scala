@@ -36,23 +36,33 @@ object EagerProbe {
       (n, status)
     }
     Thread.sleep(2000) // settle the async status bus
+    // read every group's fired state BEFORE spark.stop() — a stopped
+    // context's status store may be closed or stale (r16 ADVICE); the
+    // print loop and the contract diff must see the SAME snapshot
+    val jobsByName = declared.map { case (n, status) =>
+      (n, status, sc.statusTracker.getJobIdsForGroup(s"eager-$n"))
+    }
     var eager = 0
-    declared.foreach { case (n, status) =>
-      val jobs = sc.statusTracker.getJobIdsForGroup(s"eager-$n")
+    jobsByName.foreach { case (n, status, jobs) =>
       if (jobs.nonEmpty || status != "ok") {
         eager += 1
         println(s"EAGER $n jobs=${jobs.length} status=$status")
       }
     }
     spark.stop()
-    // diff against the declared contract (the spec-enforced set)
-    val fired = declared.collect { case (n, _)
-        if sc.statusTracker.getJobIdsForGroup(s"eager-$n").nonEmpty => n }.toSet
+    // diff against the declared contract (the spec-enforced set). An
+    // err-status row's declaration never completed, so its (non-)firing
+    // proves nothing about the contract — report it separately instead
+    // of letting it masquerade as lazy/stale.
+    val errs = jobsByName.collect { case (n, s, _) if s != "ok" => n }.toSet
+    val fired = jobsByName.collect { case (n, "ok", jobs) if jobs.nonEmpty => n }.toSet
     val contract = graft.queries.EagerContract.eagerByDesign.keySet
+    errs.toSeq.sorted.foreach(n => println(s"ERRROW $n (excluded from the contract diff)"))
     (fired -- contract).toSeq.sorted.foreach(n => println(s"UNDECLARED $n"))
-    (contract -- fired).toSeq.sorted.foreach(n => println(s"STALE $n"))
+    (contract -- fired -- errs).toSeq.sorted.foreach(n => println(s"STALE $n"))
     println(s"EAGERPROBE total=${names.size} eager=$eager " +
-      s"contract=${contract.size} undeclared=${(fired -- contract).size} " +
-      s"stale=${(contract -- fired).size}")
+      s"contract=${contract.size} errs=${errs.size} " +
+      s"undeclared=${(fired -- contract).size} " +
+      s"stale=${(contract -- fired -- errs).size}")
   }
 }

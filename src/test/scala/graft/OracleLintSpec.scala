@@ -133,6 +133,47 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.knifeEdge("t", ok).isEmpty)
   }
 
+  test("knife-edge: the defusing is ANCHORED (r16 ADVICE) — half-up inside the transcendental defuses nothing") {
+    // `floor(1e6 * exp(x + 0.5))`: the +0.5 shifts exp's INPUT, not the
+    // floored value — the edge is still live at integers. Pre-fix the
+    // lint accepted any +0.5 anywhere inside the argument.
+    val bad1 = Registry.sql(
+      "SELECT CAST(floor(1e6 * exp(x + 0.5)) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", bad1).nonEmpty,
+      "+0.5 buried inside exp() must not defuse the floor")
+    // `floor(exp(round(x)))`: the round canonicalizes exp's INPUT; exp's
+    // OUTPUT still differs by a ULP between libms.
+    val bad2 = Registry.sql(
+      "SELECT CAST(floor(1e6 * exp(round(x))) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", bad2).nonEmpty,
+      "round() inside the transcendental must not defuse the floor")
+    // a round on a SIBLING operand dominates nothing
+    val bad3 = Registry.sql(
+      "SELECT CAST(floor(exp(y) + round(x)) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", bad3).nonEmpty,
+      "round() on a sibling operand must not defuse the floor")
+    // round DOMINATING the transcendental (any depth) stays defused
+    val ok = Registry.sql(
+      "SELECT CAST(floor(1e6 * (round(exp(x), 6))) AS BIGINT) AS v FROM t")
+    assert(OracleLint.knifeEdge("t", ok).isEmpty,
+      "a round that dominates the transcendental is a genuine defuse")
+  }
+
+  test("knife-edge plan lint: anchored defusing (r16 ADVICE) — buried Add(0.5)/Round do not defuse") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+    val bad1 = df.selectExpr("CAST(floor(1e6 * exp(x + 0.5)) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", bad1.queryExecution.analyzed).nonEmpty,
+      "plan lint: +0.5 inside exp() must not defuse")
+    val bad2 = df.selectExpr("CAST(floor(exp(y) + round(x)) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", bad2.queryExecution.analyzed).nonEmpty,
+      "plan lint: Round on a sibling operand must not defuse")
+    val ok = df.selectExpr("CAST(floor(1e6 * round(exp(x), 6)) AS BIGINT) AS v")
+    assert(OracleLint.knifeEdgePlan("t", ok.queryExecution.analyzed).isEmpty,
+      "plan lint: a dominating Round is a genuine defuse")
+  }
+
   test("knife-edge plan lint: flags a bare Floor(Exp) Spark plan and passes the half-up twin") {
     val spark = TestSpark.spark
     import spark.implicits._

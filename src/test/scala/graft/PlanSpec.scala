@@ -1496,4 +1496,61 @@ class PlanSpec extends AnyFunSuite {
       s"verbatim global count ${globalRows(0).getLong(0)} != sum of rewritten " +
         s"grouped counts $groupedTotal")
   }
+
+  test("cache_columnar plans an InMemoryTableScan and materializes the columnar cache at its own first action (r16 verdict #4)") {
+    // the row's declaration-time count() moved here: declaration is now a
+    // pure plan build (census-enforced), and THIS is the state proof —
+    // the plan reads through the in-memory columnar relation, and one
+    // execution leaves the cache materialized in the block manager
+    val df = SparkEntry.queries("cache_columnar")(spark, TestSpark.Sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findFirstIn(planStr).isDefined,
+      s"cache_columnar no longer scans an in-memory columnar cache:\n$planStr")
+    df.collect()
+    // materialization proof: SOME cached relation from this row now holds
+    // partitions in the block manager (the aggregate itself is not the
+    // cached subtree, so check storage, not the cache-manager lookup)
+    val mem = spark.sparkContext.getRDDStorageInfo
+      .filter(_.numCachedPartitions > 0)
+    assert(mem.nonEmpty,
+      "executing cache_columnar left no materialized cache behind")
+  }
+
+  test("misc_observe: executing the lazy row fills the Observation with the same values it returns (r16 verdict #4)") {
+    val df = SparkEntry.queries("misc_observe")(spark, TestSpark.Sf)
+    val obs = graft.queries.MiscQueries.lastObservation.get()
+    assert(obs != null, "misc_observe declaration did not publish its Observation")
+    val rows = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m = obs.get // available because the collect() above ran the observed frame
+    assert(m.keySet === Set("n", "total", "max_key"))
+    assert(rows("n") === m("n").asInstanceOf[Long].toDouble)
+    assert(rows("total") === m("total").asInstanceOf[Double])
+    assert(rows("max_key") === m("max_key").asInstanceOf[Long].toDouble)
+  }
+
+  test("sort_global's lazy rank equals the single-partition row_number ground truth") {
+    // the r16 de-eagering rewired the rank derivation (cached snapshot +
+    // local index + data-derived partition heads + broadcast offsets);
+    // the oracle proves it driver-side, this pins it in-suite against the
+    // trivially-correct window spelling — THROUGH a narrow coalesce(1),
+    // Verify's exact action. coalesce(1) merges every structural
+    // partition into ONE task, which zeroed a TaskContext-partition-id
+    // based offset scheme (every partition reported task id 0 while the
+    // local index still restarted) — the head-row tagging is immune, and
+    // this replay keeps it that way.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_plan_sortrank"
+    SparkEntry.queries("sort_global")(spark, TestSpark.Sf)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val got = spark.read.parquet(out)
+      .orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = Engine.table(spark, TestSpark.Sf, "orders")
+      .filter(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"),
+        row_number().over(Window.orderBy(col("o_totalprice").desc,
+          col("o_orderkey").asc)).cast("long").as("rn"))
+      .orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
 }

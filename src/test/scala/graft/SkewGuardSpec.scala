@@ -46,7 +46,10 @@ class SkewGuardSpec extends AnyFunSuite {
       "pipe_mixture_weights", "text_gopher_rules", "pipe_dsir_weights",
       "sim_topk_ivfpq", "dedup_minhash_estimate", "pipe_token_budget",
       "pipe_curriculum", "pipe_dataset_card", "dedup_edit_distance",
-      "sql_cache_table")
+      "sql_cache_table",
+      // r16 verdict #4 de-eagered rows (lazy rank / lazy cache / lazy
+      // observe restatements)
+      "sort_global", "sort_nulls_last", "cache_columnar", "misc_observe")
     // warm Engine.table's schema cache OUTSIDE the probe group: the very
     // first read of a path fires one footer-inference job by design
     names.foreach(n => SparkEntry.queries(n)(spark, TestSpark.Sf))
@@ -114,9 +117,16 @@ class SkewGuardSpec extends AnyFunSuite {
       if (mismatched.isEmpty) first
       else {
         Thread.sleep(1000)
-        mismatched.foreach(n => declareIn(n, s"census2-$n"))
-        Thread.sleep(1500)
-        first ++ mismatched.map(n => n -> firedIn(s"census2-$n"))
+        // chunk pass 2 exactly like pass 1, and read each chunk's fired
+        // state right after it settles (r16 ADVICE): one unchunked
+        // re-declaration wave could itself push early census2 groups out
+        // of the status store's retention window before the final read
+        val secondReads = mismatched.grouped(40).flatMap { chunk =>
+          chunk.foreach(n => declareIn(n, s"census2-$n"))
+          Thread.sleep(800)
+          chunk.map(n => n -> firedIn(s"census2-$n"))
+        }.toMap
+        first ++ secondReads
       }
     val undeclaredEager = names.filter(n => finalFired(n) && !declared(n))
     val deadEager = names.filter(n => !finalFired(n) && declared(n))
