@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -90,7 +90,17 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     rows), not the structure — not analytic, guard keeps verbatim.
   *     count(DISTINCT id) and friends likewise keep the verbatim join
   *     (jn_nullsafe_verbatim stays a genuine verbatim-execution
-  *     crossing because of this guard).
+  *     crossing because of this guard);
+  *   - the r17 widening: sum(<bare attribute provably non-null in its
+  *     own side's output>) when the attribute is INTEGRAL and the Sum
+  *     is LEGACY-mode — the bucket sum is stripe_sum × opposite stripe
+  *     count (cross-matched), stripe_sum (own-side null-extension), or
+  *     NULL (opposite side's extension: sum over all-NULL). Long
+  *     arithmetic is exact mod 2^64, so the multiply equals iterated
+  *     addition identically even under wrap; DOUBLE (non-associative
+  *     FP), DECIMAL (overflow→NULL checkpoints move), and ANSI mode
+  *     (overflow throws at a different point) keep the verbatim join —
+  *     see [[SumSide]] for the per-exclusion argument.
   *
   * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
   * runs the verbatim null-safe join, so the driver hash-compare is the
@@ -128,32 +138,71 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** How a count aggregate's bucket value is derived analytically. */
-  private sealed trait CountKind
+  /** How an aggregate's bucket value is derived analytically. */
+  private sealed trait AggKind
   /** count(*) / count(non-null foldable): counts every bucket row. */
-  private case object CountStar extends CountKind
+  private case object CountStar extends AggKind
   /** count(a) where `a` is nullable=false in ONE side's own output:
     * counts the bucket rows where that side is present (not
     * null-extended). */
-  private final case class CountSide(left: Boolean) extends CountKind
+  private final case class CountSide(left: Boolean) extends AggKind
+  /** sum(a) — the r17 widening — where `a` is a provably non-null
+    * INTEGRAL attribute of one side, summed in LEGACY eval mode. The
+    * bucket sum is pure pair structure one step up from count: each
+    * stripe row of `a`'s side repeats once per opposite-stripe row in
+    * the cross-matched case, so the bucket's sum is
+    * stripe_sum(a) × opposite stripe count; a null-extension case
+    * contributes stripe_sum(a) for `a`'s own side and NULL for the
+    * opposite side (sum over an all-NULL column is NULL, unlike
+    * count's 0).
+    *
+    * Exactness needs the multiply to equal ITERATED addition in the
+    * engine's arithmetic, which holds only where + is associative and
+    * the rewrite cannot move an overflow checkpoint:
+    *   - integral + LEGACY: Long addition and multiplication are both
+    *     exact mod 2^64, so wrap(Σa · n) == wrap(Σ over repeated rows)
+    *     identically — provable, in scope;
+    *   - DOUBLE: FP addition is non-associative; Σ(a repeated n times)
+    *     and Σa · n differ in ULPs — excluded;
+    *   - DECIMAL: Sum checks overflow→NULL per final result while the
+    *     analytic form would check it on stripe_sum and on the product
+    *     separately — the checkpoints can disagree near the precision
+    *     bound — excluded;
+    *   - ANSI mode: overflow THROWS, and the rewrite would move where
+    *     (and whether) the throw happens — excluded. */
+  private final case class SumSide(left: Boolean, attr: AttributeReference,
+    ctx: NumericEvalContext) extends AggKind
 
-  private def countKind(ae: AggregateExpression,
-      l: LogicalPlan, r: LogicalPlan): Option[CountKind] =
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
+  private def aggKind(ae: AggregateExpression,
+      l: LogicalPlan, r: LogicalPlan): Option[AggKind] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
-    else ae.aggregateFunction match {
-      case Count(children)
-          if children.forall(c => c.foldable && !c.nullable) =>
-        Some(CountStar) // count(*) / count(1); empty children counts rows too
-      case Count(Seq(a: AttributeReference)) =>
-        // nullability must come from the attribute's OWN side (an outer
-        // join's output re-marks the other side nullable; the bucket
-        // math needs the pre-join guarantee)
-        def nonNullIn(side: LogicalPlan): Boolean =
-          side.output.exists(o => o.exprId == a.exprId && !o.nullable)
-        if (nonNullIn(l)) Some(CountSide(left = true))
-        else if (nonNullIn(r)) Some(CountSide(left = false))
+    else {
+      // nullability must come from the attribute's OWN side (an outer
+      // join's output re-marks the other side nullable; the bucket
+      // math needs the pre-join guarantee)
+      def nonNullIn(side: LogicalPlan, a: AttributeReference): Boolean =
+        side.output.exists(o => o.exprId == a.exprId && !o.nullable)
+      def sided(a: AttributeReference, mk: Boolean => AggKind): Option[AggKind] =
+        if (nonNullIn(l, a)) Some(mk(true))
+        else if (nonNullIn(r, a)) Some(mk(false))
         else None
-      case _ => None
+      ae.aggregateFunction match {
+        case Count(children)
+            if children.forall(c => c.foldable && !c.nullable) =>
+          Some(CountStar) // count(*) / count(1); empty children counts rows too
+        case Count(Seq(a: AttributeReference)) =>
+          sided(a, CountSide(_))
+        case s @ Sum(a: AttributeReference, _)
+            if s.evalContext.evalMode == EvalMode.LEGACY &&
+              integralTypes(a.dataType) =>
+          sided(a, SumSide(_, a, s.evalContext))
+        case _ => None
+      }
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -196,10 +245,10 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
           }
           val keys = AttributeSet(Seq(lk, rk))
           val groupsOk = grouping.forall(g => groupingOk(expand(g), keys))
-          // per-output count kind (None on any non-conforming output)
-          val aggKinds: Seq[Option[Either[CountKind, Unit]]] = aggExprs.map {
+          // per-output aggregate kind (None on any non-conforming output)
+          val aggKinds: Seq[Option[Either[AggKind, Unit]]] = aggExprs.map {
             case Alias(ae: AggregateExpression, _) =>
-              countKind(ae, l, r).map(scala.util.Left(_))
+              aggKind(ae, l, r).map(scala.util.Left(_))
             case ne => // non-aggregate outputs must be grouping shapes
               if (ne.collectFirst { case ae: AggregateExpression => ae }.isEmpty &&
                 groupingOk(expand(ne match { case Alias(c, _) => c; case o => o }), keys))
@@ -238,13 +287,30 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             // its side; with it, FileSourceStrategy's PhysicalOperation
             // collapse prunes the scan to the join key when the side is a
             // file relation.
-            def stripeCount(side: LogicalPlan, key: Attribute, n: String) = {
-              val al = Alias(Count(Literal(1)).toAggregateExpression(), n)()
-              (Aggregate(Nil, Seq(al),
-                Filter(IsNull(key), Project(Seq(key), side))), al.toAttribute)
+            // the r17 sum widening needs per-side stripe SUMS alongside
+            // the counts — same single stripe scan, one extra aggregate
+            // column per distinct summed attribute
+            def sumAttrsOf(left: Boolean): Seq[(AttributeReference, NumericEvalContext)] =
+              aggKinds.collect {
+                case Some(scala.util.Left(SumSide(`left`, a, ctx))) => (a, ctx)
+              }.distinctBy(_._1.exprId)
+            def stripeAgg(side: LogicalPlan, key: Attribute, n: String,
+                sumAttrs: Seq[(AttributeReference, NumericEvalContext)]) = {
+              val cnt = Alias(Count(Literal(1)).toAggregateExpression(), n)()
+              // the stripe sum inherits the ORIGINAL Sum's eval context —
+              // re-deriving from the conf at rule time could flip mode if
+              // ANSI changed between declaration and optimization
+              val sums = sumAttrs.map { case (a, ctx) =>
+                a.exprId -> Alias(Sum(a, ctx).toAggregateExpression(), n + "_sum")() }
+              val cols: Seq[NamedExpression] =
+                (key +: sumAttrs.map(_._1)).distinctBy(_.exprId)
+              (Aggregate(Nil, cnt +: sums.map(_._2),
+                Filter(IsNull(key), Project(cols, side))),
+                cnt.toAttribute,
+                sums.map { case (id, al) => id -> al.toAttribute }.toMap)
             }
-            val (nlPlan, nl) = stripeCount(l, lk, "graft_nsc_nl")
-            val (nrPlan, nr) = stripeCount(r, rk, "graft_nsc_nr")
+            val (nlPlan, nl, lSums) = stripeAgg(l, lk, "graft_nsc_nl", sumAttrsOf(true))
+            val (nrPlan, nr, rSums) = stripeAgg(r, rk, "graft_nsc_nr", sumAttrsOf(false))
             val nlPos = GreaterThan(nl, Literal(0L))
             val nrPos = GreaterThan(nr, Literal(0L))
             val cross = Multiply(nl, nr)
@@ -261,7 +327,7 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             // null-EXTENSION case contributes its own side's stripe
             // count and ZERO to the opposite side's count (every
             // opposite-side attribute is NULL on extended rows)
-            def bucketCountFor(kind: CountKind): Expression = kind match {
+            def bucketCountFor(kind: AggKind): Expression = kind match {
               case CountStar => bucketCountStar
               case CountSide(isLeft) => jt match {
                 case Inner => cross
@@ -275,6 +341,29 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
                   If(nlPos, cross, if (isLeft) Literal(0L) else nr)
                 case _ => cross // unreachable (matched above)
               }
+              // sum(side attr): stripe_sum × opposite stripe count on the
+              // cross-matched stripes (each own-side row repeats once per
+              // opposite row), stripe_sum alone for the own side's
+              // null-extension, NULL for the opposite side's (sum over an
+              // all-NULL column — count's 0 becomes sum's NULL). All Long
+              // arithmetic: exact mod 2^64 = verbatim LEGACY Sum.
+              case SumSide(isLeft, a, _) =>
+                val own = if (isLeft) lSums(a.exprId) else rSums(a.exprId)
+                val oppCnt = if (isLeft) nr else nl
+                val nullL = Literal(null, org.apache.spark.sql.types.LongType)
+                val matched = Multiply(own, oppCnt)
+                jt match {
+                  case Inner => matched
+                  case FullOuter =>
+                    If(And(nlPos, nrPos), matched,
+                      if (isLeft) If(nlPos, own, nullL)
+                      else If(nrPos, own, nullL))
+                  case LeftOuter =>
+                    If(nrPos, matched, if (isLeft) own else nullL)
+                  case RightOuter =>
+                    If(nlPos, matched, if (isLeft) nullL else own)
+                  case _ => matched // unreachable (matched above)
+                }
             }
             val nonEmpty = Filter(emitCond,
               Join(nlPlan, nrPlan, Inner, None, JoinHint.NONE))

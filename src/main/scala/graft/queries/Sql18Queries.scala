@@ -292,6 +292,122 @@ object Sql18Queries {
         ON ln.k IS NOT DISTINCT FROM rn.k2
       GROUP BY k % 10, k2 % 10"""),
 
+    // r17 widening: sum(<provably non-null INTEGRAL side attribute>)
+    // joins the rewrite's aggregate scope. Bucket math one step up from
+    // count: the cross-matched stripes repeat each own-side row once per
+    // opposite row, so the bucket's sum is stripe_sum × opposite stripe
+    // count; Long arithmetic is exact mod 2^64, so the multiply equals
+    // iterated addition identically (the provability argument — DOUBLE
+    // and DECIMAL are excluded, see the guard rows below). The summed
+    // columns are COALESCE-derived projections: the guard demands the
+    // nullable=false PROOF from the attribute's own side, not the data.
+    // Spark body keeps the BARE sum (the rule matches
+    // Alias(AggregateExpression)); the oracle casts DuckDB's HUGEINT sum
+    // back to BIGINT per the ORACLE TYPING RULE.
+    q("jn_nullsafe_sum_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(id0) AS s_id, sum(oid0) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(id0) AS BIGINT) AS s_id,
+             CAST(sum(oid0) AS BIGINT) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // LEFT variant, right stripe non-empty: both sums take the CROSS
+    // branch (stripe_sum × opposite count), alongside the count(*).
+    q("jn_nullsafe_left_sum_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(id0) AS s_id, sum(oid0) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      LEFT JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(id0) AS BIGINT) AS s_id,
+             CAST(sum(oid0) AS BIGINT) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      LEFT JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // LEFT variant with the right stripe EMPTY: the bucket is the nl
+    // null-EXTENDED left rows — sum(left attr) = stripe_sum_L while
+    // sum(right attr) = NULL (sum over an all-NULL column; count's 0
+    // becomes sum's NULL — the branch the other rows never take,
+    // value-proven here).
+    q("jn_nullsafe_left_sum0_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(id0) AS s_id, sum(oid0) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      LEFT JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r
+                 WHERE k2 IS NOT NULL) rn
+        ON ln.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(id0) AS BIGINT) AS s_id,
+             CAST(sum(oid0) AS BIGINT) AS s_oid
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      LEFT JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r
+                 WHERE k2 IS NOT NULL) rn
+        ON ln.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // FULL variant summing BOTH sides — the matched branch of the
+    // per-kind FULL table, collision guard still requiring both keys.
+    q("jn_nullsafe_full_sum_engine", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             sum(id0) AS s_id, sum(oid0) AS s_oid, count(*) AS n
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      FULL JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k <=> rn.k2
+      GROUP BY k % 10, k2 % 10""", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             CAST(sum(id0) AS BIGINT) AS s_id,
+             CAST(sum(oid0) AS BIGINT) AS s_oid, count(*) AS n
+      FROM (SELECT k, coalesce(id, 0) AS id0 FROM l) ln
+      FULL JOIN (SELECT k2, coalesce(oid, 0) AS oid0 FROM r) rn
+        ON ln.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10, k2 % 10"""),
+
+    // GUARD row: sum of a NULLABLE integral attribute (oid bare — the
+    // parquet schema marks it nullable, so there is no proof) is NOT
+    // analytic; the rewrite must keep the verbatim join (PlanSpec pins
+    // EqualNullSafe survives). Bounded key populations keep the genuine
+    // quadratic bucket tiny at ANY scale factor.
+    q("jn_nullsafe_sumn_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(oid) AS s_oid
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k <=> rb.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, CAST(sum(oid) AS BIGINT) AS s_oid
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
+
+    // GUARD row: sum of a non-null DOUBLE is excluded by TYPE — FP
+    // addition is non-associative, so stripe_sum × n and the verbatim
+    // iterated sum differ in ULPs; the rule keeps the verbatim join
+    // rather than ship a "fast but off by an ULP" rewrite. Bounded
+    // inputs as above.
+    q("jn_nullsafe_sumdbl_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(price0) AS s_price
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT coalesce(price, 0.0) AS price0, k2 FROM r
+            WHERE oid <= 6000) rb
+        ON lb.k <=> rb.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(price0) AS s_price
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT coalesce(price, 0.0) AS price0, k2 FROM r
+            WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
+
     // GUARD row for the widening: count of a NULLABLE attribute (bal =
     // c_acctbal, nullable in the parquet schema) is NOT analytic — its
     // bucket value would depend on how many nulls sit inside the stripe

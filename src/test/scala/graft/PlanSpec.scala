@@ -1497,6 +1497,63 @@ class PlanSpec extends AnyFunSuite {
         s"grouped counts $groupedTotal")
   }
 
+  test("LinearizeNullSafeCountAgg sum widening fires on the jn_nullsafe_*sum*_engine rows and its type/nullability guards hold (r16 verdict #2)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    def nullSafeLeft(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    // FIRED on all four sum rows (inner, left × {live, empty right
+    // stripe}, full-both-sides); semantics are each row's own DuckDB
+    // oracle (verbatim null-safe join, driver hash-compare at both SFs)
+    for (name <- Seq("jn_nullsafe_sum_engine", "jn_nullsafe_left_sum_engine",
+        "jn_nullsafe_left_sum0_engine", "jn_nullsafe_full_sum_engine")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case u: Union => u }.nonEmpty,
+        s"$name: sum widening did not fire (no Union in the optimized plan):\n$opt")
+      assert(nullSafeLeft(df).isEmpty,
+        s"$name: null-safe condition survived optimization (quadratic bucket still planned):\n$opt")
+    }
+    // NULL-branch witness: with the right stripe EMPTY the bucket row
+    // carries sum(left attr) = the left stripe's own sum (positive —
+    // custkeys) while sum(right attr) is NULL (sum over all-NULL; the
+    // analog of count's 0 branch, which no other row exercises)
+    val sum0 = SparkEntry.queries("jn_nullsafe_left_sum0_engine")(spark, TestSpark.Sf)
+    val bucket = sum0.collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(bucket.getLong(2) > 0L,
+      s"sum(left attr) over the null-extended left stripe must be positive: $bucket")
+    assert(bucket.isNullAt(3),
+      s"sum(right attr) over null-extended rows must be NULL (not 0): $bucket")
+    // cross-branch value witness: the live-stripe LEFT row's bucket sums
+    // must equal stripe_sum × opposite stripe count computed first-hand
+    val live = SparkEntry.queries("jn_nullsafe_left_sum_engine")(spark, TestSpark.Sf)
+      .collect().find(_.isNullAt(0)).getOrElse(fail("no bucket row"))
+    val c = Engine.table(spark, TestSpark.Sf, "customer")
+    val o = Engine.table(spark, TestSpark.Sf, "orders")
+    import org.apache.spark.sql.functions._
+    val nl = c.filter(col("c_custkey") % 50 === 7).count()
+    val nr = o.filter(col("o_custkey") % 50 === 13).count()
+    val sumL = c.filter(col("c_custkey") % 50 === 7)
+      .agg(sum(coalesce(col("c_custkey"), lit(0L)))).collect()(0).getLong(0)
+    val sumR = o.filter(col("o_custkey") % 50 === 13)
+      .agg(sum(coalesce(col("o_orderkey"), lit(0L)))).collect()(0).getLong(0)
+    assert(live.getLong(1) === nl * nr, s"bucket count(*): $live vs ${nl * nr}")
+    assert(live.getLong(2) === sumL * nr, s"bucket sum(id0): $live vs ${sumL * nr}")
+    assert(live.getLong(3) === sumR * nl, s"bucket sum(oid0): $live vs ${sumR * nl}")
+    // GUARDS: a NULLABLE integral attribute (no non-null proof) and a
+    // non-null DOUBLE (FP addition non-associative) must both keep the
+    // verbatim null-safe join
+    for (name <- Seq("jn_nullsafe_sumn_verbatim", "jn_nullsafe_sumdbl_verbatim")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      assert(nullSafeLeft(df).nonEmpty,
+        s"guard failed: $name no longer executes a verbatim null-safe join:\n" +
+          df.queryExecution.optimizedPlan)
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("cache_columnar plans an InMemoryTableScan and materializes the columnar cache at its own first action (r16 verdict #4)") {
     // the row's declaration-time count() moved here: declaration is now a
     // pure plan build (census-enforced), and THIS is the state proof —
