@@ -86,7 +86,8 @@ object SparkEntry {
       Sql25Queries.all ++
       Sql26Queries.all ++
       Sql27Queries.all ++
-      Sql28Queries.all
+      Sql28Queries.all ++
+      FuzzQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

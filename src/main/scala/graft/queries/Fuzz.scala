@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz harness (r16 verdict #1): a seeded generator over
+  * the grammar the engine already claims —
+  *
+  *   scan → derived nullable key → [inner/left/right/full/semi/anti
+  *   join on `=` or `<=>`] → post-join filter → group-by on key
+  *   functions → count/sum/min/max (+ HAVING) → order/limit
+  *
+  * — with every generated shape rendered THREE ways from one AST:
+  *   (a) a Spark DataFrame plan (the primary leg — the API users call),
+  *   (b) Spark SQL text (the in-JVM differential leg: same engine,
+  *       different front-end; FuzzSpec hash-compares (a) vs (b) and,
+  *       for null-safe shapes, (a) with the graft optimizer rules ON
+  *       vs OFF — the machine-generated guard on
+  *       LinearizeNullSafeCountAgg's rewrite+guards),
+  *   (c) DuckDB SQL (the driver oracle leg: FuzzQueries packs shapes
+  *       into digest registry rows whose DuckDB twin is the same
+  *       shapes rendered in (c) — the t2 contract, machine-generated).
+  *
+  * The hand-curated 732-row registry proves what the builder thought to
+  * declare; this is the reference's HiveCompatibilitySuite idea
+  * (reference sql/hive/src/test/scala/.../HiveCompatibilitySuite.scala:246
+  * — breadth via a corpus nobody hand-picked) aimed at the queries
+  * nobody wrote. Everything is SEEDED and deterministic: scala.util
+  * .Random's LCG is specified, so the same seed generates the same
+  * shapes on every JVM, and the digest rows are ordinary oracle rows.
+  *
+  * Dialect notes (the entire cross-engine surface, kept deliberately
+  * tiny so both renderings are provably the same query):
+  *   - null-safe equality: `<=>` (Spark) vs IS NOT DISTINCT FROM (DuckDB);
+  *   - semi/anti: LEFT SEMI/ANTI JOIN (Spark) vs EXISTS/NOT EXISTS (DuckDB);
+  *   - ORDER BY spells ASC NULLS FIRST explicitly (DuckDB defaults
+  *     NULLS LAST; Spark NULLS FIRST — an implicit spelling would
+  *     diverge exactly when a LIMIT cuts at the NULL group);
+  *   - exposed integer sums are CAST(... AS BIGINT) in DuckDB only
+  *     (the ORACLE TYPING RULE — HUGEINT vs BIGINT hash divergence).
+  *
+  * Scale posture: scan terms are deterministically SAMPLED (id % S < C
+  * with per-table S sized so each term stays ≤ ~2.5k rows at sf0.1) and
+  * the NULL stripe is a bounded fraction, so even the worst generated
+  * shape (a null-safe full join whose guard keeps the verbatim
+  * quadratic bucket) executes in bounded time at every SF the driver
+  * runs. All values are integral; digest checksums are bounded ≤ ~1e13,
+  * far inside BIGINT on both engines.
+  */
+object Fuzz {
+
+  /** One scan term: a sampled table projected to a derived nullable
+    * join key `k` and an integral value column `v`. */
+  final case class ScanSpec(
+      table: String, // parquet table name
+      idCol: String, // deterministic sampling + null-trigger column
+      keyCol: String, // source column for the join key
+      valCol: String, // integral value column
+      keyMod: Int, // k = keyCol % keyMod (bounds the group count)
+      nullP: Int, // k NULL when idCol % nullP == 0 (bounded stripe)
+      sampS: Int,
+      sampC: Int) { // keep rows with idCol % sampS < sampC
+
+    def df(spark: SparkSession, dir: String, kName: String, vName: String): DataFrame =
+      graft.Engine.table(spark, dir, table)
+        .filter(col(idCol) % sampS < sampC)
+        .select(
+          when(col(idCol) % nullP === 0, lit(null))
+            .otherwise(col(keyCol) % keyMod).as(kName),
+          col(valCol).as(vName))
+
+    /** `tbl` maps logical table name → referenced relation (bare names
+      * for DuckDB; `fuzz_`-prefixed temp views for the in-JVM Spark SQL
+      * leg, so the shared test session's catalog is never shadowed). */
+    def sql(kName: String, vName: String, tbl: String => String): String =
+      s"SELECT CASE WHEN $idCol % $nullP = 0 THEN NULL " +
+        s"ELSE $keyCol % $keyMod END AS $kName, $valCol AS $vName " +
+        s"FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
+  }
+
+  /** A grouping expression with its three renderings kept in lockstep. */
+  final case class GroupKey(name: String, dfCol: Column, sqlExpr: String)
+  /** An aggregate with its renderings; sumLike marks exposed integer
+    * sums that need the DuckDB-side BIGINT cast. */
+  final case class AggCol(name: String, dfCol: Column, sqlExpr: String, sumLike: Boolean)
+
+  final case class ShapeSpec(
+      id: Int,
+      left: ScanSpec,
+      right: ScanSpec,
+      joinType: String, // inner | left | right | full | semi | anti
+      nullSafe: Boolean,
+      postFilter: Option[(String, Int)], // (op, literal) over lv
+      groupKeys: Seq[GroupKey],
+      aggs: Seq[AggCol],
+      havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
+      limit: Option[Int]) { // with total ORDER BY over the group keys
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      val lf = left.df(spark, dir, "lk", "lv")
+      val rf = right.df(spark, dir, "rk", "rv")
+      val cond = if (nullSafe) lf("lk") <=> rf("rk") else lf("lk") === rf("rk")
+      val how = joinType match {
+        case "semi" => "left_semi"
+        case "anti" => "left_anti"
+        case t => t
+      }
+      var cur = lf.join(rf, cond, how)
+      postFilter.foreach { case (op, v) =>
+        cur = cur.filter(op match {
+          case ">" => col("lv") > v
+          case "<=" => col("lv") <= v
+          case _ => col("lv") % 2 === (v % 2)
+        })
+      }
+      val aggCols = aggs.map(a => a.dfCol.as(a.name))
+      var out =
+        if (groupKeys.isEmpty) cur.agg(aggCols.head, aggCols.tail: _*)
+        else cur
+          .groupBy(groupKeys.map(g => g.dfCol.as(g.name)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          // groupBy(expr.as(name)) exposes the grouping under its alias
+          .toDF(groupKeys.map(_.name) ++ aggs.map(_.name): _*)
+      havingMin.foreach(h => out = out.filter(col("a0") >= h))
+      limit.foreach { n =>
+        out = out
+          .orderBy(groupKeys.map(g => col(g.name).asc_nulls_first): _*)
+          .limit(n)
+      }
+      out
+    }
+
+    /** One SQL text for both engines modulo the three dialect points. */
+    def sqlFor(duck: Boolean): String = {
+      val tbl: String => String = if (duck) identity else "fuzz_" + _
+      val eqOp = (l: String, r: String) =>
+        if (nullSafe) {
+          if (duck) s"$l IS NOT DISTINCT FROM $r" else s"$l <=> $r"
+        } else s"$l = $r"
+      val from = joinType match {
+        case "semi" if duck =>
+          s"(${left.sql("lk", "lv", tbl)}) l WHERE EXISTS " +
+            s"(SELECT 1 FROM (${right.sql("rk", "rv", tbl)}) r WHERE ${eqOp("r.rk", "l.lk")})"
+        case "anti" if duck =>
+          s"(${left.sql("lk", "lv", tbl)}) l WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM (${right.sql("rk", "rv", tbl)}) r WHERE ${eqOp("r.rk", "l.lk")})"
+        case jt =>
+          val kw = jt match {
+            case "semi" => "LEFT SEMI JOIN"
+            case "anti" => "LEFT ANTI JOIN"
+            case "inner" => "JOIN"
+            case t => t.toUpperCase + " JOIN"
+          }
+          s"(${left.sql("lk", "lv", tbl)}) l $kw (${right.sql("rk", "rv", tbl)}) r " +
+            s"ON ${eqOp("l.lk", "r.rk")}"
+      }
+      val filterKw = if (joinType == "semi" || joinType == "anti") "AND" else "WHERE"
+      val wh = postFilter.map { case (op, v) =>
+        val pred = op match {
+          case ">" => s"lv > $v"
+          case "<=" => s"lv <= $v"
+          case _ => s"lv % 2 = ${v % 2}"
+        }
+        // the EXISTS spelling already opened a WHERE clause
+        if (duck && (joinType == "semi" || joinType == "anti")) s" $filterKw $pred"
+        else s" WHERE $pred"
+      }.getOrElse("")
+      val sel = (groupKeys.map(g => s"${g.sqlExpr} AS ${g.name}") ++
+        aggs.map { a =>
+          if (duck && a.sumLike) s"CAST(${a.sqlExpr} AS BIGINT) AS ${a.name}"
+          else s"${a.sqlExpr} AS ${a.name}"
+        }).mkString(", ")
+      val grp =
+        if (groupKeys.isEmpty) ""
+        else " GROUP BY " + groupKeys.map(_.sqlExpr).mkString(", ")
+      val hav = havingMin.map(h => s" HAVING count(*) >= $h").getOrElse("")
+      val lim = limit.map { n =>
+        " ORDER BY " + groupKeys.map(g => s"${g.name} ASC NULLS FIRST").mkString(", ") +
+          s" LIMIT $n"
+      }.getOrElse("")
+      s"SELECT $sel FROM $from$wh$grp$hav$lim"
+    }
+
+    /** Output column names in schema order (digest mixing order). */
+    def outCols: Seq[String] = groupKeys.map(_.name) ++ aggs.map(_.name)
+  }
+
+  // -------------------------------------------------------------------
+  // Generator: per-table menus with sampling denominators sized so a
+  // term stays ≤ ~2.5k rows at sf0.1 (≤ ~260 at sf0.01). All integral
+  // columns only — FP/decimal values would make the digest checksum
+  // order-dependent.
+  // -------------------------------------------------------------------
+
+  private final case class TableMenu(
+      table: String, idCol: String, keyCols: Seq[String],
+      valCols: Seq[String], sampS: Int, maxC: Int)
+
+  private val menus = Seq(
+    TableMenu("orders", "o_orderkey", Seq("o_custkey", "o_orderkey"),
+      Seq("o_custkey", "o_orderkey"), 211, 3),
+    TableMenu("customer", "c_custkey", Seq("c_custkey", "c_nationkey"),
+      Seq("c_nationkey", "c_custkey"), 29, 3),
+    TableMenu("supplier", "s_suppkey", Seq("s_suppkey", "s_nationkey"),
+      Seq("s_nationkey", "s_suppkey"), 3, 2),
+    TableMenu("lineitem", "l_orderkey", Seq("l_partkey", "l_suppkey"),
+      Seq("l_linenumber", "l_partkey"), 701, 3))
+
+  private val keyMods = Seq(11, 13, 17, 23, 31, 37)
+  private val nullPs = Seq(5, 7, 11, 13)
+  private val joinTypes = Seq("inner", "left", "right", "full", "semi", "anti")
+
+  private def pick[T](r: scala.util.Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
+
+  private def scan(r: scala.util.Random): ScanSpec = {
+    val m = pick(r, menus)
+    ScanSpec(m.table, m.idCol, pick(r, m.keyCols), pick(r, m.valCols),
+      pick(r, keyMods), pick(r, nullPs), m.sampS, 1 + r.nextInt(m.maxC))
+  }
+
+  /** The deterministic shape stream for a seed. */
+  def shapes(seed: Long, n: Int): Seq[ShapeSpec] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val jt = pick(r, joinTypes)
+      val nullSafe = r.nextInt(3) == 0 // ~1/3 of shapes exercise <=>
+      val rightVisible = jt != "semi" && jt != "anti"
+      val gm = 2 + r.nextInt(5)
+      val gm2 = 2 + r.nextInt(4)
+      val keyMenu = Seq(
+        Some(GroupKey("g0", col("lk"), "lk")),
+        Some(GroupKey("g1", col("lk") % gm, s"lk % $gm")),
+        if (rightVisible) Some(GroupKey("g2", col("rk"), "rk")) else None,
+        Some(GroupKey("g3", col("lv") % gm2, s"lv % $gm2"))).flatten
+      // 0..2 group keys; empty = global aggregate
+      val nKeys = r.nextInt(3)
+      val groupKeys = r.shuffle(keyMenu).take(nKeys).sortBy(_.name)
+      val aggMenu = Seq(
+        Some(AggCol("a1", count(col(if (rightVisible) "rv" else "lv")),
+          if (rightVisible) "count(rv)" else "count(lv)", sumLike = false)),
+        Some(AggCol("a2", sum(col("lv")), "sum(lv)", sumLike = true)),
+        if (rightVisible) Some(AggCol("a3", min(col("rv")), "min(rv)", sumLike = false))
+        else None,
+        Some(AggCol("a4", max(col("lv")), "max(lv)", sumLike = false)),
+        Some(AggCol("a5", sum(col("lk")), "sum(lk)", sumLike = true))).flatten
+      // count(*) always present (HAVING anchors on it)
+      val aggs = AggCol("a0", count(lit(1)), "count(*)", sumLike = false) +:
+        r.shuffle(aggMenu).take(r.nextInt(3))
+      val aggsSorted = aggs.sortBy(_.name)
+      val postFilter =
+        if (r.nextInt(3) == 0) Some((pick(r, Seq(">", "<=", "%2")), 1 + r.nextInt(20)))
+        else None
+      val having =
+        if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
+      val lim =
+        if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(8)) else None
+      ShapeSpec(i, scan(r), scan(r), jt, nullSafe, postFilter,
+        groupKeys, aggsSorted, having, lim)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Digest packaging: one (shape_id, cnt, chk) row per shape, unioned —
+  // the registry/oracle rendering. chk mixes every output column into
+  // one order-independent BIGINT (sum of per-row polynomials in small
+  // primes; NULL → -1 sentinel).
+  // -------------------------------------------------------------------
+
+  private val primes = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L)
+
+  def digestDf(spark: SparkSession, dir: String, ss: Seq[ShapeSpec]): DataFrame =
+    ss.map { s =>
+      val base = s.df(spark, dir)
+      val mix = s.outCols.zipWithIndex
+        .map { case (c, i) => coalesce(col(c).cast("long"), lit(-1L)) * primes(i) }
+        .reduce(_ + _)
+      base.agg(count(lit(1)).as("cnt"), coalesce(sum(mix), lit(0L)).as("chk"))
+        .select(lit(s.id).as("shape_id"), col("cnt"), col("chk"))
+    }.reduce(_.unionAll(_))
+
+  def digestSql(ss: Seq[ShapeSpec]): String =
+    ss.map { s =>
+      val mix = s.outCols.zipWithIndex
+        .map { case (c, i) => s"coalesce(CAST($c AS BIGINT), -1) * ${primes(i)}" }
+        .mkString(" + ")
+      s"SELECT ${s.id} AS shape_id, count(*) AS cnt, " +
+        s"CAST(coalesce(sum($mix), 0) AS BIGINT) AS chk FROM (${s.sqlFor(duck = true)}) t"
+    }.mkString(" UNION ALL ")
+
+  // -------------------------------------------------------------------
+  // Shrinker: when a differential leg disagrees, walk toward the
+  // minimal still-failing spec so the repro that gets pinned as a
+  // registry row is readable. Tries one simplification at a time,
+  // keeping it iff the mismatch survives.
+  // -------------------------------------------------------------------
+
+  def shrink(spec: ShapeSpec, stillFails: ShapeSpec => Boolean): ShapeSpec = {
+    val steps: Seq[ShapeSpec => Option[ShapeSpec]] = Seq(
+      s => s.limit.map(_ => s.copy(limit = None)),
+      s => s.havingMin.map(_ => s.copy(havingMin = None)),
+      s => s.postFilter.map(_ => s.copy(postFilter = None)),
+      s => if (s.aggs.size > 1) Some(s.copy(aggs = s.aggs.take(1))) else None,
+      s => if (s.groupKeys.size > 1) Some(s.copy(groupKeys = s.groupKeys.take(1))) else None,
+      s => if (s.groupKeys.size == 1) Some(s.copy(groupKeys = Nil, havingMin = None, limit = None)) else None,
+      s => if (s.nullSafe) Some(s.copy(nullSafe = false)) else None,
+      s => if (s.joinType != "inner") Some(s.copy(joinType = "inner")) else None)
+    var cur = spec
+    var progress = true
+    while (progress) {
+      progress = false
+      steps.foreach { step =>
+        step(cur).foreach { cand =>
+          if (stillFails(cand)) { cur = cand; progress = true }
+        }
+      }
+    }
+    cur
+  }
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+/** Driver-facing fuzz rows: three seeds × 25 machine-generated shapes,
+  * each packed into one digest DataFrame whose DuckDB oracle is the SAME
+  * 25 shapes rendered in DuckDB dialect (Fuzz.digestSql) — the t2
+  * hash-compare contract, machine-generated (r16 verdict #1). The Spark
+  * side is built through the DataFrame API (not spark.sql), so the
+  * driver check crosses front-end, Catalyst (including the graft
+  * optimizer rules — ~1/3 of shapes are null-safe joins that walk
+  * LinearizeNullSafeCountAgg's fire/guard matrix), and execution against
+  * an independent engine on every shape. FuzzSpec runs the wider 200-
+  * shape in-JVM differential (DataFrame vs SQL front-end, rules on/off)
+  * with a shrinker; these rows are the slice an independent engine
+  * adjudicates.
+  *
+  * Seeds are arbitrary fixed constants; determinism is the point — the
+  * same shapes regenerate identically every run, so these are ordinary
+  * oracle rows, green-or-red like any hand-written one.
+  */
+object FuzzQueries {
+
+  private def row(name: String, seed: Long): Q = {
+    lazy val ss = Fuzz.shapes(seed, 25)
+    Q(name,
+      (s, d) => Fuzz.digestDf(s, d, ss),
+      Some(Registry.sql(Fuzz.digestSql(ss))))
+  }
+
+  val all: Seq[Q] = Seq(
+    row("fuzz_digest_a", 1001L),
+    row("fuzz_digest_b", 1002L),
+    row("fuzz_digest_c", 1003L))
+}
