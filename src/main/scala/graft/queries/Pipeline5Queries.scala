@@ -538,21 +538,66 @@ object Pipeline5Queries {
     // ranked by score into 10 equal-count deciles (unique-key tiebreak
     // keeps ntile deterministic), cumulative positives per decile, and
     // integer-scaled cumulative capture rate.
+    //
+    // r17 (WindowContract census finding): the old form ran a GLOBAL
+    // ntile(10) — an unpartitioned corpus-growing window that funnels
+    // the whole scored table through ONE task at 100 TB. Exact ntile is
+    // a pure function of (global rank, N), so the rewrite derives the
+    // rank DISTRIBUTED (the sort_global lazy-rank machinery: cached
+    // range-sorted snapshot, per-partition local index, data-derived
+    // partition heads, broadcast offsets) and computes Spark's ntile
+    // bucketing closed-form: the first N%10 buckets carry ⌈N/10⌉ rows,
+    // the rest ⌊N/10⌋. The oracle still runs the verbatim ntile(10) —
+    // the driver hash-compare is the equivalence proof. The only
+    // unpartitioned windows left are DOMAIN-bounded: the ≤#partitions
+    // heads-offset fold and the 10-row decile cumulative.
     Q("ml_gains_deciles",
       (s, d) => {
-        val scored = table(s, d, "orders")
+        import s.implicits._
+        val sorted = table(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
-            (col("o_orderstatus") === lit("F")).cast("long").as("pos"))
-          // the global ntile is inherent to exact decile ranking; the
-          // 100 TB form replaces it with approx-quantile cut points
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+            // coalesce: a NULL status is a non-positive (the oracle's
+            // CASE ... ELSE 0), and the primitive tuple encoder below
+            // cannot carry a NULL long
+            coalesce((col("o_orderstatus") === lit("F")).cast("long"), lit(0L))
+              .as("pos"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .persist()
+        val local = sorted.as[(Long, Double, Long)].mapPartitions { it =>
+          val buf = it.buffered
+          if (!buf.hasNext) Iterator.empty
+          else {
+            val (hk, hp, _) = buf.head
+            buf.zipWithIndex.map { case ((k, v, pz), i) => (k, v, pz, hk, hp, i + 1L) }
+          }
+        }.toDF("o_orderkey", "o_totalprice", "pos", "hk", "hp", "p")
+        val w = Window.orderBy(col("hp").desc, col("hk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy("hk", "hp").agg(count(lit(1)).as("cnt"))
+          .select(col("hk").as("ohk"),
+            coalesce(sum(col("cnt")).over(w), lit(0L)).as("off"))
+        val tot = broadcast(sorted.agg(count(lit(1)).as("n_tot"),
+          sum(col("pos")).as("tot_p")))
+        val ranked = local.join(broadcast(offs), col("hk") === col("ohk"))
+          .select(col("pos"), (col("off") + col("p")).as("rn"))
+          .crossJoin(tot)
+        // Spark ntile(10): bs = ⌊N/10⌋, m = N%10; ranks ≤ m·(bs+1) fall
+        // in the first m (bs+1)-sized buckets, the rest in bs-sized ones.
+        // DIV, not / — Column./ on longs is DOUBLE division. The bs=0
+        // corner (N<10) never reaches the ELSE branch: m·(bs+1)=N covers
+        // every rank.
+        val scored = ranked
+          .withColumn("bs", expr("n_tot DIV 10"))
+          .withColumn("m", col("n_tot") % 10)
+          .withColumn("decile", expr(
+            "CAST(CASE WHEN rn <= m * (bs + 1) THEN (rn - 1) DIV (bs + 1) + 1 " +
+              "ELSE m + (rn - 1 - m * (bs + 1)) DIV bs + 1 END AS BIGINT)"))
         val byDecile = scored.groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
         byDecile
           .withColumn("cum_p", sum(col("p")).over(Window.orderBy(col("decile"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(broadcast(scored.agg(sum(col("pos")).as("tot_p"))))
+          .crossJoin(broadcast(tot.select(col("tot_p"))))
           .select(col("decile"), col("n"), col("p"), col("cum_p"),
             expr("CAST(floor(CAST(1000000.0 AS DOUBLE) * cum_p / tot_p) AS BIGINT)")
               .as("capture_micro"))
