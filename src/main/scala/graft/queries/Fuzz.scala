@@ -242,7 +242,12 @@ object Fuzz {
         if (rightVisible) Some(AggCol("a3", min(col("rv")), "min(rv)", sumLike = false))
         else None,
         Some(AggCol("a4", max(col("lv")), "max(lv)", sumLike = false)),
-        Some(AggCol("a5", sum(col("lk")), "sum(lk)", sumLike = true))).flatten
+        Some(AggCol("a5", sum(col("lk")), "sum(lk)", sumLike = true)),
+        // distinct-count: exercises the distinct-aggregate planning path
+        // (Expand/partial-distinct) and LinearizeNullSafeCountAgg's
+        // isDistinct guard on every join type
+        Some(AggCol("a6", count_distinct(col("lv")), "count(DISTINCT lv)",
+          sumLike = false))).flatten
       // count(*) always present (HAVING anchors on it)
       val aggs = AggCol("a0", count(lit(1)), "count(*)", sumLike = false) +:
         r.shuffle(aggMenu).take(r.nextInt(3))

@@ -221,6 +221,69 @@ object OracleLint {
     hits.toSeq
   }
 
+  /** Third knife-edge half (r16 verdict watch-item #2): EQUALITY on a
+    * transcendental-bearing float used as a grouping / distinct / join
+    * key. floor/cast discretization was the first hazard class; key
+    * equality is the next one up — two engines computing `ln(x)` a ULP
+    * apart put the same logical row in DIFFERENT groups (and a
+    * `round(…, 6)` does NOT defuse it: a 1-ULP input straddling a
+    * rounding boundary flips the 6th decimal, so rounding only narrows
+    * the hazard, never closes it). Nothing should group or join on a
+    * raw transcendental float — re-key on an integer/decimal
+    * discretization with half-up, or document why-safe in
+    * [[knifeEdgeSafe]]. Walks the ANALYZED plan's Aggregate grouping
+    * expressions, Deduplicate keys, and Join equality conditions. */
+  def knifeEdgeKeys(
+      name: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualNullSafe, EqualTo, ExprId, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, Project}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    if (knifeEdgeSafe.contains(name)) return Nil
+    // keys are usually ATTRIBUTES whose hazardous expression sits behind
+    // a Project/Aggregate alias (`SELECT exp(x) AS e ... GROUP BY e`) —
+    // resolve transitively through the plan's alias map or the lint is
+    // launderable by one SELECT
+    val aliasMap: Map[ExprId, Expression] = plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten.toMap
+    def expand(e: Expression, depth: Int): Expression =
+      if (depth > 8) e
+      else e.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          expand(aliasMap(ar.exprId), depth + 1)
+      }
+    def floatTrans(e: Expression): Boolean =
+      (e.dataType == DoubleType || e.dataType == FloatType) &&
+        expand(e, 0).exists(x => transcendentalClasses(x.getClass.getSimpleName))
+    def hit(kind: String, e: Expression): String =
+      s"$name: $kind keys on a transcendental-bearing float — " +
+        s"`${e.sql.take(70)}` — a 1-ULP libm difference between engines " +
+        "splits one logical group/match (the knife-edge class, one level " +
+        "up from floor). Re-key on an integer/decimal discretization " +
+        "with half-up, or add a why-safe note to OracleLint.knifeEdgeSafe."
+    val hits = scala.collection.mutable.LinkedHashSet.empty[String]
+    plan.foreach {
+      case a: Aggregate =>
+        a.groupingExpressions.filter(floatTrans).foreach(e => hits += hit("GROUP BY", e))
+      case d: Deduplicate =>
+        d.keys.filter(floatTrans).foreach(e => hits += hit("DISTINCT", e))
+      case j: Join =>
+        j.condition.foreach(_.foreach {
+          case EqualTo(l, r) if floatTrans(l) || floatTrans(r) =>
+            hits += hit("JOIN", if (floatTrans(l)) l else r)
+          case EqualNullSafe(l, r) if floatTrans(l) || floatTrans(r) =>
+            hits += hit("JOIN", if (floatTrans(l)) l else r)
+          case _ => ()
+        })
+      case _ => ()
+    }
+    hits.toSeq
+  }
+
   /** Violation messages for one query; empty = clean. */
   def check(name: String, schema: StructType, oracle: String): Seq[String] = {
     val longCols =

@@ -44,7 +44,9 @@ object NullSafeBench {
     for ((tag, dir) <- dirs) {
       for (name <- Seq("jn_nullsafe_engine", "jn_nullsafe_full_engine",
           // r16 widening: count(<non-null side attr>) rows
-          "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine")) {
+          "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine",
+          // r17 widening: sum(<non-null integral side attr>) rows
+          "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine")) {
         val (tOn, rowsOn) = time(name, dir)
         val saved = spark.experimental.extraOptimizations
         spark.experimental.extraOptimizations =

@@ -187,4 +187,42 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.knifeEdgePlan("t", arith.queryExecution.analyzed).isEmpty,
       "plan lint must not flag pure arithmetic")
   }
+
+  test("key-equality lint (r17): grouping/distinct/join keys on transcendental floats are flagged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1.0, 2L), (2.0, 3L)).toDF("x", "k")
+    // GROUP BY on a raw transcendental double — flagged
+    val badGroup = df.groupBy(org.apache.spark.sql.functions.expr("ln(x)"))
+      .count()
+    assert(OracleLint.knifeEdgeKeys("t", badGroup.queryExecution.analyzed).nonEmpty,
+      "key lint missed GROUP BY ln(x)")
+    // round() does NOT defuse key equality (a 1-ULP input can straddle
+    // the rounding boundary) — still flagged
+    val badRounded = df.groupBy(org.apache.spark.sql.functions.expr("round(ln(x), 6)"))
+      .count()
+    assert(OracleLint.knifeEdgeKeys("t", badRounded.queryExecution.analyzed).nonEmpty,
+      "key lint must not accept round() as an equality defuse")
+    // DISTINCT over a transcendental — flagged
+    val badDistinct = df.selectExpr("exp(x) AS e").distinct()
+    assert(OracleLint.knifeEdgeKeys("t", badDistinct.queryExecution.analyzed).nonEmpty,
+      "key lint missed DISTINCT exp(x)")
+    // JOIN on a transcendental — flagged
+    val badJoin = df.as("a").join(df.as("b"),
+      org.apache.spark.sql.functions.expr("ln(a.x) = b.x"))
+    assert(OracleLint.knifeEdgeKeys("t", badJoin.queryExecution.analyzed).nonEmpty,
+      "key lint missed JOIN on ln(x)")
+    // integer discretization with half-up re-keys exactly — clean
+    val ok = df.groupBy(org.apache.spark.sql.functions
+      .expr("CAST(floor(1e6 * ln(x) + 0.5) AS BIGINT)")).count()
+    assert(OracleLint.knifeEdgeKeys("t", ok.queryExecution.analyzed).isEmpty,
+      "integer re-keying must pass the key lint")
+    // pure-arithmetic float keys are IEEE-deterministic — clean
+    val okArith = df.groupBy(org.apache.spark.sql.functions.expr("x / 7.0")).count()
+    assert(OracleLint.knifeEdgeKeys("t", okArith.queryExecution.analyzed).isEmpty,
+      "key lint must not flag pure-arithmetic float keys")
+    // plain integer/long keys — clean
+    val okInt = df.groupBy("k").count()
+    assert(OracleLint.knifeEdgeKeys("t", okInt.queryExecution.analyzed).isEmpty)
+  }
 }

@@ -34,10 +34,13 @@ class RegistrySpec extends AnyFunSuite {
       // KNIFE-EDGE LINT (r15 verdict #2): no bare floor / float→int cast
       // over a transcendental without half-up, on EITHER side — the text
       // lint sweeps the oracle SQL, the plan lint the Spark analyzed plan.
+      // KEY-EQUALITY LINT (r17, the r16 watch-item): no grouping /
+      // distinct / join key may be a transcendental-bearing float.
       q.oracle.foreach { o =>
         val v = queries.OracleLint.check(q.name, df.schema, o) ++
           queries.OracleLint.knifeEdge(q.name, o) ++
-          queries.OracleLint.knifeEdgePlan(q.name, df.queryExecution.analyzed)
+          queries.OracleLint.knifeEdgePlan(q.name, df.queryExecution.analyzed) ++
+          queries.OracleLint.knifeEdgeKeys(q.name, df.queryExecution.analyzed)
         assert(v.isEmpty, v.mkString("; "))
       }
       val n = df.count()

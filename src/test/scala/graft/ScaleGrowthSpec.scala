@@ -281,7 +281,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
         // same linear band — the wider aggregate scope may not reopen
         // the quadratic bucket
         "jn_nullsafe_cnt_engine", "jn_nullsafe_left_cnt_engine",
-        "jn_nullsafe_left_cnt0_engine", "jn_nullsafe_full_cnt_engine")) {
+        "jn_nullsafe_left_cnt0_engine", "jn_nullsafe_full_cnt_engine",
+        // r17 widening rows: sum(<non-null integral side attr>) — same
+        // contract, the sum scope may not reopen the bucket either
+        "jn_nullsafe_sum_engine", "jn_nullsafe_left_sum_engine",
+        "jn_nullsafe_left_sum0_engine", "jn_nullsafe_full_sum_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
@@ -305,7 +309,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // verbatim-join regression: 3× nulls per side ⇒ 9× bucket pairs).
     for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
         "jn_nullsafe_full_engine", "jn_nullsafe_left_engine",
-        "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine")) {
+        "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine",
+        "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
