@@ -84,12 +84,20 @@ object Fuzz {
     * sums that need the DuckDB-side BIGINT cast. */
   final case class AggCol(name: String, dfCol: Column, sqlExpr: String, sumLike: Boolean)
 
+  /** A second join hop chained onto the FIRST join's right key
+    * (`r.rk ~ t.tk`): covers multi-join reorder/pushdown, semi/anti
+    * over a join OUTPUT, and NULL propagation through two joins (an
+    * outer first hop feeds NULL rk into the second condition). Only
+    * generated when the first hop keeps the right side visible. */
+  final case class ChainSpec(scan: ScanSpec, joinType: String, nullSafe: Boolean)
+
   final case class ShapeSpec(
       id: Int,
       left: ScanSpec,
       right: ScanSpec,
       joinType: String, // inner | left | right | full | semi | anti
       nullSafe: Boolean,
+      chain: Option[ChainSpec], // second hop on rk (inner/left/semi/anti)
       postFilter: Option[(String, Int)], // (op, literal) over lv
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
@@ -106,6 +114,16 @@ object Fuzz {
         case t => t
       }
       var cur = lf.join(rf, cond, how)
+      chain.foreach { c =>
+        val tf = c.scan.df(spark, dir, "tk", "tv")
+        val cond2 = if (c.nullSafe) cur("rk") <=> tf("tk") else cur("rk") === tf("tk")
+        val how2 = c.joinType match {
+          case "semi" => "left_semi"
+          case "anti" => "left_anti"
+          case t => t
+        }
+        cur = cur.join(tf, cond2, how2)
+      }
       postFilter.foreach { case (op, v) =>
         cur = cur.filter(op match {
           case ">" => col("lv") > v
@@ -133,37 +151,49 @@ object Fuzz {
     /** One SQL text for both engines modulo the three dialect points. */
     def sqlFor(duck: Boolean): String = {
       val tbl: String => String = if (duck) identity else "fuzz_" + _
-      val eqOp = (l: String, r: String) =>
-        if (nullSafe) {
+      def eqOp(ns: Boolean)(l: String, r: String): String =
+        if (ns) {
           if (duck) s"$l IS NOT DISTINCT FROM $r" else s"$l <=> $r"
         } else s"$l = $r"
-      val from = joinType match {
-        case "semi" if duck =>
-          s"(${left.sql("lk", "lv", tbl)}) l WHERE EXISTS " +
-            s"(SELECT 1 FROM (${right.sql("rk", "rv", tbl)}) r WHERE ${eqOp("r.rk", "l.lk")})"
-        case "anti" if duck =>
-          s"(${left.sql("lk", "lv", tbl)}) l WHERE NOT EXISTS " +
-            s"(SELECT 1 FROM (${right.sql("rk", "rv", tbl)}) r WHERE ${eqOp("r.rk", "l.lk")})"
-        case jt =>
-          val kw = jt match {
-            case "semi" => "LEFT SEMI JOIN"
-            case "anti" => "LEFT ANTI JOIN"
-            case "inner" => "JOIN"
-            case t => t.toUpperCase + " JOIN"
-          }
-          s"(${left.sql("lk", "lv", tbl)}) l $kw (${right.sql("rk", "rv", tbl)}) r " +
-            s"ON ${eqOp("l.lk", "r.rk")}"
+      def kw(jt: String): String = jt match {
+        case "semi" => "LEFT SEMI JOIN"
+        case "anti" => "LEFT ANTI JOIN"
+        case "inner" => "JOIN"
+        case t => t.toUpperCase + " JOIN"
       }
-      val filterKw = if (joinType == "semi" || joinType == "anti") "AND" else "WHERE"
+      val lT = s"(${left.sql("lk", "lv", tbl)}) l"
+      val rT = s"(${right.sql("rk", "rv", tbl)}) r"
+      // DuckDB has no SEMI/ANTI join keyword — spell via [NOT] EXISTS
+      var fromHasWhere = false
+      var from =
+        if (duck && (joinType == "semi" || joinType == "anti")) {
+          fromHasWhere = true
+          val not = if (joinType == "anti") "NOT " else ""
+          s"$lT WHERE ${not}EXISTS (SELECT 1 FROM $rT " +
+            s"WHERE ${eqOp(nullSafe)("r.rk", "l.lk")})"
+        } else s"$lT ${kw(joinType)} $rT ON ${eqOp(nullSafe)("l.lk", "r.rk")}"
+      chain.foreach { c =>
+        val tT = s"(${c.scan.sql("tk", "tv", tbl)}) t"
+        if (duck && (c.joinType == "semi" || c.joinType == "anti")) {
+          // wrap the first hop so the EXISTS correlates against its
+          // output (chain only exists when hop 1 is a visible join, so
+          // `from` is a plain join fragment here)
+          val not = if (c.joinType == "anti") "NOT " else ""
+          from = s"(SELECT lk, lv, rk, rv FROM $from) j " +
+            s"WHERE ${not}EXISTS (SELECT 1 FROM $tT " +
+            s"WHERE ${eqOp(c.nullSafe)("t.tk", "j.rk")})"
+          fromHasWhere = true
+        } else {
+          from = s"$from ${kw(c.joinType)} $tT ON ${eqOp(c.nullSafe)("r.rk", "t.tk")}"
+        }
+      }
       val wh = postFilter.map { case (op, v) =>
         val pred = op match {
           case ">" => s"lv > $v"
           case "<=" => s"lv <= $v"
           case _ => s"lv % 2 = ${v % 2}"
         }
-        // the EXISTS spelling already opened a WHERE clause
-        if (duck && (joinType == "semi" || joinType == "anti")) s" $filterKw $pred"
-        else s" WHERE $pred"
+        if (fromHasWhere) s" AND $pred" else s" WHERE $pred"
       }.getOrElse("")
       val sel = (groupKeys.map(g => s"${g.sqlExpr} AS ${g.name}") ++
         aggs.map { a =>
@@ -259,7 +289,13 @@ object Fuzz {
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
       val lim =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(8)) else None
-      ShapeSpec(i, scan(r), scan(r), jt, nullSafe, postFilter,
+      // ~1/4 of visible-right shapes grow a second hop on rk
+      val chain =
+        if (rightVisible && r.nextInt(4) == 0)
+          Some(ChainSpec(scan(r), pick(r, Seq("inner", "left", "semi", "anti")),
+            r.nextInt(3) == 0))
+        else None
+      ShapeSpec(i, scan(r), scan(r), jt, nullSafe, chain, postFilter,
         groupKeys, aggsSorted, having, lim)
     }
   }
@@ -303,6 +339,7 @@ object Fuzz {
     val steps: Seq[ShapeSpec => Option[ShapeSpec]] = Seq(
       s => s.limit.map(_ => s.copy(limit = None)),
       s => s.havingMin.map(_ => s.copy(havingMin = None)),
+      s => s.chain.map(_ => s.copy(chain = None)),
       s => s.postFilter.map(_ => s.copy(postFilter = None)),
       s => if (s.aggs.size > 1) Some(s.copy(aggs = s.aggs.take(1))) else None,
       s => if (s.groupKeys.size > 1) Some(s.copy(groupKeys = s.groupKeys.take(1))) else None,

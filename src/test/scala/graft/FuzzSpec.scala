@@ -47,6 +47,11 @@ class FuzzSpec extends AnyFunSuite {
     assert(shapes.count(_.limit.nonEmpty) >= 15, "ORDER/LIMIT under-covered")
     assert(shapes.count(_.groupKeys.isEmpty) >= 20, "global aggregates under-covered")
     assert(shapes.count(_.groupKeys.size == 2) >= 30, "two-key grouping under-covered")
+    val chains = shapes.flatMap(_.chain)
+    info(s"two-hop chains: ${chains.size} / $N " +
+      s"(${chains.groupBy(_.joinType).view.mapValues(_.size).toMap})")
+    assert(chains.size >= 20, "two-hop join chains under-covered")
+    assert(chains.map(_.joinType).distinct.size >= 3, "chain join types under-covered")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
