@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -100,7 +100,11 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     addition identically even under wrap; DOUBLE (non-associative
   *     FP), DECIMAL (overflow→NULL checkpoints move), and ANSI mode
   *     (overflow throws at a different point) keep the verbatim join —
-  *     see [[SumSide]] for the per-exclusion argument.
+  *     see [[SumSide]] for the per-exclusion argument;
+  *   - the r17 second widening: min/max(<bare side attribute>) of ANY
+  *     orderable type, nullable included — duplicate-invariant order
+  *     statistics whose bucket value is the own-side stripe min/max
+  *     with no per-join-type case split; see [[MinMaxSide]].
   *
   * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
   * runs the verbatim null-safe join, so the driver hash-compare is the
@@ -172,6 +176,23 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
     *     (and whether) the throw happens — excluded. */
   private final case class SumSide(left: Boolean, attr: AttributeReference,
     ctx: NumericEvalContext) extends AggKind
+  /** min(a) / max(a) over a bare side attribute — the r17 second
+    * widening, and the most provable of the family: min/max are
+    * DUPLICATE-INVARIANT order statistics, so the bucket value is the
+    * own-side stripe min/max for EVERY join type with no case split:
+    *   - cross-matched stripes repeat each own-side row — min/max
+    *     unchanged;
+    *   - the own side's null-extension keeps exactly the stripe rows —
+    *     stripe min/max;
+    *   - the OPPOSITE side's extension makes the own column all-NULL,
+    *     but that case only arises when the own stripe is EMPTY — whose
+    *     stripe min/max is already NULL. The two coincide identically.
+    * No arithmetic means no overflow/FP caveat (any orderable type),
+    * and Min/Max ignore NULLs, so even a NULLABLE attribute is exact
+    * (the stripe aggregate ignores the same NULLs the verbatim
+    * aggregate would). Only DISTINCT/FILTER block, as everywhere. */
+  private final case class MinMaxSide(left: Boolean, attr: AttributeReference,
+    isMin: Boolean) extends AggKind
 
   private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -191,6 +212,12 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
         if (nonNullIn(l, a)) Some(mk(true))
         else if (nonNullIn(r, a)) Some(mk(false))
         else None
+      // min/max only need to know WHICH side owns the attribute —
+      // nullability is irrelevant (see MinMaxSide)
+      def sideOf(a: AttributeReference): Option[Boolean] =
+        if (l.output.exists(_.exprId == a.exprId)) Some(true)
+        else if (r.output.exists(_.exprId == a.exprId)) Some(false)
+        else None
       ae.aggregateFunction match {
         case Count(children)
             if children.forall(c => c.foldable && !c.nullable) =>
@@ -201,6 +228,10 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             if s.evalContext.evalMode == EvalMode.LEGACY &&
               integralTypes(a.dataType) =>
           sided(a, SumSide(_, a, s.evalContext))
+        case Min(a: AttributeReference) =>
+          sideOf(a).map(MinMaxSide(_, a, isMin = true))
+        case Max(a: AttributeReference) =>
+          sideOf(a).map(MinMaxSide(_, a, isMin = false))
         case _ => None
       }
     }
@@ -294,23 +325,35 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               aggKinds.collect {
                 case Some(scala.util.Left(SumSide(`left`, a, ctx))) => (a, ctx)
               }.distinctBy(_._1.exprId)
+            def minMaxAttrsOf(left: Boolean): Seq[(AttributeReference, Boolean)] =
+              aggKinds.collect {
+                case Some(scala.util.Left(MinMaxSide(`left`, a, isMin))) => (a, isMin)
+              }.distinctBy(p => (p._1.exprId, p._2))
             def stripeAgg(side: LogicalPlan, key: Attribute, n: String,
-                sumAttrs: Seq[(AttributeReference, NumericEvalContext)]) = {
+                sumAttrs: Seq[(AttributeReference, NumericEvalContext)],
+                mmAttrs: Seq[(AttributeReference, Boolean)]) = {
               val cnt = Alias(Count(Literal(1)).toAggregateExpression(), n)()
               // the stripe sum inherits the ORIGINAL Sum's eval context —
               // re-deriving from the conf at rule time could flip mode if
               // ANSI changed between declaration and optimization
               val sums = sumAttrs.map { case (a, ctx) =>
                 a.exprId -> Alias(Sum(a, ctx).toAggregateExpression(), n + "_sum")() }
+              val mms = mmAttrs.map { case (a, isMin) =>
+                (a.exprId, isMin) -> Alias(
+                  (if (isMin) Min(a) else Max(a)).toAggregateExpression(),
+                  n + (if (isMin) "_min" else "_max"))() }
               val cols: Seq[NamedExpression] =
-                (key +: sumAttrs.map(_._1)).distinctBy(_.exprId)
-              (Aggregate(Nil, cnt +: sums.map(_._2),
+                (key +: (sumAttrs.map(_._1) ++ mmAttrs.map(_._1))).distinctBy(_.exprId)
+              (Aggregate(Nil, (cnt +: sums.map(_._2)) ++ mms.map(_._2),
                 Filter(IsNull(key), Project(cols, side))),
                 cnt.toAttribute,
-                sums.map { case (id, al) => id -> al.toAttribute }.toMap)
+                sums.map { case (id, al) => id -> al.toAttribute }.toMap,
+                mms.map { case (k2, al) => k2 -> al.toAttribute }.toMap)
             }
-            val (nlPlan, nl, lSums) = stripeAgg(l, lk, "graft_nsc_nl", sumAttrsOf(true))
-            val (nrPlan, nr, rSums) = stripeAgg(r, rk, "graft_nsc_nr", sumAttrsOf(false))
+            val (nlPlan, nl, lSums, lMms) =
+              stripeAgg(l, lk, "graft_nsc_nl", sumAttrsOf(true), minMaxAttrsOf(true))
+            val (nrPlan, nr, rSums, rMms) =
+              stripeAgg(r, rk, "graft_nsc_nr", sumAttrsOf(false), minMaxAttrsOf(false))
             val nlPos = GreaterThan(nl, Literal(0L))
             val nrPos = GreaterThan(nr, Literal(0L))
             val cross = Multiply(nl, nr)
@@ -347,6 +390,12 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               // null-extension, NULL for the opposite side's (sum over an
               // all-NULL column — count's 0 becomes sum's NULL). All Long
               // arithmetic: exact mod 2^64 = verbatim LEGACY Sum.
+              // min/max: the own-side stripe min/max, for EVERY join
+              // type — duplicate-invariance plus "opposite-extension ⇔
+              // own stripe empty ⇔ stripe min/max already NULL" (see
+              // the MinMaxSide doc) collapse the whole case table
+              case MinMaxSide(isLeft, a, isMin) =>
+                if (isLeft) lMms((a.exprId, isMin)) else rMms((a.exprId, isMin))
               case SumSide(isLeft, a, _) =>
                 val own = if (isLeft) lSums(a.exprId) else rSums(a.exprId)
                 val oppCnt = if (isLeft) nr else nl

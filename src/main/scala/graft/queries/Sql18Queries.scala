@@ -372,6 +372,72 @@ object Sql18Queries {
         ON ln.k IS NOT DISTINCT FROM rn.k2
       GROUP BY k % 10, k2 % 10"""),
 
+    // r17 second widening: min/max of a BARE side attribute — the most
+    // provable family member (duplicate-invariant order statistics; the
+    // bucket value is the own-side stripe min/max for EVERY join type,
+    // no case split — see MinMaxSide in plans/GraftRules.scala). The
+    // attributes are deliberately NULLABLE DOUBLES (bal/price raw):
+    // min/max ignore NULLs identically in the stripe aggregate and the
+    // verbatim bucket, and no arithmetic means no overflow/FP caveat —
+    // exactly the columns the sum widening must reject.
+    q("jn_nullsafe_minmax_engine", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(bal) AS min_bal, max(price) AS max_price
+      FROM l JOIN r ON l.k <=> r.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(bal) AS min_bal, max(price) AS max_price
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      GROUP BY k % 10"""),
+
+    // LEFT variant with the right stripe EMPTY: the bucket is the
+    // null-extended left rows — min(left attr) = the left stripe's own
+    // min while max(right attr) is NULL; both equal the stripe
+    // aggregates (the right stripe is empty, so ITS max is already
+    // NULL — the coincidence the no-case-split argument rests on,
+    // value-proven here).
+    q("jn_nullsafe_left_minmax0_engine", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(bal) AS min_bal, max(price) AS max_price
+      FROM l LEFT JOIN (SELECT k2, price FROM r WHERE k2 IS NOT NULL) rn
+        ON l.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(bal) AS min_bal, max(price) AS max_price
+      FROM l LEFT JOIN (SELECT k2, price FROM r WHERE k2 IS NOT NULL) rn
+        ON l.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // FULL variant, both sides' extrema plus count(*) — collision guard
+    // still demands both keys in the grouping.
+    q("jn_nullsafe_full_minmax_engine", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             min(bal) AS min_bal, max(price) AS max_price, count(*) AS n
+      FROM l FULL JOIN r ON l.k <=> r.k2
+      GROUP BY k % 10, k2 % 10""", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             min(bal) AS min_bal, max(price) AS max_price, count(*) AS n
+      FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      GROUP BY k % 10, k2 % 10"""),
+
+    // GUARD row: a FILTER-clause min is NOT analytic from the stripe
+    // aggregate (the filter predicate would have to be replayed inside
+    // the bucket) — the rewrite must keep the verbatim join. Bounded
+    // key populations keep the genuine quadratic bucket tiny at any SF.
+    q("jn_nullsafe_minmaxf_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(price) FILTER (WHERE oid % 2 = 0) AS min_even
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, price, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k <=> rb.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             min(price) FILTER (WHERE oid % 2 = 0) AS min_even
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, price, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
+
     // GUARD row: sum of a NULLABLE integral attribute (oid bare — the
     // parquet schema marks it nullable, so there is no proof) is NOT
     // analytic; the rewrite must keep the verbatim join (PlanSpec pins

@@ -1566,6 +1566,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LinearizeNullSafeCountAgg min/max widening fires (nullable doubles accepted) and the FILTER guard holds (r17)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    def nullSafeLeft(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    for (name <- Seq("jn_nullsafe_minmax_engine",
+        "jn_nullsafe_left_minmax0_engine", "jn_nullsafe_full_minmax_engine")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case u: Union => u }.nonEmpty,
+        s"$name: min/max widening did not fire (no Union):\n$opt")
+      assert(nullSafeLeft(df).isEmpty,
+        s"$name: null-safe condition survived optimization:\n$opt")
+    }
+    // value witness: the INNER bucket row's extrema equal the stripe
+    // min/max computed first-hand (nullable doubles — Min/Max ignore
+    // NULLs identically in both derivations)
+    import org.apache.spark.sql.functions._
+    val bucket = SparkEntry.queries("jn_nullsafe_minmax_engine")(spark, TestSpark.Sf)
+      .collect().find(_.isNullAt(0)).getOrElse(fail("no bucket row"))
+    val c = Engine.table(spark, TestSpark.Sf, "customer")
+    val o = Engine.table(spark, TestSpark.Sf, "orders")
+    val minBal = c.filter(col("c_custkey") % 50 === 7)
+      .agg(min(col("c_acctbal"))).collect()(0).getDouble(0)
+    val maxPrice = o.filter(col("o_custkey") % 50 === 13)
+      .agg(max(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(bucket.getDouble(2) === minBal, s"bucket min(bal): $bucket vs $minBal")
+    assert(bucket.getDouble(3) === maxPrice, s"bucket max(price): $bucket vs $maxPrice")
+    // NULL witness: with the right stripe EMPTY, max(right attr) in the
+    // bucket row is NULL (= the empty stripe's max — the coincidence the
+    // no-case-split argument rests on)
+    val b0 = SparkEntry.queries("jn_nullsafe_left_minmax0_engine")(spark, TestSpark.Sf)
+      .collect().find(_.isNullAt(0)).getOrElse(fail("no bucket row"))
+    assert(b0.isNullAt(3), s"empty-stripe max(right attr) must be NULL: $b0")
+    assert(!b0.isNullAt(2), s"left stripe min(bal) must be present: $b0")
+    // GUARD: a FILTER-clause min keeps the verbatim join
+    val guard = SparkEntry.queries("jn_nullsafe_minmaxf_verbatim")(spark, TestSpark.Sf)
+    assert(nullSafeLeft(guard).nonEmpty,
+      "guard failed: FILTER-clause min must block the rewrite:\n" +
+        guard.queryExecution.optimizedPlan)
+    assert(guard.collect().nonEmpty)
+  }
+
   test("cache_columnar plans an InMemoryTableScan and materializes the columnar cache at its own first action (r16 verdict #4)") {
     // the row's declaration-time count() moved here: declaration is now a
     // pure plan build (census-enforced), and THIS is the state proof —

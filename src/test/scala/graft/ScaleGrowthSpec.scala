@@ -285,7 +285,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
         // r17 widening rows: sum(<non-null integral side attr>) — same
         // contract, the sum scope may not reopen the bucket either
         "jn_nullsafe_sum_engine", "jn_nullsafe_left_sum_engine",
-        "jn_nullsafe_left_sum0_engine", "jn_nullsafe_full_sum_engine")) {
+        "jn_nullsafe_left_sum0_engine", "jn_nullsafe_full_sum_engine",
+        // r17 min/max widening rows — same contract
+        "jn_nullsafe_minmax_engine", "jn_nullsafe_left_minmax0_engine",
+        "jn_nullsafe_full_minmax_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
@@ -310,7 +313,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     for (name <- Seq("jn_nullsafe", "jn_nullsafe_full", "jn_nullsafe_engine",
         "jn_nullsafe_full_engine", "jn_nullsafe_left_engine",
         "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine",
-        "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine")) {
+        "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine",
+        "jn_nullsafe_minmax_engine", "jn_nullsafe_full_minmax_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
