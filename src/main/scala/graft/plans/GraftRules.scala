@@ -106,6 +106,20 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     statistics whose bucket value is the own-side stripe min/max
   *     with no per-join-type case split; see [[MinMaxSide]].
   *
+  * KNOWN-PROVABLE BUT DEFERRED: count(DISTINCT <bare side attribute>)
+  * is duplicate-invariant the same way min/max are (bucket value = the
+  * stripe's distinct count; the opposite-extension case coincides with
+  * the empty stripe's 0), so it would be exact for any type — but
+  * widening it would silently rewrite jn_nullsafe_verbatim, the
+  * long-standing row whose PURPOSE is to keep a genuine verbatim
+  * `<=>` engine execution oracle-checked (its distinct-side counts pin
+  * the bucket's cross-match structure). Take it only together with a
+  * replacement verbatim witness whose aggregate is genuinely outside
+  * every analytic scope (e.g. a FILTER-clause or expression-argument
+  * aggregate). avg() stays excluded outright: its double sum buffer
+  * re-introduces the FP order-dependence the SumSide DOUBLE exclusion
+  * already argues.
+  *
   * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
   * runs the verbatim null-safe join, so the driver hash-compare is the
   * semantic-equivalence proof; PlanSpec pins that the rewrite actually
