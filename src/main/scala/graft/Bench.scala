@@ -391,8 +391,12 @@ object Bench {
     // artifact — a row whose WALL rose but whose NORM is flat moved with
     // the host, not the code. Unit: multiples of the 8-thread probe.
     val calibPar = (calibParPre + calibParPost) / 2.0
-    val qsNormJson = results.collect { case (k, v, _, _, _) if v >= 0 =>
-      "\"" + k + "\":" + math.rint(v / calibPar * 1000) / 1000 }
+    // key-aligned with the queries map (r17 ADVICE): a failed row's
+    // negative sentinel (and a degenerate 0) passes through un-normalized
+    // instead of silently disappearing, so cross-round comparers joining
+    // the two maps see symmetric key sets.
+    val qsNormJson = results.map { case (k, v, _, _, _) =>
+      "\"" + k + "\":" + (if (v > 0) math.rint(v / calibPar * 1000) / 1000 else v) }
       .mkString("{", ",", "}")
     val trialsJson = results
       .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }

@@ -23,25 +23,34 @@ object AggQueries {
   val all: Seq[Q] = Seq(
 
     // The BDB-1a analog flagship scan-agg (bench q1).
+    //
+    // r18 (lint half #4 sweep): every FP-accumulated exposure is rounded
+    // IDENTICALLY on both sides — the raw double sums/avgs are functions
+    // of accumulation order (the r17 jn_nullsafe_sumdbl flake class).
+    // Scale per column's intrinsic decimals, so the true value sits ON
+    // the rounding grid (half a step from any boundary): qty integral →
+    // 2dp; prices 2dp → 2dp; price·(1−disc) products carry 4 decimals →
+    // 4dp; averages are generic rationals → 6dp.
     Q("q1_agg", bench = true,
       fn = (s, d) => table(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          avg(col("l_discount")).as("avg_disc"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order")),
       oracle = Some(sql("""SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
                   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
                   GROUP BY l_returnflag, l_linestatus"""))),
@@ -73,12 +82,14 @@ object AggQueries {
                    count(*) AS n
                   FROM lineitem GROUP BY l_returnflag"""))),
 
-    // SUM(DISTINCT) (aggregates.scala:371).
+    // SUM(DISTINCT) (aggregates.scala:371). Quantities are integral
+    // doubles (exact in FP), but the exposure is rounded anyway — lint
+    // half #4 is mechanical, and round(exact, 2) is the identity.
     Q("agg_sum_distinct",
       (s, d) => table(s, d, "lineitem")
         .groupBy(col("l_linestatus"))
-        .agg(sum_distinct(col("l_quantity")).as("sum_dist_qty")),
-      Some(sql("""SELECT l_linestatus, sum(DISTINCT l_quantity) AS sum_dist_qty
+        .agg(round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty")),
+      Some(sql("""SELECT l_linestatus, round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
                   FROM lineitem GROUP BY l_linestatus"""))),
 
     // First/Last (aggregates.scala:437/:451) restated deterministically as
@@ -148,22 +159,24 @@ object AggQueries {
                   FROM lineitem"""))),
 
     // Average widening + HAVING (UnresolvedHavingClauseAttributes path).
+    // r18 lint half #4: the exposed 2dp-price sum is rounded both sides.
     Q("agg_having",
       (s, d) => table(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice")).as("spend"), count(lit(1)).as("n"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"), count(lit(1)).as("n"))
         .filter(col("n") >= 3),
-      Some(sql("""SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n
+      Some(sql("""SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n
                   FROM orders GROUP BY o_custkey HAVING count(*) >= 3"""))),
 
     // ROLLUP (logical Rollup:250 → Expand) with grouping() flags.
+    // r18 lint half #4: rounded both sides (4dp like the sibling rows).
     Q("agg_rollup",
       (s, d) => table(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls")),
-      Some(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      Some(sql("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
                    count(*) AS n,
                    CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
                    CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
@@ -183,17 +196,18 @@ object AggQueries {
                   FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))),
 
     // GROUPING SETS (logical GroupingSets:212; HiveQl.scala:727 parse path).
+    // r18 lint half #4: rounded both sides (4dp like the sibling rows).
     Q("agg_grouping_sets",
       (s, d) => {
         table(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
-        s.sql(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-                      count(*) AS n
+        s.sql(sql("""SELECT l_returnflag, l_linestatus,
+                      round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
                      FROM graft_li_gs
                      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                        (l_returnflag, l_linestatus))"""))
       },
-      Some(sql("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-                   count(*) AS n
+      Some(sql("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
                   FROM lineitem
                   GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                     (l_returnflag, l_linestatus))"""))),

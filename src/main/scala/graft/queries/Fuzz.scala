@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
   * the grammar the engine already claims —
   *
   *   scan → derived nullable key → [inner/left/right/full/semi/anti
-  *   join on `=` or `<=>`] → post-join filter → group-by on key
-  *   functions → count/sum/min/max (+ HAVING) → order/limit
+  *   join on `=` or `<=>`, optionally COMPOSITE (a second non-null
+  *   equality component)] → [second hop on rk, ANY join type incl.
+  *   right/full] → post-join filter → group-by on key functions and
+  *   CASE/arith expressions → count/sum/min/max/count-distinct over
+  *   first-hop AND chain columns, incl. expression arguments
+  *   (+ HAVING) → order/limit          (ring widened in r18)
   *
   * — with every generated shape rendered THREE ways from one AST:
   *   (a) a Spark DataFrame plan (the primary leg — the API users call),
@@ -21,7 +25,7 @@ import org.apache.spark.sql.functions._
   *       into digest registry rows whose DuckDB twin is the same
   *       shapes rendered in (c) — the t2 contract, machine-generated).
   *
-  * The hand-curated 732-row registry proves what the builder thought to
+  * The hand-curated ~740-row registry proves what the builder thought to
   * declare; this is the reference's HiveCompatibilitySuite idea
   * (reference sql/hive/src/test/scala/.../HiveCompatibilitySuite.scala:246
   * — breadth via a corpus nobody hand-picked) aimed at the queries
@@ -87,8 +91,11 @@ object Fuzz {
   /** A second join hop chained onto the FIRST join's right key
     * (`r.rk ~ t.tk`): covers multi-join reorder/pushdown, semi/anti
     * over a join OUTPUT, and NULL propagation through two joins (an
-    * outer first hop feeds NULL rk into the second condition). Only
-    * generated when the first hop keeps the right side visible. */
+    * outer first hop feeds NULL rk into the second condition; an r18
+    * RIGHT/FULL second hop feeds t-only rows with EVERY first-hop
+    * column NULL back up into the grouping — the outer-chain reorder
+    * surface the r17 verdict called out). Only generated when the
+    * first hop keeps the right side visible. */
   final case class ChainSpec(scan: ScanSpec, joinType: String, nullSafe: Boolean)
 
   final case class ShapeSpec(
@@ -97,7 +104,15 @@ object Fuzz {
       right: ScanSpec,
       joinType: String, // inner | left | right | full | semi | anti
       nullSafe: Boolean,
-      chain: Option[ChainSpec], // second hop on rk (inner/left/semi/anti)
+      // r18: composite two-column key — the equality condition gains a
+      // second NON-nullable component (lv % 4 = rv % 4) next to the
+      // nullable first one: the jn_composite class, machine-generated.
+      // Under `=` a NULL first component kills the match; under `<=>`
+      // the NULL bucket still forms but only across matching second
+      // components. The extra conjunct also walks
+      // LinearizeNullSafeCountAgg's single-EqualNullSafe guard.
+      composite: Boolean,
+      chain: Option[ChainSpec], // second hop on rk (any join type, r18)
       postFilter: Option[(String, Int)], // (op, literal) over lv
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
@@ -107,7 +122,8 @@ object Fuzz {
     def df(spark: SparkSession, dir: String): DataFrame = {
       val lf = left.df(spark, dir, "lk", "lv")
       val rf = right.df(spark, dir, "rk", "rv")
-      val cond = if (nullSafe) lf("lk") <=> rf("rk") else lf("lk") === rf("rk")
+      val eq = if (nullSafe) lf("lk") <=> rf("rk") else lf("lk") === rf("rk")
+      val cond = if (composite) eq && (lf("lv") % 4 === rf("rv") % 4) else eq
       val how = joinType match {
         case "semi" => "left_semi"
         case "anti" => "left_anti"
@@ -163,6 +179,7 @@ object Fuzz {
       }
       val lT = s"(${left.sql("lk", "lv", tbl)}) l"
       val rT = s"(${right.sql("rk", "rv", tbl)}) r"
+      val comp = if (composite) " AND l.lv % 4 = r.rv % 4" else ""
       // DuckDB has no SEMI/ANTI join keyword — spell via [NOT] EXISTS
       var fromHasWhere = false
       var from =
@@ -170,8 +187,8 @@ object Fuzz {
           fromHasWhere = true
           val not = if (joinType == "anti") "NOT " else ""
           s"$lT WHERE ${not}EXISTS (SELECT 1 FROM $rT " +
-            s"WHERE ${eqOp(nullSafe)("r.rk", "l.lk")})"
-        } else s"$lT ${kw(joinType)} $rT ON ${eqOp(nullSafe)("l.lk", "r.rk")}"
+            s"WHERE ${eqOp(nullSafe)("r.rk", "l.lk")}$comp)"
+        } else s"$lT ${kw(joinType)} $rT ON ${eqOp(nullSafe)("l.lk", "r.rk")}$comp"
       chain.foreach { c =>
         val tT = s"(${c.scan.sql("tk", "tv", tbl)}) t"
         if (duck && (c.joinType == "semi" || c.joinType == "anti")) {
@@ -255,13 +272,36 @@ object Fuzz {
       val jt = pick(r, joinTypes)
       val nullSafe = r.nextInt(3) == 0 // ~1/3 of shapes exercise <=>
       val rightVisible = jt != "semi" && jt != "anti"
+      // r18 ring: ~1/4 composite two-column keys (one nullable component)
+      val composite = r.nextInt(4) == 0
+      // ~1/4 of visible-right shapes grow a second hop on rk — decided
+      // BEFORE the key/agg menus so they can reach the chain's columns.
+      // r18 ring: the hop menu now includes RIGHT and FULL (the
+      // NULL-feeding outer chain where reorder bugs live).
+      val chain =
+        if (rightVisible && r.nextInt(4) == 0)
+          Some(ChainSpec(scan(r),
+            pick(r, Seq("inner", "left", "semi", "anti", "right", "full")),
+            r.nextInt(3) == 0))
+        else None
+      // t's columns survive only a visible (non-semi/anti) second hop
+      val tVisible = chain.exists(c => c.joinType != "semi" && c.joinType != "anti")
       val gm = 2 + r.nextInt(5)
       val gm2 = 2 + r.nextInt(4)
+      val caseTh = 2 + r.nextInt(9)
       val keyMenu = Seq(
         Some(GroupKey("g0", col("lk"), "lk")),
         Some(GroupKey("g1", col("lk") % gm, s"lk % $gm")),
         if (rightVisible) Some(GroupKey("g2", col("rk"), "rk")) else None,
-        Some(GroupKey("g3", col("lv") % gm2, s"lv % $gm2"))).flatten
+        Some(GroupKey("g3", col("lv") % gm2, s"lv % $gm2")),
+        // r18 expression ring under keys: CASE (its ELSE fires on the
+        // NULL key too — non-trivial NULL semantics feeding a group),
+        // arithmetic-then-mod, and the chain table's key
+        Some(GroupKey("g4",
+          when(col("lk") > caseTh, col("lk") % gm).otherwise(lit(-1)),
+          s"CASE WHEN lk > $caseTh THEN lk % $gm ELSE -1 END")),
+        Some(GroupKey("g5", (col("lk") + 7) % gm, s"(lk + 7) % $gm")),
+        if (tVisible) Some(GroupKey("g6", col("tk"), "tk")) else None).flatten
       // 0..2 group keys; empty = global aggregate
       val nKeys = r.nextInt(3)
       val groupKeys = r.shuffle(keyMenu).take(nKeys).sortBy(_.name)
@@ -275,8 +315,21 @@ object Fuzz {
         Some(AggCol("a5", sum(col("lk")), "sum(lk)", sumLike = true)),
         // distinct-count: exercises the distinct-aggregate planning path
         // (Expand/partial-distinct) and LinearizeNullSafeCountAgg's
-        // isDistinct guard on every join type
+        // count(DISTINCT <bare attr>) widening + its guards on every
+        // join type
         Some(AggCol("a6", count_distinct(col("lv")), "count(DISTINCT lv)",
+          sumLike = false)),
+        // r18 expression ring under aggregates: arithmetic and CASE
+        // arguments (outside every engine-rule scope — permanent guards)
+        Some(AggCol("a7", sum(col("lv") + col("lv") % 3), "sum(lv + lv % 3)",
+          sumLike = true)),
+        // r18: the chain table's value, aggregated (tv was joined but
+        // never consumed before this ring)
+        if (tVisible) Some(AggCol("a8", sum(col("tv")), "sum(tv)",
+          sumLike = true)) else None,
+        Some(AggCol("a9",
+          max(when(col("lv") % 2 === 0, col("lv")).otherwise(-col("lv"))),
+          "max(CASE WHEN lv % 2 = 0 THEN lv ELSE -lv END)",
           sumLike = false))).flatten
       // count(*) always present (HAVING anchors on it)
       val aggs = AggCol("a0", count(lit(1)), "count(*)", sumLike = false) +:
@@ -289,13 +342,7 @@ object Fuzz {
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
       val lim =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(8)) else None
-      // ~1/4 of visible-right shapes grow a second hop on rk
-      val chain =
-        if (rightVisible && r.nextInt(4) == 0)
-          Some(ChainSpec(scan(r), pick(r, Seq("inner", "left", "semi", "anti")),
-            r.nextInt(3) == 0))
-        else None
-      ShapeSpec(i, scan(r), scan(r), jt, nullSafe, chain, postFilter,
+      ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
         groupKeys, aggsSorted, having, lim)
     }
   }
@@ -340,6 +387,7 @@ object Fuzz {
       s => s.limit.map(_ => s.copy(limit = None)),
       s => s.havingMin.map(_ => s.copy(havingMin = None)),
       s => s.chain.map(_ => s.copy(chain = None)),
+      s => if (s.composite) Some(s.copy(composite = false)) else None,
       s => s.postFilter.map(_ => s.copy(postFilter = None)),
       s => if (s.aggs.size > 1) Some(s.copy(aggs = s.aggs.take(1))) else None,
       s => if (s.groupKeys.size > 1) Some(s.copy(groupKeys = s.groupKeys.take(1))) else None,

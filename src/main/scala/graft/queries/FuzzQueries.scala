@@ -29,5 +29,9 @@ object FuzzQueries {
   val all: Seq[Q] = Seq(
     row("fuzz_digest_a", 1001L),
     row("fuzz_digest_b", 1002L),
-    row("fuzz_digest_c", 1003L))
+    row("fuzz_digest_c", 1003L),
+    // r18: fourth seed — grows the cross-engine leg to 100 shapes as
+    // the grammar gained its ring (right/full chains, composite keys,
+    // expression keys/aggregates, chain-value aggregates)
+    row("fuzz_digest_d", 1004L))
 }

@@ -21,14 +21,17 @@ object JoinQueries {
 
     // Inner equi-join, fact ⋈ fact (ShuffledHashJoin.scala:33 analog):
     // shuffles both sides on o_orderkey; partial aggregation first.
+    // r18 lint half #4: the revenue sum's 2dp×2dp summands carry 4
+    // decimals — rounded at 4dp both sides (grid-aligned, see q1_agg).
     Q("join_inner",
       (s, d) => table(s, d, "lineitem")
         .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue")),
       Some(sql("""SELECT o_orderpriority, count(*) AS n,
-                   sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   GROUP BY o_orderpriority"""))),
 
@@ -260,10 +263,12 @@ object JoinQueries {
           .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(col("rev")).as("revenue"), sum(col("n_li")).as("n"))
+          // r18 lint half #4: 4-decimal summands → 4dp rounding both sides
+          .agg(round(sum(col("rev")), 4).as("revenue"), sum(col("n_li")).as("n"))
       },
       oracle = Some(sql("""SELECT r_name, n_name,
-                   sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   count(*) AS n
                   FROM lineitem
                   JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey

@@ -284,6 +284,168 @@ object OracleLint {
     hits.toSeq
   }
 
+  /** Fourth knife-edge half (r17 verdict #1 — the class the r17 driver
+    * red proved): an EXPOSED raw FP-ACCUMULATED aggregate. FP addition
+    * is non-associative, so `sum(<double>)` (and avg/var/stddev and the
+    * co-moment family over FP inputs) is a function of ACCUMULATION
+    * ORDER: Spark's partial-merge order varies run to run and DuckDB's
+    * differs from both, so hash-comparing the raw value is flaky BY
+    * CONSTRUCTION — jn_nullsafe_sumdbl_verbatim diverged by ~11 ULPs
+    * between engines and drifted run-to-run. The fix class is an
+    * order-independent exposure: `round(sum(x), d)` or
+    * `CAST(sum(x) AS DECIMAL(p,d))` spelled identically on BOTH sides
+    * (the true value must sit far from the d-decimal half-boundary —
+    * the scale choice is the author's judgment, as with half #1's
+    * half-up).
+    *
+    * NOT flagged (provably order-independent):
+    *   - sum/avg over INTEGRAL inputs, including a direct
+    *     Cast(int→double): every partial sum is integral, and doubles
+    *     are exact on integers below 2^53 — order cannot matter;
+    *   - sum over DECIMAL (exact arithmetic);
+    *   - min/max/first/last/count (duplicate-/order-invariant or not
+    *     accumulated);
+    *   - any column whose output type is non-FP — a discretization
+    *     already happened (its own knife-edge is half #1's business).
+    *
+    * Known blind spots (documented, like half #1's): var/stddev over
+    * INTEGRAL inputs still accumulate an FP M2 buffer (order-dependent
+    * in principle) but are outside the verdict's class and green for 17
+    * rounds — not flagged; an oracle that derives the hazard column
+    * through an expression the alias scanner cannot tie to the column
+    * name is adjudicated by the PLAN half only.
+    *
+    * Enforcement: the PLAN half flags a Float/Double OUTPUT column whose
+    * (alias-expanded) expression contains an FP-accumulating aggregate
+    * not dominated by a Round/BRound/Cast-to-DECIMAL; for every column
+    * the plan shows to be FP-accumulation-DERIVED (defused or not), the
+    * TEXT half requires the oracle's matching aggregate alias to carry
+    * the same defusing. */
+  def knifeEdgeFpAgg(
+      name: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      oracle: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, ShortType}
+    if (knifeEdgeSafe.contains(name)) return Nil
+    val integral: Set[DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType, BooleanType)
+    val aliasMap: Map[ExprId, Expression] = plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten.toMap
+    def expand(e: Expression, depth: Int): Expression =
+      if (depth > 8) e
+      else e.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          expand(aliasMap(ar.exprId), depth + 1)
+      }
+    // genuinely-fractional FP input: a direct int→double cast feeds only
+    // integral values, which doubles accumulate exactly below 2^53
+    def fractionalFp(e: Expression): Boolean =
+      (e.dataType == DoubleType || e.dataType == FloatType) && (e match {
+        case c: Cast if integral(c.child.dataType) => false
+        case _ => true
+      })
+    // the co-moment family is FP-accumulated regardless of declared
+    // type, but per the class scope only FP INPUTS are flagged
+    val momentClasses = Set(
+      "StddevPop", "StddevSamp", "VariancePop", "VarianceSamp",
+      "Skewness", "Kurtosis", "Corr", "CovPopulation", "CovSample")
+    def fpAccumulating(ae: AggregateExpression): Boolean =
+      ae.aggregateFunction match {
+        case s: Sum => fractionalFp(s.child)
+        case a: Average => fractionalFp(a.child)
+        case f if momentClasses(f.getClass.getSimpleName) =>
+          f.children.exists(fractionalFp)
+        case _ => false
+      }
+    def isDefuser(e: Expression): Boolean = e.getClass.getSimpleName match {
+      case "Round" | "BRound" => true
+      case _ => e match {
+        case c: Cast => c.dataType.isInstanceOf[DecimalType]
+        case _ => false
+      }
+    }
+    def rawFpAgg(e: Expression, dominated: Boolean): Boolean = e match {
+      case ae: AggregateExpression if !dominated && fpAccumulating(ae) => true
+      case other =>
+        other.children.exists(rawFpAgg(_, dominated || isDefuser(other)))
+    }
+    def anyFpAgg(e: Expression): Boolean = e.exists {
+      case ae: AggregateExpression => fpAccumulating(ae)
+      case _ => false
+    }
+    val hits = scala.collection.mutable.LinkedHashSet.empty[String]
+    val hazardCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    plan.output.foreach { attr =>
+      if (attr.dataType == DoubleType || attr.dataType == FloatType) {
+        val e = expand(attr, 0)
+        if (anyFpAgg(e)) {
+          hazardCols += attr.name.toLowerCase
+          if (rawFpAgg(e, dominated = false))
+            hits += s"$name: output column `${attr.name}` exposes a raw " +
+              "FP-accumulated aggregate (sum/avg/var-family over a " +
+              "fractional Float/Double input) — its value is a function " +
+              "of accumulation order, so an exact comparator reads it " +
+              "flaky (the r17 jn_nullsafe_sumdbl class). Expose " +
+              "round(agg, d) or CAST(agg AS DECIMAL(p,d)) identically on " +
+              "both sides, or add a why-safe note to " +
+              "OracleLint.knifeEdgeSafe."
+        }
+      }
+    }
+    // TEXT half over the hazard-derived columns: the oracle's aggregate
+    // alias for the column must carry the same defusing
+    if (hazardCols.nonEmpty) {
+      val o = oracle.toLowerCase
+      val fpAggRe = ("(?<![a-z0-9_])(sum|avg|mean|stddev|stddev_pop|stddev_samp|" +
+        "var_pop|var_samp|variance|covar_pop|covar_samp|corr|skewness|" +
+        "kurtosis)\\s*\\(").r
+      // spans of round(...) and CAST(... AS DECIMAL...) — an aggregate
+      // inside one is defused
+      def spansOf(re: scala.util.matching.Regex,
+          keep: String => Boolean): Seq[(Int, Int)] =
+        re.findAllMatchIn(o).toSeq.flatMap { m =>
+          val open = o.indexOf('(', m.start)
+          closeOf(o, open).collect {
+            case c if keep(o.substring(open + 1, c)) => (m.start, c)
+          }
+        }
+      val defSpans =
+        spansOf("(?<![a-z0-9_])round\\s*\\(".r, _ => true) ++
+          spansOf("(?<![a-z0-9_])cast\\s*\\(".r,
+            arg => "as\\s+decimal".r.findFirstIn(arg).isDefined)
+      def recastDefused(colName: String): Boolean =
+        ("(?<![a-z0-9_])(round|cast)\\s*\\(\\s*" +
+          java.util.regex.Pattern.quote(colName) + "(?![a-z0-9_])").r
+          .findFirstIn(o).isDefined
+      fpAggRe.findAllMatchIn(o).foreach { m =>
+        val open = o.indexOf('(', m.start)
+        closeOf(o, open).foreach { close =>
+          aliasAfter(o, close + 1) match {
+            case Some(alias)
+                if hazardCols(alias) &&
+                  !defSpans.exists { case (s, e) => m.start > s && m.start < e } &&
+                  !recastDefused(alias) =>
+              hits += s"$name: oracle aliases a raw FP aggregate to the " +
+                s"FP-accumulation-derived column `$alias` without a " +
+                "defusing round/decimal-cast — the Spark side may be " +
+                "defused but the hash-compare still reads DuckDB's " +
+                "accumulation-order value (the r17 jn_nullsafe_sumdbl " +
+                "class). Defuse it identically on BOTH sides."
+            case _ => ()
+          }
+        }
+      }
+    }
+    hits.toSeq
+  }
+
   /** Violation messages for one query; empty = clean. */
   def check(name: String, schema: StructType, oracle: String): Seq[String] = {
     val longCols =

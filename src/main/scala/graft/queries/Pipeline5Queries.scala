@@ -555,7 +555,15 @@ object Pipeline5Queries {
       (s, d) => {
         import s.implicits._
         val sorted = table(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"),
+          // o_orderkey is the fixture's PRIMARY KEY (non-null by TPC-H
+          // construction — the same guarantee every FK join row relies
+          // on); o_totalprice gets a defensive coalesce anyway (r17
+          // ADVICE): the primitive tuple encoder below cannot carry a
+          // NULL, and MinValue keeps a hypothetical NULL price sorting
+          // LAST under desc — where both engines' NULLS-LAST default
+          // would place it in the verbatim ntile ordering.
+          .select(col("o_orderkey"),
+            coalesce(col("o_totalprice"), lit(Double.MinValue)).as("o_totalprice"),
             // coalesce: a NULL status is a non-positive (the oracle's
             // CASE ... ELSE 0), and the primitive tuple encoder below
             // cannot carry a NULL long

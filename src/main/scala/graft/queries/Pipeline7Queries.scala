@@ -154,9 +154,9 @@ object Pipeline7Queries {
                t AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
                             CAST(sum(nn) AS DOUBLE) AS tn FROM b)
           SELECT count(*) AS n_buckets,
-                 sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+                 round(sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
                       * ln(((nn + 1.0) / (tn + 9.0))
-                           / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+                           / ((nr + 1.0) / (tr + 9.0))) ), 6) AS psi
           FROM b CROSS JOIN t"""))
       },
       Some(sql(s"""
@@ -170,9 +170,9 @@ object Pipeline7Queries {
              t AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
                           CAST(sum(nn) AS DOUBLE) AS tn FROM b)
         SELECT count(*) AS n_buckets,
-               sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+               round(sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
                     * ln(((nn + 1.0) / (tn + 9.0))
-                         / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+                         / ((nr + 1.0) / (tr + 9.0))) ), 6) AS psi
         FROM b CROSS JOIN t""")))
   )
 }

@@ -45,7 +45,7 @@ object Sql11Queries {
         table(s, d, "orders").createOrReplaceTempView("graft_o11e")
         s.sql(sql("""
           SELECT 'global' AS tag, count(*) AS n,
-                 CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+                 round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
                  CAST(max(o_totalprice) AS DOUBLE) AS max_price
           FROM graft_o11e WHERE o_orderkey < 0
           UNION ALL
@@ -55,7 +55,7 @@ object Sql11Queries {
       },
       Some(sql("""
         SELECT 'global' AS tag, count(*) AS n,
-               CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
                CAST(max(o_totalprice) AS DOUBLE) AS max_price
         FROM orders WHERE o_orderkey < 0
         UNION ALL

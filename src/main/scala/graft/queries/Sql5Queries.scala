@@ -254,12 +254,12 @@ object Sql5Queries {
         table(s, d, "lineitem").createOrReplaceTempView("graft_li5g")
         s.sql(sql("""
           SELECT l_returnflag, l_linestatus, count(*) AS n,
-            CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+            round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
           FROM graft_li5g GROUP BY ALL"""))
       },
       Some(sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         FROM lineitem GROUP BY ALL"""))),
 
     // DecimalPrecision parity: widening sum/avg over DECIMAL(12,2),

@@ -192,8 +192,8 @@ object Streaming2Queries {
                JOIN t tn ON tn.b = g.b
                JOIN t tr ON tr.b = 0)
     SELECT CAST(b AS BIGINT) AS b,
-           sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
+           round(sum( ((nn + 1.0) / (tn + 9.0) - (nr + 1.0) / (tr + 9.0))
                 * ln(((nn + 1.0) / (tn + 9.0))
-                     / ((nr + 1.0) / (tr + 9.0))) ) AS psi
+                     / ((nr + 1.0) / (tr + 9.0))) ), 6) AS psi
     FROM j GROUP BY b"""
 }

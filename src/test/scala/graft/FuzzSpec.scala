@@ -52,6 +52,25 @@ class FuzzSpec extends AnyFunSuite {
       s"(${chains.groupBy(_.joinType).view.mapValues(_.size).toMap})")
     assert(chains.size >= 20, "two-hop join chains under-covered")
     assert(chains.map(_.joinType).distinct.size >= 3, "chain join types under-covered")
+    // r18 ring census — each new class must appear with a solid count
+    val nComposite = shapes.count(_.composite)
+    info(s"composite-key shapes: $nComposite / $N")
+    assert(nComposite >= 30, s"composite two-column keys under-covered: $nComposite")
+    assert(shapes.count(s => s.composite && s.nullSafe) >= 8,
+      "null-safe composite keys under-covered (the extra-conjunct rule guard)")
+    val outerChains = chains.count(c => c.joinType == "right" || c.joinType == "full")
+    info(s"right/full second hops: $outerChains")
+    assert(outerChains >= 10, s"outer (right/full) chains under-covered: $outerChains")
+    val exprKeys = shapes.count(_.groupKeys.exists(g => Set("g4", "g5")(g.name)))
+    info(s"expression-key shapes: $exprKeys")
+    assert(exprKeys >= 20, s"CASE/arith grouping keys under-covered: $exprKeys")
+    val exprAggs = shapes.count(_.aggs.exists(a => Set("a7", "a9")(a.name)))
+    info(s"expression-aggregate shapes: $exprAggs")
+    assert(exprAggs >= 20, s"expression-argument aggregates under-covered: $exprAggs")
+    val tvAggs = shapes.count(_.aggs.exists(_.name == "a8")) +
+      shapes.count(_.groupKeys.exists(_.name == "g6"))
+    info(s"chain-column consumers (a8/g6): $tvAggs")
+    assert(tvAggs >= 3, s"chain-table column consumption under-covered: $tvAggs")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===

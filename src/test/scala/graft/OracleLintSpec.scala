@@ -225,4 +225,58 @@ class OracleLintSpec extends AnyFunSuite {
     val okInt = df.groupBy("k").count()
     assert(OracleLint.knifeEdgeKeys("t", okInt.queryExecution.analyzed).isEmpty)
   }
+
+  test("FP-accumulation lint (r18, half #4): exposed raw FP sums/avgs are flagged; rounded, decimal-cast, and integral forms pass") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val df = Seq((1.25, 2L), (2.5, 3L), (3.75, 5L)).toDF("x", "k")
+    def plan(sel: String) =
+      df.groupBy("k").agg(expr(sel)).queryExecution.analyzed
+    // raw sum(double) exposed — the r17 jn_nullsafe_sumdbl class
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("sum(x) AS s"), "").nonEmpty,
+      "half #4 missed a raw exposed sum(double)")
+    // raw avg(double) — same accumulation-order hazard
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("avg(x) AS a"), "").nonEmpty,
+      "half #4 missed a raw exposed avg(double)")
+    // stddev over a double input — the co-moment family
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("stddev(x) AS sd"), "").nonEmpty,
+      "half #4 missed stddev(double)")
+    // round ABOVE the aggregate defuses (the fix class)
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("round(sum(x), 2) AS s"), "").isEmpty,
+      "round(sum(x), d) must pass")
+    // decimal cast above the aggregate defuses too
+    assert(OracleLint.knifeEdgeFpAgg("t",
+      plan("CAST(sum(x) AS DECIMAL(18,2)) AS s"), "").isEmpty,
+      "CAST(sum(x) AS DECIMAL) must pass")
+    // round BELOW the aggregate defuses nothing — summing rounded
+    // values is still order-dependent (false-negative class pinned OUT)
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("sum(round(x, 2)) AS s"), "").nonEmpty,
+      "sum(round(x, d)) is still an order-dependent accumulation")
+    // sum/avg over INTEGRAL inputs are exact in the double buffer below
+    // 2^53 — not flagged, including through a direct int→double cast
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("sum(k) AS s"), "").isEmpty,
+      "sum(bigint) must pass (exact)")
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("avg(k) AS a"), "").isEmpty,
+      "avg(bigint) must pass (exact sum, one division)")
+    assert(OracleLint.knifeEdgeFpAgg("t",
+      plan("sum(CAST(k AS DOUBLE)) AS s"), "").isEmpty,
+      "sum(CAST(int AS DOUBLE)) must pass (integral values, exact)")
+    // min/max over doubles are order-invariant — not flagged
+    assert(OracleLint.knifeEdgeFpAgg("t", plan("max(x) AS m"), "").isEmpty)
+    // a non-FP output type means a discretization already happened —
+    // out of this half's scope by construction
+    assert(OracleLint.knifeEdgeFpAgg("t",
+      plan("CAST(floor(sum(x) + 0.5) AS BIGINT) AS s"), "").isEmpty)
+    // TEXT half: a hazard-derived column whose ORACLE aliases a raw FP
+    // aggregate is flagged even when the Spark side is defused…
+    val defusedPlan = plan("round(sum(x), 2) AS s")
+    assert(OracleLint.knifeEdgeFpAgg("t", defusedPlan,
+      "SELECT k, sum(x) AS s FROM t GROUP BY k").nonEmpty,
+      "text half must catch an undefused oracle alias for a hazard column")
+    // …and passes when the oracle defuses identically
+    assert(OracleLint.knifeEdgeFpAgg("t", defusedPlan,
+      "SELECT k, round(sum(x), 2) AS s FROM t GROUP BY k").isEmpty,
+      "identically-defused oracle must pass")
+  }
 }

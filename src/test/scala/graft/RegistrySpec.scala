@@ -36,11 +36,15 @@ class RegistrySpec extends AnyFunSuite {
       // lint sweeps the oracle SQL, the plan lint the Spark analyzed plan.
       // KEY-EQUALITY LINT (r17, the r16 watch-item): no grouping /
       // distinct / join key may be a transcendental-bearing float.
+      // FP-ACCUMULATION LINT (r18, the r17 driver red): no exposed raw
+      // FP-accumulated aggregate without a defusing round/decimal-cast,
+      // on EITHER side.
       q.oracle.foreach { o =>
         val v = queries.OracleLint.check(q.name, df.schema, o) ++
           queries.OracleLint.knifeEdge(q.name, o) ++
           queries.OracleLint.knifeEdgePlan(q.name, df.queryExecution.analyzed) ++
-          queries.OracleLint.knifeEdgeKeys(q.name, df.queryExecution.analyzed)
+          queries.OracleLint.knifeEdgeKeys(q.name, df.queryExecution.analyzed) ++
+          queries.OracleLint.knifeEdgeFpAgg(q.name, df.queryExecution.analyzed, o)
         assert(v.isEmpty, v.mkString("; "))
       }
       val n = df.count()

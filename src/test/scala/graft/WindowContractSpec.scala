@@ -46,19 +46,26 @@ class WindowContractSpec extends AnyFunSuite {
         s"Window (stale — remove them): ${stale.mkString(", ")}")
   }
 
-  test("boundedness: every member's unpartitioned-window input stays under its declared bound at sf0.01") {
+  test("boundedness: every member's unpartitioned-window input stays under its declared bound at BOTH driver SFs (r17 verdict #4)") {
     // Window preserves cardinality, so in a window STACK the deepest
     // child is the largest input; still, every unpartitioned window's
     // own child is counted (parallel branches may differ).
-    val sf = "/root/testdata/sf0.01"
-    WindowContract.domainBounded.toSeq.sortBy(_._1).foreach { case (name, (why, bound)) =>
-      val ws = unpartitionedWindows(name, sf)
-      assert(ws.nonEmpty, s"$name: no unpartitioned window at sf0.01 (census drift?)")
-      val counts = ws.map(w => GraftShim.ofRows(spark, w.child).count())
-      info(f"$name%-24s max input ${counts.max}%6d (bound $bound) — $why")
-      assert(counts.max <= bound,
-        s"$name: unpartitioned window input ${counts.max} exceeds the declared " +
-          s"domain bound $bound — the '$why' claim no longer holds")
+    //
+    // r18: measured at TWO scale points — a bound that is genuinely
+    // DOMAIN-derived (distinct cents, calendar buckets, partition
+    // heads) saturates, so it must hold unchanged on 10× the corpus;
+    // a corpus-tracking input would sail past it at sf0.1 exactly the
+    // way every other fence in the repo is built to catch.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      WindowContract.domainBounded.toSeq.sortBy(_._1).foreach { case (name, (why, bound)) =>
+        val ws = unpartitionedWindows(name, sf)
+        assert(ws.nonEmpty, s"$name: no unpartitioned window at $sf (census drift?)")
+        val counts = ws.map(w => GraftShim.ofRows(spark, w.child).count())
+        info(f"$name%-24s $sf%-24s max input ${counts.max}%6d (bound $bound) — $why")
+        assert(counts.max <= bound,
+          s"$name: unpartitioned window input ${counts.max} at $sf exceeds the " +
+            s"declared domain bound $bound — the '$why' claim no longer holds")
+      }
     }
   }
 }
