@@ -88,9 +88,12 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     gains nothing from them). A NULLABLE attribute's bucket count
   *     would depend on the DATA (how many nulls sit inside the stripe
   *     rows), not the structure — not analytic, guard keeps verbatim.
-  *     count(DISTINCT id) and friends likewise keep the verbatim join
-  *     (jn_nullsafe_verbatim stays a genuine verbatim-execution
-  *     crossing because of this guard);
+  *     count(DISTINCT <bare side attr>) joined the scope in r18 for
+  *     SINGLE-distinct-group aggregates (see the widening paragraph
+  *     below); expression-argument, multi-argument, and
+  *     multi-GROUP distinct shapes keep the verbatim join —
+  *     jn_nullsafe_pairs_verbatim and jn_nullsafe_verbatim are the
+  *     verbatim-execution crossings those boundaries preserve;
   *   - the r17 widening: sum(<bare attribute provably non-null in its
   *     own side's output>) when the attribute is INTEGRAL and the Sum
   *     is LEGACY-mode — the bucket sum is stripe_sum × opposite stripe
@@ -106,19 +109,35 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   *     statistics whose bucket value is the own-side stripe min/max
   *     with no per-join-type case split; see [[MinMaxSide]].
   *
-  * KNOWN-PROVABLE BUT DEFERRED: count(DISTINCT <bare side attribute>)
-  * is duplicate-invariant the same way min/max are (bucket value = the
-  * stripe's distinct count; the opposite-extension case coincides with
-  * the empty stripe's 0), so it would be exact for any type — but
-  * widening it would silently rewrite jn_nullsafe_verbatim, the
-  * long-standing row whose PURPOSE is to keep a genuine verbatim
-  * `<=>` engine execution oracle-checked (its distinct-side counts pin
-  * the bucket's cross-match structure). Take it only together with a
-  * replacement verbatim witness whose aggregate is genuinely outside
-  * every analytic scope (e.g. a FILTER-clause or expression-argument
-  * aggregate). avg() stays excluded outright: its double sum buffer
-  * re-introduces the FP order-dependence the SumSide DOUBLE exclusion
-  * already argues.
+  * The r18 widening: count(DISTINCT <bare side attribute>) — taken
+  * per the deferred-widening doc this paragraph used to be, WITH its
+  * precondition: jn_nullsafe_pairs_verbatim (an expression-argument
+  * count(DISTINCT id·10000 + oid), outside every analytic scope)
+  * landed FIRST as a successor verbatim `<=>` execution witness. The
+  * provability argument is [[MinMaxSide]]'s verbatim: distinct-count
+  * is DUPLICATE-INVARIANT, so the bucket value is the own-side
+  * stripe's distinct count for EVERY join type with no case split
+  * (cross-matched stripes only repeat rows; the own side's
+  * null-extension keeps exactly the stripe rows; the opposite side's
+  * extension makes the column all-NULL — but that case only arises
+  * when the own stripe is EMPTY, whose distinct count is already 0,
+  * count(DISTINCT) ignoring NULLs on both derivations). Any type,
+  * nullable included; only multi-argument/expression-argument forms
+  * and FILTER stay out.
+  *
+  * EFFECTIVE SCOPE — one distinct GROUP per Aggregate, structurally:
+  * this rule runs in the terminal "User Provided Optimizers" batch,
+  * and Spark's own RewriteDistinctAggregates has by then rewritten any
+  * Aggregate with TWO OR MORE distinct-argument groups into the
+  * Expand + double-aggregate form, which this rule deliberately does
+  * not match (the distinct semantics live in gid-filtered partial
+  * counts there — a different provability problem). Single-group
+  * shapes (count(DISTINCT a) alongside any number of non-distinct
+  * aggregates) reach the rule intact and fire; multi-group shapes keep
+  * verbatim execution — jn_nullsafe_verbatim (distinct id AND oid) is
+  * the pinned living witness of exactly that boundary. avg() stays
+  * excluded outright: its double sum buffer re-introduces the FP
+  * order-dependence the SumSide DOUBLE exclusion already argues.
   *
   * Both branches are oracle-proven: jn_nullsafe_engine's DuckDB oracle
   * runs the verbatim null-safe join, so the driver hash-compare is the
@@ -207,6 +226,14 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
     * aggregate would). Only DISTINCT/FILTER block, as everywhere. */
   private final case class MinMaxSide(left: Boolean, attr: AttributeReference,
     isMin: Boolean) extends AggKind
+  /** count(DISTINCT a) over a bare side attribute — the r18 widening.
+    * Duplicate-invariant exactly like [[MinMaxSide]]: the bucket value
+    * is the own-side stripe's distinct count for every join type, no
+    * case split (opposite-extension ⇔ own stripe empty ⇔ stripe
+    * distinct count already 0; NULLs inside the stripe are ignored
+    * identically by the stripe aggregate and the verbatim one). */
+  private final case class CountDistinctSide(left: Boolean,
+    attr: AttributeReference) extends AggKind
 
   private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -214,41 +241,48 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
   }
 
   private def aggKind(ae: AggregateExpression,
-      l: LogicalPlan, r: LogicalPlan): Option[AggKind] =
-    if (ae.isDistinct || ae.filter.nonEmpty) None
-    else {
-      // nullability must come from the attribute's OWN side (an outer
-      // join's output re-marks the other side nullable; the bucket
-      // math needs the pre-join guarantee)
-      def nonNullIn(side: LogicalPlan, a: AttributeReference): Boolean =
-        side.output.exists(o => o.exprId == a.exprId && !o.nullable)
-      def sided(a: AttributeReference, mk: Boolean => AggKind): Option[AggKind] =
-        if (nonNullIn(l, a)) Some(mk(true))
-        else if (nonNullIn(r, a)) Some(mk(false))
-        else None
-      // min/max only need to know WHICH side owns the attribute —
-      // nullability is irrelevant (see MinMaxSide)
-      def sideOf(a: AttributeReference): Option[Boolean] =
-        if (l.output.exists(_.exprId == a.exprId)) Some(true)
-        else if (r.output.exists(_.exprId == a.exprId)) Some(false)
-        else None
-      ae.aggregateFunction match {
-        case Count(children)
-            if children.forall(c => c.foldable && !c.nullable) =>
-          Some(CountStar) // count(*) / count(1); empty children counts rows too
-        case Count(Seq(a: AttributeReference)) =>
-          sided(a, CountSide(_))
-        case s @ Sum(a: AttributeReference, _)
-            if s.evalContext.evalMode == EvalMode.LEGACY &&
-              integralTypes(a.dataType) =>
-          sided(a, SumSide(_, a, s.evalContext))
-        case Min(a: AttributeReference) =>
-          sideOf(a).map(MinMaxSide(_, a, isMin = true))
-        case Max(a: AttributeReference) =>
-          sideOf(a).map(MinMaxSide(_, a, isMin = false))
-        case _ => None
-      }
+      l: LogicalPlan, r: LogicalPlan): Option[AggKind] = {
+    // nullability must come from the attribute's OWN side (an outer
+    // join's output re-marks the other side nullable; the bucket
+    // math needs the pre-join guarantee)
+    def nonNullIn(side: LogicalPlan, a: AttributeReference): Boolean =
+      side.output.exists(o => o.exprId == a.exprId && !o.nullable)
+    def sided(a: AttributeReference, mk: Boolean => AggKind): Option[AggKind] =
+      if (nonNullIn(l, a)) Some(mk(true))
+      else if (nonNullIn(r, a)) Some(mk(false))
+      else None
+    // min/max and count(DISTINCT) only need to know WHICH side owns the
+    // attribute — nullability is irrelevant (duplicate-invariant, NULLs
+    // ignored identically; see MinMaxSide / CountDistinctSide)
+    def sideOf(a: AttributeReference): Option[Boolean] =
+      if (l.output.exists(_.exprId == a.exprId)) Some(true)
+      else if (r.output.exists(_.exprId == a.exprId)) Some(false)
+      else None
+    if (ae.filter.nonEmpty) None
+    else if (ae.isDistinct) ae.aggregateFunction match {
+      // the r18 widening — ONLY the single-bare-attribute form;
+      // expression/multi-argument distinct counts are not reasoned
+      // about and keep the verbatim join (jn_nullsafe_pairs_verbatim)
+      case Count(Seq(a: AttributeReference)) =>
+        sideOf(a).map(CountDistinctSide(_, a))
+      case _ => None
+    } else ae.aggregateFunction match {
+      case Count(children)
+          if children.forall(c => c.foldable && !c.nullable) =>
+        Some(CountStar) // count(*) / count(1); empty children counts rows too
+      case Count(Seq(a: AttributeReference)) =>
+        sided(a, CountSide(_))
+      case s @ Sum(a: AttributeReference, _)
+          if s.evalContext.evalMode == EvalMode.LEGACY &&
+            integralTypes(a.dataType) =>
+        sided(a, SumSide(_, a, s.evalContext))
+      case Min(a: AttributeReference) =>
+        sideOf(a).map(MinMaxSide(_, a, isMin = true))
+      case Max(a: AttributeReference) =>
+        sideOf(a).map(MinMaxSide(_, a, isMin = false))
+      case _ => None
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(grouping, aggExprs, child, _) =>
@@ -343,9 +377,16 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               aggKinds.collect {
                 case Some(scala.util.Left(MinMaxSide(`left`, a, isMin))) => (a, isMin)
               }.distinctBy(p => (p._1.exprId, p._2))
+            // the r18 count(DISTINCT) widening: one stripe-local distinct
+            // count per distinct counted attribute, same single stripe scan
+            def cdAttrsOf(left: Boolean): Seq[AttributeReference] =
+              aggKinds.collect {
+                case Some(scala.util.Left(CountDistinctSide(`left`, a))) => a
+              }.distinctBy(_.exprId)
             def stripeAgg(side: LogicalPlan, key: Attribute, n: String,
                 sumAttrs: Seq[(AttributeReference, NumericEvalContext)],
-                mmAttrs: Seq[(AttributeReference, Boolean)]) = {
+                mmAttrs: Seq[(AttributeReference, Boolean)],
+                cdAttrs: Seq[AttributeReference]) = {
               val cnt = Alias(Count(Literal(1)).toAggregateExpression(), n)()
               // the stripe sum inherits the ORIGINAL Sum's eval context —
               // re-deriving from the conf at rule time could flip mode if
@@ -356,25 +397,40 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
                 (a.exprId, isMin) -> Alias(
                   (if (isMin) Min(a) else Max(a)).toAggregateExpression(),
                   n + (if (isMin) "_min" else "_max"))() }
+              val cds = cdAttrs.map { a =>
+                a.exprId -> Alias(
+                  Count(Seq(a)).toAggregateExpression(isDistinct = true, filter = None),
+                  n + "_cd")() }
               val cols: Seq[NamedExpression] =
-                (key +: (sumAttrs.map(_._1) ++ mmAttrs.map(_._1))).distinctBy(_.exprId)
-              (Aggregate(Nil, (cnt +: sums.map(_._2)) ++ mms.map(_._2),
+                (key +: (sumAttrs.map(_._1) ++ mmAttrs.map(_._1) ++ cdAttrs))
+                  .distinctBy(_.exprId)
+              (Aggregate(Nil, ((cnt +: sums.map(_._2)) ++ mms.map(_._2)) ++ cds.map(_._2),
                 Filter(IsNull(key), Project(cols, side))),
                 cnt.toAttribute,
                 sums.map { case (id, al) => id -> al.toAttribute }.toMap,
-                mms.map { case (k2, al) => k2 -> al.toAttribute }.toMap)
+                mms.map { case (k2, al) => k2 -> al.toAttribute }.toMap,
+                cds.map { case (id, al) => id -> al.toAttribute }.toMap)
             }
-            val (nlPlan, nl, lSums, lMms) =
-              stripeAgg(l, lk, "graft_nsc_nl", sumAttrsOf(true), minMaxAttrsOf(true))
-            val (nrPlan, nr, rSums, rMms) =
-              stripeAgg(r, rk, "graft_nsc_nr", sumAttrsOf(false), minMaxAttrsOf(false))
+            val (nlPlan, nl, lSums, lMms, lCds) =
+              stripeAgg(l, lk, "graft_nsc_nl",
+                sumAttrsOf(true), minMaxAttrsOf(true), cdAttrsOf(true))
+            val (nrPlan, nr, rSums, rMms, rCds) =
+              stripeAgg(r, rk, "graft_nsc_nr",
+                sumAttrsOf(false), minMaxAttrsOf(false), cdAttrsOf(false))
             val nlPos = GreaterThan(nl, Literal(0L))
             val nrPos = GreaterThan(nr, Literal(0L))
-            val cross = Multiply(nl, nr)
+            // LEGACY-pinned (r17 ADVICE): the verbatim count/sum this
+            // product replaces never THROWS (a count increments; the
+            // stripe Sum is matched LEGACY-only), so if ANSI flips on
+            // between declaration and optimization the bucket arithmetic
+            // must still wrap, not throw — same treatment the stripe Sum
+            // already gets via the original aggregate's eval context.
+            val legacyCtx = NumericEvalContext(EvalMode.LEGACY)
+            val cross = Multiply(nl, nr, legacyCtx)
             val (emitCond: Expression, bucketCountStar: Expression) = jt match {
               case Inner => (And(nlPos, nrPos), cross)
               case FullOuter => (Or(nlPos, nrPos),
-                If(And(nlPos, nrPos), cross, Add(nl, nr)))
+                If(And(nlPos, nrPos), cross, Add(nl, nr, legacyCtx)))
               case LeftOuter => (nlPos, If(nrPos, cross, nl))
               case RightOuter => (nrPos, If(nlPos, cross, nr))
               case _ => (And(nlPos, nrPos), cross) // unreachable (matched above)
@@ -410,11 +466,22 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               // the MinMaxSide doc) collapse the whole case table
               case MinMaxSide(isLeft, a, isMin) =>
                 if (isLeft) lMms((a.exprId, isMin)) else rMms((a.exprId, isMin))
-              case SumSide(isLeft, a, _) =>
+              // count(DISTINCT a): the own-side stripe's distinct count,
+              // every join type — the same duplicate-invariance +
+              // "opposite-extension ⇔ own stripe empty ⇔ stripe distinct
+              // count already 0" collapse as min/max
+              case CountDistinctSide(isLeft, a) =>
+                if (isLeft) lCds(a.exprId) else rCds(a.exprId)
+              case SumSide(isLeft, a, ctx) =>
                 val own = if (isLeft) lSums(a.exprId) else rSums(a.exprId)
                 val oppCnt = if (isLeft) nr else nl
                 val nullL = Literal(null, org.apache.spark.sql.types.LongType)
-                val matched = Multiply(own, oppCnt)
+                // the product inherits the ORIGINAL Sum's (LEGACY) eval
+                // context, same as the stripe Sum: stripe_sum × count can
+                // realistically exceed Long range, and an ANSI flip
+                // between declaration and optimization must not turn the
+                // verbatim LEGACY wrap into a throw (r17 ADVICE)
+                val matched = Multiply(own, oppCnt, ctx)
                 jt match {
                   case Inner => matched
                   case FullOuter =>

@@ -46,7 +46,11 @@ object NullSafeBench {
           // r16 widening: count(<non-null side attr>) rows
           "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine",
           // r17 widening: sum(<non-null integral side attr>) rows
-          "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine")) {
+          "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine",
+          // r18 widening: count(DISTINCT <bare side attr>) rows — the
+          // verbatim leg additionally pays the distinct Expand over the
+          // quadratic bucket
+          "jn_nullsafe_cntd_engine", "jn_nullsafe_full_cntd_engine")) {
         val (tOn, rowsOn) = time(name, dir)
         val saved = spark.experimental.extraOptimizations
         spark.experimental.extraOptimizations =

@@ -1413,7 +1413,7 @@ class PlanSpec extends AnyFunSuite {
       prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
 
-  test("LinearizeNullSafeCountAgg fires on jn_nullsafe_engine and holds its guard on jn_nullsafe_verbatim") {
+  test("LinearizeNullSafeCountAgg fires on jn_nullsafe_engine and holds its guard on jn_nullsafe_pairs_verbatim") {
     // r14 verdict #7: the null-safe linear rewrite promoted from query
     // to engine. Three pins, each load-bearing:
     //  1. FIRED — jn_nullsafe_engine's verbatim `<=>` count aggregate
@@ -1422,9 +1422,14 @@ class PlanSpec extends AnyFunSuite {
     //  2. SEMANTICS — covered by the row's own DuckDB oracle (the
     //     oracle runs the verbatim join; the driver hash-compare is
     //     the equivalence proof at every SF it runs);
-    //  3. GUARD — jn_nullsafe_verbatim (count(DISTINCT …) aggregates)
-    //     must KEEP the verbatim EqualNullSafe execution, or the
-    //     "verbatim engine execution" crossing silently evaporates.
+    //  3. GUARD — jn_nullsafe_pairs_verbatim (an expression-argument
+    //     count(DISTINCT id·10000 + oid), outside every analytic
+    //     scope) must KEEP the verbatim EqualNullSafe execution, or
+    //     the "verbatim engine execution" crossing silently
+    //     evaporates. (jn_nullsafe_verbatim ALSO stays verbatim — its
+    //     two distinct groups sit outside the r18 widening's
+    //     single-group scope; the distinct-widening test pins that
+    //     boundary.)
     import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
     import org.apache.spark.sql.catalyst.plans.logical.Union
     for (name <- Seq("jn_nullsafe_engine", "jn_nullsafe_full_engine",
@@ -1451,13 +1456,23 @@ class PlanSpec extends AnyFunSuite {
     assert(fired.count() === 11)
     assert(SparkEntry.queries("jn_nullsafe_left_engine")(spark, TestSpark.Sf).count() === 11)
 
-    val guard = SparkEntry.queries("jn_nullsafe_verbatim")(spark, TestSpark.Sf)
+    val guard = SparkEntry.queries("jn_nullsafe_pairs_verbatim")(spark, TestSpark.Sf)
     val guardNs = guard.queryExecution.optimizedPlan.flatMap(n =>
       n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
     assert(guardNs.nonEmpty,
-      "guard failed: jn_nullsafe_verbatim no longer executes a verbatim " +
-        "null-safe join — count(DISTINCT) aggregates must block the rewrite:\n" +
-        guard.queryExecution.optimizedPlan)
+      "guard failed: jn_nullsafe_pairs_verbatim no longer executes a verbatim " +
+        "null-safe join — expression-argument count(DISTINCT) must block the " +
+        "rewrite:\n" + guard.queryExecution.optimizedPlan)
+    // structure witness: on the NULL-bucket group every cross-matched
+    // (id, oid) pair is distinct, so n_pairs == n there — a value no
+    // stripe-local aggregate can produce
+    val pairRows = guard.collect()
+    val pairBucket = pairRows.find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group row in jn_nullsafe_pairs_verbatim"))
+    assert(pairBucket.getLong(1) === pairBucket.getLong(2),
+      s"NULL bucket must be a full cross-match of distinct pairs: $pairBucket")
+    assert(pairBucket.getLong(1) > 1L,
+      s"NULL bucket should hold multiple cross-matched pairs: $pairBucket")
 
     // r16 widening guard: count of a NULLABLE attribute is data-
     // dependent (nulls may sit inside the stripe rows), never analytic —
@@ -1554,9 +1569,9 @@ class PlanSpec extends AnyFunSuite {
     assert(live.getLong(1) === nl * nr, s"bucket count(*): $live vs ${nl * nr}")
     assert(live.getLong(2) === sumL * nr, s"bucket sum(id0): $live vs ${sumL * nr}")
     assert(live.getLong(3) === sumR * nl, s"bucket sum(oid0): $live vs ${sumR * nl}")
-    // GUARDS: a NULLABLE integral attribute (no non-null proof) and a
-    // non-null DOUBLE (FP addition non-associative) must both keep the
-    // verbatim null-safe join
+    // GUARDS: a NULLABLE integral attribute (no non-null proof) and the
+    // round-wrapped double sum (no bare-AggregateExpression alias) must
+    // both keep the verbatim null-safe join
     for (name <- Seq("jn_nullsafe_sumn_verbatim", "jn_nullsafe_sumdbl_verbatim")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       assert(nullSafeLeft(df).nonEmpty,
@@ -1564,6 +1579,27 @@ class PlanSpec extends AnyFunSuite {
           df.queryExecution.optimizedPlan)
       assert(df.collect().nonEmpty)
     }
+    // DOUBLE-exclusion witness (r18): the registry row now rounds its
+    // exposed sum (the r17 driver red was the RAW double sum's
+    // accumulation-order ULPs reaching an exact comparator), so the
+    // bare `sum(<non-null DOUBLE>)` plan shape — the thing the rule's
+    // type guard actually rejects — is pinned here PLAN-ONLY, where the
+    // guard's proof always lived. No execution: the probe's only job is
+    // the surviving EqualNullSafe.
+    val dblProbe = spark.sql(
+      """WITH l AS (SELECT CASE WHEN c_custkey % 50 = 7 THEN NULL
+        |                       ELSE c_custkey END AS k
+        |           FROM graft_jn_c),
+        |     r AS (SELECT coalesce(o_totalprice, 0.0) AS price0,
+        |                  CASE WHEN o_custkey % 50 = 13 THEN NULL
+        |                       ELSE o_custkey END AS k2
+        |           FROM graft_jn_o)
+        |SELECT k % 10 AS kg, sum(price0) AS s_price
+        |FROM l JOIN r ON l.k <=> r.k2 GROUP BY k % 10""".stripMargin)
+    assert(nullSafeLeft(dblProbe).nonEmpty,
+      "guard failed: a bare sum(<non-null DOUBLE>) must keep the verbatim " +
+        "null-safe join (FP addition is non-associative):\n" +
+        dblProbe.queryExecution.optimizedPlan)
   }
 
   test("LinearizeNullSafeCountAgg min/max widening fires (nullable doubles accepted) and the FILTER guard holds (r17)") {
@@ -1608,6 +1644,77 @@ class PlanSpec extends AnyFunSuite {
       "guard failed: FILTER-clause min must block the rewrite:\n" +
         guard.queryExecution.optimizedPlan)
     assert(guard.collect().nonEmpty)
+  }
+
+  test("LinearizeNullSafeCountAgg count(DISTINCT) widening fires on the cntd rows; multi-distinct-group shapes keep verbatim (r18)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    def nullSafeLeft(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    // FIRED on the three fractional-stripe single-distinct-group rows
+    // (inner, left with an empty right stripe, full-both-sides); each
+    // row's DuckDB oracle runs the verbatim null-safe join, so the
+    // driver hash-compare is the widening's equivalence proof.
+    for (name <- Seq("jn_nullsafe_cntd_engine", "jn_nullsafe_left_cntd0_engine",
+        "jn_nullsafe_full_cntd_engine")) {
+      val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val o2 = d.queryExecution.optimizedPlan
+      assert(o2.collect { case u: Union => u }.nonEmpty,
+        s"$name: count(DISTINCT) widening did not fire (no Union):\n$o2")
+      assert(nullSafeLeft(d).isEmpty,
+        s"$name: null-safe condition survived optimization:\n$o2")
+    }
+    // zero-branch witness: with the right stripe EMPTY the bucket row's
+    // count(DISTINCT right attr) is 0 — the empty stripe's distinct
+    // count, the coincidence the no-case-split argument rests on
+    val cd0 = SparkEntry.queries("jn_nullsafe_left_cntd0_engine")(spark, TestSpark.Sf)
+      .collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(cd0.getLong(2) === 0L,
+      s"zero branch: count(DISTINCT right attr) over null-extended rows must be 0: $cd0")
+    assert(cd0.getLong(1) > 0L,
+      s"zero branch: bucket count(*) must be the null-extended left stripe: $cd0")
+    // value witness: the INNER row's bucket distinct count equals the
+    // left stripe's own distinct count computed first-hand, and
+    // count(*) is the cross product
+    import org.apache.spark.sql.functions._
+    val c = Engine.table(spark, TestSpark.Sf, "customer")
+    val o = Engine.table(spark, TestSpark.Sf, "orders")
+    val lIds = c.filter(col("c_custkey") % 50 === 7)
+      .select(col("c_custkey")).distinct().count()
+    val nl = c.filter(col("c_custkey") % 50 === 7).count()
+    val nr = o.filter(col("o_custkey") % 50 === 13).count()
+    val cdDf = SparkEntry.queries("jn_nullsafe_cntd_engine")(spark, TestSpark.Sf)
+    val bucket = cdDf.collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(bucket.getLong(1) === nl * nr,
+      s"bucket count(*) must be the cross product: $bucket vs ${nl * nr}")
+    assert(bucket.getLong(2) === lIds,
+      s"bucket count(DISTINCT id) must be the left stripe's distinct count: $bucket vs $lIds")
+    // rewritten-vs-verbatim in-suite cross-check: rules OFF must produce
+    // the same row multiset (the machine-generated FuzzSpec leg covers
+    // this class too — a6 = count(DISTINCT lv) over every join type)
+    val rows = cdDf.collect().map(_.toString).sorted.toSeq
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val verbatim = SparkEntry.queries("jn_nullsafe_cntd_engine")(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows === verbatim, "rewritten result diverged from verbatim execution")
+    } finally spark.experimental.extraOptimizations = saved
+    // SCOPE BOUNDARY (the r18 discovery, pinned): an Aggregate with TWO
+    // distinct-argument groups is claimed by Spark's own
+    // RewriteDistinctAggregates (Expand + double aggregate) before the
+    // terminal batch where the graft rule runs — jn_nullsafe_verbatim
+    // (distinct id AND oid) must therefore KEEP its verbatim `<=>`
+    // execution, staying a genuine verbatim-execution witness next to
+    // jn_nullsafe_pairs_verbatim.
+    val multi = SparkEntry.queries("jn_nullsafe_verbatim")(spark, TestSpark.Sf)
+    assert(nullSafeLeft(multi).nonEmpty,
+      "multi-distinct-group shape no longer executes a verbatim null-safe " +
+        "join — the single-group scope boundary moved:\n" +
+        multi.queryExecution.optimizedPlan)
   }
 
   test("cache_columnar plans an InMemoryTableScan and materializes the columnar cache at its own first action (r16 verdict #4)") {
