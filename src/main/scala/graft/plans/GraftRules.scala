@@ -335,6 +335,17 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               else None
           }
           val aggsOk = aggKinds.forall(_.isDefined)
+          // the single-distinct-group boundary, enforced LOCALLY (not
+          // only via batch ordering): today RewriteDistinctAggregates
+          // claims multi-group plans before this rule ever runs, but if
+          // a Spark upgrade moved that handling to physical planning,
+          // firing here would emit a branch-1 Aggregate whose multi-
+          // distinct form nothing downstream rewrites — bail instead
+          val distinctGroups = aggExprs.flatMap(_.collect {
+            case ae: AggregateExpression if ae.isDistinct =>
+              ae.aggregateFunction.children.map(_.canonicalized)
+          }).distinct
+          val distinctOk = distinctGroups.size <= 1
           // group-collision guard (outer types): branch 1's null-EXTENDED
           // rows must never form the all-NULL grouping tuple the bucket
           // owns — require a grouping shape over each side branch 1
@@ -348,7 +359,7 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
             case FullOuter => coversKey(lk) && coversKey(rk)
             case _ => false
           }
-          if (!groupsOk || !aggsOk || !collisionOk) agg
+          if (!groupsOk || !aggsOk || !collisionOk || !distinctOk) agg
           else {
             // branch 1: the non-null equi-join of the SAME type, SAME
             // aggregate (and SAME output exprIds — the parent's

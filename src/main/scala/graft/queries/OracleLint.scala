@@ -135,6 +135,36 @@ object OracleLint {
     floors ++ casts
   }
 
+  /** Alias map across a plan's Project/Aggregate nodes — the SINGLE
+    * copy shared by the key-equality and FP-accumulation halves, so a
+    * fix to alias laundering lands in every half at once. */
+  private def planAliasMap(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten.toMap
+  }
+
+  /** Depth-capped transitive expansion through [[planAliasMap]]. */
+  private def expandAliases(
+      aliasMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        org.apache.spark.sql.catalyst.expressions.Expression])(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      depth: Int = 0): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (depth > 8) e
+    else e.transformUp {
+      case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if aliasMap.contains(ar.exprId) =>
+        expandAliases(aliasMap)(aliasMap(ar.exprId), depth + 1)
+    }
+
   /** Catalyst class names of the non-correctly-rounded math expressions
     * (the plan-side twin of [[transcendentalRe]]). */
   private val transcendentalClasses = Set(
@@ -236,29 +266,19 @@ object OracleLint {
   def knifeEdgeKeys(
       name: String,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualNullSafe, EqualTo, ExprId, Expression}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, Project}
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     if (knifeEdgeSafe.contains(name)) return Nil
     // keys are usually ATTRIBUTES whose hazardous expression sits behind
     // a Project/Aggregate alias (`SELECT exp(x) AS e ... GROUP BY e`) —
     // resolve transitively through the plan's alias map or the lint is
     // launderable by one SELECT
-    val aliasMap: Map[ExprId, Expression] = plan.collect {
-      case p: Project =>
-        p.projectList.collect { case a: Alias => a.exprId -> a.child }
-      case a: Aggregate =>
-        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
-    }.flatten.toMap
-    def expand(e: Expression, depth: Int): Expression =
-      if (depth > 8) e
-      else e.transformUp {
-        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-          expand(aliasMap(ar.exprId), depth + 1)
-      }
+    val aliasMap = planAliasMap(plan)
     def floatTrans(e: Expression): Boolean =
       (e.dataType == DoubleType || e.dataType == FloatType) &&
-        expand(e, 0).exists(x => transcendentalClasses(x.getClass.getSimpleName))
+        expandAliases(aliasMap)(e)
+          .exists(x => transcendentalClasses(x.getClass.getSimpleName))
     def hit(kind: String, e: Expression): String =
       s"$name: $kind keys on a transcendental-bearing float — " +
         s"`${e.sql.take(70)}` — a 1-ULP libm difference between engines " +
@@ -325,25 +345,13 @@ object OracleLint {
       name: String,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       oracle: String): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Expression}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
     import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, ShortType}
     if (knifeEdgeSafe.contains(name)) return Nil
     val integral: Set[DataType] =
       Set(LongType, IntegerType, ShortType, ByteType, BooleanType)
-    val aliasMap: Map[ExprId, Expression] = plan.collect {
-      case p: Project =>
-        p.projectList.collect { case a: Alias => a.exprId -> a.child }
-      case a: Aggregate =>
-        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
-    }.flatten.toMap
-    def expand(e: Expression, depth: Int): Expression =
-      if (depth > 8) e
-      else e.transformUp {
-        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
-          expand(aliasMap(ar.exprId), depth + 1)
-      }
+    val aliasMap = planAliasMap(plan)
     // genuinely-fractional FP input: a direct int→double cast feeds only
     // integral values, which doubles accumulate exactly below 2^53
     def fractionalFp(e: Expression): Boolean =
@@ -384,7 +392,7 @@ object OracleLint {
     val hazardCols = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.output.foreach { attr =>
       if (attr.dataType == DoubleType || attr.dataType == FloatType) {
-        val e = expand(attr, 0)
+        val e = expandAliases(aliasMap)(attr)
         if (anyFpAgg(e)) {
           hazardCols += attr.name.toLowerCase
           if (rawFpAgg(e, dominated = false))
@@ -420,10 +428,14 @@ object OracleLint {
         spansOf("(?<![a-z0-9_])round\\s*\\(".r, _ => true) ++
           spansOf("(?<![a-z0-9_])cast\\s*\\(".r,
             arg => "as\\s+decimal".r.findFirstIn(arg).isDefined)
-      def recastDefused(colName: String): Boolean =
-        ("(?<![a-z0-9_])(round|cast)\\s*\\(\\s*" +
-          java.util.regex.Pattern.quote(colName) + "(?![a-z0-9_])").r
-          .findFirstIn(o).isDefined
+      // a later re-projection defuses only in the same two forms the
+      // span check accepts: round(<col> …) or CAST(<col> AS DECIMAL…) —
+      // a non-decimal cast (e.g. CAST(s AS DOUBLE)) defuses nothing
+      def recastDefused(colName: String): Boolean = {
+        val c = java.util.regex.Pattern.quote(colName)
+        (s"(?<![a-z0-9_])round\\s*\\(\\s*$c(?![a-z0-9_])".r.findFirstIn(o).isDefined ||
+          s"(?<![a-z0-9_])cast\\s*\\(\\s*$c\\s+as\\s+decimal".r.findFirstIn(o).isDefined)
+      }
       fpAggRe.findAllMatchIn(o).foreach { m =>
         val open = o.indexOf('(', m.start)
         closeOf(o, open).foreach { close =>

@@ -67,9 +67,9 @@ class FuzzSpec extends AnyFunSuite {
     val exprAggs = shapes.count(_.aggs.exists(a => Set("a7", "a9")(a.name)))
     info(s"expression-aggregate shapes: $exprAggs")
     assert(exprAggs >= 20, s"expression-argument aggregates under-covered: $exprAggs")
-    val tvAggs = shapes.count(_.aggs.exists(_.name == "a8")) +
-      shapes.count(_.groupKeys.exists(_.name == "g6"))
-    info(s"chain-column consumers (a8/g6): $tvAggs")
+    val tvAggs = shapes.count(s =>
+      s.aggs.exists(_.name == "a8") || s.groupKeys.exists(_.name == "g6"))
+    info(s"chain-column consumers (a8 or g6): $tvAggs")
     assert(tvAggs >= 3, s"chain-table column consumption under-covered: $tvAggs")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)

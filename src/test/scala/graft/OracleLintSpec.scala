@@ -278,5 +278,16 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.knifeEdgeFpAgg("t", defusedPlan,
       "SELECT k, round(sum(x), 2) AS s FROM t GROUP BY k").isEmpty,
       "identically-defused oracle must pass")
+    // a later round(<col>) re-projection DOES defuse (the CTE pattern)…
+    assert(OracleLint.knifeEdgeFpAgg("t", defusedPlan,
+      "WITH b AS (SELECT k, sum(x) AS s FROM t GROUP BY k) " +
+        "SELECT k, round(s, 2) AS s FROM b").isEmpty,
+      "round(col) re-projection must defuse")
+    // …but a NON-decimal recast does not (r18 review finding, pinned):
+    // CAST(s AS DOUBLE) leaves the order-dependent value fully exposed
+    assert(OracleLint.knifeEdgeFpAgg("t", defusedPlan,
+      "WITH b AS (SELECT k, sum(x) AS s FROM t GROUP BY k) " +
+        "SELECT k, CAST(s AS DOUBLE) AS s FROM b").nonEmpty,
+      "CAST(col AS DOUBLE) re-projection must not defuse the text half")
   }
 }
