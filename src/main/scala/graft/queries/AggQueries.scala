@@ -109,14 +109,17 @@ object AggQueries {
                   FROM orders GROUP BY o_orderpriority"""))),
 
     // ApproxCountDistinct (aggregates.scala:275, HLL) — different HLL
-    // lineages can't hash-match, so the ORACLED contract is the reference's
-    // own accuracy bound (rsd=0.05): |approx-exact|/exact < 0.05, emitted as
-    // a boolean next to the exact count. The oracle computes the exact count
-    // and asserts the bound trivially holds (true).
+    // lineages can't hash-match, so the ORACLED contract is an accuracy
+    // bound emitted as a boolean next to the exact count; the oracle
+    // computes the exact count and asserts the bound trivially holds
+    // (true). r18: the sketch runs at rsd=0.01 while the asserted bound
+    // stays 0.05 — a 5σ margin; at rsd=0.05 the same bound was 1σ, a
+    // knife-edge for a DETERMINISTIC estimator over any future corpus
+    // (the class the 3× fixture caught on the rdd_* HLL rows).
     Q("agg_approx_count_distinct",
       (s, d) => table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_nd"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"),
           countDistinct(col("l_partkey")).as("exact_nd"))
         .select(col("l_returnflag"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")) / col("exact_nd") < 0.05)

@@ -231,15 +231,20 @@ object RddQueries {
 
     // countApproxDistinctByKey (PairRDDFunctions.scala:382): HyperLogLog
     // per key. The estimate is sketch-implementation-specific, so the
-    // ORACLED contract is the rsd tolerance the API promises (±15% at
-    // rsd=0.05 is 3σ-loose) alongside the exact distinct count.
+    // ORACLED contract is a tolerance alongside the exact distinct
+    // count. r18: rsd tightened 0.05 → 0.01 — the error of a
+    // DETERMINISTIC sketch over a FIXED input is not a coin flip, and
+    // the 3× fixture's 450k structured keys landed the rsd=0.05
+    // estimate >3.3σ out (±15% tol ≡ 3σ there — the fixed-tolerance-
+    // over-scale-dependent-estimator flake class). At rsd=0.01 the same
+    // ±15% contract is a ~15σ margin at any corpus.
     Q("rdd_count_approx_distinct_by_key",
       (s, d) => {
         import s.implicits._
         val est = table(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_orderkey"))
           .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).rdd
-          .countApproxDistinctByKey(0.05)
+          .countApproxDistinctByKey(0.01)
           .toDF("l_returnflag", "est")
         val exact = table(s, d, "lineitem").groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_orderkey")).as("n_exact"))
@@ -252,8 +257,9 @@ object RddQueries {
                   FROM lineitem GROUP BY 1"""))),
 
     // countApproxDistinct (RDD.scala:1295, non-keyed HLL): same
-    // rsd-tolerance contract as the keyed variant, over the union of two
-    // id spaces so the estimate covers a genuinely distinct-heavy input.
+    // tolerance contract as the keyed variant (rsd 0.01 after the 3×
+    // finding — see above), over the union of two id spaces so the
+    // estimate covers a genuinely distinct-heavy input.
     // Like every rdd_*_approx row, the driver-side action is inherent to
     // the API under test; its result enters as the DataFrame's CONTENT
     // (the sibling construction) rather than a lit() spliced into
@@ -266,7 +272,7 @@ object RddQueries {
           .as(Encoders.scalaLong).rdd
         val exact = table(s, d, "orders").agg(
           countDistinct(col("o_orderkey")).as("n_exact"))
-        Seq(ids.countApproxDistinct(0.05)).toDF("est")
+        Seq(ids.countApproxDistinct(0.01)).toDF("est")
           .crossJoin(broadcast(exact))
           .select(col("n_exact"),
             (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.15).as("within_tol"))
