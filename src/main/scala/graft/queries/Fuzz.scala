@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *   scan → derived nullable key → [inner/left/right/full/semi/anti
   *   join on `=` or `<=>`, optionally COMPOSITE (a second non-null
   *   equality component)] → [second hop on rk, ANY join type incl.
-  *   right/full] → post-join filter → group-by on key functions and
-  *   CASE/arith expressions → count/sum/min/max/count-distinct over
-  *   first-hop AND chain columns, incl. expression arguments
-  *   (+ HAVING) → order/limit          (ring widened in r18)
+  *   right/full] → post-join filter [+ uncorrelated IN-subquery over
+  *   lv — the RewritePredicateSubquery surface] → group-by on key
+  *   functions, CASE/arith expressions, and a STRING-cast key →
+  *   count/sum/min/max/count-distinct over first-hop AND chain
+  *   columns, incl. expression arguments (+ HAVING) → order/limit
+  *   (two rings widened in r18)
   *
   * — with every generated shape rendered THREE ways from one AST:
   *   (a) a Spark DataFrame plan (the primary leg — the API users call),
@@ -114,6 +116,12 @@ object Fuzz {
       composite: Boolean,
       chain: Option[ChainSpec], // second hop on rk (any join type, r18)
       postFilter: Option[(String, Int)], // (op, literal) over lv
+      // r18 ring 2: an uncorrelated IN-subquery filter over lv — the
+      // RewritePredicateSubquery surface (IN → left-semi planning).
+      // DF leg spells it as the semi join it plans to; SQL legs spell
+      // `lv IN (SELECT …)`. Identical for the positive-IN case even
+      // with NULLs on either side (no-match and UNKNOWN both drop).
+      inFilter: Option[ScanSpec],
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
       havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
@@ -146,6 +154,12 @@ object Fuzz {
           case "<=" => col("lv") <= v
           case _ => col("lv") % 2 === (v % 2)
         })
+      }
+      inFilter.foreach { iv =>
+        val sub = graft.Engine.table(spark, dir, iv.table)
+          .filter(col(iv.idCol) % iv.sampS < iv.sampC)
+          .select(col(iv.valCol).as("iv"))
+        cur = cur.join(sub, cur("lv") === sub("iv"), "left_semi")
       }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
       var out =
@@ -204,14 +218,19 @@ object Fuzz {
           from = s"$from ${kw(c.joinType)} $tT ON ${eqOp(c.nullSafe)("r.rk", "t.tk")}"
         }
       }
-      val wh = postFilter.map { case (op, v) =>
-        val pred = op match {
+      val preds = postFilter.map { case (op, v) =>
+        op match {
           case ">" => s"lv > $v"
           case "<=" => s"lv <= $v"
           case _ => s"lv % 2 = ${v % 2}"
         }
-        if (fromHasWhere) s" AND $pred" else s" WHERE $pred"
-      }.getOrElse("")
+      }.toSeq ++ inFilter.map { iv =>
+        s"lv IN (SELECT ${iv.valCol} FROM ${tbl(iv.table)} " +
+          s"WHERE ${iv.idCol} % ${iv.sampS} < ${iv.sampC})"
+      }.toSeq
+      val wh =
+        if (preds.isEmpty) ""
+        else (if (fromHasWhere) " AND " else " WHERE ") + preds.mkString(" AND ")
       val sel = (groupKeys.map(g => s"${g.sqlExpr} AS ${g.name}") ++
         aggs.map { a =>
           if (duck && a.sumLike) s"CAST(${a.sqlExpr} AS BIGINT) AS ${a.name}"
@@ -281,7 +300,11 @@ object Fuzz {
       val chain =
         if (rightVisible && r.nextInt(4) == 0)
           Some(ChainSpec(scan(r),
-            pick(r, Seq("inner", "left", "semi", "anti", "right", "full")),
+            // right/full double-weighted: the NULL-feeding outer chain
+            // is the reorder surface this ring exists for, and a
+            // uniform draw leaves it single-digit in a 200-shape stream
+            pick(r, Seq("inner", "left", "semi", "anti",
+              "right", "full", "right", "full")),
             r.nextInt(3) == 0))
         else None
       // t's columns survive only a visible (non-semi/anti) second hop
@@ -301,7 +324,12 @@ object Fuzz {
           when(col("lk") > caseTh, col("lk") % gm).otherwise(lit(-1)),
           s"CASE WHEN lk > $caseTh THEN lk % $gm ELSE -1 END")),
         Some(GroupKey("g5", (col("lk") + 7) % gm, s"(lk + 7) % $gm")),
-        if (tVisible) Some(GroupKey("g6", col("tk"), "tk")) else None).flatten
+        if (tVisible) Some(GroupKey("g6", col("tk"), "tk")) else None,
+        // r18 ring 2: a STRING-typed group key — string hash-partition/
+        // group semantics, digit-only so the digest's BIGINT cast-back
+        // is clean and lexicographic ORDER BY agrees between engines
+        Some(GroupKey("g7", col("lk").cast("string"),
+          "CAST(lk AS STRING)"))).flatten
       // 0..2 group keys; empty = global aggregate
       val nKeys = r.nextInt(3)
       val groupKeys = r.shuffle(keyMenu).take(nKeys).sortBy(_.name)
@@ -338,12 +366,14 @@ object Fuzz {
       val postFilter =
         if (r.nextInt(3) == 0) Some((pick(r, Seq(">", "<=", "%2")), 1 + r.nextInt(20)))
         else None
+      // r18 ring 2: ~1/5 of shapes add an uncorrelated IN-subquery over lv
+      val inF = if (r.nextInt(5) == 0) Some(scan(r)) else None
       val having =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
       val lim =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(8)) else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
-        groupKeys, aggsSorted, having, lim)
+        inF, groupKeys, aggsSorted, having, lim)
     }
   }
 
@@ -389,6 +419,7 @@ object Fuzz {
       s => s.chain.map(_ => s.copy(chain = None)),
       s => if (s.composite) Some(s.copy(composite = false)) else None,
       s => s.postFilter.map(_ => s.copy(postFilter = None)),
+      s => s.inFilter.map(_ => s.copy(inFilter = None)),
       s => if (s.aggs.size > 1) Some(s.copy(aggs = s.aggs.take(1))) else None,
       s => if (s.groupKeys.size > 1) Some(s.copy(groupKeys = s.groupKeys.take(1))) else None,
       s => if (s.groupKeys.size == 1) Some(s.copy(groupKeys = Nil, havingMin = None, limit = None)) else None,

@@ -71,6 +71,13 @@ class FuzzSpec extends AnyFunSuite {
       s.aggs.exists(_.name == "a8") || s.groupKeys.exists(_.name == "g6"))
     info(s"chain-column consumers (a8 or g6): $tvAggs")
     assert(tvAggs >= 3, s"chain-table column consumption under-covered: $tvAggs")
+    // r18 ring 2: IN-subquery filters and string group keys
+    val inFs = shapes.count(_.inFilter.nonEmpty)
+    info(s"IN-subquery filters: $inFs")
+    assert(inFs >= 20, s"IN-subquery filters under-covered: $inFs")
+    val strKeys = shapes.count(_.groupKeys.exists(_.name == "g7"))
+    info(s"string group keys: $strKeys")
+    assert(strKeys >= 8, s"string-typed group keys under-covered: $strKeys")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
