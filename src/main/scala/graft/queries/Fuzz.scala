@@ -82,6 +82,18 @@ object Fuzz {
       s"SELECT CASE WHEN $idCol % $nullP = 0 THEN NULL " +
         s"ELSE $keyCol % $keyMod END AS $kName, $valCol AS $vName " +
         s"FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
+
+    /** VALUES-ONLY renderings for the IN-subquery decoration (r18 ring
+      * 2): just the sampled value column — keyCol/keyMod/nullP do NOT
+      * apply (no derived key, no NULL stripe). Paired here so the DF
+      * semi-join leg and the SQL `IN (…)` text cannot drift apart. */
+    def valuesDf(spark: SparkSession, dir: String, name: String): DataFrame =
+      graft.Engine.table(spark, dir, table)
+        .filter(col(idCol) % sampS < sampC)
+        .select(col(valCol).as(name))
+
+    def valuesSql(tbl: String => String): String =
+      s"SELECT $valCol FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
   }
 
   /** A grouping expression with its three renderings kept in lockstep. */
@@ -156,9 +168,7 @@ object Fuzz {
         })
       }
       inFilter.foreach { iv =>
-        val sub = graft.Engine.table(spark, dir, iv.table)
-          .filter(col(iv.idCol) % iv.sampS < iv.sampC)
-          .select(col(iv.valCol).as("iv"))
+        val sub = iv.valuesDf(spark, dir, "iv")
         cur = cur.join(sub, cur("lv") === sub("iv"), "left_semi")
       }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
@@ -224,10 +234,7 @@ object Fuzz {
           case "<=" => s"lv <= $v"
           case _ => s"lv % 2 = ${v % 2}"
         }
-      }.toSeq ++ inFilter.map { iv =>
-        s"lv IN (SELECT ${iv.valCol} FROM ${tbl(iv.table)} " +
-          s"WHERE ${iv.idCol} % ${iv.sampS} < ${iv.sampC})"
-      }.toSeq
+      }.toSeq ++ inFilter.map(iv => s"lv IN (${iv.valuesSql(tbl)})").toSeq
       val wh =
         if (preds.isEmpty) ""
         else (if (fromHasWhere) " AND " else " WHERE ") + preds.mkString(" AND ")

@@ -51,7 +51,13 @@ class FuzzSpec extends AnyFunSuite {
     info(s"two-hop chains: ${chains.size} / $N " +
       s"(${chains.groupBy(_.joinType).view.mapValues(_.size).toMap})")
     assert(chains.size >= 20, "two-hop join chains under-covered")
-    assert(chains.map(_.joinType).distinct.size >= 3, "chain join types under-covered")
+    // per-type floor (r18 review): right/full are deliberately
+    // double-weighted, but every chain type must still APPEAR — a menu
+    // tweak must not silently zero the inner/left reorder coverage the
+    // earlier rings established
+    for (jt <- Seq("inner", "left", "semi", "anti", "right", "full"))
+      assert(chains.count(_.joinType == jt) >= 2,
+        s"chain type $jt under-covered: ${chains.groupBy(_.joinType).view.mapValues(_.size).toMap}")
     // r18 ring census — each new class must appear with a solid count
     val nComposite = shapes.count(_.composite)
     info(s"composite-key shapes: $nComposite / $N")
