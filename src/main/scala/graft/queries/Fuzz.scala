@@ -423,7 +423,17 @@ object Fuzz {
     val steps: Seq[ShapeSpec => Option[ShapeSpec]] = Seq(
       s => s.limit.map(_ => s.copy(limit = None)),
       s => s.havingMin.map(_ => s.copy(havingMin = None)),
-      s => s.chain.map(_ => s.copy(chain = None)),
+      // chain removal must also drop the chain-column CONSUMERS (a8
+      // sum(tv), g6 group-by tk) or the candidate is unanalyzable and
+      // only "passes" because both legs crash (r18 ADVICE); if that
+      // empties the grouping, the ORDER BY/LIMIT decoration goes too
+      s => s.chain.map { _ =>
+        val gk = s.groupKeys.filterNot(_.name == "g6")
+        s.copy(chain = None,
+          aggs = s.aggs.filterNot(_.name == "a8"),
+          groupKeys = gk,
+          limit = if (gk.isEmpty) None else s.limit)
+      },
       s => if (s.composite) Some(s.copy(composite = false)) else None,
       s => s.postFilter.map(_ => s.copy(postFilter = None)),
       s => s.inFilter.map(_ => s.copy(inFilter = None)),

@@ -321,7 +321,18 @@ object OracleLint {
     * NOT flagged (provably order-independent):
     *   - sum/avg over INTEGRAL inputs, including a direct
     *     Cast(int→double): every partial sum is integral, and doubles
-    *     are exact on integers below 2^53 — order cannot matter;
+    *     are exact on integers below 2^53 — order cannot matter.
+    *     SCALE BOUND (r18 ADVICE): this exemption is CORPUS-SIZE-
+    *     dependent, not absolute — Spark's Sum/Average over an
+    *     int-cast-to-double accumulate in a DOUBLE buffer, so it holds
+    *     only while max(|value|) × rows < 2^53 ≈ 9.0e15 for every
+    *     partial. The driver corpora sit far inside it (worst case:
+    *     sf0.1 lineitem ~600k rows × keys ≤ ~2e7 ≈ 1.2e13; the 3×
+    *     fixture's offset keys ≤ ~2.1e7 × 1.8M rows ≈ 3.8e13), but a
+    *     future scale-up round that pushes any summed-integral ×
+    *     row-count product toward 9e15 must RE-EXAMINE this exemption
+    *     rather than trust the lint's silence — above the bound the
+    *     partials shed low bits and the sum is order-dependent again;
     *   - sum over DECIMAL (exact arithmetic);
     *   - min/max/first/last/count (duplicate-/order-invariant or not
     *     accumulated);
@@ -430,11 +441,24 @@ object OracleLint {
             arg => "as\\s+decimal".r.findFirstIn(arg).isDefined)
       // a later re-projection defuses only in the same two forms the
       // span check accepts: round(<col> …) or CAST(<col> AS DECIMAL…) —
-      // a non-decimal cast (e.g. CAST(s AS DOUBLE)) defuses nothing
+      // a non-decimal cast (e.g. CAST(s AS DOUBLE)) defuses nothing.
+      // r19 (r18 ADVICE): the defusing match must be ALIAS-DEFINING for
+      // the hazard column — `round(<col>…) AS <col>` — mirroring how
+      // the plan half requires the defuser to DOMINATE the aggregate. A
+      // bare `round(<col>…)` anywhere (a HAVING/WHERE predicate, an
+      // unrelated CTE) rounds a copy while the final projection still
+      // exposes the raw FP-accumulated value — that was a launderable
+      // false-negative path in the net.
       def recastDefused(colName: String): Boolean = {
         val c = java.util.regex.Pattern.quote(colName)
-        (s"(?<![a-z0-9_])round\\s*\\(\\s*$c(?![a-z0-9_])".r.findFirstIn(o).isDefined ||
-          s"(?<![a-z0-9_])cast\\s*\\(\\s*$c\\s+as\\s+decimal".r.findFirstIn(o).isDefined)
+        def defines(re: scala.util.matching.Regex): Boolean =
+          re.findAllMatchIn(o).exists { m =>
+            val open = o.indexOf('(', m.start)
+            closeOf(o, open).exists(close =>
+              aliasAfter(o, close + 1).contains(colName))
+          }
+        defines(s"(?<![a-z0-9_])round\\s*\\(\\s*$c(?![a-z0-9_])".r) ||
+          defines(s"(?<![a-z0-9_])cast\\s*\\(\\s*$c\\s+as\\s+decimal".r)
       }
       fpAggRe.findAllMatchIn(o).foreach { m =>
         val open = o.indexOf('(', m.start)

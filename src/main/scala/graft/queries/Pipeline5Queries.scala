@@ -562,6 +562,14 @@ object Pipeline5Queries {
           // NULL, and MinValue keeps a hypothetical NULL price sorting
           // LAST under desc — where both engines' NULLS-LAST default
           // would place it in the verbatim ntile ordering.
+          // CAVEAT (r18 ADVICE): the coalesce keeps the RANK consistent
+          // but substitutes a concrete VALUE where the oracle would
+          // carry NULL — this row never exposes o_totalprice in its
+          // output (only the decile aggregates), which is what makes
+          // the guard sound; if a future edit ever projects the
+          // coalesced price directly, spell the SAME
+          // coalesce(o_totalprice, -1.7976931348623157e308) in the
+          // oracle SQL or the legs diverge on that value.
           .select(col("o_orderkey"),
             coalesce(col("o_totalprice"), lit(Double.MinValue)).as("o_totalprice"),
             // coalesce: a NULL status is a non-positive (the oracle's

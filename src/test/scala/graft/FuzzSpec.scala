@@ -110,13 +110,24 @@ class FuzzSpec extends AnyFunSuite {
     def describeFailure(s: Fuzz.ShapeSpec, kind: String): String = {
       // shrink to the minimal still-failing spec so the repro is
       // readable (and pinnable as a registry row)
-      def fails(c: Fuzz.ShapeSpec): Boolean =
-        try {
-          kind match {
-            case "sql" => legDf(c) != legSql(c)
-            case _ => legDf(c) != legRulesOff(c)
-          }
-        } catch { case _: Throwable => false }
+      // r19 (r18 ADVICE): distinguish "candidate invalid" (BOTH legs
+      // throw — not a smaller repro, reject the step) from "candidate
+      // crashed ONE engine" (itself a divergence class — keep shrinking
+      // toward it rather than silently masking the smaller repro)
+      def fails(c: Fuzz.ShapeSpec): Boolean = {
+        def leg(f: => Seq[String]): Either[Throwable, Seq[String]] =
+          try Right(f) catch { case t: Throwable => Left(t) }
+        val a = leg(legDf(c))
+        val b = kind match {
+          case "sql" => leg(legSql(c))
+          case _ => leg(legRulesOff(c))
+        }
+        (a, b) match {
+          case (Right(x), Right(y)) => x != y
+          case (Left(_), Left(_)) => false
+          case _ => true
+        }
+      }
       val min = Fuzz.shrink(s, fails)
       s"shape ${s.id} diverged ($kind). Minimal repro:\n" +
         s"  spark-sql: ${min.sqlFor(duck = false)}\n" +
