@@ -581,6 +581,33 @@ object Sql18Queries {
         ON lb.k IS NOT DISTINCT FROM rb.k2
       GROUP BY k % 10"""),
 
+    // r19 SUCCESSOR verbatim witness (the precondition the widening doc
+    // demands, landed BEFORE the sum(DISTINCT) widening commit):
+    // sum(DISTINCT <expression>) is outside EVERY analytic scope — the
+    // rule reasons only about BARE side attributes — so this row keeps a
+    // genuine verbatim `<=>` ENGINE execution oracle-checked after
+    // sum(DISTINCT <bare integral attr>) joins the rewrite. The argument
+    // oid % 97 + 3 folds the ~hundreds-wide oid stripe onto ≤ 97 residue
+    // classes, so the NULL group's distinct sum differs from both the
+    // plain sum (duplicates dropped) and any stripe-local bare-attribute
+    // aggregate (the expression is not a column). DuckDB widens
+    // sum(DISTINCT int) to HUGEINT — oracle casts to BIGINT per the
+    // typing rule. Bounded key populations keep the verbatim bucket tiny
+    // at any SF.
+    q("jn_nullsafe_sumd_verbatim", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             sum(DISTINCT oid % 97 + 3) AS s_dexpr
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k <=> rb.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(DISTINCT oid % 97 + 3) AS BIGINT) AS s_dexpr
+      FROM (SELECT k FROM l WHERE id <= 600) lb
+      JOIN (SELECT oid, k2 FROM r WHERE oid <= 6000) rb
+        ON lb.k IS NOT DISTINCT FROM rb.k2
+      GROUP BY k % 10"""),
+
     // VERBATIM null-safe join, BOUNDED (r13 ADVICE): the engine itself
     // executes `IS NOT DISTINCT FROM` — Spark's ExtractEquiJoinKeys
     // treats EqualNullSafe as an equi-join key, so the NULL stripes
