@@ -125,6 +125,19 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   * nullable included; only multi-argument/expression-argument forms
   * and FILTER stay out.
   *
+  * The r19 widening completes the family per the r18 verdict (#4):
+  * sum(DISTINCT <bare INTEGRAL side attribute>), LEGACY mode — the
+  * [[CountDistinctSide]] duplicate-invariance argument (bucket value =
+  * own-side stripe's distinct sum, every join type, no case split; the
+  * opposite-extension case coincides with the empty stripe's NULL)
+  * composed with the [[SumSide]] type/mode matrix (the same SET summed
+  * in a different ORDER is identical only for integral LEGACY
+  * arithmetic). Landed witness-first: jn_nullsafe_sumd_verbatim (an
+  * expression-argument sum(DISTINCT oid % 97 + 3)) keeps a verbatim
+  * `<=>` execution no bare-attribute scope can claim. avg(DISTINCT)
+  * is closed by the same note as avg: its double sum buffer is the
+  * FP order-dependence the DOUBLE exclusion argues.
+  *
   * EFFECTIVE SCOPE — one distinct GROUP per Aggregate, structurally:
   * this rule runs in the terminal "User Provided Optimizers" batch,
   * and Spark's own RewriteDistinctAggregates has by then rewritten any
@@ -234,6 +247,38 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
     * identically by the stripe aggregate and the verbatim one). */
   private final case class CountDistinctSide(left: Boolean,
     attr: AttributeReference) extends AggKind
+  /** sum(DISTINCT a) over a bare INTEGRAL side attribute, LEGACY mode —
+    * the r19 widening, completing the null-safe family per the r18
+    * verdict (#4). The DUPLICATE-INVARIANCE argument is
+    * [[CountDistinctSide]]'s verbatim — the bucket value is the
+    * own-side stripe's distinct sum for EVERY join type, no case split:
+    *   - cross-matched stripes only repeat own-side rows — the distinct
+    *     SET is unchanged, so its sum is unchanged;
+    *   - the own side's null-extension keeps exactly the stripe rows —
+    *     same set again;
+    *   - the OPPOSITE side's extension makes the column all-NULL, so
+    *     the verbatim sum(DISTINCT) is NULL — and that case only arises
+    *     when the own stripe is EMPTY, whose stripe distinct sum is
+    *     already NULL (sum over no rows). The two coincide identically
+    *     (note the contrast with count's 0 — sum's empty value is NULL,
+    *     value-proven by the left_sumd0 row).
+    * Unlike the non-distinct [[SumSide]] there is NO multiplication —
+    * the stripe aggregate sums exactly the same SET the verbatim one
+    * would — but the set may still be iterated in a different ORDER, so
+    * the SumSide type/mode matrix applies unchanged: integral + LEGACY
+    * is exact mod 2^64 under any order; DOUBLE differs in ULPs per
+    * order; DECIMAL's overflow→NULL checkpoints and ANSI's throw points
+    * are order-sensitive near the bound — all three keep the verbatim
+    * join. NULLs inside the stripe are ignored identically by both
+    * derivations, so a NULLABLE attribute is in scope (sideOf, not
+    * sided). avg(DISTINCT) stays excluded outright with avg: its
+    * double sum buffer re-introduces the FP order-dependence the
+    * SumSide DOUBLE exclusion argues. Expression-argument distinct sums
+    * are out of scope forever — jn_nullsafe_sumd_verbatim is the
+    * successor verbatim `<=>` execution witness (landed first, per the
+    * deferred-widening protocol). */
+  private final case class SumDistinctSide(left: Boolean,
+    attr: AttributeReference, ctx: NumericEvalContext) extends AggKind
 
   private val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -265,6 +310,13 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
       // about and keep the verbatim join (jn_nullsafe_pairs_verbatim)
       case Count(Seq(a: AttributeReference)) =>
         sideOf(a).map(CountDistinctSide(_, a))
+      // the r19 widening — sum(DISTINCT <bare integral attr>), LEGACY
+      // only (see SumDistinctSide); expression arguments keep verbatim
+      // (jn_nullsafe_sumd_verbatim)
+      case s @ Sum(a: AttributeReference, _)
+          if s.evalContext.evalMode == EvalMode.LEGACY &&
+            integralTypes(a.dataType) =>
+        sideOf(a).map(SumDistinctSide(_, a, s.evalContext))
       case _ => None
     } else ae.aggregateFunction match {
       case Count(children)
@@ -394,10 +446,20 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               aggKinds.collect {
                 case Some(scala.util.Left(CountDistinctSide(`left`, a))) => a
               }.distinctBy(_.exprId)
+            // the r19 sum(DISTINCT) widening: one stripe-local distinct
+            // sum per distinct summed attribute. The original Aggregate
+            // passed distinctOk (≤ 1 distinct group), so any cd/sd
+            // attributes here are ONE attribute — the stripe Aggregate
+            // also has at most one distinct group and plans normally.
+            def sdAttrsOf(left: Boolean): Seq[(AttributeReference, NumericEvalContext)] =
+              aggKinds.collect {
+                case Some(scala.util.Left(SumDistinctSide(`left`, a, ctx))) => (a, ctx)
+              }.distinctBy(_._1.exprId)
             def stripeAgg(side: LogicalPlan, key: Attribute, n: String,
                 sumAttrs: Seq[(AttributeReference, NumericEvalContext)],
                 mmAttrs: Seq[(AttributeReference, Boolean)],
-                cdAttrs: Seq[AttributeReference]) = {
+                cdAttrs: Seq[AttributeReference],
+                sdAttrs: Seq[(AttributeReference, NumericEvalContext)]) = {
               val cnt = Alias(Count(Literal(1)).toAggregateExpression(), n)()
               // the stripe sum inherits the ORIGINAL Sum's eval context —
               // re-deriving from the conf at rule time could flip mode if
@@ -412,22 +474,32 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
                 a.exprId -> Alias(
                   Count(Seq(a)).toAggregateExpression(isDistinct = true, filter = None),
                   n + "_cd")() }
+              val sds = sdAttrs.map { case (a, ctx) =>
+                a.exprId -> Alias(
+                  Sum(a, ctx).toAggregateExpression(isDistinct = true, filter = None),
+                  n + "_sd")() }
               val cols: Seq[NamedExpression] =
-                (key +: (sumAttrs.map(_._1) ++ mmAttrs.map(_._1) ++ cdAttrs))
+                (key +: (sumAttrs.map(_._1) ++ mmAttrs.map(_._1) ++ cdAttrs ++
+                  sdAttrs.map(_._1)))
                   .distinctBy(_.exprId)
-              (Aggregate(Nil, ((cnt +: sums.map(_._2)) ++ mms.map(_._2)) ++ cds.map(_._2),
+              (Aggregate(Nil,
+                (((cnt +: sums.map(_._2)) ++ mms.map(_._2)) ++ cds.map(_._2)) ++
+                  sds.map(_._2),
                 Filter(IsNull(key), Project(cols, side))),
                 cnt.toAttribute,
                 sums.map { case (id, al) => id -> al.toAttribute }.toMap,
                 mms.map { case (k2, al) => k2 -> al.toAttribute }.toMap,
-                cds.map { case (id, al) => id -> al.toAttribute }.toMap)
+                cds.map { case (id, al) => id -> al.toAttribute }.toMap,
+                sds.map { case (id, al) => id -> al.toAttribute }.toMap)
             }
-            val (nlPlan, nl, lSums, lMms, lCds) =
+            val (nlPlan, nl, lSums, lMms, lCds, lSds) =
               stripeAgg(l, lk, "graft_nsc_nl",
-                sumAttrsOf(true), minMaxAttrsOf(true), cdAttrsOf(true))
-            val (nrPlan, nr, rSums, rMms, rCds) =
+                sumAttrsOf(true), minMaxAttrsOf(true), cdAttrsOf(true),
+                sdAttrsOf(true))
+            val (nrPlan, nr, rSums, rMms, rCds, rSds) =
               stripeAgg(r, rk, "graft_nsc_nr",
-                sumAttrsOf(false), minMaxAttrsOf(false), cdAttrsOf(false))
+                sumAttrsOf(false), minMaxAttrsOf(false), cdAttrsOf(false),
+                sdAttrsOf(false))
             val nlPos = GreaterThan(nl, Literal(0L))
             val nrPos = GreaterThan(nr, Literal(0L))
             // LEGACY-pinned (r17 ADVICE): the verbatim count/sum this
@@ -483,6 +555,12 @@ object LinearizeNullSafeCountAgg extends Rule[LogicalPlan] {
               // count already 0" collapse as min/max
               case CountDistinctSide(isLeft, a) =>
                 if (isLeft) lCds(a.exprId) else rCds(a.exprId)
+              // sum(DISTINCT a): the own-side stripe's distinct sum,
+              // every join type — duplicate-invariance again, with the
+              // empty case coinciding on NULL instead of 0 (sum over no
+              // rows is NULL; see the SumDistinctSide doc)
+              case SumDistinctSide(isLeft, a, _) =>
+                if (isLeft) lSds(a.exprId) else rSds(a.exprId)
               case SumSide(isLeft, a, ctx) =>
                 val own = if (isLeft) lSums(a.exprId) else rSums(a.exprId)
                 val oppCnt = if (isLeft) nr else nl

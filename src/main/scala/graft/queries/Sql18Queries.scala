@@ -465,6 +465,49 @@ object Sql18Queries {
       FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
       GROUP BY k % 10, k2 % 10"""),
 
+    // r19 widening: sum(DISTINCT <bare integral side attribute>) over
+    // the FULL fractional-stripe inputs — duplicate-invariant like the
+    // cntd family (bucket value = the own-side stripe's distinct sum,
+    // every join type, no case split) composed with the sum family's
+    // integral-LEGACY exactness (same SET, any order, exact mod 2^64).
+    // The rewrite is what keeps this linear: a verbatim plan
+    // materializes nl·nr bucket pairs and runs the distinct Expand over
+    // them. Oracle runs the verbatim null-safe join; DuckDB widens
+    // sum(DISTINCT BIGINT) to HUGEINT, hence the oracle-side cast.
+    q("jn_nullsafe_sumd_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(DISTINCT id) AS sd_ids
+      FROM l JOIN r ON l.k <=> r.k2 GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(DISTINCT id) AS BIGINT) AS sd_ids
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2 GROUP BY k % 10"""),
+
+    // LEFT variant with the right stripe EMPTY: the bucket is the nl
+    // null-EXTENDED left rows — sum(DISTINCT oid) over the all-NULL
+    // column is NULL, which COINCIDES with the empty right stripe's
+    // distinct sum (sum over no rows — the contrast with count's 0,
+    // value-proven here; PlanSpec pins the NULL directly).
+    q("jn_nullsafe_left_sumd0_engine", """
+      SELECT k % 10 AS kg, count(*) AS n, sum(DISTINCT oid) AS sd_oids
+      FROM l LEFT JOIN (SELECT oid, k2 FROM r WHERE k2 IS NOT NULL) rn
+        ON l.k <=> rn.k2
+      GROUP BY k % 10""", """
+      SELECT k % 10 AS kg, count(*) AS n,
+             CAST(sum(DISTINCT oid) AS BIGINT) AS sd_oids
+      FROM l LEFT JOIN (SELECT oid, k2 FROM r WHERE k2 IS NOT NULL) rn
+        ON l.k IS NOT DISTINCT FROM rn.k2
+      GROUP BY k % 10"""),
+
+    // FULL variant (single distinct group) — the group-collision guard
+    // still demands both keys in the grouping.
+    q("jn_nullsafe_full_sumd_engine", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             sum(DISTINCT id) AS sd_ids, count(*) AS n
+      FROM l FULL JOIN r ON l.k <=> r.k2 GROUP BY k % 10, k2 % 10""", """
+      SELECT k % 10 AS lg, k2 % 10 AS rg,
+             CAST(sum(DISTINCT id) AS BIGINT) AS sd_ids, count(*) AS n
+      FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      GROUP BY k % 10, k2 % 10"""),
+
     // GUARD row: a FILTER-clause min is NOT analytic from the stripe
     // aggregate (the filter predicate would have to be replayed inside
     // the bucket) — the rewrite must keep the verbatim join. Bounded

@@ -50,7 +50,9 @@ object NullSafeBench {
           // r18 widening: count(DISTINCT <bare side attr>) rows — the
           // verbatim leg additionally pays the distinct Expand over the
           // quadratic bucket
-          "jn_nullsafe_cntd_engine", "jn_nullsafe_full_cntd_engine")) {
+          "jn_nullsafe_cntd_engine", "jn_nullsafe_full_cntd_engine",
+          // r19 widening: sum(DISTINCT <bare integral side attr>) rows
+          "jn_nullsafe_sumd_engine", "jn_nullsafe_full_sumd_engine")) {
         val (tOn, rowsOn) = time(name, dir)
         val saved = spark.experimental.extraOptimizations
         spark.experimental.extraOptimizations =

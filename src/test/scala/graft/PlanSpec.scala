@@ -1717,6 +1717,82 @@ class PlanSpec extends AnyFunSuite {
         multi.queryExecution.optimizedPlan)
   }
 
+  test("LinearizeNullSafeCountAgg sum(DISTINCT) widening fires on the sumd rows; the expression-argument witness keeps verbatim (r19)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    def nullSafeLeft(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect { case e: EqualNullSafe => e }))
+    // FIRED on the three fractional-stripe rows (inner, left with an
+    // empty right stripe, full-both-sides); each row's DuckDB oracle
+    // runs the verbatim null-safe join — the driver hash-compare is the
+    // widening's equivalence proof.
+    for (name <- Seq("jn_nullsafe_sumd_engine", "jn_nullsafe_left_sumd0_engine",
+        "jn_nullsafe_full_sumd_engine")) {
+      val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val o2 = d.queryExecution.optimizedPlan
+      assert(o2.collect { case u: Union => u }.nonEmpty,
+        s"$name: sum(DISTINCT) widening did not fire (no Union):\n$o2")
+      assert(nullSafeLeft(d).isEmpty,
+        s"$name: null-safe condition survived optimization:\n$o2")
+    }
+    // NULL-branch witness (the contrast with count's zero branch): with
+    // the right stripe EMPTY the bucket row's sum(DISTINCT right attr)
+    // is NULL — sum over no rows — not 0
+    val sd0 = SparkEntry.queries("jn_nullsafe_left_sumd0_engine")(spark, TestSpark.Sf)
+      .collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(sd0.isNullAt(2),
+      s"NULL branch: sum(DISTINCT right attr) over null-extended rows must be NULL: $sd0")
+    assert(sd0.getLong(1) > 0L,
+      s"NULL branch: bucket count(*) must be the null-extended left stripe: $sd0")
+    // value witness: the INNER row's bucket distinct sum equals the left
+    // stripe's own distinct sum computed first-hand, and count(*) is the
+    // cross product
+    import org.apache.spark.sql.functions._
+    val c = Engine.table(spark, TestSpark.Sf, "customer")
+    val o = Engine.table(spark, TestSpark.Sf, "orders")
+    val lDistinctSum = c.filter(col("c_custkey") % 50 === 7)
+      .select(col("c_custkey")).distinct()
+      .agg(sum("c_custkey")).collect()(0).getLong(0)
+    val nl = c.filter(col("c_custkey") % 50 === 7).count()
+    val nr = o.filter(col("o_custkey") % 50 === 13).count()
+    val sdDf = SparkEntry.queries("jn_nullsafe_sumd_engine")(spark, TestSpark.Sf)
+    val bucket = sdDf.collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group bucket row emitted"))
+    assert(bucket.getLong(1) === nl * nr,
+      s"bucket count(*) must be the cross product: $bucket vs ${nl * nr}")
+    assert(bucket.getLong(2) === lDistinctSum,
+      s"bucket sum(DISTINCT id) must be the left stripe's distinct sum: " +
+        s"$bucket vs $lDistinctSum")
+    // rewritten-vs-verbatim in-suite cross-check: rules OFF must produce
+    // the same row multiset
+    val rows = sdDf.collect().map(_.toString).sorted.toSeq
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val verbatim = SparkEntry.queries("jn_nullsafe_sumd_engine")(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows === verbatim, "rewritten result diverged from verbatim execution")
+    } finally spark.experimental.extraOptimizations = saved
+    // GUARD (the successor witness, landed first): sum(DISTINCT
+    // <expression>) is outside the bare-attribute scope — the row must
+    // KEEP its verbatim `<=>` execution
+    val guard = SparkEntry.queries("jn_nullsafe_sumd_verbatim")(spark, TestSpark.Sf)
+    assert(nullSafeLeft(guard).nonEmpty,
+      "guard failed: jn_nullsafe_sumd_verbatim no longer executes a verbatim " +
+        "null-safe join — expression-argument sum(DISTINCT) must block the " +
+        "rewrite:\n" + guard.queryExecution.optimizedPlan)
+    // structure witness on the guard: the NULL bucket's distinct
+    // expression sum is over residues oid % 97 + 3 — bounded by
+    // 97 * (3 + 99) even if every residue appears, and positive
+    val gBucket = guard.collect().find(_.isNullAt(0))
+      .getOrElse(fail("no NULL-group row in jn_nullsafe_sumd_verbatim"))
+    assert(!gBucket.isNullAt(2) && gBucket.getLong(2) > 0L &&
+      gBucket.getLong(2) <= 97L * 102L,
+      s"NULL bucket distinct-expression sum out of its residue-class bound: $gBucket")
+  }
+
   test("cache_columnar plans an InMemoryTableScan and materializes the columnar cache at its own first action (r16 verdict #4)") {
     // the row's declaration-time count() moved here: declaration is now a
     // pure plan build (census-enforced), and THIS is the state proof —

@@ -293,7 +293,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
         // may not reopen the bucket either (a verbatim regression would
         // additionally run the Expand over the quadratic pairs)
         "jn_nullsafe_cntd_engine", "jn_nullsafe_left_cntd0_engine",
-        "jn_nullsafe_full_cntd_engine", "jn_nullsafe_verbatim")) {
+        "jn_nullsafe_full_cntd_engine", "jn_nullsafe_verbatim",
+        // r19 sum(DISTINCT) widening rows — same contract again
+        "jn_nullsafe_sumd_engine", "jn_nullsafe_left_sumd0_engine",
+        "jn_nullsafe_full_sumd_engine")) {
       val small = maxJoinRows(name, "/root/testdata/sf0.01")
       val big = maxJoinRows(name, "/root/testdata/sf0.1")
       info(s"$name max equi-join rows: sf0.01=$small sf0.1=$big")
@@ -320,7 +323,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
         "jn_nullsafe_cnt_engine", "jn_nullsafe_full_cnt_engine",
         "jn_nullsafe_sum_engine", "jn_nullsafe_full_sum_engine",
         "jn_nullsafe_minmax_engine", "jn_nullsafe_full_minmax_engine",
-        "jn_nullsafe_cntd_engine", "jn_nullsafe_full_cntd_engine")) {
+        "jn_nullsafe_cntd_engine", "jn_nullsafe_full_cntd_engine",
+        "jn_nullsafe_sumd_engine", "jn_nullsafe_full_sumd_engine")) {
       val big = maxJoinRows(name, sf1)
       val big3 = maxJoinRows(name, sf3)
       info(s"$name max equi-join rows: sf0.1=$big 3×=$big3 (ratio ${big3.toDouble / math.max(big, 1)})")
