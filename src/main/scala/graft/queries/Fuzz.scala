@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   *   join on `=` or `<=>`, optionally COMPOSITE (a second non-null
   *   equality component)] → [second hop on rk, ANY join type incl.
   *   right/full] → post-join filter [+ uncorrelated IN-subquery over
-  *   lv — the RewritePredicateSubquery surface] → group-by on key
-  *   functions, CASE/arith expressions, and a STRING-cast key →
-  *   count/sum/min/max/count-distinct over first-hop AND chain
-  *   columns, incl. expression arguments (+ HAVING) → order/limit
-  *   (two rings widened in r18)
+  *   lv — the RewritePredicateSubquery surface; r19: + NOT IN over an
+  *   optionally NULL-bearing subquery (the null-aware anti join /
+  *   three-valued-logic trap) + correlated EXISTS / NOT EXISTS (the
+  *   decorrelation surface)] → group-by on key functions, CASE/arith
+  *   expressions, a STRING-cast key, and (r19) a DECIMAL(12,2)-cast
+  *   key → count/sum/min/max/count-distinct over first-hop AND chain
+  *   columns, incl. expression and (r19) DECIMAL-typed arguments
+  *   (+ HAVING) → order/limit, with (r19) small limits deliberately
+  *   cutting inside the NULLS-FIRST run of a nullable leading key
+  *   (two rings widened in r18; ring 3 added in r19)
   *
   * — with every generated shape rendered THREE ways from one AST:
   *   (a) a Spark DataFrame plan (the primary leg — the API users call),
@@ -94,6 +99,45 @@ object Fuzz {
 
     def valuesSql(tbl: String => String): String =
       s"SELECT $valCol FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
+
+    /** NOT-IN renderings (r19 ring 3): the sampled value column with an
+      * OPTIONAL NULL stripe (idCol % nullP == 0 → NULL). One NULL in a
+      * NOT IN subquery poisons every comparison to UNKNOWN and the
+      * result goes EMPTY — the classic three-valued-logic trap; Spark
+      * plans it as the null-aware anti join. Paired here so the DF
+      * anti-join leg and the SQL `NOT IN (…)` text cannot drift. */
+    def notInDf(spark: SparkSession, dir: String, name: String,
+        withNulls: Boolean): DataFrame =
+      graft.Engine.table(spark, dir, table)
+        .filter(col(idCol) % sampS < sampC)
+        .select(
+          (if (withNulls)
+            when(col(idCol) % nullP === 0, lit(null)).otherwise(col(valCol))
+          else col(valCol)).as(name))
+
+    def notInSql(tbl: String => String, withNulls: Boolean): String =
+      if (withNulls)
+        s"SELECT CASE WHEN $idCol % $nullP = 0 THEN NULL ELSE $valCol END " +
+          s"FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
+      else valuesSql(tbl)
+
+    /** WINDOW-input renderings (r19 ring 4): the derived nullable key,
+      * the value, and the id (a unique tiebreaker — ROWS frames and
+      * row_number need a TOTAL order or the result is draw-dependent).
+      * Paired so the DF Window leg and the OVER(...) texts agree. */
+    def winDf(spark: SparkSession, dir: String): DataFrame =
+      graft.Engine.table(spark, dir, table)
+        .filter(col(idCol) % sampS < sampC)
+        .select(
+          when(col(idCol) % nullP === 0, lit(null))
+            .otherwise(col(keyCol) % keyMod).as("k"),
+          col(valCol).as("v"),
+          col(idCol).as("i"))
+
+    def winSql(tbl: String => String): String =
+      s"SELECT CASE WHEN $idCol % $nullP = 0 THEN NULL " +
+        s"ELSE $keyCol % $keyMod END AS k, $valCol AS v, $idCol AS i " +
+        s"FROM ${tbl(table)} WHERE $idCol % $sampS < $sampC"
   }
 
   /** A grouping expression with its three renderings kept in lockstep. */
@@ -134,6 +178,21 @@ object Fuzz {
       // `lv IN (SELECT …)`. Identical for the positive-IN case even
       // with NULLs on either side (no-match and UNKNOWN both drop).
       inFilter: Option[ScanSpec],
+      // r19 ring 3a: `lv NOT IN (SELECT …)` with an optional NULL
+      // stripe in the subquery — the three-valued-logic trap the
+      // positive ring sidestepped. With a NULL present the result must
+      // go EMPTY; Spark's RewritePredicateSubquery plans the NULL-AWARE
+      // anti join (condition `lv = v OR isnull(lv = v)`), and the DF
+      // leg spells exactly that anti join, so the SQL-vs-DF
+      // differential machine-exercises the plan path.
+      notInFilter: Option[(ScanSpec, Boolean)], // (subquery, withNulls)
+      // r19 ring 3b: correlated [NOT] EXISTS over lv — the other half
+      // of the subquery surface (decorrelation). DF leg: the semi/anti
+      // join the decorrelator plans to; SQL legs spell the correlated
+      // EXISTS identically in both dialects (bare `lv` correlates to
+      // the outer scope; the subquery column is named `ev` so nothing
+      // shadows it).
+      existsFilter: Option[(ScanSpec, Boolean)], // (subquery, negated)
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
       havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
@@ -170,6 +229,19 @@ object Fuzz {
       inFilter.foreach { iv =>
         val sub = iv.valuesDf(spark, dir, "iv")
         cur = cur.join(sub, cur("lv") === sub("iv"), "left_semi")
+      }
+      notInFilter.foreach { case (nv, withNulls) =>
+        val sub = nv.notInDf(spark, dir, "nv", withNulls)
+        // the NULL-AWARE anti join — exactly the condition
+        // RewritePredicateSubquery plans NOT IN to: a row is dropped
+        // when ANY subquery row matches OR compares UNKNOWN
+        val eq = cur("lv") === sub("nv")
+        cur = cur.join(sub, eq || eq.isNull, "left_anti")
+      }
+      existsFilter.foreach { case (ev, negated) =>
+        val sub = ev.valuesDf(spark, dir, "ev")
+        cur = cur.join(sub, cur("lv") === sub("ev"),
+          if (negated) "left_anti" else "left_semi")
       }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
       var out =
@@ -234,7 +306,16 @@ object Fuzz {
           case "<=" => s"lv <= $v"
           case _ => s"lv % 2 = ${v % 2}"
         }
-      }.toSeq ++ inFilter.map(iv => s"lv IN (${iv.valuesSql(tbl)})").toSeq
+      }.toSeq ++ inFilter.map(iv => s"lv IN (${iv.valuesSql(tbl)})").toSeq ++
+        notInFilter.map { case (nv, withNulls) =>
+          s"lv NOT IN (${nv.notInSql(tbl, withNulls)})" }.toSeq ++
+        existsFilter.map { case (ev, negated) =>
+          val not = if (negated) "NOT " else ""
+          // bare `lv` correlates to the outer scope in both dialects;
+          // the subquery's own column is `ev`, so nothing shadows it
+          s"${not}EXISTS (SELECT 1 FROM (SELECT ${ev.valCol} AS ev " +
+            s"FROM ${tbl(ev.table)} WHERE ${ev.idCol} % ${ev.sampS} < ${ev.sampC}) e " +
+            s"WHERE e.ev = lv)" }.toSeq
       val wh =
         if (preds.isEmpty) ""
         else (if (fromHasWhere) " AND " else " WHERE ") + preds.mkString(" AND ")
@@ -336,7 +417,15 @@ object Fuzz {
         // group semantics, digit-only so the digest's BIGINT cast-back
         // is clean and lexicographic ORDER BY agrees between engines
         Some(GroupKey("g7", col("lk").cast("string"),
-          "CAST(lk AS STRING)"))).flatten
+          "CAST(lk AS STRING)")),
+        // r19 ring 3c: a DECIMAL(12,2)-typed group key — exact
+        // cross-engine, but the precision/scale propagation rules
+        // differ between engines, a differential surface that stays
+        // hash-exact. The value is x.00 (integral source), so the
+        // digest's BIGINT cast-back is exact on BOTH engines (Spark
+        // truncates, DuckDB rounds — identical on a zero fraction).
+        Some(GroupKey("g8", col("lk").cast("decimal(12,2)"),
+          "CAST(lk AS DECIMAL(12,2))"))).flatten
       // 0..2 group keys; empty = global aggregate
       val nKeys = r.nextInt(3)
       val groupKeys = r.shuffle(keyMenu).take(nKeys).sortBy(_.name)
@@ -365,6 +454,22 @@ object Fuzz {
         Some(AggCol("a9",
           max(when(col("lv") % 2 === 0, col("lv")).otherwise(-col("lv"))),
           "max(CASE WHEN lv % 2 = 0 THEN lv ELSE -lv END)",
+          sumLike = false)),
+        // r19 ring 3c: DECIMAL-typed aggregate ARGUMENTS. Both engines
+        // compute these exactly on the .25 grid; the final ×4 restores
+        // an integral value and the explicit BIGINT cast is spelled in
+        // BOTH dialects (so DuckDB's different widening — possibly
+        // through DOUBLE when precision tops out — lands on the same
+        // exact integer; the value stays far below 2^53).
+        Some(AggCol("a10",
+          (sum(col("lv").cast("decimal(12,2)") * lit(0.25).cast("decimal(2,2)")) * 4)
+            .cast("long"),
+          "CAST(sum(CAST(lv AS DECIMAL(12,2)) * 0.25) * 4 AS BIGINT)",
+          sumLike = false)),
+        Some(AggCol("a11",
+          (min(col("lv").cast("decimal(12,2)") + lit(7.25).cast("decimal(3,2)")) * 4)
+            .cast("long"),
+          "CAST(min(CAST(lv AS DECIMAL(12,2)) + 7.25) * 4 AS BIGINT)",
           sumLike = false))).flatten
       // count(*) always present (HAVING anchors on it)
       val aggs = AggCol("a0", count(lit(1)), "count(*)", sumLike = false) +:
@@ -375,12 +480,28 @@ object Fuzz {
         else None
       // r18 ring 2: ~1/5 of shapes add an uncorrelated IN-subquery over lv
       val inF = if (r.nextInt(5) == 0) Some(scan(r)) else None
+      // r19 ring 3a/3b: ~1/6 NOT IN (half with a NULL in the subquery —
+      // those must go EMPTY), ~1/6 correlated [NOT] EXISTS
+      val notInF =
+        if (r.nextInt(6) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
+      val existsF =
+        if (r.nextInt(6) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
       val having =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
+      // r19 ring 3d: when the FIRST ordered key is the nullable bare key
+      // (g0 sorts first), half the time force a SMALL limit so the
+      // ORDER BY … NULLS FIRST boundary deliberately lands INSIDE (or
+      // exactly AT, for one-key shapes) the NULL-g0 run — the spot
+      // where an implicit NULLS-LAST default or a broken tie-break
+      // silently diverges
+      val nullFirstRun = groupKeys.headOption.exists(_.name == "g0")
       val lim =
-        if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(8)) else None
+        if (groupKeys.isEmpty) None
+        else if (nullFirstRun && r.nextInt(2) == 0) Some(1 + r.nextInt(3))
+        else if (r.nextInt(4) == 0) Some(1 + r.nextInt(8))
+        else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
-        inF, groupKeys, aggsSorted, having, lim)
+        inF, notInF, existsF, groupKeys, aggsSorted, having, lim)
     }
   }
 
@@ -404,6 +525,110 @@ object Fuzz {
     }.reduce(_.unionAll(_))
 
   def digestSql(ss: Seq[ShapeSpec]): String =
+    ss.map { s =>
+      val mix = s.outCols.zipWithIndex
+        .map { case (c, i) => s"coalesce(CAST($c AS BIGINT), -1) * ${primes(i)}" }
+        .mkString(" + ")
+      s"SELECT ${s.id} AS shape_id, count(*) AS cnt, " +
+        s"CAST(coalesce(sum($mix), 0) AS BIGINT) AS chk FROM (${s.sqlFor(duck = true)}) t"
+    }.mkString(" UNION ALL ")
+
+  // -------------------------------------------------------------------
+  // Ring 4 (r19 verdict #5): machine-generated WINDOW shapes — the
+  // first OVER coverage the fuzzer produces (27 hand-written win_* rows
+  // existed; zero machine-generated). Grammar:
+  //
+  //   scan (k nullable key, v value, i unique id) →
+  //   fn OVER (PARTITION BY k ORDER BY v ASC|DESC [, i] [frame]) —
+  //   fn ∈ {rank, dense_rank, row_number, sum(v), count(*)},
+  //   frame ∈ {default RANGE, ROWS UNBOUNDED..CURRENT, ROWS 2 PRECEDING}
+  //
+  // Discipline (WindowContract): every generated shape PARTITIONS BY
+  // the key — the generator cannot smuggle in a global window (an
+  // unpartitioned OVER () would single-task the whole input at scale).
+  // NULL keys form ONE partition in both engines. Determinism: ranking
+  // ties are well-defined for rank/dense_rank ordered by v alone; any
+  // shape needing a TOTAL order (row_number, ROWS frames) adds the
+  // unique id to the ORDER BY. NULL ordering is SPELLED (ASC NULLS
+  // FIRST / DESC NULLS LAST — Spark's defaults, explicit for DuckDB).
+  // -------------------------------------------------------------------
+
+  /** fn: 0 rank, 1 dense_rank, 2 row_number, 3 sum(v), 4 count(*).
+    * frame (aggregates only): 0 default RANGE, 1 ROWS UNBOUNDED
+    * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW. */
+  final case class WinSpec(id: Int, scan: ScanSpec, fn: Int, frame: Int,
+      desc: Boolean) {
+
+    private def isRanking: Boolean = fn <= 2
+    /** total order needed: row_number always; aggregates under a ROWS
+      * frame (a RANGE/default frame aggregates peers together, so ties
+      * are deterministic without it). */
+    private def needsId: Boolean = fn == 2 || (!isRanking && frame != 0)
+
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val in = scan.winDf(spark, dir)
+      val ord =
+        (if (desc) col("v").desc_nulls_last else col("v").asc_nulls_first) +:
+          (if (needsId) Seq(col("i").asc_nulls_first) else Nil)
+      var w = Window.partitionBy(col("k")).orderBy(ord: _*)
+      if (!isRanking && frame == 1)
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else if (!isRanking && frame == 2)
+        w = w.rowsBetween(-2, Window.currentRow)
+      val fnCol = fn match {
+        case 0 => rank()
+        case 1 => dense_rank()
+        case 2 => row_number()
+        case 3 => sum(col("v"))
+        case _ => count(lit(1))
+      }
+      in.select(col("k"), col("v"), fnCol.over(w).as("w"))
+    }
+
+    def sqlFor(duck: Boolean): String = {
+      val tbl: String => String = if (duck) identity else "fuzz_" + _
+      val ord = (if (desc) "v DESC NULLS LAST" else "v ASC NULLS FIRST") +
+        (if (needsId) ", i ASC NULLS FIRST" else "")
+      val fr =
+        if (isRanking || frame == 0) ""
+        else if (frame == 1) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        else " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+      val f = fn match {
+        case 0 => "rank()"
+        case 1 => "dense_rank()"
+        case 2 => "row_number()"
+        case 3 => "sum(v)"
+        case _ => "count(*)"
+      }
+      s"SELECT k, v, $f OVER (PARTITION BY k ORDER BY $ord$fr) AS w " +
+        s"FROM (${scan.winSql(tbl)}) s"
+    }
+
+    def outCols: Seq[String] = Seq("k", "v", "w")
+  }
+
+  /** The deterministic window-shape stream for a seed. */
+  def winShapes(seed: Long, n: Int): Seq[WinSpec] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val fn = r.nextInt(5)
+      val frame = if (fn <= 2) 0 else r.nextInt(3)
+      WinSpec(i, scan(r), fn, frame, r.nextInt(2) == 1)
+    }
+  }
+
+  def winDigestDf(spark: SparkSession, dir: String, ss: Seq[WinSpec]): DataFrame =
+    ss.map { s =>
+      val base = s.df(spark, dir)
+      val mix = s.outCols.zipWithIndex
+        .map { case (c, i) => coalesce(col(c).cast("long"), lit(-1L)) * primes(i) }
+        .reduce(_ + _)
+      base.agg(count(lit(1)).as("cnt"), coalesce(sum(mix), lit(0L)).as("chk"))
+        .select(lit(s.id).as("shape_id"), col("cnt"), col("chk"))
+    }.reduce(_.unionAll(_))
+
+  def winDigestSql(ss: Seq[WinSpec]): String =
     ss.map { s =>
       val mix = s.outCols.zipWithIndex
         .map { case (c, i) => s"coalesce(CAST($c AS BIGINT), -1) * ${primes(i)}" }
@@ -437,6 +662,12 @@ object Fuzz {
       s => if (s.composite) Some(s.copy(composite = false)) else None,
       s => s.postFilter.map(_ => s.copy(postFilter = None)),
       s => s.inFilter.map(_ => s.copy(inFilter = None)),
+      s => s.notInFilter.map(_ => s.copy(notInFilter = None)),
+      s => s.existsFilter.map(_ => s.copy(existsFilter = None)),
+      // a NULL-bearing NOT IN empties the result — try the non-NULL
+      // variant so the repro keeps visible rows when possible
+      s => s.notInFilter.collect { case (sc, true) =>
+        s.copy(notInFilter = Some((sc, false))) },
       s => if (s.aggs.size > 1) Some(s.copy(aggs = s.aggs.take(1))) else None,
       s => if (s.groupKeys.size > 1) Some(s.copy(groupKeys = s.groupKeys.take(1))) else None,
       s => if (s.groupKeys.size == 1) Some(s.copy(groupKeys = Nil, havingMin = None, limit = None)) else None,

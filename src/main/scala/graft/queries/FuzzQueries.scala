@@ -33,5 +33,18 @@ object FuzzQueries {
     // r18: fourth seed — grows the cross-engine leg to 100 shapes as
     // the grammar gained its ring (right/full chains, composite keys,
     // expression keys/aggregates, chain-value aggregates)
-    row("fuzz_digest_d", 1004L))
+    row("fuzz_digest_d", 1004L),
+    // r19: fifth seed — 125 cross-engine shapes as ring 3 landed
+    // (NOT IN over NULL-bearing subqueries, correlated EXISTS,
+    // DECIMAL(12,2) keys/arguments, NULL-run LIMIT cuts)
+    row("fuzz_digest_e", 1005L),
+    // r19 ring 4: the first machine-generated WINDOW coverage — 25
+    // partitioned rank/dense_rank/row_number/sum/count OVER shapes
+    // with all three frame spellings, digest-checked cross-engine
+    {
+      lazy val ws = Fuzz.winShapes(2001L, 25)
+      Q("fuzz_digest_w",
+        (s, d) => Fuzz.winDigestDf(s, d, ws),
+        Some(Registry.sql(Fuzz.winDigestSql(ws))))
+    })
 }

@@ -84,10 +84,67 @@ class FuzzSpec extends AnyFunSuite {
     val strKeys = shapes.count(_.groupKeys.exists(_.name == "g7"))
     info(s"string group keys: $strKeys")
     assert(strKeys >= 8, s"string-typed group keys under-covered: $strKeys")
+    // r19 ring 3 census — three-valued logic, decorrelation, decimals,
+    // NULL-run limit cuts
+    val notIns = shapes.count(_.notInFilter.nonEmpty)
+    val notInNulls = shapes.count(_.notInFilter.exists(_._2))
+    info(s"NOT IN filters: $notIns (with NULL in the subquery: $notInNulls)")
+    assert(notIns >= 20, s"NOT IN subqueries under-covered: $notIns")
+    assert(notInNulls >= 8,
+      s"NULL-bearing NOT IN (the three-valued trap) under-covered: $notInNulls")
+    val exists = shapes.count(_.existsFilter.nonEmpty)
+    val notExists = shapes.count(_.existsFilter.exists(_._2))
+    info(s"correlated EXISTS filters: $exists (negated: $notExists)")
+    assert(exists >= 20, s"correlated EXISTS under-covered: $exists")
+    assert(notExists >= 8, s"NOT EXISTS under-covered: $notExists")
+    val decKeys = shapes.count(_.groupKeys.exists(_.name == "g8"))
+    val decAggs = shapes.count(_.aggs.exists(a => Set("a10", "a11")(a.name)))
+    info(s"DECIMAL keys: $decKeys, DECIMAL-argument aggregates: $decAggs")
+    assert(decKeys >= 10, s"DECIMAL(12,2) group keys under-covered: $decKeys")
+    assert(decAggs >= 15, s"DECIMAL-argument aggregates under-covered: $decAggs")
+    val nullRunCuts = shapes.count(s =>
+      s.groupKeys.headOption.exists(_.name == "g0") && s.limit.exists(_ <= 3))
+    info(s"NULL-run limit cuts: $nullRunCuts")
+    assert(nullRunCuts >= 8,
+      s"limits cutting at/inside the NULLS-FIRST g0 run under-covered: $nullRunCuts")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
       shapes.take(5).map(_.sqlFor(duck = true)))
+  }
+
+  test("window census + differential: machine-generated OVER shapes agree across front-ends (r19 ring 4)") {
+    val N = 60
+    val ws = Fuzz.winShapes(Seed, N)
+    // census: every function and (aggregate) frame spelling appears
+    val byFn = ws.groupBy(_.fn).view.mapValues(_.size).toMap
+    info(s"window fns: $byFn")
+    for (fn <- 0 to 4)
+      assert(byFn.getOrElse(fn, 0) >= 5, s"window fn $fn under-covered: $byFn")
+    val aggFrames = ws.filter(_.fn >= 3).groupBy(_.frame).view.mapValues(_.size).toMap
+    info(s"aggregate frames: $aggFrames")
+    for (fr <- 0 to 2)
+      assert(aggFrames.getOrElse(fr, 0) >= 4,
+        s"frame spelling $fr under-covered: $aggFrames")
+    assert(ws.count(_.desc) >= 15, "DESC ordering under-covered")
+    // every shape PARTITIONS (by construction — pin the discipline so a
+    // generator edit cannot smuggle in a global window)
+    ws.foreach { s =>
+      assert(s.sqlFor(duck = true).contains("PARTITION BY k"),
+        s"window shape ${s.id} lost its partition: ${s.sqlFor(duck = true)}")
+    }
+    // differential: DF Window leg vs SQL front-end on every shape
+    Seq("orders", "customer", "supplier", "lineitem")
+      .foreach(t => Engine.table(spark, TestSpark.Sf, t)
+        .createOrReplaceTempView(s"fuzz_$t"))
+    ws.foreach { s =>
+      val a = canon(s.df(spark, TestSpark.Sf))
+      val b = canon(spark.sql(s.sqlFor(duck = false)))
+      assert(a === b,
+        s"window shape ${s.id} diverged:\n  spark-sql: ${s.sqlFor(duck = false)}" +
+          s"\n  duckdb   : ${s.sqlFor(duck = true)}\n  spec     : $s")
+    }
+    info(s"checked $N window shapes (df vs sql)")
   }
 
   test(s"differential: DataFrame plan == SQL front-end == rules-off on $N seeded shapes") {
