@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Deterministic rotation slice (r18 verdict #3 — the standing
+    * third-scale-point protocol): `slice:k/n` selects the rows whose
+    * name falls in rotation class k of n. Keyed on String.hashCode
+    * (SPEC-FIXED in Java — s[0]*31^(n-1)+…— so the same k/n selects the
+    * same rows on every JVM and every round), floorMod for negatives.
+    * Used to run a rotating quarter of the registry against the derived
+    * 3× corpus each round; the cursor lives in COVERAGE.md. */
+  private def inSlice(spec: String, name: String): Boolean = spec match {
+    case s if s.startsWith("slice:") =>
+      val Array(k, n) = s.stripPrefix("slice:").split("/").map(_.toInt)
+      java.lang.Math.floorMod(name.hashCode, n) == k
+    case _ => spec == name
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,7 +30,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => only.isEmpty || only.exists(inSlice(_, name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
