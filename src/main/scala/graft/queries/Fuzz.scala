@@ -553,17 +553,23 @@ object Fuzz {
   // FIRST / DESC NULLS LAST — Spark's defaults, explicit for DuckDB).
   // -------------------------------------------------------------------
 
-  /** fn: 0 rank, 1 dense_rank, 2 row_number, 3 sum(v), 4 count(*).
+  /** fn: 0 rank, 1 dense_rank, 2 row_number, 3 sum(v), 4 count(*),
+    * 5 lag(v, 1) (offset class — OffsetWindowFunction execution path),
+    * 6 ntile(4) (distribution class; integral output only — DOUBLE-
+    * valued percent_rank/cume_dist are excluded because the digest's
+    * BIGINT cast-back truncates on Spark and rounds on DuckDB).
     * frame (aggregates only): 0 default RANGE, 1 ROWS UNBOUNDED
     * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW. */
   final case class WinSpec(id: Int, scan: ScanSpec, fn: Int, frame: Int,
       desc: Boolean) {
 
-    private def isRanking: Boolean = fn <= 2
-    /** total order needed: row_number always; aggregates under a ROWS
-      * frame (a RANGE/default frame aggregates peers together, so ties
-      * are deterministic without it). */
-    private def needsId: Boolean = fn == 2 || (!isRanking && frame != 0)
+    private def isAgg: Boolean = fn == 3 || fn == 4
+    /** total order needed: row_number / lag / ntile always (their value
+      * depends on the exact row order, not the peer group); aggregates
+      * under a ROWS frame (a RANGE/default frame aggregates peers
+      * together, so ties are deterministic without it). */
+    private def needsId: Boolean =
+      fn == 2 || fn == 5 || fn == 6 || (isAgg && frame != 0)
 
     def df(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
@@ -572,16 +578,18 @@ object Fuzz {
         (if (desc) col("v").desc_nulls_last else col("v").asc_nulls_first) +:
           (if (needsId) Seq(col("i").asc_nulls_first) else Nil)
       var w = Window.partitionBy(col("k")).orderBy(ord: _*)
-      if (!isRanking && frame == 1)
+      if (isAgg && frame == 1)
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else if (!isRanking && frame == 2)
+      else if (isAgg && frame == 2)
         w = w.rowsBetween(-2, Window.currentRow)
       val fnCol = fn match {
         case 0 => rank()
         case 1 => dense_rank()
         case 2 => row_number()
         case 3 => sum(col("v"))
-        case _ => count(lit(1))
+        case 4 => count(lit(1))
+        case 5 => lag(col("v"), 1)
+        case _ => ntile(4)
       }
       in.select(col("k"), col("v"), fnCol.over(w).as("w"))
     }
@@ -591,7 +599,7 @@ object Fuzz {
       val ord = (if (desc) "v DESC NULLS LAST" else "v ASC NULLS FIRST") +
         (if (needsId) ", i ASC NULLS FIRST" else "")
       val fr =
-        if (isRanking || frame == 0) ""
+        if (!isAgg || frame == 0) ""
         else if (frame == 1) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         else " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
       val f = fn match {
@@ -599,7 +607,9 @@ object Fuzz {
         case 1 => "dense_rank()"
         case 2 => "row_number()"
         case 3 => "sum(v)"
-        case _ => "count(*)"
+        case 4 => "count(*)"
+        case 5 => "lag(v, 1)"
+        case _ => "ntile(4)"
       }
       s"SELECT k, v, $f OVER (PARTITION BY k ORDER BY $ord$fr) AS w " +
         s"FROM (${scan.winSql(tbl)}) s"
@@ -612,8 +622,8 @@ object Fuzz {
   def winShapes(seed: Long, n: Int): Seq[WinSpec] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val fn = r.nextInt(5)
-      val frame = if (fn <= 2) 0 else r.nextInt(3)
+      val fn = r.nextInt(7)
+      val frame = if (fn == 3 || fn == 4) r.nextInt(3) else 0
       WinSpec(i, scan(r), fn, frame, r.nextInt(2) == 1)
     }
   }

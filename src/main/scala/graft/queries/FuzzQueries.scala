@@ -39,8 +39,10 @@ object FuzzQueries {
     // DECIMAL(12,2) keys/arguments, NULL-run LIMIT cuts)
     row("fuzz_digest_e", 1005L),
     // r19 ring 4: the first machine-generated WINDOW coverage — 25
-    // partitioned rank/dense_rank/row_number/sum/count OVER shapes
-    // with all three frame spellings, digest-checked cross-engine
+    // partitioned OVER shapes across the ranking (rank/dense_rank/
+    // row_number), aggregate (sum/count, all three frame spellings),
+    // offset (lag), and distribution (ntile) classes, digest-checked
+    // cross-engine
     {
       lazy val ws = Fuzz.winShapes(2001L, 25)
       Q("fuzz_digest_w",
