@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   lv — the RewritePredicateSubquery surface; r19: + NOT IN over an
   *   optionally NULL-bearing subquery (the null-aware anti join /
   *   three-valued-logic trap) + correlated EXISTS / NOT EXISTS (the
-  *   decorrelation surface)] → group-by on key functions, CASE/arith
+  *   decorrelation surface) + uncorrelated SCALAR-subquery comparisons
+  *   + non-equi correlated EXISTS (the BroadcastNestedLoop semi
+  *   path)] → group-by on key functions, CASE/arith
   *   expressions, a STRING-cast key, and (r19) a DECIMAL(12,2)-cast
   *   key → count/sum/min/max/count-distinct over first-hop AND chain
   *   columns, incl. expression and (r19) DECIMAL-typed arguments
@@ -193,6 +195,21 @@ object Fuzz {
       // the outer scope; the subquery column is named `ev` so nothing
       // shadows it).
       existsFilter: Option[(ScanSpec, Boolean)], // (subquery, negated)
+      // r19 ring 3e: an UNCORRELATED SCALAR subquery in a comparison —
+      // `lv <= (SELECT max(…))` / `lv >= (SELECT min(…))` — the
+      // RewriteSubquery→scalar path. DF leg spells the plan it lowers
+      // to: a 1-row global aggregate cross-joined and filtered. An
+      // EMPTY subquery yields scalar NULL → UNKNOWN → all rows drop,
+      // identically on both derivations.
+      scalarFilter: Option[(ScanSpec, Boolean)], // (subquery, useMax)
+      // r19 ring 3f: a NON-EQUI correlated EXISTS —
+      // `EXISTS (SELECT 1 FROM e WHERE e.ev < lv)` — decorrelates to a
+      // non-equality left-semi join (the BroadcastNestedLoop semi
+      // path, a different physical operator class from every equi
+      // decoration above). Terms are sampled small, so the
+      // quadratic-comparison semi stays bounded at every SF the
+      // driver runs.
+      existsIneq: Option[ScanSpec],
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
       havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
@@ -242,6 +259,18 @@ object Fuzz {
         val sub = ev.valuesDf(spark, dir, "ev")
         cur = cur.join(sub, cur("lv") === sub("ev"),
           if (negated) "left_anti" else "left_semi")
+      }
+      scalarFilter.foreach { case (sv, useMax) =>
+        val agg = sv.valuesDf(spark, dir, "sv")
+          .agg((if (useMax) max(col("sv")) else min(col("sv"))).as("graft_sb"))
+        cur = cur.crossJoin(agg)
+          .filter(if (useMax) col("lv") <= col("graft_sb")
+            else col("lv") >= col("graft_sb"))
+          .drop("graft_sb")
+      }
+      existsIneq.foreach { iv =>
+        val sub = iv.valuesDf(spark, dir, "qv")
+        cur = cur.join(sub, cur("lv") > sub("qv"), "left_semi")
       }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
       var out =
@@ -315,7 +344,15 @@ object Fuzz {
           // the subquery's own column is `ev`, so nothing shadows it
           s"${not}EXISTS (SELECT 1 FROM (SELECT ${ev.valCol} AS ev " +
             s"FROM ${tbl(ev.table)} WHERE ${ev.idCol} % ${ev.sampS} < ${ev.sampC}) e " +
-            s"WHERE e.ev = lv)" }.toSeq
+            s"WHERE e.ev = lv)" }.toSeq ++
+        scalarFilter.map { case (sv, useMax) =>
+          val (cmp, f) = if (useMax) ("<=", "max") else (">=", "min")
+          s"lv $cmp (SELECT $f(${sv.valCol}) FROM ${tbl(sv.table)} " +
+            s"WHERE ${sv.idCol} % ${sv.sampS} < ${sv.sampC})" }.toSeq ++
+        existsIneq.map { iv =>
+          s"EXISTS (SELECT 1 FROM (SELECT ${iv.valCol} AS qv " +
+            s"FROM ${tbl(iv.table)} WHERE ${iv.idCol} % ${iv.sampS} < ${iv.sampC}) q " +
+            s"WHERE q.qv < lv)" }.toSeq
       val wh =
         if (preds.isEmpty) ""
         else (if (fromHasWhere) " AND " else " WHERE ") + preds.mkString(" AND ")
@@ -388,11 +425,13 @@ object Fuzz {
       val chain =
         if (rightVisible && r.nextInt(4) == 0)
           Some(ChainSpec(scan(r),
-            // right/full double-weighted: the NULL-feeding outer chain
-            // is the reorder surface this ring exists for, and a
-            // uniform draw leaves it single-digit in a 200-shape stream
-            pick(r, Seq("inner", "left", "semi", "anti",
-              "right", "full", "right", "full")),
+            // right/full double-weighted (the NULL-feeding outer chain
+            // is the reorder surface the r18 ring exists for); r19:
+            // inner/left double-weighted too — the ring-3 draws shifted
+            // the LCG stream and a single-weight inner/left slot fell
+            // to one draw in 200 shapes, scraping the per-type floor
+            pick(r, Seq("inner", "inner", "left", "left", "semi", "anti",
+              "right", "right", "full", "full")),
             r.nextInt(3) == 0))
         else None
       // t's columns survive only a visible (non-semi/anti) second hop
@@ -486,6 +525,11 @@ object Fuzz {
         if (r.nextInt(6) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
       val existsF =
         if (r.nextInt(6) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
+      // r19 ring 3e/3f: ~1/8 scalar-subquery comparisons, ~1/8 non-equi
+      // correlated EXISTS (the BroadcastNestedLoop semi path)
+      val scalarF =
+        if (r.nextInt(8) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
+      val existsIq = if (r.nextInt(8) == 0) Some(scan(r)) else None
       val having =
         if (groupKeys.nonEmpty && r.nextInt(4) == 0) Some(1 + r.nextInt(3)) else None
       // r19 ring 3d: when the FIRST ordered key is the nullable bare key
@@ -501,7 +545,8 @@ object Fuzz {
         else if (r.nextInt(4) == 0) Some(1 + r.nextInt(8))
         else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
-        inF, notInF, existsF, groupKeys, aggsSorted, having, lim)
+        inF, notInF, existsF, scalarF, existsIq, groupKeys, aggsSorted, having,
+        lim)
     }
   }
 
@@ -674,6 +719,8 @@ object Fuzz {
       s => s.inFilter.map(_ => s.copy(inFilter = None)),
       s => s.notInFilter.map(_ => s.copy(notInFilter = None)),
       s => s.existsFilter.map(_ => s.copy(existsFilter = None)),
+      s => s.scalarFilter.map(_ => s.copy(scalarFilter = None)),
+      s => s.existsIneq.map(_ => s.copy(existsIneq = None)),
       // a NULL-bearing NOT IN empties the result — try the non-NULL
       // variant so the repro keeps visible rows when possible
       s => s.notInFilter.collect { case (sc, true) =>

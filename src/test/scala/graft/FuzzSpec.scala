@@ -107,6 +107,12 @@ class FuzzSpec extends AnyFunSuite {
     info(s"NULL-run limit cuts: $nullRunCuts")
     assert(nullRunCuts >= 8,
       s"limits cutting at/inside the NULLS-FIRST g0 run under-covered: $nullRunCuts")
+    // r19 ring 3e/3f: scalar-subquery comparisons and non-equi EXISTS
+    val scalars = shapes.count(_.scalarFilter.nonEmpty)
+    val ineqs = shapes.count(_.existsIneq.nonEmpty)
+    info(s"scalar-subquery comparisons: $scalars, non-equi EXISTS: $ineqs")
+    assert(scalars >= 12, s"scalar subqueries under-covered: $scalars")
+    assert(ineqs >= 12, s"non-equi correlated EXISTS under-covered: $ineqs")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
