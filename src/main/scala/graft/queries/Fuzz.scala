@@ -604,9 +604,21 @@ object Fuzz {
     * valued percent_rank/cume_dist are excluded because the digest's
     * BIGINT cast-back truncates on Spark and rounds on DuckDB).
     * frame (aggregates only): 0 default RANGE, 1 ROWS UNBOUNDED
-    * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW. */
+    * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW.
+    *
+    * r19 ring 4b — `join`: the window runs over a JOIN OUTPUT (inner
+    * or left equi-join of a second sampled term on the nullable key) —
+    * Window-above-Join, the shape real pipelines run: row
+    * multiplication feeds the frame, and a LEFT join additionally
+    * feeds NULL-extended rows (jv NULL) into the partition. Under `=`
+    * NULL keys never match, so the NULL-k partition survives only via
+    * the left join's extension. DETERMINISM over duplicates: the
+    * join can make full-row duplicates — (k,v,i,jv) collides only when
+    * two right rows share (jk, jv), and rows equal in EVERY column are
+    * interchangeable under any window function, so the output MULTISET
+    * is order-independent even with the id tiebreaker saturated. */
   final case class WinSpec(id: Int, scan: ScanSpec, fn: Int, frame: Int,
-      desc: Boolean) {
+      desc: Boolean, join: Option[(ScanSpec, String)] = None) {
 
     private def isAgg: Boolean = fn == 3 || fn == 4
     /** total order needed: row_number / lag / ntile always (their value
@@ -618,10 +630,20 @@ object Fuzz {
 
     def df(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val in = scan.winDf(spark, dir)
+      val base = scan.winDf(spark, dir)
+      val in = join match {
+        case Some((js, how)) =>
+          val j = js.df(spark, dir, "jk", "jv")
+          base.join(j, base("k") === j("jk"), how)
+            .select(base("k"), col("v"), col("i"), col("jv"))
+        case None => base
+      }
       val ord =
         (if (desc) col("v").desc_nulls_last else col("v").asc_nulls_first) +:
-          (if (needsId) Seq(col("i").asc_nulls_first) else Nil)
+          (if (needsId)
+            Seq(col("i").asc_nulls_first) ++
+              join.map(_ => col("jv").asc_nulls_first).toSeq
+          else Nil)
       var w = Window.partitionBy(col("k")).orderBy(ord: _*)
       if (isAgg && frame == 1)
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -636,13 +658,18 @@ object Fuzz {
         case 5 => lag(col("v"), 1)
         case _ => ntile(4)
       }
-      in.select(col("k"), col("v"), fnCol.over(w).as("w"))
+      val outs = Seq(col("k"), col("v")) ++
+        join.map(_ => col("jv")).toSeq :+ fnCol.over(w).as("w")
+      in.select(outs: _*)
     }
 
     def sqlFor(duck: Boolean): String = {
       val tbl: String => String = if (duck) identity else "fuzz_" + _
       val ord = (if (desc) "v DESC NULLS LAST" else "v ASC NULLS FIRST") +
-        (if (needsId) ", i ASC NULLS FIRST" else "")
+        (if (needsId)
+          ", i ASC NULLS FIRST" +
+            (if (join.nonEmpty) ", jv ASC NULLS FIRST" else "")
+        else "")
       val fr =
         if (!isAgg || frame == 0) ""
         else if (frame == 1) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -656,11 +683,20 @@ object Fuzz {
         case 5 => "lag(v, 1)"
         case _ => "ntile(4)"
       }
-      s"SELECT k, v, $f OVER (PARTITION BY k ORDER BY $ord$fr) AS w " +
-        s"FROM (${scan.winSql(tbl)}) s"
+      val src = join match {
+        case Some((js, how)) =>
+          val kw = if (how == "left") "LEFT JOIN" else "JOIN"
+          s"(SELECT b.k, b.v, b.i, j.jv FROM (${scan.winSql(tbl)}) b " +
+            s"$kw (${js.sql("jk", "jv", tbl)}) j ON b.k = j.jk)"
+        case None => s"(${scan.winSql(tbl)})"
+      }
+      val sel = "k, v" + (if (join.nonEmpty) ", jv" else "")
+      s"SELECT $sel, $f OVER (PARTITION BY k ORDER BY $ord$fr) AS w " +
+        s"FROM $src s"
     }
 
-    def outCols: Seq[String] = Seq("k", "v", "w")
+    def outCols: Seq[String] =
+      Seq("k", "v") ++ (if (join.nonEmpty) Seq("jv") else Nil) :+ "w"
   }
 
   /** The deterministic window-shape stream for a seed. */
@@ -669,7 +705,12 @@ object Fuzz {
     (0 until n).map { i =>
       val fn = r.nextInt(7)
       val frame = if (fn == 3 || fn == 4) r.nextInt(3) else 0
-      WinSpec(i, scan(r), fn, frame, r.nextInt(2) == 1)
+      // ring 4b: ~1/3 of shapes window over a join output
+      val jn =
+        if (r.nextInt(3) == 0)
+          Some((scan(r), if (r.nextInt(2) == 0) "left" else "inner"))
+        else None
+      WinSpec(i, scan(r), fn, frame, r.nextInt(2) == 1, jn)
     }
   }
 

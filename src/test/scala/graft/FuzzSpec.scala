@@ -134,6 +134,15 @@ class FuzzSpec extends AnyFunSuite {
       assert(aggFrames.getOrElse(fr, 0) >= 3,
         s"frame spelling $fr under-covered: $aggFrames")
     assert(ws.count(_.desc) >= 15, "DESC ordering under-covered")
+    // ring 4b: windows over JOIN outputs (inner and left both present —
+    // the left legs feed NULL-extended rows into the partitions)
+    val joined = ws.flatMap(_.join)
+    info(s"window-over-join shapes: ${joined.size} " +
+      s"(${joined.groupBy(_._2).view.mapValues(_.size).toMap})")
+    assert(joined.size >= 15, s"window-over-join under-covered: ${joined.size}")
+    for (how <- Seq("inner", "left"))
+      assert(joined.count(_._2 == how) >= 5,
+        s"window-over-$how-join under-covered")
     // every shape PARTITIONS (by construction — pin the discipline so a
     // generator edit cannot smuggle in a global window)
     ws.foreach { s =>
