@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *   three-valued-logic trap) + correlated EXISTS / NOT EXISTS (the
   *   decorrelation surface) + uncorrelated SCALAR-subquery comparisons
   *   + non-equi correlated EXISTS (the BroadcastNestedLoop semi
-  *   path)] → group-by on key functions, CASE/arith
+  *   path)] → group-by on key functions, CASE/arith — plain, or (r19)
+  *   ROLLUP/CUBE through the Expand-based aggregation path —
   *   expressions, a STRING-cast key, and (r19) a DECIMAL(12,2)-cast
   *   key → count/sum/min/max/count-distinct over first-hop AND chain
   *   columns, incl. expression and (r19) DECIMAL-typed arguments
@@ -50,7 +51,11 @@ import org.apache.spark.sql.functions._
   *     NULLS LAST; Spark NULLS FIRST — an implicit spelling would
   *     diverge exactly when a LIMIT cuts at the NULL group);
   *   - exposed integer sums are CAST(... AS BIGINT) in DuckDB only
-  *     (the ORACLE TYPING RULE — HUGEINT vs BIGINT hash divergence).
+  *     (the ORACLE TYPING RULE — HUGEINT vs BIGINT hash divergence);
+  *   - ROLLUP/CUBE over an EMPTY input: DuckDB emits the standard's
+  *     ()-set grand-total row (count=0), Spark 4 emits no rows — the
+  *     duck rendering carries HAVING count(*) > 0 on grouping-set
+  *     shapes to pin Spark's semantics (see the rendering comment).
   *
   * Scale posture: scan terms are deterministically SAMPLED (id % S < C
   * with per-table S sized so each term stays ≤ ~2.5k rows at sf0.1) and
@@ -210,6 +215,15 @@ object Fuzz {
       // quadratic-comparison semi stays bounded at every SF the
       // driver runs.
       existsIneq: Option[ScanSpec],
+      // r19 ring 3g: grouping-set mode — 0 plain GROUP BY, 1 ROLLUP,
+      // 2 CUBE (the Expand-based aggregation path in both engines).
+      // Grouping-set shapes carry NO ORDER BY/LIMIT: a rolled-up
+      // subtotal row can collide textually with a data group whose
+      // nullable key is NULL — (NULL, NULL) from the grand total vs
+      // the NULL-stripe group — making a key-ordered LIMIT cut
+      // ambiguous between rows with different aggregate values; the
+      // digest is order-independent, so nothing is lost.
+      groupMode: Int,
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
       havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
@@ -273,10 +287,14 @@ object Fuzz {
         cur = cur.join(sub, cur("lv") > sub("qv"), "left_semi")
       }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
+      val keyCols = groupKeys.map(g => g.dfCol.as(g.name))
       var out =
         if (groupKeys.isEmpty) cur.agg(aggCols.head, aggCols.tail: _*)
-        else cur
-          .groupBy(groupKeys.map(g => g.dfCol.as(g.name)): _*)
+        else (groupMode match {
+          case 1 => cur.rollup(keyCols: _*)
+          case 2 => cur.cube(keyCols: _*)
+          case _ => cur.groupBy(keyCols: _*)
+        })
           .agg(aggCols.head, aggCols.tail: _*)
           // groupBy(expr.as(name)) exposes the grouping under its alias
           .toDF(groupKeys.map(_.name) ++ aggs.map(_.name): _*)
@@ -363,8 +381,26 @@ object Fuzz {
         }).mkString(", ")
       val grp =
         if (groupKeys.isEmpty) ""
-        else " GROUP BY " + groupKeys.map(_.sqlExpr).mkString(", ")
-      val hav = havingMin.map(h => s" HAVING count(*) >= $h").getOrElse("")
+        else groupMode match {
+          case 1 => " GROUP BY ROLLUP (" + groupKeys.map(_.sqlExpr).mkString(", ") + ")"
+          case 2 => " GROUP BY CUBE (" + groupKeys.map(_.sqlExpr).mkString(", ") + ")"
+          case _ => " GROUP BY " + groupKeys.map(_.sqlExpr).mkString(", ")
+        }
+      // EMPTY-INPUT GROUPING-SETS DIVERGENCE (machine-found by this
+      // ring's first run, confirmed by hand on both engines): over an
+      // EMPTY input, GROUP BY ROLLUP/CUBE emits the ()-set grand-total
+      // row (count=0) in DuckDB per the SQL standard, while Spark 4
+      // emits ZERO rows (the Expand→HashAggregate pipeline forms no
+      // groups without input rows). The DUCK rendering appends
+      // HAVING count(*) > 0 on grouping-set shapes to mirror Spark's
+      // semantics — on any NON-empty input every grouping-set row has
+      // count(*) >= 1, so the guard cancels exactly the standard's
+      // empty-input row and nothing else. (havingMin >= 1 already
+      // implies it when present.)
+      val hav = havingMin.map(h => s" HAVING count(*) >= $h").getOrElse(
+        if (duck && groupMode != 0 && groupKeys.nonEmpty)
+          " HAVING count(*) > 0"
+        else "")
       val lim = limit.map { n =>
         " ORDER BY " + groupKeys.map(g => s"${g.name} ASC NULLS FIRST").mkString(", ") +
           s" LIMIT $n"
@@ -539,14 +575,17 @@ object Fuzz {
       // where an implicit NULLS-LAST default or a broken tie-break
       // silently diverges
       val nullFirstRun = groupKeys.headOption.exists(_.name == "g0")
+      // r19 ring 3g: ~1/6 of grouped shapes run ROLLUP or CUBE
+      val groupMode =
+        if (groupKeys.nonEmpty && r.nextInt(6) == 0) 1 + r.nextInt(2) else 0
       val lim =
-        if (groupKeys.isEmpty) None
+        if (groupKeys.isEmpty || groupMode != 0) None // see groupMode doc
         else if (nullFirstRun && r.nextInt(2) == 0) Some(1 + r.nextInt(3))
         else if (r.nextInt(4) == 0) Some(1 + r.nextInt(8))
         else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
-        inF, notInF, existsF, scalarF, existsIq, groupKeys, aggsSorted, having,
-        lim)
+        inF, notInF, existsF, scalarF, existsIq, groupMode, groupKeys,
+        aggsSorted, having, lim)
     }
   }
 
@@ -762,6 +801,7 @@ object Fuzz {
       s => s.existsFilter.map(_ => s.copy(existsFilter = None)),
       s => s.scalarFilter.map(_ => s.copy(scalarFilter = None)),
       s => s.existsIneq.map(_ => s.copy(existsIneq = None)),
+      s => if (s.groupMode != 0) Some(s.copy(groupMode = 0)) else None,
       // a NULL-bearing NOT IN empties the result — try the non-NULL
       // variant so the repro keeps visible rows when possible
       s => s.notInFilter.collect { case (sc, true) =>

@@ -107,6 +107,12 @@ class FuzzSpec extends AnyFunSuite {
     info(s"NULL-run limit cuts: $nullRunCuts")
     assert(nullRunCuts >= 8,
       s"limits cutting at/inside the NULLS-FIRST g0 run under-covered: $nullRunCuts")
+    // r19 ring 3g: ROLLUP/CUBE shapes (the Expand aggregation path)
+    val rollups = shapes.count(_.groupMode == 1)
+    val cubes = shapes.count(_.groupMode == 2)
+    info(s"ROLLUP shapes: $rollups, CUBE shapes: $cubes")
+    assert(rollups >= 5, s"ROLLUP under-covered: $rollups")
+    assert(cubes >= 5, s"CUBE under-covered: $cubes")
     // r19 ring 3e/3f: scalar-subquery comparisons and non-equi EXISTS
     val scalars = shapes.count(_.scalarFilter.nonEmpty)
     val ineqs = shapes.count(_.existsIneq.nonEmpty)
