@@ -125,6 +125,30 @@ class FuzzSpec extends AnyFunSuite {
       shapes.take(5).map(_.sqlFor(duck = true)))
   }
 
+  test("dialect pin: ROLLUP/CUBE over an EMPTY input emit no rows in Spark (DuckDB emits the standard's grand-total row)") {
+    // The duck rendering of grouping-set fuzz shapes carries
+    // `HAVING count(*) > 0` to mirror THIS behavior (Fuzz.sqlFor). If
+    // a future Spark version starts emitting the SQL standard's
+    // ()-set row over empty input, this pin fails FIRST with a
+    // direct pointer: remove the duck-side guard or every
+    // grouping-set digest row goes red at the driver.
+    val rollup = spark.sql(
+      "SELECT count(*) AS c FROM (SELECT 1 AS a WHERE false) GROUP BY ROLLUP(a)")
+    assert(rollup.count() === 0,
+      "Spark now emits the empty-input grand-total row for ROLLUP — " +
+        "remove the HAVING count(*) > 0 guard from Fuzz.sqlFor's duck leg")
+    val cube = spark.sql(
+      "SELECT count(*) AS c FROM (SELECT 1 AS a, 2 AS b WHERE false) GROUP BY CUBE(a, b)")
+    assert(cube.count() === 0,
+      "Spark now emits the empty-input grand-total row for CUBE — " +
+        "remove the HAVING count(*) > 0 guard from Fuzz.sqlFor's duck leg")
+    // the non-grouping-set contrast BOTH engines agree on: a global
+    // aggregate over empty input is ONE row — the guard must never be
+    // applied to plain GROUP BY () shapes
+    assert(spark.sql("SELECT count(*) AS c FROM (SELECT 1 AS a WHERE false)")
+      .count() === 1)
+  }
+
   test("window census + differential: machine-generated OVER shapes agree across front-ends (r19 ring 4)") {
     val N = 80 // 7 fn classes — 60 left the lag class at 3 draws at this seed
     val ws = Fuzz.winShapes(Seed, N)
