@@ -13,8 +13,25 @@ object Verify {
     * 3× corpus each round; the cursor lives in COVERAGE.md. */
   private def inSlice(spec: String, name: String): Boolean = spec match {
     case s if s.startsWith("slice:") =>
-      val Array(k, n) = s.stripPrefix("slice:").split("/").map(_.toInt)
-      java.lang.Math.floorMod(name.hashCode, n) == k
+      // fail fast with a usage message on a malformed spec (r19 ADVICE:
+      // `slice:a/b` threw NumberFormatException and `slice:0/0` threw
+      // ArithmeticException from deep inside the run) — reject before
+      // any query executes rather than aborting mid-dump.
+      val kn = s.stripPrefix("slice:").split("/")
+      val parsed = kn match {
+        case Array(ks, ns) => (ks.toIntOption, ns.toIntOption) match {
+          case (Some(k), Some(n)) if n > 0 && k >= 0 && k < n => Some((k, n))
+          case _ => None
+        }
+        case _ => None
+      }
+      parsed match {
+        case Some((k, n)) => java.lang.Math.floorMod(name.hashCode, n) == k
+        case None =>
+          System.err.println(
+            s"[verify] bad slice spec '$s': expected slice:k/n with n > 0 and 0 <= k < n")
+          sys.exit(2)
+      }
     case _ => spec == name
   }
   def main(args: Array[String]): Unit = {

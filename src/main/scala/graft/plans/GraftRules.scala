@@ -138,6 +138,32 @@ object SimplifySelfHamming extends Rule[LogicalPlan] {
   * is closed by the same note as avg: its double sum buffer is the
   * FP order-dependence the DOUBLE exclusion argues.
   *
+  * FAMILY CLOSED (r20 decision record — do not re-litigate). Five
+  * widenings (count(*) r14-15 → count(side attr) r16 → sum(integral
+  * LEGACY) + min/max r17 → count(DISTINCT) r18 → sum(DISTINCT integral
+  * LEGACY) r19) exhaust the bare-attribute/LEGACY quadrant: every
+  * aggregate whose bucket value is derivable from pair STRUCTURE plus
+  * duplicate-invariant own-side state is in scope, and each remaining
+  * exclusion is an ARGUED impossibility, not a deferral —
+  *   - EXPRESSION arguments (any f(attr)): the bucket value would need
+  *     f evaluated over stripe rows inside the rule; the rewrite would
+  *     have to re-derive nullability and overflow behavior of an open
+  *     expression language — the witnesses (pairs/sumd_verbatim) pin
+  *     the verbatim path permanently;
+  *   - DOUBLE/DECIMAL sums and avg/avg(DISTINCT): FP addition is
+  *     non-associative and decimal overflow checkpoints move — the
+  *     multiply-vs-iterated-addition identity only holds for integral
+  *     LEGACY (mod 2^64) arithmetic;
+  *   - ANSI and TRY modes: overflow raises (or nulls) at a different
+  *     evaluation point than the analytic product — a rewrite would
+  *     change WHICH inputs fail, not just how fast they run;
+  *   - FILTER clauses, multi-argument distincts, multi-distinct-group
+  *     Aggregates: the distinct semantics live in gid-filtered partial
+  *     counts after RewriteDistinctAggregates — a different provability
+  *     problem with no structural bucket value.
+  * Any future widening proposal must first name which of these four
+  * arguments it defeats.
+  *
   * EFFECTIVE SCOPE — one distinct GROUP per Aggregate, structurally:
   * this rule runs in the terminal "User Provided Optimizers" batch,
   * and Spark's own RewriteDistinctAggregates has by then rewritten any

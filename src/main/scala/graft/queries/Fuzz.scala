@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   *   three-valued-logic trap) + correlated EXISTS / NOT EXISTS (the
   *   decorrelation surface) + uncorrelated SCALAR-subquery comparisons
   *   + non-equi correlated EXISTS (the BroadcastNestedLoop semi
-  *   path)] → group-by on key functions, CASE/arith — plain, or (r19)
-  *   ROLLUP/CUBE through the Expand-based aggregation path —
-  *   expressions, a STRING-cast key, and (r19) a DECIMAL(12,2)-cast
-  *   key → count/sum/min/max/count-distinct over first-hop AND chain
-  *   columns, incl. expression and (r19) DECIMAL-typed arguments
-  *   (+ HAVING) → order/limit, with (r19) small limits deliberately
-  *   cutting inside the NULLS-FIRST run of a nullable leading key
-  *   (two rings widened in r18; ring 3 added in r19)
+  *   path) + (r20) CORRELATED scalar-subquery comparisons (the
+  *   decorrelation-to-left-outer-aggregate path)] → group-by on key
+  *   functions, CASE/arith — plain, or ROLLUP/CUBE (r19) or an
+  *   explicit irregular GROUPING SETS list (r20) through the
+  *   Expand-based aggregation path — expressions, a STRING-cast key,
+  *   and (r19) a DECIMAL(12,2)-cast key → count/sum/min/max/
+  *   count-distinct over first-hop AND chain columns, incl. expression
+  *   and (r19) DECIMAL-typed arguments (+ HAVING) → order/limit, with
+  *   (r19) small limits deliberately cutting inside the NULLS-FIRST
+  *   run of a nullable leading key. r20 ring 5c: ~1/6 of shapes
+  *   replace the join entirely with a SET OPERATOR — UNION [ALL] /
+  *   EXCEPT [ALL] / INTERSECT [ALL] between the two scan terms (the
+  *   distinct variants merge the NULL stripes — not-distinct
+  *   semantics). (Rings: 1-2 r18, 3-4 r19, 5 r20.)
   *
   * — with every generated shape rendered THREE ways from one AST:
   *   (a) a Spark DataFrame plan (the primary leg — the API users call),
@@ -216,30 +222,71 @@ object Fuzz {
       // driver runs.
       existsIneq: Option[ScanSpec],
       // r19 ring 3g: grouping-set mode — 0 plain GROUP BY, 1 ROLLUP,
-      // 2 CUBE (the Expand-based aggregation path in both engines).
-      // Grouping-set shapes carry NO ORDER BY/LIMIT: a rolled-up
-      // subtotal row can collide textually with a data group whose
-      // nullable key is NULL — (NULL, NULL) from the grand total vs
-      // the NULL-stripe group — making a key-ordered LIMIT cut
-      // ambiguous between rows with different aggregate values; the
-      // digest is order-independent, so nothing is lost.
+      // 2 CUBE (the Expand-based aggregation path in both engines);
+      // r20 ring 5b: 3 = an EXPLICIT GROUPING SETS list (`groupSets`) —
+      // an irregular set list stresses the Expand bitmask differently
+      // from the ROLLUP/CUBE sugar (sets may repeat a key, skip a key
+      // entirely, or be just `()`). Grouping-set shapes carry NO
+      // ORDER BY/LIMIT: a rolled-up subtotal row can collide textually
+      // with a data group whose nullable key is NULL — (NULL, NULL)
+      // from the grand total vs the NULL-stripe group — making a
+      // key-ordered LIMIT cut ambiguous between rows with different
+      // aggregate values; the digest is order-independent, so nothing
+      // is lost.
       groupMode: Int,
       groupKeys: Seq[GroupKey],
       aggs: Seq[AggCol],
       havingMin: Option[Int], // HAVING count(*) >= h (a0 always present)
-      limit: Option[Int]) { // with total ORDER BY over the group keys
+      limit: Option[Int], // with total ORDER BY over the group keys
+      // r20 ring 5a: a CORRELATED scalar subquery in a comparison —
+      // `lv <= (SELECT max(ev) FROM e WHERE e.ek = lk)` — the
+      // decorrelation-to-left-outer-AGGREGATE path (ring 3e's scalar
+      // was uncorrelated: a 1-row cross join, a different plan class
+      // entirely). DF leg spells the decorrelated plan: group the
+      // subquery by its key, LEFT-join on lk = ek, filter on the
+      // aggregate (no match → NULL → UNKNOWN → row drops — identical
+      // to the empty-correlated-set semantics, incl. for NULL lk,
+      // which `=` never matches).
+      corrScalar: Option[(ScanSpec, Boolean)] = None, // (subquery, useMax)
+      // r20 ring 5c: a SET OPERATOR between the two scan terms instead
+      // of a join — UNION [ALL] / EXCEPT [ALL] / INTERSECT [ALL]
+      // (reference basicOperators.scala:77/:200/:214; both engines
+      // spell them identically). The distinct variants treat NULL keys
+      // as equal (the NULL stripes of both terms MERGE — the not-
+      // distinct semantics joins can't reach); joinType/nullSafe/
+      // composite/chain do not apply and are generated inert.
+      setOp: Option[String] = None,
+      // the explicit set list for groupMode 3 (names into groupKeys;
+      // may include the empty set)
+      groupSets: Seq[Seq[String]] = Nil) {
 
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val lf = left.df(spark, dir, "lk", "lv")
-      val rf = right.df(spark, dir, "rk", "rv")
-      val eq = if (nullSafe) lf("lk") <=> rf("rk") else lf("lk") === rf("rk")
-      val cond = if (composite) eq && (lf("lv") % 4 === rf("rv") % 4) else eq
-      val how = joinType match {
-        case "semi" => "left_semi"
-        case "anti" => "left_anti"
-        case t => t
+      var cur = setOp match {
+        case Some(op) =>
+          // both terms projected to the SAME (lk, lv) schema; DF set
+          // ops resolve by position, mirroring the SQL text exactly
+          val lf = left.df(spark, dir, "lk", "lv")
+          val rf = right.df(spark, dir, "lk", "lv")
+          op match {
+            case "UNION" => lf.union(rf).distinct()
+            case "UNION ALL" => lf.union(rf)
+            case "EXCEPT" => lf.except(rf)
+            case "EXCEPT ALL" => lf.exceptAll(rf)
+            case "INTERSECT" => lf.intersect(rf)
+            case _ => lf.intersectAll(rf)
+          }
+        case None =>
+          val lf = left.df(spark, dir, "lk", "lv")
+          val rf = right.df(spark, dir, "rk", "rv")
+          val eq = if (nullSafe) lf("lk") <=> rf("rk") else lf("lk") === rf("rk")
+          val cond = if (composite) eq && (lf("lv") % 4 === rf("rv") % 4) else eq
+          val how = joinType match {
+            case "semi" => "left_semi"
+            case "anti" => "left_anti"
+            case t => t
+          }
+          lf.join(rf, cond, how)
       }
-      var cur = lf.join(rf, cond, how)
       chain.foreach { c =>
         val tf = c.scan.df(spark, dir, "tk", "tv")
         val cond2 = if (c.nullSafe) cur("rk") <=> tf("tk") else cur("rk") === tf("tk")
@@ -286,6 +333,20 @@ object Fuzz {
         val sub = iv.valuesDf(spark, dir, "qv")
         cur = cur.join(sub, cur("lv") > sub("qv"), "left_semi")
       }
+      corrScalar.foreach { case (cs, useMax) =>
+        // the decorrelated plan Spark lowers a correlated scalar
+        // aggregate to: aggregate-by-correlation-key, LEFT outer join,
+        // filter. NULL lk never matches via `=`, so its aggregate stays
+        // NULL and the comparison drops the row — exactly the
+        // empty-correlated-set semantics of the SQL rendering.
+        val agg = cs.df(spark, dir, "ek", "ev")
+          .groupBy(col("ek"))
+          .agg((if (useMax) max(col("ev")) else min(col("ev"))).as("graft_cc"))
+        cur = cur.join(agg, cur("lk") === agg("ek"), "left")
+          .filter(if (useMax) col("lv") <= col("graft_cc")
+            else col("lv") >= col("graft_cc"))
+          .drop("ek", "graft_cc")
+      }
       val aggCols = aggs.map(a => a.dfCol.as(a.name))
       val keyCols = groupKeys.map(g => g.dfCol.as(g.name))
       var out =
@@ -293,6 +354,15 @@ object Fuzz {
         else (groupMode match {
           case 1 => cur.rollup(keyCols: _*)
           case 2 => cur.cube(keyCols: _*)
+          case 3 =>
+            // Spark 4's DataFrame spelling of explicit GROUPING SETS.
+            // BOTH the set entries and the cols must be the UNALIASED
+            // grouping expressions — an aliased col breaks the
+            // analyzer's semantic match against the set entries and the
+            // key silently degrades to the not-grouped NULL (found by
+            // this ring's first run); toDF below renames positionally.
+            val byName = groupKeys.map(g => g.name -> g.dfCol).toMap
+            cur.groupingSets(groupSets.map(_.map(byName)), groupKeys.map(_.dfCol): _*)
           case _ => cur.groupBy(keyCols: _*)
         })
           .agg(aggCols.head, aggCols.tail: _*)
@@ -325,13 +395,20 @@ object Fuzz {
       val comp = if (composite) " AND l.lv % 4 = r.rv % 4" else ""
       // DuckDB has no SEMI/ANTI join keyword — spell via [NOT] EXISTS
       var fromHasWhere = false
-      var from =
-        if (duck && (joinType == "semi" || joinType == "anti")) {
-          fromHasWhere = true
-          val not = if (joinType == "anti") "NOT " else ""
-          s"$lT WHERE ${not}EXISTS (SELECT 1 FROM $rT " +
-            s"WHERE ${eqOp(nullSafe)("r.rk", "l.lk")}$comp)"
-        } else s"$lT ${kw(joinType)} $rT ON ${eqOp(nullSafe)("l.lk", "r.rk")}$comp"
+      var from = setOp match {
+        // ring 5c: the set operator replaces the join — both branches
+        // project the same (lk, lv) schema; the operator keyword is
+        // spelled identically in both dialects
+        case Some(op) =>
+          s"((${left.sql("lk", "lv", tbl)}) $op (${right.sql("lk", "lv", tbl)})) u"
+        case None =>
+          if (duck && (joinType == "semi" || joinType == "anti")) {
+            fromHasWhere = true
+            val not = if (joinType == "anti") "NOT " else ""
+            s"$lT WHERE ${not}EXISTS (SELECT 1 FROM $rT " +
+              s"WHERE ${eqOp(nullSafe)("r.rk", "l.lk")}$comp)"
+          } else s"$lT ${kw(joinType)} $rT ON ${eqOp(nullSafe)("l.lk", "r.rk")}$comp"
+      }
       chain.foreach { c =>
         val tT = s"(${c.scan.sql("tk", "tv", tbl)}) t"
         if (duck && (c.joinType == "semi" || c.joinType == "anti")) {
@@ -370,7 +447,13 @@ object Fuzz {
         existsIneq.map { iv =>
           s"EXISTS (SELECT 1 FROM (SELECT ${iv.valCol} AS qv " +
             s"FROM ${tbl(iv.table)} WHERE ${iv.idCol} % ${iv.sampS} < ${iv.sampC}) q " +
-            s"WHERE q.qv < lv)" }.toSeq
+            s"WHERE q.qv < lv)" }.toSeq ++
+        corrScalar.map { case (cs, useMax) =>
+          val (cmp, f) = if (useMax) ("<=", "max") else (">=", "min")
+          // bare `lk` correlates to the outer scope in both dialects;
+          // the subquery derives its own (ek, ev) so nothing shadows it
+          s"lv $cmp (SELECT $f(ev) FROM (${cs.sql("ek", "ev", tbl)}) e " +
+            s"WHERE e.ek = lk)" }.toSeq
       val wh =
         if (preds.isEmpty) ""
         else (if (fromHasWhere) " AND " else " WHERE ") + preds.mkString(" AND ")
@@ -384,6 +467,10 @@ object Fuzz {
         else groupMode match {
           case 1 => " GROUP BY ROLLUP (" + groupKeys.map(_.sqlExpr).mkString(", ") + ")"
           case 2 => " GROUP BY CUBE (" + groupKeys.map(_.sqlExpr).mkString(", ") + ")"
+          case 3 =>
+            val exprOf = groupKeys.map(g => g.name -> g.sqlExpr).toMap
+            " GROUP BY GROUPING SETS (" + groupSets.map(s2 =>
+              "(" + s2.map(exprOf).mkString(", ") + ")").mkString(", ") + ")"
           case _ => " GROUP BY " + groupKeys.map(_.sqlExpr).mkString(", ")
         }
       // EMPTY-INPUT GROUPING-SETS DIVERGENCE (machine-found by this
@@ -445,31 +532,61 @@ object Fuzz {
       pick(r, keyMods), pick(r, nullPs), m.sampS, 1 + r.nextInt(m.maxC))
   }
 
+  private val setOps = Seq("UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL",
+    "INTERSECT", "INTERSECT ALL")
+
   /** The deterministic shape stream for a seed. */
   def shapes(seed: Long, n: Int): Seq[ShapeSpec] = {
     val r = new scala.util.Random(seed)
+    // r20: the first 22 second-hop JOINS follow a deterministic lap —
+    // the full type menu twice (slots 0-11), then five right/full pairs
+    // (slots 12-21) — because every ring added since r18 re-rolled the
+    // LCG stream and scraped a different chain census floor (r19:
+    // inner/left; r20 drafts: anti, then inner, then the outer-chain
+    // count). The lap makes BOTH fences structural — per-type ≥ 2 and
+    // right/full ≥ 10 whenever ≥ 22 chains are drawn (the stream draws
+    // ~24-26 at N=200) — while later hops keep the weighted random menu
+    // (right/full double-weighted — the NULL-feeding outer-chain
+    // reorder surface).
+    val chainLap = (joinTypes ++ joinTypes) ++
+      Seq.fill(5)(Seq("right", "full")).flatten
+    var chainCount = 0
+    // the same structural-lap pattern for the other low-count menus:
+    // the first 12 set-operator draws cycle the 6 variants twice, and
+    // the first 15 grouping-mode draws cycle ROLLUP/CUBE/GROUPING SETS
+    // five times — each class's census floor survives any future
+    // re-roll of the LCG stream
+    var setCount = 0
+    var gmCount = 0
     (0 until n).map { i =>
+      // r20 ring 5c: ~1/6 of shapes replace the join with a set
+      // operator (drawn FIRST so the key/agg menus below can exclude
+      // the right/chain columns a set operation doesn't expose)
+      val setF = if (r.nextInt(6) == 0) {
+        val op =
+          if (setCount < 2 * setOps.size) setOps(setCount % setOps.size)
+          else pick(r, setOps)
+        setCount += 1
+        Some(op)
+      } else None
       val jt = pick(r, joinTypes)
-      val nullSafe = r.nextInt(3) == 0 // ~1/3 of shapes exercise <=>
-      val rightVisible = jt != "semi" && jt != "anti"
+      val nullSafe = setF.isEmpty && r.nextInt(3) == 0 // ~1/3 exercise <=>
+      val rightVisible = setF.isEmpty && jt != "semi" && jt != "anti"
       // r18 ring: ~1/4 composite two-column keys (one nullable component)
-      val composite = r.nextInt(4) == 0
+      val composite = setF.isEmpty && r.nextInt(4) == 0
       // ~1/4 of visible-right shapes grow a second hop on rk — decided
       // BEFORE the key/agg menus so they can reach the chain's columns.
       // r18 ring: the hop menu now includes RIGHT and FULL (the
       // NULL-feeding outer chain where reorder bugs live).
       val chain =
-        if (rightVisible && r.nextInt(4) == 0)
-          Some(ChainSpec(scan(r),
-            // right/full double-weighted (the NULL-feeding outer chain
-            // is the reorder surface the r18 ring exists for); r19:
-            // inner/left double-weighted too — the ring-3 draws shifted
-            // the LCG stream and a single-weight inner/left slot fell
-            // to one draw in 200 shapes, scraping the per-type floor
-            pick(r, Seq("inner", "inner", "left", "left", "semi", "anti",
-              "right", "right", "full", "full")),
-            r.nextInt(3) == 0))
-        else None
+        if (rightVisible && r.nextInt(4) == 0) {
+          val ct =
+            if (chainCount < chainLap.size) chainLap(chainCount)
+            else pick(r, Seq("inner", "inner", "left", "left", "semi", "anti",
+              "right", "right", "full", "full"))
+          chainCount += 1
+          Some(ChainSpec(scan(r), ct, r.nextInt(3) == 0))
+        } else None
       // t's columns survive only a visible (non-semi/anti) second hop
       val tVisible = chain.exists(c => c.joinType != "semi" && c.joinType != "anti")
       val gm = 2 + r.nextInt(5)
@@ -575,17 +692,47 @@ object Fuzz {
       // where an implicit NULLS-LAST default or a broken tie-break
       // silently diverges
       val nullFirstRun = groupKeys.headOption.exists(_.name == "g0")
-      // r19 ring 3g: ~1/6 of grouped shapes run ROLLUP or CUBE
+      // r19 ring 3g: grouped shapes run ROLLUP/CUBE; r20 ring 5b adds
+      // explicit GROUPING SETS lists as the third grouping-set mode
+      // (the draw widened 1/6 → 1/4 so each of the three modes keeps a
+      // double-digit count in the 200-shape census)
       val groupMode =
-        if (groupKeys.nonEmpty && r.nextInt(6) == 0) 1 + r.nextInt(2) else 0
+        if (groupKeys.nonEmpty && r.nextInt(4) == 0) {
+          val m = if (gmCount < 15) 1 + gmCount % 3 else 1 + r.nextInt(3)
+          gmCount += 1
+          m
+        } else 0
+      // ring 5b: an IRREGULAR set list — a seeded non-empty choice of
+      // DISTINCT subsets of the chosen keys (possibly including `()`,
+      // possibly skipping a key in SOME sets — shapes the ROLLUP/CUBE
+      // sugar can never spell). The UNION of the sets must cover every
+      // selected key: a key in NO set is rejected by the SQL front-ends
+      // of both engines (the select list may only reference grouping
+      // columns), even though the DataFrame API tolerates it — found by
+      // this ring's first run; when the draw leaves a key uncovered,
+      // the full set is appended (it is provably absent).
+      val groupSets: Seq[Seq[String]] =
+        if (groupMode != 3) Nil
+        else {
+          val names = groupKeys.map(_.name)
+          val all = names.indices
+            .foldLeft(Seq(Seq.empty[String]))((acc, j) => acc ++ acc.map(_ :+ names(j)))
+          val base = r.shuffle(all).take(1 + r.nextInt(all.size))
+          if (names.forall(n => base.exists(_.contains(n)))) base
+          else base :+ names
+        }
       val lim =
         if (groupKeys.isEmpty || groupMode != 0) None // see groupMode doc
         else if (nullFirstRun && r.nextInt(2) == 0) Some(1 + r.nextInt(3))
         else if (r.nextInt(4) == 0) Some(1 + r.nextInt(8))
         else None
+      // r20 ring 5a: ~1/7 correlated scalar-subquery comparisons (the
+      // decorrelation-to-left-outer-aggregate path)
+      val corrS =
+        if (r.nextInt(7) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
         inF, notInF, existsF, scalarF, existsIq, groupMode, groupKeys,
-        aggsSorted, having, lim)
+        aggsSorted, having, lim, corrS, setF, groupSets)
     }
   }
 
@@ -639,11 +786,24 @@ object Fuzz {
 
   /** fn: 0 rank, 1 dense_rank, 2 row_number, 3 sum(v), 4 count(*),
     * 5 lag(v, 1) (offset class — OffsetWindowFunction execution path),
-    * 6 ntile(4) (distribution class; integral output only — DOUBLE-
-    * valued percent_rank/cume_dist are excluded because the digest's
-    * BIGINT cast-back truncates on Spark and rounds on DuckDB).
+    * 6 ntile(4) (distribution class), and — r20, closing the r19
+    * exclusion note — 7 percent_rank() and 8 cume_dist(), the
+    * DOUBLE-valued distribution functions. Their digest-typing trap
+    * (Spark's BIGINT cast TRUNCATES a double, DuckDB's ROUNDS) is
+    * DEFUSED rather than dodged: both renderings emit
+    * CAST(round(fn * 1000000000) AS BIGINT) — the inner arithmetic is
+    * the same IEEE ops on both engines ((rank-1)/(n-1) resp.
+    * peers/n in double, ×1e9), round() is half-away-from-zero for
+    * the non-negative range on both, and the cast is then exact on an
+    * already-integral value.
     * frame (aggregates only): 0 default RANGE, 1 ROWS UNBOUNDED
-    * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW.
+    * PRECEDING..CURRENT ROW, 2 ROWS 2 PRECEDING..CURRENT ROW,
+    * 3 (r20) RANGE BETWEEN 2 PRECEDING AND CURRENT ROW — the explicit-
+    * offset RANGE frame over the integral order key `v` (v carries no
+    * NULL stripe, so the NULL-peer-group corner both engines spell
+    * differently never arises; the frame keeps the SINGLE order
+    * expression RANGE offsets require, and value-range framing is
+    * deterministic under ties without an id tiebreak).
     *
     * r19 ring 4b — `join`: the window runs over a JOIN OUTPUT (inner
     * or left equi-join of a second sampled term on the nullable key) —
@@ -663,9 +823,13 @@ object Fuzz {
     /** total order needed: row_number / lag / ntile always (their value
       * depends on the exact row order, not the peer group); aggregates
       * under a ROWS frame (a RANGE/default frame aggregates peers
-      * together, so ties are deterministic without it). */
+      * together, so ties are deterministic without it — and an
+      * explicit-offset RANGE frame (3) MUST stay single-expression:
+      * both engines reject RANGE offsets over a multi-column order).
+      * percent_rank/cume_dist are peer-group functions like rank —
+      * deterministic without a total order. */
     private def needsId: Boolean =
-      fn == 2 || fn == 5 || fn == 6 || (isAgg && frame != 0)
+      fn == 2 || fn == 5 || fn == 6 || (isAgg && (frame == 1 || frame == 2))
 
     def df(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
@@ -688,6 +852,8 @@ object Fuzz {
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else if (isAgg && frame == 2)
         w = w.rowsBetween(-2, Window.currentRow)
+      else if (isAgg && frame == 3)
+        w = w.rangeBetween(-2, Window.currentRow)
       val fnCol = fn match {
         case 0 => rank()
         case 1 => dense_rank()
@@ -695,10 +861,17 @@ object Fuzz {
         case 3 => sum(col("v"))
         case 4 => count(lit(1))
         case 5 => lag(col("v"), 1)
-        case _ => ntile(4)
+        case 6 => ntile(4)
+        case 7 => percent_rank()
+        case _ => cume_dist()
       }
+      // fn 7/8 are DOUBLE-valued — scale-round-cast so the digest's
+      // BIGINT mix is exact on both engines (see the fn doc above)
+      val wCol =
+        if (fn >= 7) round(fnCol.over(w) * 1000000000L).cast("long")
+        else fnCol.over(w)
       val outs = Seq(col("k"), col("v")) ++
-        join.map(_ => col("jv")).toSeq :+ fnCol.over(w).as("w")
+        join.map(_ => col("jv")).toSeq :+ wCol.as("w")
       in.select(outs: _*)
     }
 
@@ -712,7 +885,8 @@ object Fuzz {
       val fr =
         if (!isAgg || frame == 0) ""
         else if (frame == 1) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        else " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+        else if (frame == 2) " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+        else " RANGE BETWEEN 2 PRECEDING AND CURRENT ROW"
       val f = fn match {
         case 0 => "rank()"
         case 1 => "dense_rank()"
@@ -720,7 +894,9 @@ object Fuzz {
         case 3 => "sum(v)"
         case 4 => "count(*)"
         case 5 => "lag(v, 1)"
-        case _ => "ntile(4)"
+        case 6 => "ntile(4)"
+        case 7 => "percent_rank()"
+        case _ => "cume_dist()"
       }
       val src = join match {
         case Some((js, how)) =>
@@ -730,8 +906,11 @@ object Fuzz {
         case None => s"(${scan.winSql(tbl)})"
       }
       val sel = "k, v" + (if (join.nonEmpty) ", jv" else "")
-      s"SELECT $sel, $f OVER (PARTITION BY k ORDER BY $ord$fr) AS w " +
-        s"FROM $src s"
+      val overExpr = s"$f OVER (PARTITION BY k ORDER BY $ord$fr)"
+      val wExpr =
+        if (fn >= 7) s"CAST(round($overExpr * 1000000000) AS BIGINT)"
+        else overExpr
+      s"SELECT $sel, $wExpr AS w FROM $src s"
     }
 
     def outCols: Seq[String] =
@@ -741,9 +920,17 @@ object Fuzz {
   /** The deterministic window-shape stream for a seed. */
   def winShapes(seed: Long, n: Int): Seq[WinSpec] = {
     val r = new scala.util.Random(seed)
+    // structural lap (see shapes()): the first 8 aggregate-frame draws
+    // cycle the four frame spellings twice, so every frame class keeps
+    // its census floor under any re-roll
+    var frCount = 0
     (0 until n).map { i =>
-      val fn = r.nextInt(7)
-      val frame = if (fn == 3 || fn == 4) r.nextInt(3) else 0
+      val fn = r.nextInt(9) // r20: + percent_rank (7) / cume_dist (8)
+      val frame = if (fn == 3 || fn == 4) { // r20: + RANGE offset (3)
+        val f = if (frCount < 8) frCount % 4 else r.nextInt(4)
+        frCount += 1
+        f
+      } else 0
       // ring 4b: ~1/3 of shapes window over a join output
       val jn =
         if (r.nextInt(3) == 0)
@@ -801,7 +988,15 @@ object Fuzz {
       s => s.existsFilter.map(_ => s.copy(existsFilter = None)),
       s => s.scalarFilter.map(_ => s.copy(scalarFilter = None)),
       s => s.existsIneq.map(_ => s.copy(existsIneq = None)),
-      s => if (s.groupMode != 0) Some(s.copy(groupMode = 0)) else None,
+      s => s.corrScalar.map(_ => s.copy(corrScalar = None)),
+      // a set-op shape degrades to the inner join its inert jt fields
+      // describe (its key/agg menus are join-valid by construction)
+      s => s.setOp.map(_ => s.copy(setOp = None)),
+      s => if (s.groupMode != 0) Some(s.copy(groupMode = 0, groupSets = Nil)) else None,
+      // an explicit set list shrinks one set at a time before the mode
+      // itself is dropped
+      s => if (s.groupMode == 3 && s.groupSets.size > 1)
+        Some(s.copy(groupSets = s.groupSets.take(s.groupSets.size - 1))) else None,
       // a NULL-bearing NOT IN empties the result — try the non-NULL
       // variant so the repro keeps visible rows when possible
       s => s.notInFilter.collect { case (sc, true) =>

@@ -38,6 +38,10 @@ object FuzzQueries {
     // (NOT IN over NULL-bearing subqueries, correlated EXISTS,
     // DECIMAL(12,2) keys/arguments, NULL-run LIMIT cuts)
     row("fuzz_digest_e", 1005L),
+    // r20: sixth seed — 150 cross-engine shapes as ring 5 landed
+    // (correlated scalar subqueries, explicit GROUPING SETS lists,
+    // UNION/EXCEPT/INTERSECT set operators)
+    row("fuzz_digest_f", 1006L),
     // r19 ring 4: the first machine-generated WINDOW coverage — 25
     // partitioned OVER shapes across the ranking (rank/dense_rank/
     // row_number), aggregate (sum/count, all three frame spellings),

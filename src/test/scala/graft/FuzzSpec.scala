@@ -107,18 +107,46 @@ class FuzzSpec extends AnyFunSuite {
     info(s"NULL-run limit cuts: $nullRunCuts")
     assert(nullRunCuts >= 8,
       s"limits cutting at/inside the NULLS-FIRST g0 run under-covered: $nullRunCuts")
-    // r19 ring 3g: ROLLUP/CUBE shapes (the Expand aggregation path)
+    // r19 ring 3g: ROLLUP/CUBE shapes (the Expand aggregation path);
+    // r20 ring 5b: explicit GROUPING SETS lists (all three floors are
+    // structural — the generator's grouping-mode lap cycles the modes)
     val rollups = shapes.count(_.groupMode == 1)
     val cubes = shapes.count(_.groupMode == 2)
-    info(s"ROLLUP shapes: $rollups, CUBE shapes: $cubes")
+    val gsets = shapes.filter(_.groupMode == 3)
+    info(s"ROLLUP shapes: $rollups, CUBE shapes: $cubes, " +
+      s"GROUPING SETS shapes: ${gsets.size}")
     assert(rollups >= 5, s"ROLLUP under-covered: $rollups")
     assert(cubes >= 5, s"CUBE under-covered: $cubes")
+    assert(gsets.size >= 5, s"explicit GROUPING SETS under-covered: ${gsets.size}")
+    // the lists must actually be IRREGULAR — at least one multi-set
+    // list and at least one list carrying the empty () set (shapes the
+    // ROLLUP/CUBE sugar can't spell in isolation)
+    info(s"grouping-set lists: ${gsets.map(_.groupSets).mkString("; ")}")
+    assert(gsets.exists(_.groupSets.size > 1),
+      "no multi-set GROUPING SETS list generated")
+    assert(gsets.exists(_.groupSets.exists(_.isEmpty)),
+      "no GROUPING SETS list carries the () set")
     // r19 ring 3e/3f: scalar-subquery comparisons and non-equi EXISTS
     val scalars = shapes.count(_.scalarFilter.nonEmpty)
     val ineqs = shapes.count(_.existsIneq.nonEmpty)
     info(s"scalar-subquery comparisons: $scalars, non-equi EXISTS: $ineqs")
     assert(scalars >= 12, s"scalar subqueries under-covered: $scalars")
     assert(ineqs >= 12, s"non-equi correlated EXISTS under-covered: $ineqs")
+    // r20 ring 5a: CORRELATED scalar subqueries (the decorrelation-to-
+    // left-outer-aggregate path — distinct from ring 3e's uncorrelated
+    // cross-join lowering)
+    val corrs = shapes.count(_.corrScalar.nonEmpty)
+    info(s"correlated scalar subqueries: $corrs")
+    assert(corrs >= 12, s"correlated scalar subqueries under-covered: $corrs")
+    // r20 ring 5c: set operators — per-variant floor is structural (the
+    // generator's set-op lap cycles the 6 variants twice)
+    val setOps = shapes.flatMap(_.setOp)
+    val byOp = setOps.groupBy(identity).view.mapValues(_.size).toMap
+    info(s"set-operator shapes: ${setOps.size} ($byOp)")
+    assert(setOps.size >= 20, s"set operators under-covered: ${setOps.size}")
+    for (op <- Seq("UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL",
+      "INTERSECT", "INTERSECT ALL"))
+      assert(byOp.getOrElse(op, 0) >= 2, s"set operator $op under-covered: $byOp")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
@@ -155,13 +183,18 @@ class FuzzSpec extends AnyFunSuite {
     // census: every function and (aggregate) frame spelling appears
     val byFn = ws.groupBy(_.fn).view.mapValues(_.size).toMap
     info(s"window fns: $byFn")
-    for (fn <- 0 to 6) // incl. lag (offset class) and ntile (distribution)
+    // 0-8: incl. lag (offset), ntile (distribution), and — r20 — the
+    // DOUBLE-valued percent_rank/cume_dist (digest-defused via
+    // scale-round-cast; the r19 exclusion note is closed)
+    for (fn <- 0 to 8)
       assert(byFn.getOrElse(fn, 0) >= 4, s"window fn $fn under-covered: $byFn")
     val aggFrames = ws.filter(s => s.fn == 3 || s.fn == 4)
       .groupBy(_.frame).view.mapValues(_.size).toMap
     info(s"aggregate frames: $aggFrames")
-    for (fr <- 0 to 2)
-      assert(aggFrames.getOrElse(fr, 0) >= 3,
+    // 0-3: r20 adds the explicit-offset RANGE frame; floor 2 per class
+    // is structural (the generator's frame lap cycles the spellings)
+    for (fr <- 0 to 3)
+      assert(aggFrames.getOrElse(fr, 0) >= 2,
         s"frame spelling $fr under-covered: $aggFrames")
     assert(ws.count(_.desc) >= 15, "DESC ordering under-covered")
     // ring 4b: windows over JOIN outputs (inner and left both present —
