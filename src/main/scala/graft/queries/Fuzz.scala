@@ -347,13 +347,34 @@ object Fuzz {
             else col("lv") >= col("graft_cc"))
           .drop("ek", "graft_cc")
       }
-      val aggCols = aggs.map(a => a.dfCol.as(a.name))
+      // r20 ring 5d: every grouping-set shape (modes 1-3) carries a
+      // grouping marker over ALL keys — it disambiguates subtotal rows
+      // from NULL-stripe data rows in the digest and machine-exercises
+      // the grouping() metadata function cross-engine. Spelled as an
+      // EXPLICIT weighted sum of per-key grouping() bits (our own
+      // canonical numbering) rather than grouping_id(keys...):
+      // grouping_id is ORDER-SENSITIVE against the engine-DERIVED
+      // grouping-column order, which for GROUPING SETS follows the
+      // sets' appearance order, not the select order — Spark raises
+      // GROUPING_ID_COLUMN_MISMATCH when they differ (found by this
+      // ring's first run); per-key grouping() has no such constraint.
+      // The DF arguments must be the same UNALIASED grouping
+      // expressions for the analyzer's semantic match (the groupingSets
+      // finding below), so modes 1-3 pass unaliased keys throughout and
+      // toDF renames positionally.
+      val marker =
+        if (groupMode != 0)
+          Seq(groupKeys.zipWithIndex.map { case (g, j) =>
+            grouping(g.dfCol).cast("long") * (1L << (groupKeys.size - 1 - j))
+          }.reduce(_ + _).as("gg"))
+        else Nil
+      val aggCols = aggs.map(a => a.dfCol.as(a.name)) ++ marker
       val keyCols = groupKeys.map(g => g.dfCol.as(g.name))
       var out =
         if (groupKeys.isEmpty) cur.agg(aggCols.head, aggCols.tail: _*)
         else (groupMode match {
-          case 1 => cur.rollup(keyCols: _*)
-          case 2 => cur.cube(keyCols: _*)
+          case 1 => cur.rollup(groupKeys.map(_.dfCol): _*)
+          case 2 => cur.cube(groupKeys.map(_.dfCol): _*)
           case 3 =>
             // Spark 4's DataFrame spelling of explicit GROUPING SETS.
             // BOTH the set entries and the cols must be the UNALIASED
@@ -367,7 +388,7 @@ object Fuzz {
         })
           .agg(aggCols.head, aggCols.tail: _*)
           // groupBy(expr.as(name)) exposes the grouping under its alias
-          .toDF(groupKeys.map(_.name) ++ aggs.map(_.name): _*)
+          .toDF(outCols: _*)
       havingMin.foreach(h => out = out.filter(col("a0") >= h))
       limit.foreach { n =>
         out = out
@@ -461,7 +482,15 @@ object Fuzz {
         aggs.map { a =>
           if (duck && a.sumLike) s"CAST(${a.sqlExpr} AS BIGINT) AS ${a.name}"
           else s"${a.sqlExpr} AS ${a.name}"
-        }).mkString(", ")
+        } ++
+        // ring 5d: the grouping marker — identical text both dialects
+        // (explicit per-key grouping() bits; see the DF-side comment
+        // for why grouping_id is not usable here)
+        (if (groupMode != 0)
+          Seq("CAST(" + groupKeys.zipWithIndex.map { case (g, j) =>
+            s"grouping(${g.sqlExpr}) * ${1L << (groupKeys.size - 1 - j)}"
+          }.mkString(" + ") + " AS BIGINT) AS gg")
+        else Nil)).mkString(", ")
       val grp =
         if (groupKeys.isEmpty) ""
         else groupMode match {
@@ -496,7 +525,8 @@ object Fuzz {
     }
 
     /** Output column names in schema order (digest mixing order). */
-    def outCols: Seq[String] = groupKeys.map(_.name) ++ aggs.map(_.name)
+    def outCols: Seq[String] = groupKeys.map(_.name) ++ aggs.map(_.name) ++
+      (if (groupMode != 0) Seq("gg") else Nil)
   }
 
   // -------------------------------------------------------------------
