@@ -258,15 +258,37 @@ object Fuzz {
       setOp: Option[String] = None,
       // the explicit set list for groupMode 3 (names into groupKeys;
       // may include the empty set)
-      groupSets: Seq[Seq[String]] = Nil) {
+      groupSets: Seq[Seq[String]] = Nil,
+      // r20 ring 5e: each set-op BRANCH may itself be a join subtree —
+      // an inner equi-join of an extra sampled term on the branch's
+      // derived key, still projecting (lk, lv). The join multiplies
+      // rows per key, so EXCEPT ALL / INTERSECT ALL exercise genuine
+      // BAG arithmetic (multiplicity subtraction/minimum) over
+      // join-made duplicates, and the distinct variants collapse them
+      // — the full "set operator between two generated subtrees"
+      // shape. (An inner `=` join also drops the branch's NULL stripe,
+      // so mixed joined/unjoined shapes cover both NULL regimes.)
+      setJoinL: Option[ScanSpec] = None,
+      setJoinR: Option[ScanSpec] = None) {
 
     def df(spark: SparkSession, dir: String): DataFrame = {
       var cur = setOp match {
         case Some(op) =>
-          // both terms projected to the SAME (lk, lv) schema; DF set
-          // ops resolve by position, mirroring the SQL text exactly
-          val lf = left.df(spark, dir, "lk", "lv")
-          val rf = right.df(spark, dir, "lk", "lv")
+          // both branches projected to the SAME (lk, lv) schema; DF set
+          // ops resolve by position, mirroring the SQL text exactly.
+          // ring 5e: a branch with a setJoin is an inner equi-join
+          // subtree (row multiplication feeds the bag semantics).
+          def branch(sc: ScanSpec, jn: Option[ScanSpec]): DataFrame = {
+            val b = sc.df(spark, dir, "lk", "lv")
+            jn match {
+              case Some(js) =>
+                val j = js.df(spark, dir, "jk", "jv")
+                b.join(j, b("lk") === j("jk"), "inner").select(b("lk"), b("lv"))
+              case None => b
+            }
+          }
+          val lf = branch(left, setJoinL)
+          val rf = branch(right, setJoinR)
           op match {
             case "UNION" => lf.union(rf).distinct()
             case "UNION ALL" => lf.union(rf)
@@ -419,9 +441,20 @@ object Fuzz {
       var from = setOp match {
         // ring 5c: the set operator replaces the join — both branches
         // project the same (lk, lv) schema; the operator keyword is
-        // spelled identically in both dialects
+        // spelled identically in both dialects. ring 5e: a joined
+        // branch renders the same inner equi-join subtree the DF leg
+        // builds.
         case Some(op) =>
-          s"((${left.sql("lk", "lv", tbl)}) $op (${right.sql("lk", "lv", tbl)})) u"
+          def branchSql(sc: ScanSpec, jn: Option[ScanSpec],
+              al: String, jal: String): String = jn match {
+            case Some(js) =>
+              s"SELECT $al.lk AS lk, $al.lv AS lv " +
+                s"FROM (${sc.sql("lk", "lv", tbl)}) $al " +
+                s"JOIN (${js.sql("jk", "jv", tbl)}) $jal ON $al.lk = $jal.jk"
+            case None => sc.sql("lk", "lv", tbl)
+          }
+          s"((${branchSql(left, setJoinL, "bl", "el")}) $op " +
+            s"(${branchSql(right, setJoinR, "br", "er")})) u"
         case None =>
           if (duck && (joinType == "semi" || joinType == "anti")) {
             fromHasWhere = true
@@ -592,6 +625,7 @@ object Fuzz {
       // r20 ring 5c: ~1/6 of shapes replace the join with a set
       // operator (drawn FIRST so the key/agg menus below can exclude
       // the right/chain columns a set operation doesn't expose)
+      val setIdx = setCount
       val setF = if (r.nextInt(6) == 0) {
         val op =
           if (setCount < 2 * setOps.size) setOps(setCount % setOps.size)
@@ -599,6 +633,20 @@ object Fuzz {
         setCount += 1
         Some(op)
       } else None
+      // ring 5e: set-op branches become join subtrees (drawn right
+      // after the operator so the menus below are unaffected). The
+      // first 20 set-op shapes lap the four branch patterns —
+      // plain/plain, L-joined, R-joined, both-joined — five times
+      // (structural floors: ≥5 plain and ≥10 joined under any
+      // re-roll); later shapes draw each side at ~1/2.
+      val (setJL, setJR) =
+        if (setF.isEmpty) (None, None)
+        else {
+          val (jl, jr) =
+            if (setIdx < 20) ((setIdx % 4) / 2 == 1, setIdx % 2 == 1)
+            else (r.nextInt(2) == 0, r.nextInt(2) == 0)
+          (if (jl) Some(scan(r)) else None, if (jr) Some(scan(r)) else None)
+        }
       val jt = pick(r, joinTypes)
       val nullSafe = setF.isEmpty && r.nextInt(3) == 0 // ~1/3 exercise <=>
       val rightVisible = setF.isEmpty && jt != "semi" && jt != "anti"
@@ -762,7 +810,7 @@ object Fuzz {
         if (r.nextInt(7) == 0) Some((scan(r), r.nextInt(2) == 0)) else None
       ShapeSpec(i, scan(r), scan(r), jt, nullSafe, composite, chain, postFilter,
         inF, notInF, existsF, scalarF, existsIq, groupMode, groupKeys,
-        aggsSorted, having, lim, corrS, setF, groupSets)
+        aggsSorted, having, lim, corrS, setF, groupSets, setJL, setJR)
     }
   }
 
@@ -1019,9 +1067,12 @@ object Fuzz {
       s => s.scalarFilter.map(_ => s.copy(scalarFilter = None)),
       s => s.existsIneq.map(_ => s.copy(existsIneq = None)),
       s => s.corrScalar.map(_ => s.copy(corrScalar = None)),
+      // branch joins simplify away before the operator itself
+      s => s.setJoinL.map(_ => s.copy(setJoinL = None)),
+      s => s.setJoinR.map(_ => s.copy(setJoinR = None)),
       // a set-op shape degrades to the inner join its inert jt fields
       // describe (its key/agg menus are join-valid by construction)
-      s => s.setOp.map(_ => s.copy(setOp = None)),
+      s => s.setOp.map(_ => s.copy(setOp = None, setJoinL = None, setJoinR = None)),
       s => if (s.groupMode != 0) Some(s.copy(groupMode = 0, groupSets = Nil)) else None,
       // an explicit set list shrinks one set at a time before the mode
       // itself is dropped

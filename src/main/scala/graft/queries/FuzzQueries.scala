@@ -44,9 +44,10 @@ object FuzzQueries {
     row("fuzz_digest_f", 1006L),
     // r19 ring 4: the first machine-generated WINDOW coverage — 25
     // partitioned OVER shapes across the ranking (rank/dense_rank/
-    // row_number), aggregate (sum/count, all three frame spellings),
-    // offset (lag), and distribution (ntile) classes, digest-checked
-    // cross-engine
+    // row_number), aggregate (sum/count — r20: all FOUR frame
+    // spellings incl. the explicit-offset RANGE frame), offset (lag),
+    // and distribution (ntile — r20: + percent_rank/cume_dist via
+    // scale-round-cast digests) classes, digest-checked cross-engine
     {
       lazy val ws = Fuzz.winShapes(2001L, 25)
       Q("fuzz_digest_w",

@@ -147,6 +147,20 @@ class FuzzSpec extends AnyFunSuite {
     for (op <- Seq("UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL",
       "INTERSECT", "INTERSECT ALL"))
       assert(byOp.getOrElse(op, 0) >= 2, s"set operator $op under-covered: $byOp")
+    // r20 ring 5e: set-op branches as JOIN subtrees (bag arithmetic
+    // over join-multiplied rows); both the joined and plain-scan
+    // regimes must stay covered (the plain branches keep NULL stripes
+    // an inner-join branch drops)
+    val joinedBranches = shapes.count(s =>
+      s.setOp.nonEmpty && (s.setJoinL.nonEmpty || s.setJoinR.nonEmpty))
+    val plainSetOps = shapes.count(s =>
+      s.setOp.nonEmpty && s.setJoinL.isEmpty && s.setJoinR.isEmpty)
+    val bothJoined = shapes.count(s =>
+      s.setOp.nonEmpty && s.setJoinL.nonEmpty && s.setJoinR.nonEmpty)
+    info(s"set-op branch joins: $joinedBranches joined / $plainSetOps plain " +
+      s"($bothJoined both-branch)")
+    assert(joinedBranches >= 10, s"joined set-op branches under-covered: $joinedBranches")
+    assert(plainSetOps >= 5, s"plain-scan set-op shapes under-covered: $plainSetOps")
     // determinism spot-pin: the same seed must regenerate the same
     // stream (the digest oracle rows depend on it)
     assert(Fuzz.shapes(Seed, 5).map(_.sqlFor(duck = true)) ===
