@@ -53,5 +53,15 @@ object FuzzQueries {
       Q("fuzz_digest_w",
         (s, d) => Fuzz.winDigestDf(s, d, ws),
         Some(Registry.sql(Fuzz.winDigestSql(ws))))
+    },
+    // r20: second window seed — 50 window shapes now cross-engine, so
+    // the classes this round added (percent_rank/cume_dist via
+    // scale-round-cast, explicit-offset RANGE frames) land in the
+    // independently-adjudicated slice at two different draw streams
+    {
+      lazy val ws = Fuzz.winShapes(2002L, 25)
+      Q("fuzz_digest_w2",
+        (s, d) => Fuzz.winDigestDf(s, d, ws),
+        Some(Registry.sql(Fuzz.winDigestSql(ws))))
     })
 }
