@@ -317,8 +317,12 @@ object DedupQueries {
           .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sh_b"), Seq("doc_b"))
           // filter on the RAW value (like the oracle's WHERE), round only
           // the output — filtering the rounded value diverges at the
-          // threshold boundary
-          .select(col("doc_a"), col("doc_b"), T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+          // threshold boundary. explode(array(…)) is the single-evaluation
+          // barrier (see dedup_containment): without it the threshold is
+          // pushed into the join condition and the intersect/union pair
+          // re-runs in the output projection for every surviving pair.
+          .select(col("doc_a"), col("doc_b"),
+            explode(array(T.jaccard(col("sh_a"), col("sh_b")))).as("j_raw"))
           .filter(col("j_raw") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
@@ -416,8 +420,15 @@ object DedupQueries {
     // rows per signature to one task with no map-side combine.
     Q("dedup_simhash",
       (s, d) => {
+        // r20 (guide §1.2 per-task work): stage the 60-bit token hashes
+        // ONCE and vote bits off the staged array — T.simhash recomputes
+        // the md5 hash per BIT (16× the hashing), and this query reads
+        // the signature twice (sigs + counts), doubling it again.
         val sigs = table(s, d, "documents")
-          .select(col("doc_id"), T.simhash(col("text")).as("simhash"))
+          .select(col("doc_id"),
+            transform(array_distinct(T.tokens(col("text"))),
+              t => Portable.stableHash64(t)).as("th"))
+          .select(col("doc_id"), T.simhashOfHashes(col("th")).as("simhash"))
         val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("cluster_size"))
         sigs.join(broadcast(counts), Seq("simhash"))
           .select(col("doc_id"), col("simhash"), col("cluster_size").cast("long"))
@@ -478,13 +489,17 @@ object DedupQueries {
         // array_intersect/array_union hash sets per candidate pair.
         val withDist = gc.select(col("doc_id"), col("hs"),
           expr("graft_overlap64(hs, hs)").as("nd"))
+        // single-evaluation barrier (see dedup_containment): without the
+        // explode(array(…)) Generate, the j_raw ≥ 0.5 filter is pushed
+        // into the join condition and graft_overlap64 re-runs in the
+        // output projection for every surviving pair
         cand
           .join(withDist.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
             col("nd").as("nd_a")), Seq("doc_a"))
           .join(withDist.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
             col("nd").as("nd_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("nd_a"), col("nd_b"),
-            expr("graft_overlap64(hs_a, hs_b)").as("ov"))
+            explode(array(expr("graft_overlap64(hs_a, hs_b)"))).as("ov"))
           .select(col("doc_a"), col("doc_b"),
             (col("ov").cast("double")
               / (col("nd_a") + col("nd_b") - col("ov")).cast("double")).as("j_raw"))
@@ -579,12 +594,25 @@ object DedupQueries {
         // sharing one non-hot gram IS found under an engaged hotDf.
         // At the shipped SFs hotDf never engages and the output is
         // additionally measured byte-identical.
-        val cand = probe.as("p").join(index.as("i"),
+        // r20 (guide §3.1 — pick the build side deliberately): spelled
+        // probe.join(index), a size-estimate TIE (both sides scan the
+        // same cache and without CBO the probe's rn-filter does not
+        // shrink its estimate) let the planner default to BuildRight =
+        // the FULL index (881k rows at sf0.1); index.join(probe) makes
+        // the tie land on the prefix-filtered probe (444k rows — the
+        // strictly smaller side by construction), halving the per-run
+        // broadcast collect+build. At cluster scale neither side fits
+        // the threshold and the join degrades to the same shuffled plan
+        // either way. The positional-filter ceil is integer arithmetic
+        // ((m+1) div 2 ≡ ceil(m/2) for the non-negative gram counts) —
+        // it runs once per raw hash match, the hottest expression in the
+        // candidate stage, and the double round-trip was pure overhead.
+        val cand = index.as("i").join(probe.as("p"),
           col("p.h") === col("i.h") && col("p.source") === col("i.source")
             && (col("p.n") < col("i.n") ||
               (col("p.n") === col("i.n") && col("p.doc_id") < col("i.doc_id"))))
           .filter(lit(1) + least(col("p.n") - col("p.rn"), col("i.n") - col("i.rn"))
-            >= ceil(least(col("p.n"), col("i.n")) / 2))
+            >= expr("(least(p.n, i.n) + 1) div 2"))
           .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
             greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b")).distinct()
           // explicit-N repartition (exempt from AQE coalescing): the
@@ -606,11 +634,22 @@ object DedupQueries {
         // two-pointer kernel over the sorted arrays — codegen'd, zero
         // allocation — instead of interpreted array_intersect hash sets
         // per candidate pair (the r5 bench's dominant cost).
+        //
+        // SINGLE-EVALUATION BARRIER (r20, guide §4 / §7.2): spelled as a
+        // plain filter over a projected n_int, PushPredicateThroughJoin
+        // inlines the threshold into the join CONDITION and the project
+        // above re-evaluates graft_overlap64 for every surviving pair —
+        // at sf0.1 the kernel ran 621k times in the condition PLUS 471k
+        // times in the projection (76% of candidates pass, plan nodes
+        // 50/51 in plans/r20/dedup_containment_before.txt). explode of a
+        // one-element array is a Generate whose output no predicate can
+        // be pushed below, so the kernel runs exactly ONCE per candidate
+        // pair; the threshold filter above it compares attributes only.
         cand
           .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
           .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            expr("graft_overlap64(hs_a, hs_b)").as("n_int"),
+            explode(array(expr("graft_overlap64(hs_a, hs_b)"))).as("n_int"),
             size(col("hs_a")).cast("long").as("n_a"),
             size(col("hs_b")).cast("long").as("n_b"))
           .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))
@@ -710,8 +749,14 @@ object DedupQueries {
     // (pigeonhole), so candidates come from an equi-join, never all-pairs.
     Q("dedup_simhash_hamming",
       (s, d) => {
+        // staged token hashes (see dedup_simhash): one md5 pass, 16
+        // nearly-free bit votes — pays off at the cache BUILD, the only
+        // place this projection runs
         val sigs = table(s, d, "documents")
-          .select(col("doc_id"), T.simhash(col("text")).as("sig"))
+          .select(col("doc_id"),
+            transform(array_distinct(T.tokens(col("text"))),
+              t => Portable.stableHash64(t)).as("th"))
+          .select(col("doc_id"), T.simhashOfHashes(col("th")).as("sig"))
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(array(
             col("sig").bitwiseAND(lit(63L)),

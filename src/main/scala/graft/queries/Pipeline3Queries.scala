@@ -47,18 +47,30 @@ object Pipeline3Queries {
     * arrays per row; the fused loop stays in whole-stage codegen.
     * The lexicographic argmin over (dist, code) is packed into ONE long
     * (dist·4 + code — codes are 2 bits, dist is a non-negative integer
-    * sum of 8 squared milli-diffs, far below 2^61): min(struct(…)) has
-    * an immutable aggregation buffer and planned as SortAggregate with
-    * a Sort on BOTH sides of the exchange; min(long) is a plain
-    * HashAggregate with map-side combine, no sort anywhere. */
-  private[queries] def pqChosen(s: SparkSession, d: String): DataFrame =
-    pqSubs(s, d).join(broadcast(pqCodebook(s, d)), col("j") === col("cj"))
-      .select(col("vec_id"), col("j"),
-        (expr("graft_intl2(sub, csub)") * 4 + col("code")).as("packed"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(col("packed")).as("m"))
+    * sum of 8 squared milli-diffs, far below 2^61).
+    *
+    * r20 (guide §2.4 — remove shuffles outright): the argmin used to be
+    * a groupBy(vec_id, j).min over the 4 joined codebook rows — a full
+    * Exchange of the encoded corpus (N×8 rows) just to min() over four
+    * values that were broadcast to the scan anyway. The codebook is
+    * PIVOTED to one row per subspace (csub_0..csub_3), so the argmin is
+    * a codegen'd least() of four packed distances computed inline in
+    * the scan projection — the encode path carries ZERO exchanges at
+    * any scale. least() skips NULL slots, which matches the old inner
+    * join's behavior when a code id is absent from the codebook. */
+  private[queries] def pqChosen(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d).groupBy(col("cj")).agg(
+      min(when(col("code") === 0, col("csub"))).as("csub_0"),
+      min(when(col("code") === 1, col("csub"))).as("csub_1"),
+      min(when(col("code") === 2, col("csub"))).as("csub_2"),
+      min(when(col("code") === 3, col("csub"))).as("csub_3"))
+    val packed = least((0 to 3).map(c =>
+      call_function("graft_intl2", col("sub"), col(s"csub_$c")) * 4 + lit(c.toLong)): _*)
+    pqSubs(s, d).join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), packed.as("m"))
       .select(col("vec_id"), col("j"),
         (col("m") % 4).cast("int").as("code"), shiftright(col("m"), 2).as("dist"))
+  }
 
   /** DuckDB CTEs mirroring pqSubs/pqCodebook/pqChosen. */
   private[queries] val pqCtesSql: String =

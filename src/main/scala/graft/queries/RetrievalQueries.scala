@@ -54,16 +54,21 @@ object RetrievalQueries {
           tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
         val st = dl.agg(count(lit(1)).as("n_docs"),
           expr("(sum(dl) * 1000) div count(1)").as("avgdl_milli"))
-        val qt = Seq(
+        val qtPairs = Seq(
           ("q1", "stream"), ("q1", "join"), ("q1", "window"),
           ("q2", "hash"), ("q2", "merge"), ("q2", "sort"),
           ("q3", "customer"), ("q3", "filter"), ("q3", "scan"))
-          .toDF("q_id", "term")
+        val qt = qtPairs.toDF("q_id", "term")
         // df is only needed for the QUERY terms: aggregate the cached tf
         // AFTER the broadcast term filter — never the full vocabulary
         // (build side ≤ |terms|, here 9 rows, NEVER corpus-growing — the
         // r10 verdict's plan defect).
-        val dfQ = tf.join(broadcast(qt.select(col("term")).distinct()),
+        // r20 (guide §2.4): the term list is a LITERAL — deduplicate it
+        // in Scala instead of `.distinct()` on a 9-row LocalTableScan,
+        // which planned a full HashAggregate→Exchange(32)→HashAggregate
+        // round (one extra shuffle + AQE stage per trial for nine
+        // driver-local rows).
+        val dfQ = tf.join(broadcast(qtPairs.map(_._2).distinct.toDF("term")),
           col("token") === col("term")).drop("term")
           .groupBy(col("token")).agg(count(lit(1)).as("df"))
         tf.join(broadcast(qt), col("token") === col("term"))
