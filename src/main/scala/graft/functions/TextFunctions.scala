@@ -39,13 +39,15 @@ object TextFunctions {
 
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation
     * marks each count as one token (a crude merge-free BPE lower bound).
-    * r20: regexp_count instead of size(regexp_extract_all(…)) — the same
-    * java.util.regex find() loop, but counting matches directly instead
-    * of materializing every match into a per-row array that is read once
-    * for its length and discarded (guide §1.2 per-task work). */
+    * NOTE (r20 optimization pass): regexp_count looks like the
+    * allocation-free spelling, but Spark 4's RegExpCount is
+    * RuntimeReplaceable and desugars to EXACTLY this
+    * size(regexp_extract_all(…)) — verified in the 4.1.2 catalyst jar —
+    * so there is no cheaper built-in; a no-op rewrite was tried and
+    * reverted. */
   val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(BpeTokenRegex)).cast("long")
+    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0))).cast("long")
   def bpeTokenCountSql(e: String): String =
     s"CAST(len(regexp_extract_all($e, '$BpeTokenRegex')) AS BIGINT)"
 

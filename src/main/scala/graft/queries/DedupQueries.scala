@@ -105,16 +105,17 @@ object DedupQueries {
       .select(col("doc_id"), array_distinct(col("sh")).as("shs"),
         Portable.shingleHashes(col("sh")).as("hs"))
       .select(col("doc_id"), col("shs"), expr("graft_minhash16(hs)").as("mh"))
+    // base joins twice in alias form (one fewer rename projection per
+    // side; see dedup_containment's note on why AQE still builds both
+    // broadcasts)
     lshCandidates(s, d)
-      .join(base.select(col("doc_id").as("doc_a"),
-        col("shs").as("sh_a"), col("mh").as("mh_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"),
-        col("shs").as("sh_b"), col("mh").as("mh_b")), Seq("doc_b"))
+      .join(base.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(base.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("mh_a"), col("mh_b"),
+        aggregate(zip_with(col("ga.mh"), col("gb.mh"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
           .as("n_match"),
-        T.jaccard(col("sh_a"), col("sh_b")).as("j_raw"))
+        T.jaccard(col("ga.shs"), col("gb.shs")).as("j_raw"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("n_match").cast("double") / 16.0, 6).as("est_j"),
         round(col("j_raw"), 6).as("jaccard"),
@@ -312,17 +313,20 @@ object DedupQueries {
         val sh = table(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), array_distinct(Portable.shingles3FromTokens(col("toks"))).as("shs"))
+        // filter on the RAW value (like the oracle's WHERE), round only
+        // the output — filtering the rounded value diverges at the
+        // threshold boundary. explode(array(…)) is the single-evaluation
+        // barrier (see dedup_containment): without it the threshold is
+        // pushed into the join condition and the intersect/union pair
+        // re-runs in the output projection for every surviving pair.
+        // The shingle-set table joins twice in alias form (one fewer
+        // rename projection per side; see dedup_containment's note on
+        // why AQE still builds both broadcasts).
         cand
-          .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sh_a"), Seq("doc_a"))
-          .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sh_b"), Seq("doc_b"))
-          // filter on the RAW value (like the oracle's WHERE), round only
-          // the output — filtering the rounded value diverges at the
-          // threshold boundary. explode(array(…)) is the single-evaluation
-          // barrier (see dedup_containment): without it the threshold is
-          // pushed into the join condition and the intersect/union pair
-          // re-runs in the output projection for every surviving pair.
+          .join(sh.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(sh.as("gb"), col("doc_b") === col("gb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            explode(array(T.jaccard(col("sh_a"), col("sh_b")))).as("j_raw"))
+            explode(array(T.jaccard(col("ga.shs"), col("gb.shs")))).as("j_raw"))
           .filter(col("j_raw") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       },
@@ -394,12 +398,15 @@ object DedupQueries {
         // edit_dist and sim both derive from that column rather than
         // leaning on codegen subexpression elimination to dedup two
         // levenshtein calls
+        // txt joins twice in alias form (one fewer rename projection
+        // per side; see dedup_containment's note on why AQE still
+        // builds both broadcasts)
         lshCandidates(s, d)
-          .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")), Seq("doc_a"))
-          .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")), Seq("doc_b"))
+          .join(txt.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(txt.as("gb"), col("doc_b") === col("gb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"),
-            greatest(length(col("t_a")), length(col("t_b"))).as("max_len"))
+            levenshtein(col("ga.text"), col("gb.text")).cast("long").as("edit_dist"),
+            greatest(length(col("ga.text")), length(col("gb.text"))).as("max_len"))
           .select(col("doc_a"), col("doc_b"), col("edit_dist"),
             round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6)
               .as("sim"))
@@ -492,14 +499,16 @@ object DedupQueries {
         // single-evaluation barrier (see dedup_containment): without the
         // explode(array(…)) Generate, the j_raw ≥ 0.5 filter is pushed
         // into the join condition and graft_overlap64 re-runs in the
-        // output projection for every surviving pair
+        // output projection for every surviving pair. Joined through the
+        // same un-renamed subtree twice (alias form — one fewer rename
+        // projection per side; see dedup_containment's note on why AQE
+        // still builds both broadcasts).
         cand
-          .join(withDist.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-            col("nd").as("nd_a")), Seq("doc_a"))
-          .join(withDist.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-            col("nd").as("nd_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("nd_a"), col("nd_b"),
-            explode(array(expr("graft_overlap64(hs_a, hs_b)"))).as("ov"))
+          .join(withDist.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(withDist.as("gb"), col("doc_b") === col("gb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            col("ga.nd").as("nd_a"), col("gb.nd").as("nd_b"),
+            explode(array(expr("graft_overlap64(ga.hs, gb.hs)"))).as("ov"))
           .select(col("doc_a"), col("doc_b"),
             (col("ov").cast("double")
               / (col("nd_a") + col("nd_b") - col("ov")).cast("double")).as("j_raw"))
@@ -645,13 +654,26 @@ object DedupQueries {
         // one-element array is a Generate whose output no predicate can
         // be pushed below, so the kernel runs exactly ONCE per candidate
         // pair; the threshold filter above it compares attributes only.
+        // Joined twice through the SAME un-renamed subtree under plain
+        // aliases — one fewer rename projection per side, and the two
+        // broadcast subtrees canonicalize identically. NOTE (r20,
+        // measured with tools/ReuseCheck): AQE stage-level broadcast
+        // reuse still does NOT fire here — each cached-table occurrence
+        // gets its own TableCacheQueryStage in Spark 4.1 and the
+        // exchanges above them stay distinct (3 builds, 0
+        // ReusedExchange) — so both verify probes pay their own ~21 MB
+        // broadcast build. Kept because the spelling is simpler and
+        // strictly no worse; the duplicate build is a Spark limitation,
+        // not a plan-shape defect we can remove without reshaping the
+        // verify into a single join.
+        val docHs = gc.select(col("doc_id"), col("hs"))
         cand
-          .join(gc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-          .join(gc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+          .join(docHs.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(docHs.as("gb"), col("doc_b") === col("gb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            explode(array(expr("graft_overlap64(hs_a, hs_b)"))).as("n_int"),
-            size(col("hs_a")).cast("long").as("n_a"),
-            size(col("hs_b")).cast("long").as("n_b"))
+            explode(array(expr("graft_overlap64(ga.hs, gb.hs)"))).as("n_int"),
+            size(col("ga.hs")).cast("long").as("n_a"),
+            size(col("gb.hs")).cast("long").as("n_b"))
           .filter(col("n_int") * 2 >= col("n_a") || col("n_int") * 2 >= col("n_b"))
           .select(col("doc_a"), col("doc_b"),
             round(col("n_int").cast("double") / col("n_a"), 6).as("c_ab"),
