@@ -1849,4 +1849,58 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
+
+  test("dedup verify kernels are evaluated ONCE per candidate pair (r20 barrier)") {
+    // Spelled as a filter over a projected kernel column, the threshold
+    // was pushed into the verify join's CONDITION and the kernel
+    // re-evaluated in the projection above — at sf0.1 graft_overlap64
+    // ran 621k + 471k times per containment trial (r20 before-plan,
+    // plans/r20). The explode(array(…)) Generate barrier pins it to one
+    // evaluation: exactly ONE kernel node in the optimized plan, and
+    // never inside a Join condition.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (name <- Seq("dedup_containment", "dedup_ngram_jaccard")) {
+      val qe = SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution
+      // PAIR-level kernels only (left ≠ right): the per-doc self-overlap
+      // nd = overlap64(hs, hs) legitimately appears below the join (plus
+      // its inferred isnotnull constraint) and costs one doc-sized pass,
+      // not a candidate-pair-sized one
+      val ovs = qe.optimizedPlan.flatMap(n =>
+        n.expressions.flatMap(_.collect {
+          case o: graft.plans.Overlap64 if !o.left.semanticEquals(o.right) => o
+        }))
+      assert(ovs.size == 1,
+        s"$name evaluates the pair-level graft_overlap64 ${ovs.size} times — the single-evaluation barrier regressed")
+      qe.optimizedPlan.foreach {
+        case j: Join => j.condition.foreach { c =>
+          assert(c.collect { case o: graft.plans.Overlap64 => o }.isEmpty,
+            s"$name pushed the verify kernel back into a join condition: $c")
+        }
+        case _ => ()
+      }
+    }
+  }
+
+  test("PQ argmin is a per-row expression — no corpus-sized (vec_id, j) exchange (r20)") {
+    // the nearest-code argmin used to be groupBy(vec_id, j).min over the
+    // 4 joined codebook rows — a full shuffle of the encoded corpus (N×8
+    // rows) to min() over four broadcast values. The pivoted-codebook
+    // least() form must leave NO exchange keyed on (vec_id, j) anywhere
+    // in the encode path.
+    for (name <- Seq("sim_pq_encode", "sim_topk_pq")) {
+      val p = plan(name)
+      assert(!p.matches("(?s).*hashpartitioning\\(vec_id#\\d+L?, j#\\d+.*"),
+        s"$name re-grew the corpus-sized argmin exchange:\n$p")
+    }
+  }
+
+  test("bm25 literal term-list dedup costs no shuffle round (r20)") {
+    // qt.select("term").distinct() planned HashAggregate → Exchange →
+    // HashAggregate over a 9-row LocalTableScan every trial; the list is
+    // a compile-time literal, deduplicated in Scala. No exchange keyed
+    // on the term column may appear.
+    val p = plan("text_bm25_topk")
+    assert(!p.matches("(?s).*hashpartitioning\\(term#.*"),
+      s"bm25 re-grew the literal term-list shuffle:\n$p")
+  }
 }
