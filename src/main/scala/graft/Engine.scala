@@ -35,6 +35,19 @@ object Engine {
       // reading the finer side's buckets coalesced — the repeated
       // fact-fact join posture when tables were bucketed independently
       c.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      // r21 (r20 verdict #2): preserve cached-plan OUTPUT PARTITIONING.
+      // The text_tf/text_df posting caches are stored hash-partitioned
+      // on token (the Lucene posting-list layout) so the per-trial
+      // tf⋈df scoring join can ride the stored layout with zero
+      // exchanges. Spark 4 defaults this to true, which lets AQE
+      // re-plan the cache build; the cached plan's partitioning is then
+      // unknown at planning time and EnsureRequirements re-shuffles
+      // EVERY cached side on EVERY use (measured: 2 extra exchanges per
+      // text_tfidf trial, plans/r21/text_tfidf_*). Cluster-safe: this
+      // only restores the pre-3.5 guarantee that a cache keeps its
+      // build partitioning; index builds run once per session and don't
+      // need AQE's post-shuffle coalescing.
+      c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       // nanos timestamps in events.parquet: read as LONG then convert
       // explicitly where needed (legacy flag keeps the scan vectorized).
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

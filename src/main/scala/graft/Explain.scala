@@ -7,6 +7,13 @@ package graft
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // Optional per-query file dump (r21): SPARK_GRAFT_EXPLAIN_DIR=<dir>
+    // writes <dir>/<query>_<suffix>.txt per query (suffix from
+    // SPARK_GRAFT_EXPLAIN_SUFFIX, default "plan") — the plans/rNN
+    // before/after evidence files, captured without scraping sbt's
+    // interleaved stdout.
+    val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "plan")
     val spark = Engine.session("graft-explain", Some("local[4]"))
     val names =
       if (args.nonEmpty) args.toSeq
@@ -19,11 +26,17 @@ object Explain {
         "sim_mips_transform", "src_bucket_coalesce_join")
     names.foreach { name =>
       println(s"\n===== $name =====")
-      try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-      } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      val text =
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        } catch { case e: Throwable => s"explain failed: ${e.getMessage}" }
+      println(text)
+      outDir.foreach { dir =>
+        val w = new java.io.PrintWriter(new java.io.File(dir, s"${name}_$suffix.txt"))
+        try w.println(text) finally w.close()
+      }
     }
     spark.stop()
   }

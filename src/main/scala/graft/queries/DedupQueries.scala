@@ -56,11 +56,20 @@ object DedupQueries {
     // cached (swap semantics): the self-join consumes this twice — without
     // the cache every signature (md5 over all shingles) is computed twice.
     // SkewGuard drops degenerate mega-buckets before any self-join (inert
-    // at test SF; bounds the quadratic blowup at 100 TB).
+    // at test SF; bounds the quadratic blowup at 100 TB). The threshold
+    // is conf-driven (r21, r20 verdict #5) so the engaged path is
+    // TESTABLE: SkewGuardSpec lowers it over a boilerplate-heavy fixture
+    // and proves the anti-join both fires and leaves sub-threshold pairs
+    // bit-identical; the default is the same DefaultMaxBucket constant
+    // as before, so every declared result is unchanged. The guard sits
+    // ABOVE the cache, so a conf change never thrashes the swap.
+    val maxBucket = s.conf
+      .get("spark.graft.dedup.maxBand", graft.functions.SkewGuard.DefaultMaxBucket.toString)
+      .toLong
     graft.functions.SkewGuard.dropHotBuckets(
       graft.functions.CacheOnce.swap("dedup_bands",
         withSigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))),
-      Seq("band", "sig"))
+      Seq("band", "sig"), maxBucket)
   }
 
   /** DuckDB CTEs mirroring bandTable (same hash-once structure). */
@@ -220,6 +229,65 @@ object DedupQueries {
     graft.functions.SkewGuard.dropHotBuckets(
       graft.functions.CacheOnce.swap("dedup_semantic_assigned", assigned),
       Seq("cluster"))
+  }
+
+  /** Shared gram table of dedup_containment (cached; array_compact
+    * retypes hs to containsNull=false so the graft_overlap64
+    * null-element guard compiles out of the verify stage — see
+    * dedup_ngram_jaccard). */
+  private[graft] def containGrams(s: SparkSession, d: String): DataFrame = {
+    val g = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
+      .withColumn("hs",
+        array_sort(array_compact(transform(col("ng"), x => Portable.stableHash64(x)))))
+    graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
+  }
+
+  /** dedup_containment's candidate stage BEFORE the distinct: one
+    * (doc_a, doc_b) row per surviving gram-level match. Factored out
+    * (r21) so tools/FunnelDiag can measure the match-multiplicity split
+    * the r20 verdict #3 asked for — which share of the raw matches
+    * belongs to pairs the verify will ANSWER (untouchable by any
+    * recall-exact pair-level filter) vs to pairs it will reject (the
+    * PPJoin+ suffix-filter headroom) — against the query's own plan,
+    * not a copy that could drift.
+    *
+    * Blocking/filters (the r13–r20 lineage, comments preserved):
+    *  - probe = the floor(n/2)+1 RAREST grams of each doc (df-asc
+    *    order; hot grams excluded by rarityRanked's gram-level rule, so
+    *    probe, prefix and index agree on what "hot" means).
+    *  - positional filter (PPJoin): a match at ranks (rn_p, rn_i) can
+    *    support at most 1 + min(remaining) common grams; the threshold
+    *    2*overlap >= min(n_a,n_b) needs ceil(min/2) — integer
+    *    (m+1) div 2 — and a qualifying pair's FIRST common gram always
+    *    passes, so the prune is exact.
+    *  - DIRECTION filter (r13 verdict #4): only the SMALLER side of a
+    *    pair needs to probe — a qualifying pair has 2·ov ≥ min(n_a,n_b)
+    *    and the pigeonhole already runs through the smaller side's
+    *    prefix (|A\B| ≤ ⌊|A|/2⌋ < |prefix_A|), so probing from the
+    *    larger side is redundant; ties broken by doc_id. Exact in every
+    *    regime, hot-engaged included (see HotGramSpec).
+    *  - build side (r20, guide §3.1): spelled index.join(probe) so the
+    *    CBO-less size TIE lands BuildRight on the prefix-filtered probe
+    *    (444k rows at sf0.1, the strictly smaller side by construction)
+    *    instead of the FULL 881k-row index; degrades to the same
+    *    shuffled plan at cluster scale either way. */
+  private[graft] def containCandRaw(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.functions.CacheOnce.swap("dedup_contain_idx",
+      rarityRanked(containGrams(s, d), Seq("source")))
+    val index =
+      ranked.select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
+    val probe =
+      ranked.filter(col("rn") <= floor(col("n") / 2) + 1)
+        .select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
+    index.as("i").join(probe.as("p"),
+      col("p.h") === col("i.h") && col("p.source") === col("i.source")
+        && (col("p.n") < col("i.n") ||
+          (col("p.n") === col("i.n") && col("p.doc_id") < col("i.doc_id"))))
+      .filter(lit(1) + least(col("p.n") - col("p.rn"), col("i.n") - col("i.rn"))
+        >= expr("(least(p.n, i.n) + 1) div 2"))
+      .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b"))
   }
 
   private def rarityRanked(g: DataFrame, extra: Seq[String]): DataFrame = {
@@ -480,11 +548,16 @@ object DedupQueries {
         // support at most 1 + min(remaining_a, remaining_b) common grams;
         // J >= 0.5 needs >= ceil(max(n_a,n_b)/2), and a qualifying pair's
         // FIRST common gram always passes, so the prune is exact.
+        // r21 (r20 ADVICE): integer (m+1) div 2 ≡ ceil(m/2) for the
+        // non-negative gram counts — same rewrite dedup_containment got
+        // in r20; this runs once per raw hash match (the hottest
+        // expression of the candidate stage) and the double/round round
+        // trip was pure overhead.
         val cand = prefix.as("a").join(prefix.as("b"),
           col("a.h") === col("b.h") && col("a.source") === col("b.source")
             && col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
           .filter(lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
-            >= ceil(greatest(col("a.n"), col("b.n")) / 2))
+            >= expr("(greatest(a.n, b.n) + 1) div 2"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
         // verify on the 60-bit HASH arrays, not the string grams: the
         // same distinct sets (md5-hash bijection on this gram space, and
@@ -554,76 +627,8 @@ object DedupQueries {
     // silently dropped wholesale at 100 TB.
     Q("dedup_containment", bench = true,
       fn = (s, d) => {
-        // array_compact retypes hs to containsNull=false so the
-        // graft_overlap64 null-element guard compiles out of the verify
-        // stage (see dedup_ngram_jaccard)
-        val g = table(s, d, "documents")
-          .select(col("doc_id"), col("source"), T.charNgrams(col("text")).as("ng"))
-          .withColumn("hs",
-            array_sort(array_compact(transform(col("ng"), x => Portable.stableHash64(x)))))
-        val gc = graft.functions.CacheOnce.swap("dedup_contain_ngrams", g)
-        val ranked = graft.functions.CacheOnce.swap("dedup_contain_idx",
-          rarityRanked(gc, Seq("source")))
-        val index =
-          ranked.select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
-        // probe = the floor(n/2)+1 RAREST grams of each doc (df-asc
-        // order; hot grams excluded by rarityRanked's gram-level rule,
-        // so probe, prefix and index agree on what "hot" means)
-        val probe =
-          ranked.filter(col("rn") <= floor(col("n") / 2) + 1)
-            .select(col("doc_id"), col("source"), col("h"), col("rn"), col("n"))
-        // positional filter (PPJoin): a match at ranks (rn_p, rn_i) can
-        // support at most 1 + min(remaining) common grams; the threshold
-        // 2*overlap >= min(n_a,n_b) needs ceil(min/2), and a qualifying
-        // pair's FIRST common gram always passes, so the prune is exact.
-        //
-        // DIRECTION filter (r13 verdict #4 — the funnel lever): only the
-        // SMALLER side of a pair needs to probe. A qualifying pair has
-        // 2·ov ≥ min(n_a, n_b) (2·ov ≥ max implies ≥ min, so EITHER
-        // direction of the verify threshold lands here), and the
-        // pigeonhole already runs through the smaller side's prefix:
-        // |A\B| ≤ ⌊|A|/2⌋ < |prefix_A| for A the smaller set, so
-        // prefix_A carries a common gram and the partner's FULL index
-        // carries it too. Probing from the larger side is therefore
-        // redundant — every unordered pair was generated from BOTH
-        // directions before this predicate (ties broken by doc_id), so
-        // it removes ≥ half the candidate join volume while the emitted
-        // pair set (after least/greatest + distinct) is unchanged in
-        // EVERY regime, hot-engaged included (r15, sharpening the r14
-        // wording): a qualifying pair's globally-FIRST common gram g1
-        // is non-hot whenever ANY common non-hot gram exists (non-hot
-        // sorts before hot in the df-asc order), sits within the
-        // smaller side's ⌊n/2⌋+1 prefix bound (at most ov−1 common
-        // grams can rank after it), and passes the positional filter
-        // (≥ ov−1 remain on both sides) — so the smaller side's own
-        // probe finds every pair the larger side's could. The contract
-        // exclusion is exactly "all common grams hot" (gram-level,
-        // direction-independent); residue-ness costs no recall beyond
-        // that. HotGramSpec pins both sides: a residue smaller doc
-        // sharing one non-hot gram IS found under an engaged hotDf.
-        // At the shipped SFs hotDf never engages and the output is
-        // additionally measured byte-identical.
-        // r20 (guide §3.1 — pick the build side deliberately): spelled
-        // probe.join(index), a size-estimate TIE (both sides scan the
-        // same cache and without CBO the probe's rn-filter does not
-        // shrink its estimate) let the planner default to BuildRight =
-        // the FULL index (881k rows at sf0.1); index.join(probe) makes
-        // the tie land on the prefix-filtered probe (444k rows — the
-        // strictly smaller side by construction), halving the per-run
-        // broadcast collect+build. At cluster scale neither side fits
-        // the threshold and the join degrades to the same shuffled plan
-        // either way. The positional-filter ceil is integer arithmetic
-        // ((m+1) div 2 ≡ ceil(m/2) for the non-negative gram counts) —
-        // it runs once per raw hash match, the hottest expression in the
-        // candidate stage, and the double round-trip was pure overhead.
-        val cand = index.as("i").join(probe.as("p"),
-          col("p.h") === col("i.h") && col("p.source") === col("i.source")
-            && (col("p.n") < col("i.n") ||
-              (col("p.n") === col("i.n") && col("p.doc_id") < col("i.doc_id"))))
-          .filter(lit(1) + least(col("p.n") - col("p.rn"), col("i.n") - col("i.rn"))
-            >= expr("(least(p.n, i.n) + 1) div 2"))
-          .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
-            greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b")).distinct()
+        val gc = containGrams(s, d)
+        val cand = containCandRaw(s, d).distinct()
           // explicit-N repartition (exempt from AQE coalescing): the
           // distinct's output is BYTE-small (two longs per pair) but
           // each row carries an expensive verify (graft_overlap64 array

@@ -285,24 +285,25 @@ object Pipeline4Queries {
     // distance table ever shuffle; the candidate set is |cell|, not N.
     Q("sim_topk_ivfpq",
       (s, d) => {
-        val cells = table(s, d, "embeddings").select(col("vec_id"), col("label"))
-        val qsubs = Pipeline3Queries.pqSubs(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sub").as("qsub"))
-        val distTable = Pipeline3Queries.pqCodebook(s, d)
-          .join(broadcast(qsubs), col("cj") === col("qj"))
-          .select(col("q_id"), col("cj"), col("code").as("dcode"),
-            expr("graft_intl2(qsub, csub)").as("dj"))
-          .join(broadcast(cells.select(col("vec_id").as("q_id"), col("label").as("q_cell"))), "q_id")
-        val cand = Pipeline3Queries.pqChosen(s, d).join(cells, "vec_id")
-        val scored = cand
-          .join(broadcast(distTable),
-            col("j") === col("cj") && col("code") === col("dcode")
-              && col("label") === col("q_cell") && col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("dj")).as("dist"))
+        // r21 (same rewrite as sim_topk_pq — r20 verdict #4): the ADC
+        // sum no longer rides a (q_id, vec_id) exchange. The per-query
+        // distance table is ONE 32-slot lookup array per query carrying
+        // the query's coarse cell (pqQueryLut — a flat projection, zero
+        // exchanges in the broadcast subtree), the candidate side is
+        // ONE row per vector with its cell riding along (pqCodes), the
+        // cell prune is the BHJ key of the lut join, and survivors are
+        // scored by 8 codegen'd element_at lookups in the projection.
+        // The only exchange left carries the bounded-heap topk partials.
+        val qlut = Pipeline3Queries.pqQueryLut(s, d, Seq("label" -> "q_cell"))
+        val dist = (0 to 7).map(j =>
+          element_at(col("lut"),
+            (lit(j * 4 + 1) + col(s"m_$j") % 4).cast("int"))).reduce(_ + _)
+        Pipeline3Queries.pqCodes(s, d)
+          .join(broadcast(qlut),
+            col("label") === col("q_cell") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("c_id"),
-            (-col("dist")).cast("double").as("score"))
-        scored.groupBy(col("q_id"))
+            (-dist).cast("double").as("score"))
+          .groupBy(col("q_id"))
           .agg(expr("graft_topk(score, c_id, 5)").as("top"))
           .select(col("q_id"), posexplode(col("top")))
           .select(col("q_id"), col("col.id").as("c_id"),

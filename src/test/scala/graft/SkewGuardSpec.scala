@@ -36,6 +36,51 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(out.count() === 2)
   }
 
+  test("lsh hot-bucket guard ENGAGES on a boilerplate-heavy corpus and is surgical (r21, r20 verdict #5)") {
+    // The one declared skew defense had never fired in a measured run
+    // (inert at every shipped SF). This drives the DECLARED
+    // dedup_minhash_lsh through a corpus where one band bucket is
+    // demonstrably hot — 64 byte-identical boilerplate docs, whose 16
+    // identical minhashes put all 64 rows in the SAME four (band, sig)
+    // buckets — with the guard threshold lowered via the conf knob the
+    // bandTable reads (spark.graft.dedup.maxBand, default unchanged).
+    // Contract proven: (a) the anti-join ENGAGES (the C(64,2)=2016
+    // quadratic boilerplate pairs vanish), (b) it is SURGICAL (every
+    // sub-threshold pair is bit-identical to the unguarded run).
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_skewfix_${System.nanoTime()}"
+    val boiler = spark.range(64).select(
+      (col("id") + 1000000L).as("doc_id"),
+      lit("boiler plate legal header boiler plate legal footer boiler plate notice line").as("text"),
+      lit("en").as("lang"), lit("srcB").as("source"), lit(78L).as("n_chars"))
+    Engine.table(spark, TestSpark.Sf, "documents").unionByName(boiler)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fn = SparkEntry.queries("dedup_minhash_lsh")
+    def run(): (Set[(Long, Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val (unguarded, tU) = run()
+      val hotPairs = unguarded.filter(p => p._1 >= 1000000L && p._2 >= 1000000L)
+      assert(hotPairs.size === 64 * 63 / 2,
+        s"fixture broken: expected the full quadratic bucket, got ${hotPairs.size}")
+      spark.conf.set("spark.graft.dedup.maxBand", "40")
+      val (guarded, tG) = run()
+      assert(guarded === (unguarded -- hotPairs),
+        "guard must drop EXACTLY the hot-bucket pairs (engaged + surgical)")
+      assert(guarded.nonEmpty, "fixture broken: no sub-threshold pairs to preserve")
+      info(f"unguarded: ${unguarded.size} pairs in $tU%.2f s; " +
+        f"guarded: ${guarded.size} pairs in $tG%.2f s " +
+        f"(dropped ${hotPairs.size} quadratic-bucket pairs)")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.maxBand")
+      queries.Registry.rmTree(new java.io.File(dir))
+    }
+  }
+
   test("declaring guarded / de-eagered queries launches NO Spark job") {
     val names = Seq("dedup_containment", "dedup_ngram_jaccard",
       "dedup_minhash_lsh", "dedup_simhash", "ml_chi2_cells",
