@@ -661,7 +661,7 @@ object SourceQueries {
         graft.Engine.configure(s)
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/statesrc_$stamp"
-        val ckpt = s"/tmp/graft_ckpt/statesrc-$stamp"
+        val ckpt = s"${graft.streaming.StreamRunner.ckptRoot(s)}/statesrc-$stamp"
         graft.Engine.events(s, d).select(col("user_id"), col("event_id"))
           .coalesce(1).write.mode("overwrite").parquet(srcDir)
         val schema = s.read.parquet(srcDir).schema

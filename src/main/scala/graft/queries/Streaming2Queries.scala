@@ -27,7 +27,7 @@ object Streaming2Queries {
         // invocation: the statestore reader is lazy, so the checkpoint
         // cannot be deleted inside the query fn — a nanotime-suffixed dir
         // would accumulate one copy per run forever (r11 advice).
-        val ckpt = s"/tmp/graft_ckpt/$name"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/$name"
         Registry.rmTree(new java.io.File(ckpt))
         val agg = StreamRunner.eventsStream(s, d)
           .groupBy(col("user_id"))
@@ -60,7 +60,7 @@ object Streaming2Queries {
       (s, d) => {
         val name = s"statecf2_${math.abs(d.hashCode)}"
         // Deterministic pre-cleaned checkpoint — see stream_state_source.
-        val ckpt = s"/tmp/graft_ckpt/$name"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/$name"
         Registry.rmTree(new java.io.File(ckpt))
         val agg = StreamRunner.eventsStream(s, d)
           .groupBy(col("user_id"))

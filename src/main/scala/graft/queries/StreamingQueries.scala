@@ -583,7 +583,7 @@ object StreamingQueries {
             batch.write.mode("overwrite").parquet(s"$out/batch=$id")
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"/tmp/graft_ckpt/fb-${System.nanoTime()}")
+          .option("checkpointLocation", s"${StreamRunner.ckptRoot(s)}/fb-${System.nanoTime()}")
           .start()
         if (!q.awaitTermination(300000)) {
           q.stop()
@@ -749,7 +749,7 @@ object StreamingQueries {
         graft.Engine.configure(s)
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/ckptrec_src_$stamp"
-        val ckpt = s"/tmp/graft_ckpt/ckptrec-$stamp"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/ckptrec-$stamp"
         val events = Engine.events(s, d).select(col("user_id"), col("event_id"))
         events.filter(col("event_id") % 2 === 0)
           .coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -800,7 +800,7 @@ object StreamingQueries {
         graft.Engine.configure(s)
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/gopher_src_$stamp"
-        val ckpt = s"/tmp/graft_ckpt/gopher-$stamp"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/gopher-$stamp"
         // range partitioning guarantees four NON-EMPTY doc_id-contiguous
         // files (hash of the residue classes collides two of them and
         // leaves one partition empty — verified on this Spark build)
@@ -936,7 +936,7 @@ object StreamingQueries {
               WHEN NOT MATCHED THEN INSERT *""")): Unit
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"/tmp/graft_ckpt/upsert-${System.nanoTime()}")
+          .option("checkpointLocation", s"${StreamRunner.ckptRoot(s)}/upsert-${System.nanoTime()}")
           .start()
         if (!q.awaitTermination(300000)) {
           q.stop()
@@ -978,7 +978,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation",
-            s"/tmp/graft_ckpt/totable-${System.nanoTime()}")
+            s"${StreamRunner.ckptRoot(s)}/totable-${System.nanoTime()}")
           .toTable("graft_stream_sink")
         if (!q.awaitTermination(300000)) {
           q.stop()
@@ -1138,7 +1138,7 @@ object StreamingQueries {
               }
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .option("checkpointLocation", s"/tmp/graft_ckpt/adm-$stamp")
+            .option("checkpointLocation", s"${StreamRunner.ckptRoot(s)}/adm-$stamp")
             .start()
           if (!q.awaitTermination(300000)) {
             q.stop()
@@ -1164,7 +1164,7 @@ object StreamingQueries {
         val sq = s; import sq.implicits._
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/updmode_$stamp"
-        val ckpt = s"/tmp/graft_ckpt/updmode_$stamp"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/updmode_$stamp"
         new java.io.File(srcDir).mkdirs()
         val batches = Seq(Seq("A", "A", "B"), Seq("A"), Seq("B", "B", "C"))
         try {
@@ -1217,7 +1217,7 @@ object StreamingQueries {
         val sq = s; import sq.implicits._
         val stamp = System.nanoTime()
         val srcDir = s"/tmp/graft_stream/mgwsto_$stamp"
-        val ckpt = s"/tmp/graft_ckpt/mgwsto_$stamp"
+        val ckpt = s"${StreamRunner.ckptRoot(s)}/mgwsto_$stamp"
         new java.io.File(srcDir).mkdirs()
         val batches = Seq(
           Seq((1L, "2024-03-01 10:00:00"), (2L, "2024-03-01 10:05:00")),

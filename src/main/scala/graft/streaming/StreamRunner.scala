@@ -15,6 +15,18 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamRunner {
 
+  /** Checkpoint ROOT for every streaming query's offset/commit/state
+    * logs — conf-overridable (r21, r20 verdict #1): the test session
+    * points it at tmpfs so the 34 stream_* rows' per-micro-batch
+    * snapshot/delta/checksum writes (executed up to three times each
+    * per suite run: RegistrySpec + the eager census + the window
+    * census) stop paying ext4 sync latency. Default unchanged — the
+    * driver's Verify/Bench keep real-disk checkpoints; on a cluster the
+    * conf points at durable storage. Checkpoint SEMANTICS (offsets,
+    * recovery, exactly-once) are identical on any filesystem. */
+  def ckptRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.ckptRoot", "/tmp/graft_ckpt")
+
   /** Streaming Dataset over `$dir/events.parquet` (file source), with the
     * same nanos→micros ts normalization as Engine.events. */
   /** Number of staged time-range files = number of micro-batches each
@@ -93,7 +105,7 @@ object StreamRunner {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"/tmp/graft_ckpt/$name-${System.nanoTime()}")
+      .option("checkpointLocation", s"${ckptRoot(spark)}/$name-${System.nanoTime()}")
       .start()
     val finished = q.awaitTermination(300000)
     if (!finished) {

@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("event_type")).count()
       .writeStream.format("memory").queryName("spec_batches").outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-batches-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamRunner.ckptRoot(spark)}/spec-batches-${System.nanoTime()}")
       .start()
     assert(q.awaitTermination(300000))
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -57,7 +57,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("spec_curation_waves")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-curation-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamRunner.ckptRoot(spark)}/spec-curation-${System.nanoTime()}")
       .start()
     assert(q.awaitTermination(300000))
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -80,7 +80,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("spec_psi_waves")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-psi-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamRunner.ckptRoot(spark)}/spec-psi-${System.nanoTime()}")
       .start()
     assert(q.awaitTermination(300000))
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -103,7 +103,7 @@ class StreamingSpec extends AnyFunSuite {
       .load()
       .groupBy((col("value") % 10).as("m")).count()
       .writeStream.format("memory").queryName("spec_rate").outputMode("complete")
-      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-rate-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamRunner.ckptRoot(spark)}/spec-rate-${System.nanoTime()}")
       .start()
     try {
       val deadline = System.currentTimeMillis() + 60000
@@ -143,7 +143,7 @@ class StreamingSpec extends AnyFunSuite {
       .load()
       .groupBy(col("value")).count()
       .writeStream.format("memory").queryName("spec_socket").outputMode("complete")
-      .option("checkpointLocation", s"/tmp/graft_ckpt/spec-socket-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamRunner.ckptRoot(spark)}/spec-socket-${System.nanoTime()}")
       .start()
     try {
       val deadline = System.currentTimeMillis() + 60000
@@ -175,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     // duplication (re-read files would double counts).
     val stamp = System.nanoTime()
     val srcDir = s"/tmp/graft_stream/recovery_src_$stamp"
-    val ckpt = s"/tmp/graft_ckpt/recovery-$stamp"
+    val ckpt = s"${StreamRunner.ckptRoot(spark)}/recovery-$stamp"
     val events = Engine.events(spark, TestSpark.Sf)
       .select(col("user_id"), col("event_id"))
     val half1 = events.filter(col("event_id") % 2 === 0)

@@ -30,6 +30,11 @@ object TestSpark {
       // store; retention must exceed the census volume (r16 ADVICE)
       .config("spark.ui.retainedJobs", "20000")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // streaming offset/commit/state logs on tmpfs: the suite executes
+      // every eager stream_* row up to three times (registry run + two
+      // censuses); checkpoint semantics are filesystem-independent and
+      // the driver's Verify/Bench keep the real-disk default
+      .config("spark.graft.ckptRoot", "/dev/shm/graft_ckpt")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
